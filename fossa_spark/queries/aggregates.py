@@ -1,0 +1,187 @@
+"""Aggregation operators (SURVEY.md §2c "Aggregation").
+
+The reference has no relational aggregates (the closest is a hand-rolled
+sum/min/max over CSV in its integration test,
+reference tests/integration_tests/test_basics.py:293-311); here the full
+hash-agg family is first-class. Spark plans these as partial (map-side)
++ final aggregation automatically — the at-scale shape we want: one shuffle
+on the group keys, combiner before it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fossa_spark.queries._util import cents, load, sql_cents
+
+# Filter cutoff keeps a realistic predicate on the scan (pushed to parquet).
+_Q1_CUTOFF = "2000-09-02"
+
+
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1 shape — scan, pushed filter, arithmetic projection,
+    hash agg (8 measures), sort. All JVM-side, whole-stage codegen."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= _Q1_CUTOFF)
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    agg = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).alias("_sq"),
+            F.sum(cents("l_extendedprice")).alias("_sbp"),
+            F.sum(cents(disc_price, 4)).alias("_sdp"),
+            F.sum(cents(charge, 6)).alias("_sc"),
+            F.sum(cents("l_discount")).alias("_sd"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    n = F.col("count_order").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("_sq").cast("double") / 100.0).alias("sum_qty"),
+        (F.col("_sbp").cast("double") / 100.0).alias("sum_base_price"),
+        (F.col("_sdp").cast("double") / 10000.0).alias("sum_disc_price"),
+        (F.col("_sc").cast("double") / 1000000.0).alias("sum_charge"),
+        ((F.col("_sq").cast("double") / 100.0) / n).alias("avg_qty"),
+        ((F.col("_sbp").cast("double") / 100.0) / n).alias("avg_price"),
+        ((F.col("_sd").cast("double") / 100.0) / n).alias("avg_disc"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+_Q1_SQL = f"""
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+         SUM({sql_cents("l_quantity")}) AS _sq,
+         SUM({sql_cents("l_extendedprice")}) AS _sbp,
+         SUM({sql_cents("l_extendedprice * (1.0 - l_discount)", 4)}) AS _sdp,
+         SUM({sql_cents("(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)", 6)}) AS _sc,
+         SUM({sql_cents("l_discount")}) AS _sd,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(_sq AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(_sbp AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(_sdp AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(_sc AS DOUBLE) / 1000000.0 AS sum_charge,
+       (CAST(_sq AS DOUBLE) / 100.0) / CAST(count_order AS DOUBLE) AS avg_qty,
+       (CAST(_sbp AS DOUBLE) / 100.0) / CAST(count_order AS DOUBLE) AS avg_price,
+       (CAST(_sd AS DOUBLE) / 100.0) / CAST(count_order AS DOUBLE) AS avg_disc,
+       count_order
+FROM a ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand+two-phase agg in Spark)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (HLL++) — the 100 TB path where exact distinct's
+    shuffle is prohibitive. Deterministic for fixed data, but no SQL oracle
+    (DuckDB's approx algo differs) → rows-only check."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over two keys (grouping-sets family)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).alias("_sq"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("_sq").cast("double") / 100.0).alias("sum_qty"),
+            "n_rows",
+        )
+    )
+
+
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 3)
+        .orderBy("o_custkey")
+    )
+
+
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collect (collect_list + sort_array), surfaced as a joined
+    string so the value-hash is structural-type-agnostic."""
+    n = load(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+QUERIES = {
+    "q_agg_basic": q_agg_basic,
+    "q_agg_distinct": q_agg_distinct,
+    "q_agg_approx": q_agg_approx,
+    "q_agg_rollup": q_agg_rollup,
+    "q_agg_having": q_agg_having,
+    "q_agg_collect": q_agg_collect,
+}
+
+ORACLE = {
+    "q_agg_basic": _Q1_SQL,
+    "q_agg_distinct": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q_agg_rollup": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM({sql_cents("l_quantity")}) AS DOUBLE) / 100.0 AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_agg_having": f"""
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM({sql_cents("o_totalprice")}) AS DOUBLE) / 100.0 AS total_spent
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3 ORDER BY o_custkey
+    """,
+    "q_agg_collect": """
+        SELECT n_regionkey,
+               string_agg(n_name, '|' ORDER BY n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+}

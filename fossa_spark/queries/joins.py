@@ -1,0 +1,226 @@
+"""Join operators (SURVEY.md §2c "Joins").
+
+Scale notes baked into each query:
+- Catalyst picks broadcast vs sort-merge vs shuffled-hash from sizes + AQE;
+  we hint `broadcast()` explicitly for dimension tables so the plan is
+  guaranteed shuffle-free on the small side even without stats.
+- The "range" join is written equi-key + range residual — the only range
+  join shape that scales (a pure non-equi join is a broadcast nested loop;
+  at 100 TB you band the range key into buckets first, which the as-of
+  query demonstrates via its window formulation).
+- The as-of join avoids the O(n·m) pairwise formulation entirely: union the
+  two streams, one window pass partitioned by key — one shuffle on
+  (key), no nested loop. This is the idiomatic Spark as-of.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from fossa_spark.queries._util import cents, load, load_events, sql_cents
+
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact-to-fact (lineitem ⋈ orders on orderkey) with a
+    post-join aggregate. Both sides shuffle on the join key (sort-merge);
+    AQE coalesces the exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4))
+             .cast("double") / 10000.0).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join with explicit broadcast of both dims — zero shuffle
+    for the dimension sides, the canonical 100 TB fact-dim pattern."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(cents("c_acctbal")).cast("double") / 100.0).alias("total_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left + full outer in one plan: customers LEFT JOIN their big orders
+    (nulls where none), then FULL OUTER against suppliers per nation."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000.0)
+    left = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_nationkey")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        left.join(s, left.c_nationkey == s.s_nationkey, "full")
+        .select(
+            F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey"),
+            F.coalesce(F.col("n_big_orders"), F.lit(0).cast("long")).alias("n_big_orders"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0).cast("long")).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): customers having at least one 'F' order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no order over 200k."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key + range residual (the scalable theta-join shape): suppliers
+    to customers in the same nation where the customer's balance exceeds
+    the supplier's. Hash join on nationkey, residual filter on balances."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    j = s.join(c, (s.s_nationkey == c.c_nationkey) & (c.c_acctbal > s.s_acctbal))
+    return (
+        j.groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_richer_customers"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (small×small only — guarded by design)."""
+    r = load(spark, sf_dir, "region").select(F.col("r_name").alias("region_name"))
+    n = load(spark, sf_dir, "nation").select(F.col("n_name").alias("nation_name"))
+    return r.crossJoin(n).orderBy("region_name", "nation_name")
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, window formulation: for every event, the timestamp of the
+    most recent STRICTLY EARLIER 'error' event of the same user.
+
+    Instead of a pairwise time-range join (nested loop), compute
+    max(error_ts) over (partition by user order by ts rows unbounded
+    preceding → 1 preceding): one shuffle on user_id, linear scan per
+    partition. Survives 100× data: state per row is O(1).
+    """
+    e = load_events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    err_ts = F.when(F.col("event_type") == "error", F.col("ts"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(err_ts).over(w).alias("last_error_ts"),
+    ).orderBy("event_id")
+
+
+QUERIES = {
+    "q_join_inner": q_join_inner,
+    "q_join_broadcast": q_join_broadcast,
+    "q_join_outer": q_join_outer,
+    "q_join_semi": q_join_semi,
+    "q_join_anti": q_join_anti,
+    "q_join_range": q_join_range,
+    "q_join_cross": q_join_cross,
+    "q_join_asof": q_join_asof,
+}
+
+ORACLE = {
+    "q_join_inner": f"""
+        SELECT o_orderstatus, COUNT(*) AS n_lines,
+               CAST(SUM({sql_cents("l_extendedprice * (1.0 - l_discount)", 4)}) AS DOUBLE) / 10000.0 AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "q_join_broadcast": f"""
+        SELECT r_name, COUNT(*) AS n_customers,
+               CAST(SUM({sql_cents("c_acctbal")}) AS DOUBLE) / 100.0 AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "q_join_outer": """
+        WITH big AS (SELECT * FROM orders WHERE o_totalprice > 350000.0),
+        l AS (
+          SELECT c_nationkey, COUNT(o_orderkey) AS n_big_orders
+          FROM customer LEFT JOIN big ON c_custkey = o_custkey
+          GROUP BY c_nationkey
+        ),
+        s AS (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey)
+        SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+               COALESCE(n_big_orders, 0) AS n_big_orders,
+               COALESCE(n_suppliers, 0) AS n_suppliers
+        FROM l FULL OUTER JOIN s ON l.c_nationkey = s.s_nationkey
+        ORDER BY nationkey
+    """,
+    "q_join_semi": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        ORDER BY c_custkey
+    """,
+    "q_join_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+        ORDER BY c_custkey
+    """,
+    "q_join_range": """
+        SELECT s_suppkey, s_name, COUNT(*) AS n_richer_customers
+        FROM supplier JOIN customer
+          ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+        GROUP BY s_suppkey, s_name ORDER BY s_suppkey
+    """,
+    "q_join_cross": """
+        SELECT r_name AS region_name, n_name AS nation_name
+        FROM region CROSS JOIN nation
+        ORDER BY region_name, nation_name
+    """,
+    "q_join_asof": """
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               MAX(CASE WHEN event_type = 'error' THEN CAST(ts AS TIMESTAMP) END)
+                 OVER (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_ts
+        FROM events ORDER BY event_id
+    """,
+}

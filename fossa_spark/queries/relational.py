@@ -1,0 +1,156 @@
+"""Projection / filter / distinct / sort / limit / set operations
+(SURVEY.md §2c). Pure narrow transforms + the minimal shuffles Spark needs
+(distinct → hash agg; global sort → range-partition exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fossa_spark.queries._util import load
+
+
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project / rename / computed column. Catalyst prunes the parquet scan
+    to exactly the referenced columns (check ReadSchema in explain)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("line"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("net_price"),
+        (F.col("l_quantity") > 25.0).alias("bulk"),
+    )
+
+
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunct/disjunct/IN/BETWEEN/LIKE/IS NULL predicates — all pushed to
+    the parquet reader where possible (PushedFilters)."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus").isin("F", "P"))
+        & (F.col("o_totalprice").between(50000.0, 300000.0))
+        & (F.col("o_orderpriority").like("%URGENT%") | (F.col("o_orderpriority") == "5-LOW"))
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT — hash aggregation on all columns."""
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort with NULLS LAST + LIMIT. Spark plans a
+    range-partitioned exchange (sample → rangepartition → local sort);
+    with LIMIT, AQE turns it into TakeOrderedAndProject — no full sort at
+    scale. Unique tiebreak key makes the limit deterministic."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            "c_name",
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("segment"),
+            "c_acctbal",
+        )
+        .orderBy(
+            F.col("segment").asc_nulls_last(),
+            F.col("c_acctbal").desc(),
+            F.col("c_custkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + UNION DISTINCT."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    all_keys = c.unionByName(s)
+    return (
+        all_keys.groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+        .unionByName(
+            c.unionByName(s)
+            .distinct()
+            .select("nationkey", F.lit(-1).cast("long").alias("n_entities"))
+        )
+        .orderBy("nationkey", "n_entities")
+    )
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — nations that have both customers
+    and suppliers."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — customers who never placed a big order."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000.0)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return c.subtract(o).orderBy("custkey")
+
+
+QUERIES = {
+    "q_project": q_project,
+    "q_filter": q_filter,
+    "q_distinct": q_distinct,
+    "q_sort": q_sort,
+    "q_set_union": q_set_union,
+    "q_set_intersect": q_set_intersect,
+    "q_set_except": q_set_except,
+}
+
+ORACLE = {
+    "q_project": """
+        SELECT l_orderkey AS okey, l_linenumber AS line,
+               l_extendedprice * (1.0 - l_discount) AS net_price,
+               l_quantity > 25.0 AS bulk
+        FROM lineitem
+    """,
+    "q_filter": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderstatus IN ('F','P')
+          AND o_totalprice BETWEEN 50000.0 AND 300000.0
+          AND (o_orderpriority LIKE '%URGENT%' OR o_orderpriority = '5-LOW')
+          AND o_custkey IS NOT NULL
+    """,
+    "q_distinct": "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "q_sort": """
+        SELECT c_custkey, c_name, nullif(c_mktsegment, 'BUILDING') AS segment, c_acctbal
+        FROM customer
+        ORDER BY segment ASC NULLS LAST, c_acctbal DESC, c_custkey ASC
+        LIMIT 100
+    """,
+    "q_set_union": """
+        WITH allk AS (
+          SELECT c_nationkey AS nationkey FROM customer
+          UNION ALL SELECT s_nationkey FROM supplier
+        )
+        SELECT nationkey, COUNT(*) AS n_entities FROM allk GROUP BY nationkey
+        UNION ALL
+        SELECT DISTINCT nationkey, -1 AS n_entities FROM allk
+        ORDER BY nationkey, n_entities
+    """,
+    "q_set_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "q_set_except": """
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+        ORDER BY custkey
+    """,
+}

@@ -1,0 +1,41 @@
+"""Tier-1 correctness: every declared query with an oracle must match DuckDB
+exactly (column names, row count, canonicalized values) — a local replica of
+the driver's CORRECTNESS gate. Queries without an oracle entry get a
+rows-and-schema smoke check.
+
+Run at sf0.001 by default (fast inner loop); set FOSSA_TEST_SF_DIR to
+/root/testdata/sf0.01 for the driver-equivalent scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fossa_spark.queries import all_oracles, all_queries
+from tests.conftest import SF_DIR, assert_parity
+
+_QUERIES = all_queries()
+_ORACLES = all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_parity(name, spark, oracle):
+    df = _QUERIES[name](spark, SF_DIR)
+    if name in _ORACLES:
+        assert_parity(df, oracle, _ORACLES[name], name=name)
+    else:
+        rows = df.collect()
+        assert df.columns, f"{name}: empty schema"
+        assert len(rows) >= 0  # materializes without error
+
+
+def test_oracles_have_queries():
+    missing = set(_ORACLES) - set(_QUERIES)
+    assert not missing, f"oracle entries without a query: {missing}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
