@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``brute_force_topk``: exact cosine top-k. Queries × candidates via a
+  (broadcast) cross join, dot products as JVM array folds, top-k via a
+  per-query window. At scale the query side is small and broadcast, so the
+  plan is a single narrow pass over the candidate table — the right
+  baseline for ≤ a few thousand queries.
+- ``lsh_topk``: sign-random-projection LSH (Charikar hyperplane LSH) —
+  bucket both sides on an m-bit signature, join on the bucket, rank within.
+  Sub-linear candidate generation; recall tuned by bits/tables. The 100 TB
+  path (IVF-style coarse quantization would slot in the same shape: bucket
+  key = nearest centroid).
+
+Hyperplanes are pseudo-random ±1 vectors derived from xxhash64(table, bit,
+dim) — fully deterministic, no fitted state to ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float> columns as a JVM fold (no UDF)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_as_double(a), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_q: str = "q_id",
+    id_c: str = "c_id",
+    vec_q: str = "q_vec",
+    vec_c: str = "c_vec",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k per query. The query side is broadcast —
+    candidates never shuffle. Scores rounded so cross-engine fold-order
+    double noise can't flip ranks; ties broken on candidate id."""
+    j = candidates.crossJoin(F.broadcast(queries)).filter(F.col(id_q) != F.col(id_c))
+    scored = j.withColumn(
+        "score", F.round(cosine(F.col(vec_q), F.col(vec_c)), round_to)
+    )
+    w = W.partitionBy(id_q).orderBy(F.col("score").desc(), F.col(id_c).asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_q, id_c, "score", "rk")
+    )
+
+
+def srp_signature(vec: Column, bits: int = 8, table: int = 0, dim: int = 64) -> Column:
+    """Sign-random-projection signature: bit b = sign(v · h_b) where h_b is
+    a deterministic ±1 hyperplane from xxhash64(table, b, dim index)."""
+    sig = F.lit(0).cast("long")
+    v = _as_double(vec)
+    def _plane_fn(b: int):
+        return lambda i: F.when(
+            F.xxhash64(F.concat_ws("|", F.lit(f"srp{table}_{b}"), i.cast("string")))
+            .bitwiseAND(F.lit(1)) == 1,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
+    for b in range(bits):
+        plane = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _plane_fn(b))
+        proj = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        sig = sig + F.when(proj > 0.0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    tables: int = 2,
+    id_q: str = "q_id",
+    id_c: str = "c_id",
+    vec_q: str = "q_vec",
+    vec_c: str = "c_vec",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates bucketed by SRP signature (per table),
+    equi-join on (table, bucket), exact cosine re-rank within the matched
+    buckets. The join is hash-partitioned on the bucket key — sub-linear
+    pair generation instead of the full cross product."""
+    q_b = queries.select(
+        id_q,
+        vec_q,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"),
+                         srp_signature(F.col(vec_q), bits, t, dim).alias("bucket"))
+                for t in range(tables)
+            ])
+        ).alias("bb"),
+    ).select(id_q, vec_q, "bb.tbl", "bb.bucket")
+    c_b = candidates.select(
+        id_c,
+        vec_c,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"),
+                         srp_signature(F.col(vec_c), bits, t, dim).alias("bucket"))
+                for t in range(tables)
+            ])
+        ).alias("bb"),
+    ).select(id_c, vec_c, "bb.tbl", "bb.bucket")
+    pairs = (
+        q_b.join(c_b, ["tbl", "bucket"])
+        .filter(F.col(id_q) != F.col(id_c))
+        .select(id_q, id_c, vec_q, vec_c)
+        .distinct()
+    )
+    scored = pairs.withColumn("score", F.round(cosine(F.col(vec_q), F.col(vec_c)), 6))
+    w = W.partitionBy(id_q).orderBy(F.col("score").desc(), F.col(id_c).asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_q, id_c, "score", "rk")
+    )

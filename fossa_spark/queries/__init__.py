@@ -8,8 +8,12 @@ driver contract file (/root/repo/__spark_entry__.py) re-exports the result.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
 from collections.abc import Callable
 from importlib import import_module
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -27,6 +31,38 @@ _MODULES = [
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_executors_can_import(spark: SparkSession) -> None:
+    """Ship fossa_spark to Spark's Python workers.
+
+    Functions defined in this package (pandas UDFs, mapInPandas bodies) are
+    pickled BY REFERENCE — workers must import fossa_spark. The grading
+    driver runs from an arbitrary cwd with its own session, so zip the
+    package and addPyFile() it once per session (also how a real cluster
+    deployment ships the library: --py-files fossa_spark.zip).
+    """
+    if id(spark) in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = Path(__file__).resolve().parent.parent
+    zpath = os.path.join(tempfile.mkdtemp(prefix="fossa_pkg_"), "fossa_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            zf.write(py, arcname=str(Path("fossa_spark") / py.relative_to(pkg_dir)))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED_SESSIONS.add(id(spark))
+
+
+def _wrap(fn: QueryFn) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_executors_can_import(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = fn.__name__
+    run.__doc__ = fn.__doc__
+    return run
+
 
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
@@ -38,7 +74,7 @@ def all_queries() -> dict[str, QueryFn]:
         for name, fn in getattr(mod, "QUERIES", {}).items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")
-            out[name] = fn
+            out[name] = _wrap(fn)
     return out
 
 

@@ -1,0 +1,225 @@
+"""Scalar-function families (SURVEY.md §2c "Scalar functions") — one compound
+query per family, all JVM-side built-ins (whole-stage codegen; no UDFs).
+
+Cross-engine notes (Spark vs DuckDB oracle):
+- regexp_replace: DuckDB replaces FIRST match unless the 'g' flag is given;
+  Spark replaces all. Oracle SQL passes 'g'.
+- floor/ceil return BIGINT in Spark but DOUBLE in DuckDB → oracle casts.
+- round on libm results (ln/pow): both engines' libm may differ in the last
+  ulp, so transcendental outputs are rounded to 8 dp; sqrt is IEEE
+  correctly-rounded and safe raw.
+- float32 embedding elements are cast to double on both sides before
+  hashing (exact widening) so value canonicalization agrees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fossa_spark.queries._util import load, load_events
+
+
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trim"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_type", "[AEIOU]", "_").alias("type_masked"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(d, F.lit("2000-01-01").cast("date")).alias("days_since_y2k"),
+        # DATE-typed outputs canonicalize differently (date vs datetime64)
+        # across pandas paths — surface as ISO strings in both engines.
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    absbal = F.abs(F.col("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        F.floor("c_acctbal").alias("bal_floor"),
+        F.ceil("c_acctbal").alias("bal_ceil"),
+        absbal.alias("bal_abs"),
+        F.sqrt(absbal).alias("bal_sqrt"),
+        F.round(F.log(absbal + F.lit(1.0)), 8).alias("bal_ln"),
+        F.pmod(F.col("c_nationkey") * F.lit(7) - F.lit(3), F.lit(5)).alias("bucket"),
+        F.pow(F.col("c_nationkey").cast("double"), F.lit(2.0)).alias("nk_sq"),
+    )
+
+
+def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0.0, F.lit("overdrawn"))
+        .when(F.col("c_acctbal") < 3000.0, F.lit("low"))
+        .otherwise(F.lit("high"))
+        .alias("bal_class"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")), F.lit("CARS")).alias(
+            "segment_renamed"
+        ),
+        F.nvl(F.nullif(F.col("c_nationkey"), F.lit(0)), F.lit(-1)).alias("nationkey_nz"),
+    )
+
+
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column: size, index,
+    filter+size (exact ints), transform+aggregate fold (rounded), min/max."""
+    e = load(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at(F.col("embedding"), 1).cast("double").alias("first_elem"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0.0)).alias("n_pos"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("vec_sum"),
+        F.round(
+            F.aggregate(
+                F.transform(as_double, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            4,
+        ).alias("vec_sumsq"),
+        F.array_min("embedding").cast("double").alias("vec_min"),
+        F.array_max("embedding").cast("double").alias("vec_max"),
+        F.size(F.slice(F.col("embedding"), 1, 8)).alias("head_len"),
+    )
+
+
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map type: build, keys/values, explode. DuckDB map semantics differ →
+    rows-only check (per SURVEY §2c)."""
+    e = load_events(spark, sf_dir)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    ex = e.select("event_id", F.explode(m).alias("k", "v"))
+    return (
+        ex.groupBy("k", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k", "v")
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions on events.props: get_json_object / from_json path."""
+    e = load_events(spark, sf_dir)
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+            parsed.getField("k").alias("k_struct"),
+        )
+        .filter(F.col("k_value") >= 50)
+        .orderBy("event_id")
+    )
+
+
+QUERIES = {
+    "q_fn_string": q_fn_string,
+    "q_fn_date": q_fn_date,
+    "q_fn_math": q_fn_math,
+    "q_fn_cond": q_fn_cond,
+    "q_fn_array": q_fn_array,
+    "q_fn_map": q_fn_map,
+    "q_json_extract": q_json_extract,
+}
+
+ORACLE = {
+    "q_fn_string": """
+        SELECT p_partkey,
+               p_brand || '-' || p_type AS brand_type,
+               substring(p_name, 1, 5) AS name5,
+               upper(p_name) AS name_upper,
+               lower(p_brand) AS brand_lower,
+               trim('  ' || p_name || '  ') AS name_trim,
+               lpad(p_brand, 12, '*') AS brand_pad,
+               split_part(p_name, ' ', 1) AS first_word,
+               regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+               regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_masked,
+               length(p_name) AS name_len
+        FROM part
+    """,
+    "q_fn_date": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               CAST(day(o_orderdate) AS INTEGER) AS dom,
+               date_trunc('month', o_orderdate) AS month_start,
+               CAST(date_diff('day', DATE '2000-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+                 AS days_since_y2k,
+               strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date
+        FROM orders
+    """,
+    "q_fn_math": """
+        SELECT c_custkey,
+               CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+               CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
+               abs(c_acctbal) AS bal_abs,
+               sqrt(abs(c_acctbal)) AS bal_sqrt,
+               round(ln(abs(c_acctbal) + 1.0), 8) AS bal_ln,
+               ((c_nationkey * 7 - 3) % 5 + 5) % 5 AS bucket,
+               power(CAST(c_nationkey AS DOUBLE), 2.0) AS nk_sq
+        FROM customer
+    """,
+    "q_fn_cond": """
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0.0 THEN 'overdrawn'
+                    WHEN c_acctbal < 3000.0 THEN 'low'
+                    ELSE 'high' END AS bal_class,
+               coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'CARS') AS segment_renamed,
+               ifnull(nullif(c_nationkey, 0), -1) AS nationkey_nz
+        FROM customer
+    """,
+    "q_fn_array": """
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS first_elem,
+               CAST(len(list_filter(embedding, x -> x > 0.0)) AS INTEGER) AS n_pos,
+               round(list_reduce(list_prepend(0.0, list_transform(embedding,
+                     x -> CAST(x AS DOUBLE))), (acc, x) -> acc + x), 4) AS vec_sum,
+               round(list_reduce(list_prepend(0.0, list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x), 4)
+                 AS vec_sumsq,
+               CAST(list_min(embedding) AS DOUBLE) AS vec_min,
+               CAST(list_max(embedding) AS DOUBLE) AS vec_max,
+               CAST(len(embedding[1:8]) AS INTEGER) AS head_len
+        FROM embeddings
+    """,
+    "q_json_extract": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        ORDER BY event_id
+    """,
+}

@@ -1,0 +1,355 @@
+"""LLM-data-pipeline queries (SURVEY.md §2c, driver-mandated): dedup,
+similarity search, text analysis, multimodal plumbing — each backed by the
+library operators in fossa_spark.llm, oracle-checked where ANSI SQL can
+express the semantics (exact dedup, n-gram Jaccard, brute-force cosine,
+token/quality/fingerprint analytics); rows-only where it can't (seeded
+MinHash/SimHash/SRP signatures use Spark's xxhash64, which DuckDB lacks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from fossa_spark.llm import dedup as D
+from fossa_spark.llm import multimodal as M
+from fossa_spark.llm import similarity as S
+from fossa_spark.llm import text as X
+from fossa_spark.queries._util import load
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.exact_dedup(d).orderBy("text_hash")
+
+
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands × 4) + exact-Jaccard verify ≥ 0.5.
+    Seeded hashing → stable rows-only check."""
+    d = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(d, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-gram Jaccard over all pairs sharing ≥1 shingle — the
+    ground-truth near-dup measure the LSH path approximates, and the one
+    DuckDB can mirror for the hash check."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(D.word_shingles("text", 5)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "n_a", "n_b", "n_inter", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs, Hamming ≤ 3 (rows-only: xxhash64). The
+    tight radius matters on a small-vocabulary corpus where token-multiset
+    profiles are globally similar."""
+    d = load(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, blocked by label (IVF-style blocking:
+    compare only within a coarse partition — the trick that makes
+    pairwise similarity feasible at scale)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(S.cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= 0.5)
+        .select("label", "id_a", "id_b", "cos")
+        .orderBy("label", "id_a", "id_b")
+    )
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 5) — broadcast
+    queries, one narrow pass over candidates."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return S.brute_force_topk(q, c, k=5).orderBy("q_id", "rk")
+
+
+def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-random-projection LSH buckets (the scale
+    path; rows-only — recall vs q_sim_topk is asserted in tests)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return S.lsh_topk(q, c, k=5, bits=4, tables=8).orderBy("q_id", "rk")
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies (tokenize → explode → count)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats + length-bucket distribution."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 200, F.lit("short"))
+        .when(F.col("n_chars") < 400, F.lit("medium"))
+        .otherwise(F.lit("long"))
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_chars"
+            ),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(F.when(bucket == "short", 1).otherwise(0)).alias("n_short"),
+            F.sum(F.when(bucket == "medium", 1).otherwise(0)).alias("n_medium"),
+            F.sum(F.when(bucket == "long", 1).otherwise(0)).alias("n_long"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (ratios of exact ints)."""
+    d = load(spark, sf_dir, "documents")
+    feats = X.quality_features(d)
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        "n_punct",
+        "n_stop",
+        "punct_ratio",
+        "stop_ratio",
+        "avg_token_len",
+    ).orderBy("doc_id")
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID predictions vs the labeled lang column
+    (rows-only; accuracy asserted separately in tests)."""
+    d = load(spark, sf_dir, "documents")
+    scored = X.language_scores(d)
+    return (
+        scored.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form fingerprint (sorted distinct token set → md5)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+def q_tok_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (whitespace; alnum-run regex) + corpus sums."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            X.token_count_ws("text").alias("ws"),
+            X.token_count_regex("text").alias("re"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("re").alias("re_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: synthetic media table → Arrow-batched feature
+    extraction (stub decoder) → per-kind aggregate. rows-only."""
+    media = M.synthetic_media(spark, n=64)
+    feats = M.extract_features(media, decode_stub=True)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.size(F.first("feature")).alias("feat_dim"),
+        )
+        .orderBy("kind")
+    )
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_near": q_dedup_near,
+    "q_dedup_ngram": q_dedup_ngram,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_embed": q_dedup_embed,
+    "q_sim_topk": q_sim_topk,
+    "q_sim_ann": q_sim_ann,
+    "q_text_tokens": q_text_tokens,
+    "q_text_stats": q_text_stats,
+    "q_text_quality": q_text_quality,
+    "q_text_langid": q_text_langid,
+    "q_text_fingerprint": q_text_fingerprint,
+    "q_tok_count": q_tok_count,
+    "q_multimodal": q_multimodal,
+}
+
+_DOT = """
+  round(
+    list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),
+        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+      (acc, x) -> acc + x)
+    / ( sqrt(list_reduce(list_prepend(0.0, list_transform({a},
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))
+      * sqrt(list_reduce(list_prepend(0.0, list_transform({b},
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x)) ),
+  6)
+"""
+
+ORACLE = {
+    "q_dedup_exact": """
+        SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
+               MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY text_hash
+    """,
+    "q_dedup_ngram": """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(t[gs : gs + 4], ' ') AS shingle
+          FROM toks JOIN generate_series(1, 100000) AS g(gs)
+            ON gs <= greatest(len(t) - 4, 1)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_inter,
+               CAST(n_inter AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    "q_dedup_embed": f"""
+        SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+               {_DOT.format(a="a.embedding", b="b.embedding")} AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_DOT.format(a="a.embedding", b="b.embedding")} >= 0.5
+        ORDER BY label, id_a, id_b
+    """,
+    "q_sim_topk": f"""
+        WITH scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                 {_DOT.format(a="q.embedding", b="c.embedding")} AS score
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5
+        ),
+        ranked AS (
+          SELECT q_id, c_id, score,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY score DESC, c_id ASC) AS rk
+          FROM scored
+        )
+        SELECT q_id, c_id, score, rk FROM ranked WHERE rk <= 5 ORDER BY q_id, rk
+    """,
+    "q_text_tokens": """
+        SELECT t.token AS token, COUNT(*) AS freq
+        FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
+        GROUP BY t.token ORDER BY freq DESC, token ASC
+    """,
+    "q_text_stats": """
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS avg_chars,
+               COUNT(DISTINCT lang) AS n_langs,
+               CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+               CAST(SUM(CASE WHEN n_chars >= 200 AND n_chars < 400 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_medium,
+               CAST(SUM(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "q_text_quality": """
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS nc,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                   AS n_tokens,
+                 CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
+                   AS BIGINT) AS n_punct,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                      x -> x IN ('the','and','of','to','a','in','is','that','for','with')))
+                   AS BIGINT) AS n_stop
+          FROM documents
+        )
+        SELECT doc_id, n_tokens, n_punct, n_stop,
+               CAST(n_punct AS DOUBLE) / CAST(nc AS DOUBLE) AS punct_ratio,
+               CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+               CAST(nc AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len
+        FROM f ORDER BY doc_id
+    """,
+    "q_text_fingerprint": """
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(lower(text), ' '))), ' ')) AS fp
+        FROM documents ORDER BY doc_id
+    """,
+    "q_tok_count": """
+        SELECT source,
+               CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+                 AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT)
+                 AS re_tokens,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY source ORDER BY source
+    """,
+}

@@ -1,0 +1,128 @@
+"""Windowed event-time aggregations (SURVEY.md §2c "Streaming-only").
+
+These run the SAME expressions Structured Streaming uses — ``window()`` /
+``session_window()`` are identical in batch and streaming plans — so the
+DuckDB oracle checks the window semantics, and tests/test_streaming.py
+re-runs them through an actual readStream→writeStream pipeline with
+watermarks to check the streaming path produces the same rows.
+
+Scale: tumbling/sliding windows are hash aggregations keyed by
+(window, key) — partial agg before the shuffle; session windows shuffle by
+user and merge sorted runs. Watermarks bound state growth at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fossa_spark.queries._util import cents, load_events, sql_cents
+
+
+def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window per event_type."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+def q_stream_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 10-minute width, 5-minute slide (each event lands in
+    exactly two windows)."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "n_events")
+        .orderBy("win_start")
+    )
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window, 5-minute gap, per user. Spark's session end =
+    last event ts + gap; the oracle reproduces that with gap-flag
+    cumulative-sum sessionization."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "sess_start")
+    )
+
+
+QUERIES = {
+    "q_stream_tumble": q_stream_tumble,
+    "q_stream_slide": q_stream_slide,
+    "q_stream_session": q_stream_session,
+}
+
+ORACLE = {
+    "q_stream_tumble": f"""
+        SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS win_start,
+               time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+                 + INTERVAL '10 minutes' AS win_end,
+               event_type, COUNT(*) AS n_events,
+               CAST(SUM({sql_cents("value")}) AS DOUBLE) / 100.0 AS total_value
+        FROM events
+        GROUP BY 1, 2, 3 ORDER BY win_start, event_type
+    """,
+    "q_stream_slide": """
+        WITH hits AS (
+          SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS win_start
+          FROM events
+          UNION ALL
+          SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                   - INTERVAL '5 minutes'
+          FROM events
+        )
+        SELECT win_start, COUNT(*) AS n_events
+        FROM hits GROUP BY win_start ORDER BY win_start
+    """,
+    "q_stream_session": f"""
+        WITH ordered AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                 CASE WHEN CAST(ts AS TIMESTAMP)
+                        - lag(CAST(ts AS TIMESTAMP))
+                          OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                        > INTERVAL '5 minutes'
+                      OR lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+        ),
+        tagged AS (
+          SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM ordered
+        )
+        SELECT user_id, MIN(ts) AS sess_start,
+               MAX(ts) + INTERVAL '5 minutes' AS sess_end,
+               COUNT(*) AS n_events,
+               CAST(SUM({sql_cents("value")}) AS DOUBLE) / 100.0 AS total_value
+        FROM tagged GROUP BY user_id, sess_id ORDER BY user_id, sess_start
+    """,
+}

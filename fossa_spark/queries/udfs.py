@@ -1,0 +1,131 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2c).
+
+The reference's entire premise is arbitrary user Python dispatched per task
+(``getattr(model, method)(**kwargs)``, reference lib/fossa/control/process.py:99-100).
+On Spark that capability lands as the Arrow-vectorized Python surface:
+scalar pandas UDFs, grouped-map ``applyInPandas`` (the PartitionedModel
+analogue: per-key Python over a shuffled group), grouped-agg pandas UDFs,
+and ``mapInPandas`` flat-map. Row-at-a-time Python UDFs are deliberately
+absent — at 100 TB the per-row pickle cost is the difference between hours
+and days; every function here moves data via Arrow batches.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fossa_spark.queries._util import load
+
+
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow-batched): whitespace token count.
+    Mirrors the SQL expression length-diff formulation exactly."""
+
+    @F.pandas_udf("long")
+    def n_tokens(text: pd.Series) -> pd.Series:
+        return (text.str.count(" ") + 1).astype("int64")
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "n_chars", n_tokens("text").alias("n_tokens")).orderBy("doc_id")
+
+
+def q_udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas — the PartitionedModel fan-out analogue:
+    one Python invocation per language group, results unioned by Spark."""
+
+    def per_lang(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        total = int(pdf["n_chars"].sum())
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [n],
+                "total_chars": [total],
+                "avg_chars": [float(total) / float(n)],
+            }
+        )
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .applyInPandas(per_lang, "lang string, n_docs long, total_chars long, avg_chars double")
+        .orderBy("lang")
+    )
+
+
+def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF): exact integer sum per source."""
+
+    @F.pandas_udf("long")
+    def total_chars(s: pd.Series) -> int:
+        return int(s.sum())
+
+    @F.pandas_udf("long")
+    def n_rows(s: pd.Series) -> int:
+        # grouped-agg pandas UDFs can't mix with built-in aggregates in one
+        # agg() — so the count is a pandas UDF too
+        return int(len(s))
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(total_chars("n_chars").alias("total_chars"), n_rows("doc_id").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-map via mapInPandas (UDTF shape): split each document into
+    64-char chunks → one output row per chunk. SQL oracle reproduces it
+    with generate_series, so even the Python flat-map is hash-checked."""
+
+    def chunker(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                for i in range(0, n, 64):
+                    out.append((int(doc_id), i // 64, min(64, n - i)))
+            yield pd.DataFrame(out, columns=["doc_id", "chunk_idx", "chunk_len"])
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(chunker, "doc_id long, chunk_idx long, chunk_len long").orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+QUERIES = {
+    "q_udf_scalar": q_udf_scalar,
+    "q_udf_grouped": q_udf_grouped,
+    "q_udaf": q_udaf,
+    "q_udtf": q_udtf,
+}
+
+ORACLE = {
+    "q_udf_scalar": """
+        SELECT doc_id, n_chars,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        FROM documents ORDER BY doc_id
+    """,
+    "q_udf_grouped": """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS avg_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "q_udaf": """
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars, COUNT(*) AS n_docs
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "q_udtf": """
+        SELECT doc_id, gs AS chunk_idx,
+               least(64, length(text) - gs * 64) AS chunk_len
+        FROM documents
+        JOIN generate_series(0, 100000) AS t(gs)
+          ON gs <= CAST(ceil(length(text) / 64.0) AS BIGINT) - 1
+        ORDER BY doc_id, chunk_idx
+    """,
+}

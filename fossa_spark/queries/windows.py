@@ -1,0 +1,142 @@
+"""Window functions (SURVEY.md §2c "Window functions").
+
+Determinism: every window ORDER BY that feeds row_number/ntile/frames
+includes a unique tiebreak key (orderkey/linenumber/event_id) — otherwise
+rank assignment depends on shuffle order. rank/dense_rank are exercised on
+a tie-prone key on purpose (ties collapse deterministically).
+
+Scale: a window partitioned by a key is one shuffle on that key + a sort
+within partitions; state is O(frame), not O(partition), for the frames used
+here. Skewed partition keys (few giant users) are the thing to watch at
+100 TB — AQE does not split window partitions, so key choice matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from fossa_spark.queries._util import cents, load, load_events, sql_cents
+
+
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile."""
+    li = load(spark, sf_dir, "lineitem")
+    w_total = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    w_ties = W.partitionBy("l_returnflag").orderBy(F.col("l_quantity").asc())
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w_total).alias("rn"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.ntile(4).over(w_total).alias("quartile"),
+    )
+
+
+def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / first_value / last_value over a per-user event stream."""
+    e = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.first("event_type").over(w_frame).alias("first_type"),
+        F.last("event_type").over(w_frame).alias("running_last_type"),
+    )
+
+
+def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frames: running sum + 3-row moving average (exact via integer cents)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    mov = w.rowsBetween(-2, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        (F.sum(cents("o_totalprice")).over(run).cast("double") / 100.0).alias("running_total"),
+        (
+            (F.sum(cents("o_totalprice")).over(mov).cast("double") / 100.0)
+            / F.count(F.lit(1)).over(mov).cast("double")
+        ).alias("moving_avg3"),
+    )
+
+
+def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: 3 biggest orders per customer. At scale this is the
+    rank+filter pattern — one shuffle, no global sort; AQE-safe."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("o_custkey", "rk")
+    )
+
+
+QUERIES = {
+    "q_win_rank": q_win_rank,
+    "q_win_lag": q_win_lag,
+    "q_win_frame": q_win_frame,
+    "q_topk_group": q_topk_group,
+}
+
+ORACLE = {
+    "q_win_rank": """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+               row_number() OVER w_total AS rn,
+               rank() OVER w_ties AS rnk,
+               dense_rank() OVER w_ties AS drnk,
+               ntile(4) OVER w_total AS quartile
+        FROM lineitem
+        WINDOW
+          w_total AS (PARTITION BY l_returnflag
+                      ORDER BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC),
+          w_ties AS (PARTITION BY l_returnflag ORDER BY l_quantity ASC)
+    """,
+    "q_win_lag": """
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               lag(value, 1) OVER w AS prev_value,
+               lead(value, 1) OVER w AS next_value,
+               first_value(event_type) OVER wf AS first_type,
+               last_value(event_type) OVER wf AS running_last_type
+        FROM events
+        WINDOW
+          w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC),
+          wf AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "q_win_frame": f"""
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+               CAST(SUM({sql_cents("o_totalprice")}) OVER run AS DOUBLE) / 100.0
+                 AS running_total,
+               (CAST(SUM({sql_cents("o_totalprice")}) OVER mov AS DOUBLE) / 100.0)
+                 / CAST(COUNT(*) OVER mov AS DOUBLE) AS moving_avg3
+        FROM orders
+        WINDOW
+          run AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          mov AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "q_topk_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          FROM orders
+        ) WHERE rk <= 3 ORDER BY o_custkey, rk
+    """,
+}
