@@ -1,0 +1,170 @@
+"""Connectors: engine-URL strings + resolver-context templating.
+
+Reference surface being re-expressed (see SURVEY.md §1.2/§1.4):
+- ``ayeaye.Connect(engine_url="csv://{output_datasets}/x.csv",
+  field_names=[...], access=WRITE)`` — reference examples/example_etl.py:139-143.
+- ``{placeholder}`` late binding via ``connector_resolver.context(...)`` —
+  reference lib/fossa/control/process.py:88.
+- ``MultiConnectorNewDataset(template=...)`` growable dataset lists —
+  reference examples/example_etl.py:56-61.
+
+Spark-native design: an engine URL resolves to a DataFrameReader/Writer
+format + path; declared ``field_names`` become a typed StructType (upgraded
+from the reference's untyped strings); multi-dataset templates map to
+``partitionBy`` writes or per-key templated paths.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from enum import Enum
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class AccessMode(Enum):
+    READ = "r"
+    WRITE = "w"
+    READWRITE = "rw"
+
+
+_FORMATS = {"csv", "parquet", "json", "orc", "text"}
+
+
+@dataclass
+class EngineUrl:
+    scheme: str
+    path: str
+
+    @classmethod
+    def parse(cls, url: str) -> "EngineUrl":
+        parsed = urlparse(url)
+        scheme = parsed.scheme or "parquet"
+        if scheme not in _FORMATS:
+            raise ValueError(f"unsupported engine-url scheme: {scheme!r} in {url!r}")
+        # csv:///abs/path and csv://rel/path both carry the path in netloc+path
+        path = (parsed.netloc + parsed.path) if parsed.netloc else parsed.path
+        return cls(scheme=scheme, path=path)
+
+
+class ConnectorResolver:
+    """Thread-local stack of template contexts (the reference's
+    ``connector_resolver``): ``with resolver.context(output=...)`` makes
+    ``{output}`` resolvable in any engine URL until exit."""
+
+    def __init__(self) -> None:
+        self._local = threading.local()
+
+    def _stack(self) -> list[dict[str, str]]:
+        if not hasattr(self._local, "stack"):
+            self._local.stack = [{}]
+        return self._local.stack
+
+    def context(self, **kwargs: str):
+        resolver = self
+
+        class _Ctx:
+            def __enter__(self) -> "ConnectorResolver":
+                resolver._stack().append({**resolver.mapping(), **kwargs})
+                return resolver
+
+            def __exit__(self, *exc) -> None:
+                resolver._stack().pop()
+
+        return _Ctx()
+
+    def mapping(self) -> dict[str, str]:
+        return self._stack()[-1]
+
+    def resolve(self, template: str) -> str:
+        try:
+            return template.format(**self.mapping())
+        except KeyError as e:
+            raise KeyError(
+                f"unresolved engine-url placeholder {e} in {template!r}; "
+                f"available: {sorted(self.mapping())}"
+            ) from None
+
+
+connector_resolver = ConnectorResolver()
+
+
+def _schema_from_field_names(field_names: list[str] | None) -> T.StructType | None:
+    if field_names is None:
+        return None
+    return T.StructType([T.StructField(n, T.StringType()) for n in field_names])
+
+
+@dataclass
+class Connect:
+    """Dataset binding descriptor (the reference's ``ayeaye.Connect``).
+
+    Declared as a class attribute on a Model; at run time ``.read(spark)`` /
+    ``.write(df)`` resolve the templated engine URL and dispatch to the
+    right reader/writer. ``schema`` (a StructType or DDL string) supersedes
+    the reference's untyped ``field_names``; both are accepted.
+    """
+
+    engine_url: str
+    access: AccessMode = AccessMode.READ
+    schema: T.StructType | str | None = None
+    field_names: list[str] | None = None
+    options: dict[str, str] = field(default_factory=dict)
+
+    def resolved(self) -> EngineUrl:
+        return EngineUrl.parse(connector_resolver.resolve(self.engine_url))
+
+    @property
+    def datasource_exists(self) -> bool:
+        """Existence probe (reference examples/example_etl.py:75)."""
+        import glob
+        import os
+
+        p = self.resolved().path
+        return os.path.exists(p) or bool(glob.glob(p))
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        url = self.resolved()
+        reader = spark.read
+        schema = self.schema or _schema_from_field_names(self.field_names)
+        if schema is not None:
+            reader = reader.schema(schema)
+        opts = dict(self.options)
+        if url.scheme == "csv":
+            opts.setdefault("header", "true")
+        return reader.options(**opts).format(url.scheme).load(url.path)
+
+    def write(self, df: DataFrame, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+        if self.access is AccessMode.READ:
+            raise PermissionError(f"connector {self.engine_url!r} is READ-only")
+        url = self.resolved()
+        writer = df.write.mode(mode)
+        opts = dict(self.options)
+        if url.scheme == "csv":
+            opts.setdefault("header", "true")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.options(**opts).format(url.scheme).save(url.path)
+
+
+@dataclass
+class MultiConnect:
+    """Templated multi-dataset connector (the reference's
+    ``MultiConnectorNewDataset``): ``new_dataset(subtask_id="a")`` yields a
+    Connect bound to the expanded template; the growable list of created
+    datasets is tracked. The scalable alternative for keyed outputs is a
+    single ``partitionBy`` write — see Connect.write(partition_by=...)."""
+
+    template: str
+    access: AccessMode = AccessMode.WRITE
+    datasets: list[Connect] = field(default_factory=list)
+
+    def new_dataset(self, **params: str) -> Connect:
+        url = self.template.format(**{**connector_resolver.mapping(), **params})
+        c = Connect(engine_url=url, access=self.access)
+        self.datasets.append(c)
+        return c

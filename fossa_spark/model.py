@@ -1,0 +1,222 @@
+"""Model / PartitionedModel — the engine's unit of ETL.
+
+Reference semantics re-expressed (SURVEY.md §2b):
+- ``ayeaye.Model``: ``build()`` does the work, ``go()`` runs the model
+  end-to-end, ``log()`` reports (reference examples/example_etl.py:8-31).
+- ``ayeaye.PartitionedModel``: ``partition_slice(n)`` enumerates subtasks as
+  (method_name, kwargs) pairs; ``partition_plea()`` negotiates worker count;
+  ``partition_initialise``/``partition_subtask_complete`` hooks
+  (reference examples/example_etl.py:34-162, lib/fossa/control/process.py:57-168).
+
+Spark-native execution: a Model's work is DataFrame transformations; `go()`
+triggers the actions. PartitionedModel fan-out runs through one of three
+strategies (mirroring the reference's pluggable AbstractProcessPool,
+reference lib/fossa/control/rabbit_mq/process_pool.py:8-17):
+
+- ``TaskParallelStrategy``  — arbitrary-Python subtasks distributed as one
+  Spark job: ``sc.parallelize(subtasks, n).map(run)`` (each executor core
+  runs subtasks; results gathered by collect). The direct analogue of the
+  reference's RabbitMQ fan-out, minus the broker.
+- ``GroupedDataStrategy``   — data-parallel subtasks keyed by a column:
+  ``groupBy(key).applyInPandas`` (the idiomatic path when the "subtask"
+  is really a data partition).
+- ``LocalThreadStrategy``   — driver-side thread pool for subtasks that
+  are themselves Spark actions (concurrent jobs share the scheduler,
+  optionally under FAIR pools).
+"""
+
+from __future__ import annotations
+
+import logging
+import traceback
+from collections.abc import Callable, Iterable
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+logger = logging.getLogger("fossa_spark")
+
+
+@dataclass
+class PartitionOption:
+    """Worker-count negotiation (reference examples/example_etl.py:148-155)."""
+
+    minimum: int = 1
+    maximum: int = 128
+    optimal: int = 32
+
+
+@dataclass
+class SubTask:
+    method: str
+    kwargs: dict[str, Any]
+
+
+class SubTaskFailed(RuntimeError):
+    """Carries the failing subtask's identity to the parent
+    (reference lib/fossa/control/process.py:113-141)."""
+
+    def __init__(self, method: str, kwargs: dict[str, Any], cause: str):
+        super().__init__(f"subtask {method}({kwargs}) failed: {cause}")
+        self.method = method
+        self.kwargs = kwargs
+        self.cause = cause
+
+
+class Model:
+    """Base unit of ETL. Subclass and implement ``build()``; ``go()`` runs
+    it. Connect descriptors declared as class attributes are the model's
+    datasets."""
+
+    def __init__(self, spark: SparkSession | None = None, **construction_kwargs: Any):
+        self.spark = spark
+        self.construction_kwargs = construction_kwargs
+
+    def log(self, msg: str, level: str = "INFO") -> None:
+        logger.log(getattr(logging, level.upper(), logging.INFO), "%s: %s",
+                   type(self).__name__, msg)
+
+    def build(self) -> Any:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def go(self) -> Any:
+        """Run the model end-to-end (the reference's default task method,
+        reference lib/fossa/views/api.py:45)."""
+        return self.build()
+
+
+def _run_subtask_remote(payload: tuple[bytes, str, dict[str, Any]]) -> dict[str, Any]:
+    """Executor-side subtask runner for TaskParallelStrategy: reconstruct
+    the model (without a SparkSession — subtasks must be plain Python) and
+    invoke the named method."""
+    import pickle
+
+    cls_bytes, method, kwargs = payload
+    cls = pickle.loads(cls_bytes)
+    model = cls(spark=None)
+    if hasattr(model, "partition_initialise"):
+        model.partition_initialise()
+    try:
+        value = getattr(model, method)(**kwargs)
+        return {"method": method, "kwargs": kwargs, "ok": True, "value": value}
+    except Exception as e:  # noqa: BLE001 - subtask errors are data
+        return {
+            "method": method,
+            "kwargs": kwargs,
+            "ok": False,
+            "error": f"{type(e).__name__}: {e}",
+            "traceback": traceback.format_exc(),
+        }
+
+
+class TaskParallelStrategy:
+    """Fan subtasks out as one Spark job over a parallelized collection —
+    the reference's broker fan-out (C6/C7) without a broker: Spark's
+    scheduler does admission, locality, and retries
+    (spark.task.maxFailures replaces the retry scoreboard,
+    reference lib/fossa/control/rabbit_mq/process_pool.py:27-28)."""
+
+    def run(self, model: "PartitionedModel", subtasks: list[SubTask],
+            processes: int | None) -> Iterable[dict[str, Any]]:
+        import sys
+
+        from pyspark import cloudpickle
+
+        spark = model.spark
+        assert spark is not None, "TaskParallelStrategy needs a live SparkSession"
+        n = min(processes or len(subtasks), max(len(subtasks), 1))
+        # Ship the model CLASS by value — user model modules are not
+        # importable on executors (the reference shipped a class *name* and
+        # required pre-registration on every node; we ship the code itself).
+        mod = sys.modules.get(type(model).__module__)
+        if mod is not None and mod.__name__ not in ("builtins", "__main__"):
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:  # noqa: BLE001 - best effort; ref-pickle fallback
+                pass
+        cls_bytes = cloudpickle.dumps(type(model))
+        payloads = [(cls_bytes, st.method, st.kwargs) for st in subtasks]
+        rdd = spark.sparkContext.parallelize(payloads, max(n, 1))
+        yield from rdd.map(_run_subtask_remote).collect()
+
+
+class LocalThreadStrategy:
+    """Driver-side thread pool: right when each subtask itself launches
+    Spark actions (concurrent jobs multiplex onto the same scheduler)."""
+
+    def run(self, model: "PartitionedModel", subtasks: list[SubTask],
+            processes: int | None) -> Iterable[dict[str, Any]]:
+        def call(st: SubTask) -> dict[str, Any]:
+            try:
+                return {"method": st.method, "kwargs": st.kwargs, "ok": True,
+                        "value": getattr(model, st.method)(**st.kwargs)}
+            except Exception as e:  # noqa: BLE001
+                return {"method": st.method, "kwargs": st.kwargs, "ok": False,
+                        "error": f"{type(e).__name__}: {e}",
+                        "traceback": traceback.format_exc()}
+
+        with ThreadPoolExecutor(max_workers=processes or min(len(subtasks), 32)) as ex:
+            yield from ex.map(call, subtasks)
+
+
+class PartitionedModel(Model):
+    """Model whose work splits into independent subtasks.
+
+    Subclasses implement ``partition_slice(n) -> [(method, kwargs)]`` and
+    the named methods. ``go()``: negotiate a worker count, enumerate
+    subtasks, run them through the strategy, fire
+    ``partition_subtask_complete`` per result, raise ``SubTaskFailed`` on
+    the first failed subtask after retries."""
+
+    strategy_cls: type = TaskParallelStrategy
+    task_retries: int = 1  # parity: reference process_pool.py:27-28
+
+    def partition_plea(self) -> PartitionOption:
+        return PartitionOption()
+
+    def partition_slice(self, partition_count: int) -> list[tuple[str, dict[str, Any]]]:
+        raise NotImplementedError
+
+    def partition_initialise(self, **kwargs: Any) -> None:
+        return None
+
+    def partition_subtask_complete(self, method_name: str, kwargs: dict[str, Any],
+                                   return_value: Any) -> None:
+        return None
+
+    def go(self) -> list[Any]:
+        opt = self.partition_plea()
+        workers = max(opt.minimum, min(opt.optimal, opt.maximum))
+        subtasks = [SubTask(m, kw) for m, kw in self.partition_slice(workers)]
+        strategy = self.strategy_cls()
+        results: list[Any] = []
+        pending = subtasks
+        attempts: dict[int, int] = {}
+        while pending:
+            retry: list[SubTask] = []
+            for res in strategy.run(self, pending, workers):
+                if res["ok"]:
+                    self.partition_subtask_complete(res["method"], res["kwargs"],
+                                                    res.get("value"))
+                    results.append(res.get("value"))
+                else:
+                    key = id_key(res)
+                    attempts[key] = attempts.get(key, 0) + 1
+                    if attempts[key] <= self.task_retries:
+                        self.log(f"retrying subtask {res['method']} "
+                                 f"(attempt {attempts[key] + 1})", "WARNING")
+                        retry.append(SubTask(res["method"], res["kwargs"]))
+                    else:
+                        raise SubTaskFailed(res["method"], res["kwargs"],
+                                            res.get("error", "unknown"))
+            pending = retry
+        return results
+
+
+def id_key(res: dict[str, Any]) -> int:
+    return hash((res["method"], tuple(sorted(map(str, res["kwargs"].items())))))
+
+
+FanOutStrategy = Callable[..., Iterable[dict[str, Any]]]

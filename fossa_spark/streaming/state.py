@@ -1,0 +1,47 @@
+"""Arbitrary stateful streaming via applyInPandasWithState.
+
+The reference's closest concept is long-lived per-task state inside a model
+process; in Structured Streaming, state is an explicit per-key store with
+timeouts, checkpointed for failure recovery — so the operator survives
+executor loss, which the reference's in-process state did not.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_cents long"
+STATE_SCHEMA = "n long, cents long"
+
+
+def _update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # round per ROW (matches the batch cents() formulation exactly);
+        # rounding a batch-level sum would depend on micro-batch boundaries
+        cents += int(pdf["value"].mul(100.0).round().astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
+
+
+def running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, exact-cents total) maintained in the state
+    store; emits the updated running totals for every key touched by each
+    micro-batch. State is O(distinct keys) — per-key eviction would use
+    state timeouts (ProcessingTimeTimeout) in a production pipeline."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,105 @@
+"""Event-time windowed aggregation for streams.
+
+Watermarks bound state: at 100 TB/day the window state store only retains
+windows newer than (max event time − watermark); everything older is
+finalized and evicted. The transformations are identical to their batch
+twins in fossa_spark.queries.streaming_queries — same window()/
+session_window() expressions — which is what makes batch-parity testing
+possible (tests/test_streaming.py runs both and diffs).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fossa_spark.queries._util import cents
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns since epoch (fixture layout)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (one file per trigger →
+    deterministic availableNow runs). ts arrives as int64 ns; converted to
+    µs-truncated timestamps exactly like the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source needs a DIRECTORY; expose the single fixture file
+    # through a scratch dir of symlinks (testdata itself is read-only).
+    src_dir = tempfile.mkdtemp(prefix="fossa_events_stream_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(src_dir, "events.parquet"))
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(events: DataFrame, width: str = "10 minutes",
+                 watermark: str = "30 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "10 minutes",
+                   slide: str = "5 minutes", watermark: str = "30 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "n_events")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "5 minutes",
+                watermark: str = "30 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stateful_dedup(events: DataFrame, key: str = "event_id",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exactly-once-per-key dedup: dropDuplicates keyed on
+    (event_id) with a watermark so the seen-keys state store is bounded —
+    the streaming twin of batch q_distinct."""
+    return events.withWatermark("ts", watermark).dropDuplicates([key])

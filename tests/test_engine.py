@@ -1,0 +1,206 @@
+"""Tier-2 behavioral tests — mirrors of the reference's integration suite
+(SURVEY.md §5): job lifecycle, failure propagation with origin link, retry
+semantics (SecondTimeLucky), admission control, partitioned fan-out, and the
+connector layer.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from fossa_spark.connect import AccessMode, Connect, EngineUrl, MultiConnect, connector_resolver
+from fossa_spark.engine import CapacityExceeded, Engine, InvalidTaskSpec, Job, JobStatus
+from fossa_spark.model import (
+    LocalThreadStrategy,
+    Model,
+    PartitionedModel,
+    PartitionOption,
+    SubTaskFailed,
+)
+
+
+class HelloModel(Model):
+    def build(self):
+        return "hello_world"
+
+
+class FailingModel(Model):
+    def build(self):
+        raise ValueError("deliberate failure")
+
+
+class SquaresModel(PartitionedModel):
+    """Arbitrary-Python subtasks fanned out via parallelize().map()."""
+
+    def partition_plea(self):
+        return PartitionOption(minimum=1, maximum=8, optimal=4)
+
+    def partition_slice(self, n):
+        return [("square", {"x": i}) for i in range(8)]
+
+    def square(self, x: int) -> int:
+        return x * x
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.completed = []
+
+    def partition_subtask_complete(self, method_name, kwargs, return_value):
+        self.completed.append((method_name, kwargs["x"], return_value))
+
+
+class SecondTimeLucky(PartitionedModel):
+    """Reference retry-semantics fixture (examples/example_etl.py:50-79):
+    each subtask fails on first attempt, succeeds on retry, using a file
+    marker as the idempotency flag."""
+
+    strategy_cls = LocalThreadStrategy
+    marker_dir: str = ""
+
+    def partition_slice(self, n):
+        return [("attempt", {"sub_id": s}) for s in ("a", "b", "c")]
+
+    def attempt(self, sub_id: str) -> str:
+        marker = os.path.join(type(self).marker_dir, f"{sub_id}.marker")
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("tried")
+            raise RuntimeError(f"first attempt for {sub_id} fails")
+        return f"{sub_id}-ok"
+
+
+class AlwaysFails(PartitionedModel):
+    strategy_cls = LocalThreadStrategy
+    def partition_slice(self, n):
+        return [("boom", {"sub_id": "x"})]
+    def boom(self, sub_id: str):
+        raise RuntimeError("permanent failure")
+
+
+class SlowModel(Model):
+    def build(self):
+        time.sleep(0.6)
+        return "slow_done"
+
+
+@pytest.fixture
+def engine(spark):
+    eng = Engine(spark, max_concurrent_tasks=2)
+    yield eng
+    eng.shutdown(wait=False)
+
+
+def test_job_lifecycle_complete(engine):
+    engine.register_model(HelloModel)
+    tid = engine.submit(Job(model_class="HelloModel"))
+    res = engine.wait(tid)
+    assert res.status is JobStatus.COMPLETE
+    summary = engine.task_summary(tid)
+    assert summary["status"] == "complete"
+    assert summary["results"] == "hello_world"
+    assert engine.task_summary("nope")["status"] == "unknown"
+
+
+def test_job_failure_captured(engine):
+    engine.register_model(FailingModel)
+    tid = engine.submit(Job(model_class="FailingModel"))
+    res = engine.wait(tid)
+    assert res.status is JobStatus.FAILED
+    assert "ValueError" in res.error
+    assert any("deliberate failure" in line for line in res.traceback)
+
+
+def test_allowlist_rejects_unknown_and_duplicates(engine):
+    engine.register_model(HelloModel)
+    with pytest.raises(InvalidTaskSpec):
+        engine.register_model(HelloModel)
+    with pytest.raises(InvalidTaskSpec):
+        engine.submit(Job(model_class="NotRegistered"))
+
+
+def test_admission_control(engine):
+    engine.register_model(SlowModel)
+    t1 = engine.submit(Job(model_class="SlowModel"))
+    t2 = engine.submit(Job(model_class="SlowModel"))
+    with pytest.raises(CapacityExceeded):
+        engine.submit(Job(model_class="SlowModel"), block_if_full=False)
+    engine.wait(t1), engine.wait(t2)
+    assert engine.has_processing_capacity()
+
+
+def test_partitioned_fanout_spark(spark):
+    m = SquaresModel(spark=spark)
+    results = m.go()
+    assert sorted(results) == [i * i for i in range(8)]
+    assert len(m.completed) == 8
+
+
+def test_retry_second_time_lucky(spark):
+    with tempfile.TemporaryDirectory() as d:
+        SecondTimeLucky.marker_dir = d
+        m = SecondTimeLucky(spark=spark)
+        results = m.go()
+        assert sorted(results) == ["a-ok", "b-ok", "c-ok"]
+
+
+def test_failure_propagates_with_origin(spark, engine):
+    engine.register_model(AlwaysFails)
+    tid = engine.submit(Job(model_class="AlwaysFails"))
+    res = engine.wait(tid)
+    assert res.status is JobStatus.FAILED
+    assert res.failure_origin is not None and "boom" in res.failure_origin
+    assert engine.task_summary(tid)["failure_origin_task_id"] == res.failure_origin
+
+
+def test_subtask_failure_raises_after_retries(spark):
+    m = AlwaysFails(spark=spark)
+    with pytest.raises(SubTaskFailed):
+        m.go()
+
+
+def test_engine_url_parse_and_resolver():
+    with connector_resolver.context(output="/tmp/out", run_id="r1"):
+        assert connector_resolver.resolve("csv://{output}/{run_id}.csv") == "csv:///tmp/out/r1.csv"
+        url = EngineUrl.parse(connector_resolver.resolve("parquet://{output}/data"))
+        assert url.scheme == "parquet" and url.path == "/tmp/out/data"
+    with pytest.raises(KeyError):
+        connector_resolver.resolve("csv://{undefined}/x.csv")
+    with pytest.raises(ValueError):
+        EngineUrl.parse("ftp://host/x")
+
+
+def test_connect_roundtrip_csv(spark):
+    with tempfile.TemporaryDirectory() as d:
+        with connector_resolver.context(out=d):
+            sink = Connect(engine_url="csv://{out}/result", access=AccessMode.WRITE,
+                           schema="name string, n bigint")
+            df = spark.createDataFrame([("hello_world", 1), ("again", 2)], "name string, n bigint")
+            sink.write(df)
+            assert sink.datasource_exists
+            back = sink.read(spark)
+            assert sorted((r.name, r.n) for r in back.collect()) == [
+                ("again", 2), ("hello_world", 1)]
+
+
+def test_connect_read_only_guard(spark):
+    src = Connect(engine_url="parquet:///root/testdata/sf0.001/region.parquet")
+    assert src.read(spark).count() == 5
+    with pytest.raises(PermissionError):
+        src.write(src.read(spark))
+
+
+def test_multi_connect_templated_outputs(spark):
+    with tempfile.TemporaryDirectory() as d:
+        with connector_resolver.context(out=d):
+            multi = MultiConnect(template="parquet://{out}/{subtask_id}_results")
+            for sid in ("a", "b"):
+                c = multi.new_dataset(subtask_id=sid)
+                c.write(spark.range(3).withColumn("sid", F.lit(sid)))
+            assert len(multi.datasets) == 2
+            total = spark.read.parquet(f"{d}/*_results").count()
+            assert total == 6
