@@ -51,6 +51,34 @@ def word_shingles(col: Column | str, k: int = 5) -> Column:
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures via explode → N seeded hashes → groupBy min.
+
+    Equivalent to the per-row array-fold formulation but dramatically
+    cheaper to compile (N flat aggregates instead of N nested lambda
+    expressions) and identical at scale: one shuffle on the id, partial
+    min() before it. Returns (id, minhash array<long>)."""
+    ex = df.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("_sh"))
+    hashed = ex.select(
+        id_col,
+        *[
+            F.xxhash64(F.concat(F.lit(f"mh{i}|"), F.col("_sh"))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        id_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("minhash")
+    )
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: element i = min over shingles of
     xxhash64(seed_i ‖ shingle). Seeded → deterministic across runs."""
@@ -154,12 +182,60 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full near-dedup pipeline: shingle → MinHash → banded LSH → exact
     Jaccard verification. Returns verified near-duplicate pairs."""
-    with_sh = df.select(
-        F.col(id_col), word_shingles(text_col, k).alias("shingles")
-    ).withColumn("minhash", minhash_signature(F.col("shingles"), num_hashes))
-    cands = lsh_candidates(with_sh, id_col=id_col, bands=bands,
+    with_sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
+    # exploded (id, shingle) rows drive BOTH signature computation and the
+    # verify join — at corpus scale this is a staging relation you'd
+    # materialize once, not a per-doc array you carry around
+    sh_rows = with_sh.select(id_col, F.explode("shingles").alias("_sh"))
+    sigs = _signatures_from_rows(sh_rows, id_col, num_hashes)
+    cands = lsh_candidates(sigs, id_col=id_col, bands=bands,
                            rows_per_band=num_hashes // bands)
-    return jaccard_verify(cands, with_sh, id_col=id_col, threshold=threshold)
+    return _jaccard_verify_rows(cands, sh_rows, id_col=id_col, threshold=threshold)
+
+
+def _signatures_from_rows(sh_rows: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    hashed = sh_rows.select(
+        id_col,
+        *[
+            F.xxhash64(F.concat(F.lit(f"mh{i}|"), F.col("_sh"))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        id_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("minhash")
+    )
+
+
+def _jaccard_verify_rows(candidates: DataFrame, sh_rows: DataFrame,
+                         id_col: str, threshold: float) -> DataFrame:
+    """Exact Jaccard from exploded shingle rows: |A∩B| via a join on the
+    shingle value restricted to candidate pairs, sizes via groupBy counts.
+    All counts exact ints → deterministic ratio."""
+    sizes = sh_rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    a = sh_rows.select(F.col(id_col).alias("id_a"), F.col("_sh"))
+    b = sh_rows.select(F.col(id_col).alias("id_b"), F.col("_sh"))
+    inter = (
+        candidates.join(a, "id_a")
+        .join(b, ["id_b", "_sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash(col: Column | str, bits: int = 64) -> Column:
@@ -184,19 +260,79 @@ def simhash(col: Column | str, bits: int = 64) -> Column:
     return sig
 
 
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """SimHash signatures via explode → per-bit vote sums → assemble.
+
+    Same result as the array-fold :func:`simhash` but with flat aggregates
+    (cheap codegen, partial aggregation before one shuffle on the id) —
+    the formulation to use on a corpus."""
+    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+    h = ex.select(id_col, F.xxhash64("_t").alias("_h"))
+    votes = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select(id_col, sig.alias("sig"))
+
+
 def simhash_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance. Small-data formulation is
-    a self-join; at scale you'd band the 64-bit signature into 4×16-bit
-    chunks (any pair within Hamming≤3 shares a chunk) and join per chunk —
-    same pigeonhole trick as LSH banding."""
-    sigs = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("sig"))
-    a = sigs.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sigs.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    """Near-dup pairs by SimHash Hamming distance, banded: split the 64-bit
+    signature into (max_hamming+1) chunks — by pigeonhole, any pair within
+    the radius agrees EXACTLY on at least one chunk — equi-join per chunk,
+    then verify with bit_count. Exact (no recall loss) and turns the O(n²)
+    cross join into hash joins on chunk values, the same reducer-bounded
+    shape as LSH banding. This is the formulation that survives a corpus
+    that doesn't fit one machine."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sigs = simhash_table(df, text_col, id_col).select(
+        F.col(id_col).alias("_id"), "sig"
+    )
+    banded = sigs.select(
+        "_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        # chunk c = bits [c*width, (c+1)*width); last chunk
+                        # absorbs the 64 % chunks remainder
+                        F.shiftrightunsigned(F.col("sig"), c * width)
+                        .bitwiseAND(
+                            F.lit(-1 if c == chunks - 1 else (1 << width) - 1).cast("long")
+                        )
+                        .alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("_id", "sig", "cc.chunk", "cc.val")
+    a = banded.select(F.col("chunk"), F.col("val"),
+                      F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = banded.select(F.col("chunk"), F.col("val"),
+                      F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"))
     return (
-        a.crossJoin(b)
+        a.join(b, ["chunk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -84,7 +84,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(S.cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", F.round(S.cosine_batch(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= 0.5)
         .select("label", "id_a", "id_b", "cos")
         .orderBy("label", "id_a", "id_b")
