@@ -121,6 +121,35 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two keys (all 4 grouping sets)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias("total_price"),
+        )
+    )
+
+
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: lineitem quantity sums by returnflag × linestatus columns.
+    Fixed pivot values → a single-pass conditional aggregation (identical
+    plan shape to the CASE-WHEN formulation the oracle uses)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(cents("l_quantity")))
+    )
+    return p.select(
+        "l_returnflag",
+        (F.coalesce(F.col("O"), F.lit(0)).cast("double") / 100.0).alias("qty_open"),
+        (F.coalesce(F.col("F"), F.lit(0)).cast("double") / 100.0).alias("qty_filled"),
+    ).orderBy("l_returnflag")
+
+
 def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY + HAVING (post-aggregation filter)."""
     o = load(spark, sf_dir, "orders")
@@ -151,6 +180,8 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_agg_basic": q_agg_basic,
+    "q_agg_cube": q_agg_cube,
+    "q_agg_pivot": q_agg_pivot,
     "q_agg_distinct": q_agg_distinct,
     "q_agg_approx": q_agg_approx,
     "q_agg_rollup": q_agg_rollup,
@@ -160,6 +191,19 @@ QUERIES = {
 
 ORACLE = {
     "q_agg_basic": _Q1_SQL,
+    "q_agg_cube": f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM({sql_cents("o_totalprice")}) AS DOUBLE) / 100.0 AS total_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "q_agg_pivot": f"""
+        SELECT l_returnflag,
+               CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN {sql_cents("l_quantity")} END), 0) AS DOUBLE) / 100.0 AS qty_open,
+               CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN {sql_cents("l_quantity")} END), 0) AS DOUBLE) / 100.0 AS qty_filled
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "q_agg_distinct": """
         SELECT l_returnflag,
                COUNT(DISTINCT l_orderkey) AS n_orders,

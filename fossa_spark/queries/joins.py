@@ -152,8 +152,41 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: order activity windows [orderdate,
+    orderdate+30d) against a small derived set of month-long campaign
+    periods. The small side is broadcast, so the non-equi predicate never
+    becomes a shuffled nested loop — the only interval-join shape that's
+    sane at 100 TB without banding both sides."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("start_d"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("end_d"),
+    )
+    periods = (
+        load(spark, sf_dir, "orders")
+        .select(F.date_trunc("month", "o_orderdate").cast("date").alias("p_start"))
+        .distinct()
+        .select(
+            "p_start",
+            F.add_months(F.col("p_start"), 1).alias("p_end"),
+            F.date_format("p_start", "yyyy-MM").alias("period"),
+        )
+    )
+    j = o.join(
+        F.broadcast(periods),
+        (o.start_d < periods.p_end) & (periods.p_start < o.end_d),
+    )
+    return (
+        j.groupBy("period")
+        .agg(F.count(F.lit(1)).alias("n_overlapping_orders"))
+        .orderBy("period")
+    )
+
+
 QUERIES = {
     "q_join_inner": q_join_inner,
+    "q_join_interval": q_join_interval,
     "q_join_broadcast": q_join_broadcast,
     "q_join_outer": q_join_outer,
     "q_join_semi": q_join_semi,
@@ -164,6 +197,22 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_join_interval": """
+        WITH o AS (
+          SELECT o_orderkey, CAST(o_orderdate AS DATE) AS start_d,
+                 CAST(o_orderdate AS DATE) + 30 AS end_d
+          FROM orders
+        ),
+        periods AS (
+          SELECT p_start, p_start + INTERVAL 1 MONTH AS p_end,
+                 strftime(p_start, '%Y-%m') AS period
+          FROM (SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE)
+                  AS p_start FROM orders)
+        )
+        SELECT period, COUNT(*) AS n_overlapping_orders
+        FROM o JOIN periods ON o.start_d < periods.p_end AND periods.p_start < o.end_d
+        GROUP BY period ORDER BY period
+    """,
     "q_join_inner": f"""
         SELECT o_orderstatus, COUNT(*) AS n_lines,
                CAST(SUM({sql_cents("l_extendedprice * (1.0 - l_discount)", 4)}) AS DOUBLE) / 10000.0 AS revenue
