@@ -131,6 +131,7 @@ class Engine:
         try:
             with connector_resolver.context(**job.resolver_context):
                 model = cls(spark=self.spark, **job.model_construction_kwargs)
+                model.on_start()  # lifecycle hook (reference process.py:45-55)
                 value = getattr(model, job.method)(**job.method_kwargs)
             rec.value = value
             rec.status = JobStatus.COMPLETE

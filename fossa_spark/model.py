@@ -73,10 +73,26 @@ class Model:
     def __init__(self, spark: SparkSession | None = None, **construction_kwargs: Any):
         self.spark = spark
         self.construction_kwargs = construction_kwargs
+        self.external_loggers: list[Callable[[str, str], None]] = []
+
+    def on_start(self) -> None:
+        """Pre-run lifecycle hook (the reference's processor-side
+        ``on_model_start``, reference lib/fossa/control/process.py:45-55):
+        override to swap fan-out strategy, clamp concurrency, attach
+        loggers — the Engine calls it before dispatching the job method."""
+        return None
+
+    def attach_logger(self, sink: Callable[[str, str], None]) -> None:
+        """Fan log lines out to an external sink (msg, level) — the
+        reference's pluggable AbstractExternalLogger
+        (lib/fossa/tools/logging.py:19-74)."""
+        self.external_loggers.append(sink)
 
     def log(self, msg: str, level: str = "INFO") -> None:
         logger.log(getattr(logging, level.upper(), logging.INFO), "%s: %s",
                    type(self).__name__, msg)
+        for sink in self.external_loggers:
+            sink(msg, level)
 
     def build(self) -> Any:  # pragma: no cover - abstract
         raise NotImplementedError

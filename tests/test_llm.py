@@ -1,0 +1,156 @@
+"""Direct tests of the LLM-pipeline library operators (beyond the
+query-inventory parity): recall of the approximate paths against exact
+ground truth, determinism across runs, and the multimodal plumbing contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fossa_spark.llm import dedup as D
+from fossa_spark.llm import multimodal as M
+from fossa_spark.llm import similarity as S
+from fossa_spark.llm import text as X
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_dedup_counts(docs):
+    out = D.exact_dedup(docs).collect()
+    assert sum(r.n_copies for r in out) == docs.count()
+    assert all(r.n_copies >= 1 for r in out)
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """LSH (8×4 bands ⇒ ~0.59 threshold) must recover every pair whose true
+    5-shingle Jaccard is ≥ 0.7 — well above the S-curve knee."""
+    sh = docs.select("doc_id", D.word_shingles("text", 5).alias("shingles"))
+    rows = sh.select("doc_id", F.explode("shingles").alias("_sh"))
+    sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = rows.select(F.col("doc_id").alias("id_a"), "_sh")
+    b = rows.select(F.col("doc_id").alias("id_b"), "_sh")
+    inter = (
+        a.join(b, "_sh").filter("id_a < id_b").groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.join(sizes.selectExpr("doc_id id_a", "n na"), "id_a")
+        .join(sizes.selectExpr("doc_id id_b", "n nb"), "id_b")
+        .withColumn("j", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter("j >= 0.7")
+    )
+    truth_pairs = {(r.id_a, r.id_b) for r in truth.collect()}
+    found = {(r.id_a, r.id_b)
+             for r in D.minhash_lsh_dedup(docs, threshold=0.5).collect()}
+    assert truth_pairs, "fixture should contain planted near-duplicates"
+    missed = truth_pairs - found
+    assert not missed, f"LSH missed high-similarity pairs: {sorted(missed)[:5]}"
+
+
+def test_minhash_deterministic(docs):
+    one = {(r.id_a, r.id_b, r.jaccard) for r in D.minhash_lsh_dedup(docs).collect()}
+    two = {(r.id_a, r.id_b, r.jaccard) for r in D.minhash_lsh_dedup(docs).collect()}
+    assert one == two
+
+
+def test_simhash_matches_unbanded(docs):
+    """The banded chunk-join must produce exactly the cross-join result
+    (pigeonhole guarantees no recall loss for hamming <= chunks-1)."""
+    sample = docs.filter("doc_id < 100")
+    banded = {(r.id_a, r.id_b, r.hamming)
+              for r in D.simhash_pairs(sample, max_hamming=3).collect()}
+    sigs = D.simhash_table(sample).selectExpr("doc_id as _id", "sig")
+    a = sigs.selectExpr("_id id_a", "sig sig_a")
+    b = sigs.selectExpr("_id id_b", "sig sig_b")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter("id_a < id_b")
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter("hamming <= 3")
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_brute_force_topk_contract(vecs):
+    q = vecs.filter("vec_id < 3").selectExpr("vec_id q_id", "embedding q_vec")
+    c = vecs.selectExpr("vec_id c_id", "embedding c_vec")
+    out = S.brute_force_topk(q, c, k=4).collect()
+    assert len(out) == 3 * 4
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append((r.rk, r.score, r.c_id))
+    for rows in by_q.values():
+        rows.sort()
+        scores = [s for _, s, _ in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(abs(s) <= 1.0 + 1e-9 for s in scores)
+        assert not any(cid == rid for rid, row in by_q.items()
+                       for _, _, cid in row if rid != rid)  # self excluded
+
+
+def test_srp_lsh_recall(vecs):
+    q = vecs.filter("vec_id < 10").selectExpr("vec_id q_id", "embedding q_vec")
+    c = vecs.selectExpr("vec_id c_id", "embedding c_vec")
+    exact = {(r.q_id, r.c_id) for r in S.brute_force_topk(q, c, k=5).collect()}
+    approx = {(r.q_id, r.c_id)
+              for r in S.lsh_topk(q, c, k=5, bits=4, tables=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"SRP-LSH recall collapsed: {recall:.2f}"
+
+
+def test_quality_features_ranges(docs):
+    out = X.quality_features(docs).select(
+        "doc_id", "punct_ratio", "stop_ratio", "avg_token_len"
+    ).collect()
+    for r in out:
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.stop_ratio <= 1.0
+        assert r.avg_token_len > 0
+
+
+def test_fingerprint_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "fox brown the quick"),
+         (3, "THE QUICK brown fox"), (4, "a different doc")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fp for r in df.select("doc_id", X.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3]  # order/case insensitive
+    assert fps[1] != fps[4]
+
+
+def test_langid_scores_english(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog sat in a house that is for everyone with love"),
+         (2, "der hund und die katze ist nicht mit ein haus zu gross auf immer")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in X.language_scores(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+
+
+def test_multimodal_pipeline(spark):
+    media = M.synthetic_media(spark, n=30)
+    feats = M.extract_features(media, decode_stub=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(r.n_bytes > 0 for r in rows)
+    # real decode path is an explicit stub
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        M.extract_features(media, decode_stub=False).collect()
+    frames = M.frame_sample(media, every_nth=10).collect()
+    assert frames and all(r.frame_idx % 10 == 0 for r in frames)
