@@ -1,0 +1,113 @@
+"""Thin HTTP API over the Engine — response-shape parity with the
+reference's Flask surface (reference lib/fossa/views/api.py):
+
+- ``POST /api/0.01/task``      → submit a job spec, returns task_id + links
+  (reference api.py:28-72; 503 at capacity, 400 on missing model_class,
+  412 on unregistered class)
+- ``GET  /api/0.01/node_info`` → capacity/running summary (api.py:75-80)
+- ``GET  /api/0.01/task/<id>`` → task status document (api.py:83-103)
+
+stdlib http.server on a daemon thread — deliberately no web framework: the
+engine is a library; this is an observability/compat shim, not a service
+mesh. Spark's own UI/REST covers stage-level observability.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from fossa_spark.engine import CapacityExceeded, Engine, InvalidTaskSpec, Job
+
+API_PREFIX = "/api/0.01"
+
+
+def _make_handler(engine: Engine):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, doc: dict) -> None:
+            body = json.dumps(doc).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args) -> None:  # quiet
+            return
+
+        def do_GET(self) -> None:
+            if self.path == f"{API_PREFIX}/node_info":
+                self._send(200, engine.node_summary())
+            elif self.path.startswith(f"{API_PREFIX}/task/"):
+                task_id = self.path.rsplit("/", 1)[-1]
+                doc = engine.task_summary(task_id)
+                self._send(200 if doc["status"] != "unknown" else 404, doc)
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self) -> None:
+            if self.path != f"{API_PREFIX}/task":
+                self._send(404, {"error": "not found"})
+                return
+            length = int(self.headers.get("Content-Length", "0"))
+            try:
+                doc = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                self._send(400, {"error": "invalid JSON"})
+                return
+            if "model_class" not in doc:
+                self._send(400, {"error": "model_class is required"})
+                return
+            job = Job(
+                model_class=doc["model_class"],
+                method=doc.get("method", "go"),
+                method_kwargs=doc.get("method_kwargs", {}),
+                model_construction_kwargs=doc.get("model_construction_kwargs", {}),
+                resolver_context=doc.get("resolver_context", {}),
+            )
+            try:
+                task_id = engine.submit(job)
+            except InvalidTaskSpec as e:
+                self._send(412, {"error": str(e)})
+                return
+            except CapacityExceeded as e:
+                self._send(503, {"error": str(e)})
+                return
+            self._send(
+                200,
+                {
+                    "task_id": task_id,
+                    "_metadata": {"links": {"task": f"{API_PREFIX}/task/{task_id}"}},
+                },
+            )
+
+    return Handler
+
+
+class StatusApi:
+    """Serve the engine API on localhost; ``with StatusApi(engine) as api:``
+    or ``api.start()`` / ``api.stop()``."""
+
+    def __init__(self, engine: Engine, port: int = 0):
+        self._server = ThreadingHTTPServer(("127.0.0.1", port), _make_handler(engine))
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._server.server_address[1]
+
+    def start(self) -> "StatusApi":
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self) -> "StatusApi":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MODULES = [
     "fossa_spark.queries.relational",
+    "fossa_spark.queries.sql_queries",
     "fossa_spark.queries.joins",
     "fossa_spark.queries.aggregates",
     "fossa_spark.queries.windows",

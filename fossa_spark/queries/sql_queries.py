@@ -1,0 +1,80 @@
+"""SQL-API queries: the engine's second entry point (spark.sql over temp
+views — Catalyst produces the same plans as the DataFrame API). Shapes are
+TPC-H Q3/Q5 analogues adapted to the fixture schema; aggregates use the
+integer-cents discipline so the oracle hash is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fossa_spark.queries._util import TABLES, load, sql_cents
+
+
+def _register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> None:
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(f"fs_{t}")
+
+
+_Q3 = f"""
+SELECT o_orderkey,
+       CAST(SUM({sql_cents("l_extendedprice * (1.0 - l_discount)", 4)}) AS DOUBLE)
+         / 10000.0 AS revenue,
+       CAST(o_orderdate AS DATE) AS order_date,
+       o_orderpriority
+FROM fs_customer
+JOIN fs_orders   ON c_custkey = o_custkey
+JOIN fs_lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 20
+"""
+
+_Q5 = f"""
+SELECT r_name,
+       CAST(SUM({sql_cents("l_extendedprice * (1.0 - l_discount)", 4)}) AS DOUBLE)
+         / 10000.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM fs_lineitem
+JOIN fs_orders   ON l_orderkey = o_orderkey
+JOIN fs_supplier ON l_suppkey = s_suppkey
+JOIN fs_nation   ON s_nationkey = n_nationkey
+JOIN fs_region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY r_name
+ORDER BY revenue DESC, r_name
+"""
+
+
+def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority) through the SQL entry point.
+    Catalyst prunes fs_customer to (c_custkey, c_mktsegment), pushes both
+    date filters into the scans, and broadcast-joins the filtered customer
+    side — same physical plan the DataFrame formulation would get."""
+    _register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    df = spark.sql(_Q3)
+    from pyspark.sql import functions as F
+
+    return df.withColumn("order_date", F.date_format("order_date", "yyyy-MM-dd"))
+
+
+def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (regional revenue): three broadcast dims + one
+    fact-fact join, one shuffle on the agg key."""
+    _register_views(spark, sf_dir, TABLES[:7])
+    return spark.sql(_Q5)
+
+
+QUERIES = {"q_sql_q3": q_sql_q3, "q_sql_q5": q_sql_q5}
+
+ORACLE = {
+    "q_sql_q3": _Q3.replace("fs_", "").replace(
+        "CAST(o_orderdate AS DATE) AS order_date",
+        "strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date",
+    ),
+    "q_sql_q5": _Q5.replace("fs_", ""),
+}
