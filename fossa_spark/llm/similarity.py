@@ -88,7 +88,7 @@ def brute_force_topk(
     )
     w = W.partitionBy(id_q).orderBy(F.col("score").desc(), F.col(id_c).asc())
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select(id_q, id_c, "score", "rk")
     )
@@ -182,7 +182,7 @@ def lsh_topk(
     scored = pairs.withColumn("score", F.round(cosine(F.col(vec_q), F.col(vec_c)), 6))
     w = W.partitionBy(id_q).orderBy(F.col("score").desc(), F.col(id_c).asc())
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select(id_q, id_c, "score", "rk")
     )

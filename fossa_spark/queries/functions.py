@@ -33,7 +33,7 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("p_name", " "), 1).alias("first_word"),
         F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
         F.regexp_replace("p_type", "[AEIOU]", "_").alias("type_masked"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
     )
 
 
@@ -163,7 +163,7 @@ ORACLE = {
                split_part(p_name, ' ', 1) AS first_word,
                regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
                regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_masked,
-               length(p_name) AS name_len
+               CAST(length(p_name) AS BIGINT) AS name_len
         FROM part
     """,
     "q_fn_date": """

@@ -31,10 +31,10 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "l_returnflag",
         "l_quantity",
-        F.row_number().over(w_total).alias("rn"),
-        F.rank().over(w_ties).alias("rnk"),
-        F.dense_rank().over(w_ties).alias("drnk"),
-        F.ntile(4).over(w_total).alias("quartile"),
+        F.row_number().over(w_total).cast("long").alias("rn"),
+        F.rank().over(w_ties).cast("long").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("long").alias("drnk"),
+        F.ntile(4).over(w_total).cast("long").alias("quartile"),
     )
 
 
@@ -80,7 +80,7 @@ def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
-        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rk"))
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).cast("long").alias("rk"))
         .filter(F.col("rk") <= 3)
         .orderBy("o_custkey", "rk")
     )
