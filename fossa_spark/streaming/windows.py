@@ -38,9 +38,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file source needs a DIRECTORY; expose the single fixture file
     # through a scratch dir of symlinks (testdata itself is read-only).
-    src_dir = tempfile.mkdtemp(prefix="fossa_events_stream_")
-    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
-               os.path.join(src_dir, "events.parquet"))
+    # Path must be STABLE per sf_dir: streaming checkpoints record the
+    # source path, and a restart from checkpoint must resolve the same one.
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    src_dir = os.path.join(tempfile.gettempdir(), f"fossa_events_stream_{tag}")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)

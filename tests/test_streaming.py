@@ -125,3 +125,25 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # late file (20 rows) must not appear; on-time rows may still be in
     # unfinalized windows in append mode, so the ceiling is the real check
     assert counted <= 20
+
+
+def test_exactly_once_foreach_batch_sink(spark, tmp_path):
+    """Epoch-overwrite parquet sink: all source rows land exactly once, and
+    restarting from the same checkpoint does not duplicate them."""
+    from fossa_spark.streaming.sinks import idempotent_parquet_sink
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = FS.events_stream(spark, SF_DIR)
+        q = idempotent_parquet_sink(stream, out, ckpt).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_once()
+    n_src = load_events(spark, SF_DIR).count()
+    first = spark.read.parquet(out)
+    assert first.count() == n_src
+    assert first.select("event_id").distinct().count() == n_src
+    run_once()  # same checkpoint: no new offsets → no duplicates
+    assert spark.read.parquet(out).count() == n_src
