@@ -178,8 +178,27 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: exact median (interpolated percentile),
+    sample stddev/variance (rounded — accumulation order differs across
+    engines), min/max."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.median("c_acctbal").alias("med_bal"),
+            F.round(F.stddev_samp("c_acctbal"), 6).alias("sd_bal"),
+            F.round(F.var_samp("c_acctbal"), 6).alias("var_bal"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "q_agg_basic": q_agg_basic,
+    "q_agg_stats": q_agg_stats,
     "q_agg_cube": q_agg_cube,
     "q_agg_pivot": q_agg_pivot,
     "q_agg_distinct": q_agg_distinct,
@@ -191,6 +210,15 @@ QUERIES = {
 
 ORACLE = {
     "q_agg_basic": _Q1_SQL,
+    "q_agg_stats": """
+        SELECT c_mktsegment,
+               median(c_acctbal) AS med_bal,
+               round(stddev_samp(c_acctbal), 6) AS sd_bal,
+               round(var_samp(c_acctbal), 6) AS var_bal,
+               min(c_acctbal) AS min_bal,
+               max(c_acctbal) AS max_bal
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
     "q_agg_cube": f"""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
                CAST(SUM({sql_cents("o_totalprice")}) AS DOUBLE) / 100.0 AS total_price

@@ -141,8 +141,29 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct build + field access + named_struct comparison
+    (flattened back to scalars so the hash is structure-agnostic)."""
+    c = load(spark, sf_dir, "customer")
+    nested = F.struct(
+        F.col("c_name").alias("name"),
+        F.struct(
+            F.col("c_nationkey").alias("nation"), F.col("c_mktsegment").alias("segment")
+        ).alias("loc"),
+    )
+    d = c.select("c_custkey", nested.alias("info"))
+    return d.select(
+        "c_custkey",
+        F.col("info.name").alias("name"),
+        F.col("info.loc.nation").alias("nation"),
+        F.col("info.loc.segment").alias("segment"),
+        (F.col("info.loc.nation") == F.lit(7)).alias("is_nation7"),
+    ).orderBy("c_custkey")
+
+
 QUERIES = {
     "q_fn_string": q_fn_string,
+    "q_fn_struct": q_fn_struct,
     "q_fn_date": q_fn_date,
     "q_fn_math": q_fn_math,
     "q_fn_cond": q_fn_cond,
@@ -152,6 +173,11 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_fn_struct": """
+        SELECT c_custkey, c_name AS name, c_nationkey AS nation,
+               c_mktsegment AS segment, c_nationkey = 7 AS is_nation7
+        FROM customer ORDER BY c_custkey
+    """,
     "q_fn_string": """
         SELECT p_partkey,
                p_brand || '-' || p_type AS brand_type,

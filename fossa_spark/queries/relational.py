@@ -99,8 +99,26 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(o).orderBy("custkey")
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide per-part price+size columns to (metric, value)
+    rows — Spark's unpivot API; oracle mirrors with UNION ALL."""
+    p = load(spark, sf_dir, "part")
+    wide = p.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retail_price"),
+        F.col("p_size").cast("double").alias("size_val"),
+    )
+    return wide.unpivot(
+        ids=["p_partkey"],
+        values=["retail_price", "size_val"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("p_partkey", "metric")
+
+
 QUERIES = {
     "q_project": q_project,
+    "q_unpivot": q_unpivot,
     "q_filter": q_filter,
     "q_distinct": q_distinct,
     "q_sort": q_sort,
@@ -110,6 +128,12 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_unpivot": """
+        SELECT p_partkey, 'retail_price' AS metric, p_retailprice AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'size_val', CAST(p_size AS DOUBLE) FROM part
+        ORDER BY p_partkey, metric
+    """,
     "q_project": """
         SELECT l_orderkey AS okey, l_linenumber AS line,
                l_extendedprice * (1.0 - l_discount) AS net_price,

@@ -204,3 +204,62 @@ def test_multi_connect_templated_outputs(spark):
             assert len(multi.datasets) == 2
             total = spark.read.parquet(f"{d}/*_results").count()
             assert total == 6
+
+
+class StaggeredModel(PartitionedModel):
+    """Reference rate-limiting fixture analogue (StaggeredEtl,
+    reference examples/example_etl.py:129-162 + test_basics.py:252-336):
+    N sleeping subtasks; more workers → proportionally less wall-clock."""
+
+    strategy_cls = LocalThreadStrategy
+    workers: int = 2
+
+    def partition_plea(self):
+        return PartitionOption(minimum=1, maximum=self.workers,
+                               optimal=self.workers)
+
+    def partition_slice(self, n):
+        return [("nap", {"i": i}) for i in range(12)]
+
+    def nap(self, i: int) -> float:
+        time.sleep(0.2)
+        return 0.2
+
+
+def test_worker_speedup(spark):
+    """12 × 0.2s subtasks: 12 workers must beat 2 workers by ≥ 2×
+    (the reference asserts ≥ 6× for 12-vs-2 over RabbitMQ; thread-pool
+    scheduling overhead is lower so the conservative bound is safe)."""
+    def run(workers: int) -> float:
+        m = StaggeredModel(spark=spark)
+        m.workers = workers
+        t0 = time.monotonic()
+        results = m.go()
+        assert len(results) == 12
+        return time.monotonic() - t0
+
+    slow = run(2)    # ceil(12/2) * 0.2 = 1.2s minimum
+    fast = run(12)   # one wave: ~0.2s
+    assert slow / fast >= 2.0, f"speedup {slow / fast:.2f} (slow={slow:.2f}s fast={fast:.2f}s)"
+
+
+class SparkSideAgg(PartitionedModel):
+    """PartitionedModel fanned out via Spark executors (TaskParallelStrategy),
+    submitted through the Engine like any job."""
+
+    def partition_slice(self, n):
+        return [("crunch", {"base": b}) for b in range(6)]
+
+    def crunch(self, base: int) -> int:
+        return sum(i * i for i in range(base * 1000, (base + 1) * 1000))
+
+
+def test_engine_runs_spark_fanout_model(spark):
+    eng = Engine(spark, max_concurrent_tasks=2)
+    eng.register_model(SparkSideAgg)
+    tid = eng.submit(Job(model_class="SparkSideAgg"))
+    res = eng.wait(tid)
+    assert res.status is JobStatus.COMPLETE
+    expected = [sum(i * i for i in range(b * 1000, (b + 1) * 1000)) for b in range(6)]
+    assert sorted(res.value) == sorted(expected)
+    eng.shutdown(wait=False)
