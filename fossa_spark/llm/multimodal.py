@@ -47,20 +47,37 @@ FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, feature array<float>
 
 
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic fake media table exercising the binary+metadata schema."""
-    rows = []
-    for i in range(n):
-        kind = ["image", "audio", "video"][i % 3]
-        payload = bytes((i * 31 + j * 7) % 256 for j in range(128 + (i % 5) * 64))
-        meta = {
-            "width": 64 + i % 8 if kind == "image" else None,
-            "height": 64 + i % 4 if kind == "image" else None,
-            "sample_rate": 16000 if kind == "audio" else None,
-            "n_frames": 30 * (1 + i % 3) if kind == "video" else None,
-            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-        }
-        rows.append((i, kind, payload, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    """Deterministic fake media table exercising the binary+metadata schema.
+    Generated DISTRIBUTEDLY (spark.range → mapInPandas): payload bytes are a
+    pure function of media_id, so the table scales to any n with no
+    driver-side materialization."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kind = kinds[i % 3]
+                payload = bytes((i * 31 + j * 7) % 256 for j in range(128 + (i % 5) * 64))
+                rows.append(
+                    {
+                        "media_id": i,
+                        "kind": kind,
+                        "payload": payload,
+                        "meta": {
+                            "width": 64 + i % 8 if kind == "image" else None,
+                            "height": 64 + i % 4 if kind == "image" else None,
+                            "sample_rate": 16000 if kind == "audio" else None,
+                            "n_frames": 30 * (1 + i % 3) if kind == "video" else None,
+                            "mime": mimes[kind],
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def _decode_image(payload: bytes) -> list[float]:
