@@ -34,6 +34,8 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
         F.regexp_replace("p_type", "[AEIOU]", "_").alias("type_masked"),
         F.length("p_name").cast("long").alias("name_len"),
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_name", 256).alias("name_sha256"),
     )
 
 
@@ -82,6 +84,12 @@ def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment_renamed"
         ),
         F.nvl(F.nullif(F.col("c_nationkey"), F.lit(0)), F.lit(-1)).alias("nationkey_nz"),
+        # null-safe equality: NULL <=> NULL is TRUE (vs NULL for plain =)
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+        .eqNullSafe(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")))
+        .alias("nullsafe_self"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_cap5k"),
     )
 
 
@@ -189,7 +197,9 @@ ORACLE = {
                split_part(p_name, ' ', 1) AS first_word,
                regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
                regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_masked,
-               CAST(length(p_name) AS BIGINT) AS name_len
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               md5(p_name) AS name_md5,
+               sha256(p_name) AS name_sha256
         FROM part
     """,
     "q_fn_date": """
@@ -222,7 +232,11 @@ ORACLE = {
                     WHEN c_acctbal < 3000.0 THEN 'low'
                     ELSE 'high' END AS bal_class,
                coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'CARS') AS segment_renamed,
-               ifnull(nullif(c_nationkey, 0), -1) AS nationkey_nz
+               ifnull(nullif(c_nationkey, 0), -1) AS nationkey_nz,
+               nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM
+                 nullif(c_mktsegment, 'BUILDING') AS nullsafe_self,
+               greatest(c_acctbal, 0.0) AS bal_floor0,
+               least(c_acctbal, 5000.0) AS bal_cap5k
         FROM customer
     """,
     "q_fn_array": """

@@ -88,3 +88,33 @@ def test_salted_join_left_keeps_unmatched(spark):
     out = salted_join(li, dim, "k", salt=4, how="left").collect()
     assert len(out) == 3
     assert {r.k: r.d for r in out}[99] is None
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Same-bucketed tables must join with zero Exchange nodes — the
+    pay-once co-location pattern for recurring fact-fact joins."""
+    from fossa_spark.sources import colocated_join, write_bucketed
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    write_bucketed(li, "b_lineitem", "l_orderkey", buckets=4,
+                   path=str(tmp_path / "b_li"), sort_by="l_orderkey")
+    write_bucketed(o, "b_orders", "l_orderkey", buckets=4,
+                   path=str(tmp_path / "b_o"), sort_by="l_orderkey")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        j = colocated_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+        a = audit(j)
+        assert a.exchanges == 0, f"bucketed join still shuffles:\n{a.formatted[:1500]}"
+        # and the result is correct
+        n = j.count()
+        expected = li.join(o, "l_orderkey").count()
+        assert n == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
