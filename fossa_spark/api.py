@@ -36,6 +36,14 @@ def _make_handler(engine: Engine):
         def log_message(self, *args) -> None:  # quiet
             return
 
+        def _send_html(self, code: int, html: str) -> None:
+            body = html.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self) -> None:
             if self.path == f"{API_PREFIX}/node_info":
                 self._send(200, engine.node_summary())
@@ -43,6 +51,29 @@ def _make_handler(engine: Engine):
                 task_id = self.path.rsplit("/", 1)[-1]
                 doc = engine.task_summary(task_id)
                 self._send(200 if doc["status"] != "unknown" else 404, doc)
+            elif self.path == "/":
+                # HTML node view (reference lib/fossa/views/web.py:11-27)
+                s = engine.node_summary()
+                rows = "".join(
+                    f"<li><a href='/task/{t}'>{t}</a></li>"
+                    for t in s["running_tasks"] + s["previous_tasks"]
+                )
+                self._send_html(
+                    200,
+                    "<html><body><h1>fossa_spark node</h1>"
+                    f"<p>capacity: {s['available_processing_capacity']}"
+                    f"/{s['max_concurrent_tasks']}</p><ul>{rows}</ul></body></html>",
+                )
+            elif self.path.startswith("/task/"):
+                task_id = self.path.rsplit("/", 1)[-1]
+                doc = engine.task_summary(task_id)
+                code = 200 if doc["status"] != "unknown" else 404
+                self._send_html(
+                    code,
+                    f"<html><body><h1>task {task_id}</h1>"
+                    f"<p>status: {doc['status']}</p>"
+                    f"<pre>{json.dumps(doc, indent=2, default=str)}</pre></body></html>",
+                )
             else:
                 self._send(404, {"error": "not found"})
 

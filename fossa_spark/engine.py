@@ -50,6 +50,7 @@ class Job:
     method_kwargs: dict[str, Any] = field(default_factory=dict)
     model_construction_kwargs: dict[str, Any] = field(default_factory=dict)
     resolver_context: dict[str, str] = field(default_factory=dict)
+    partition_initialise_kwargs: dict[str, Any] = field(default_factory=dict)
     task_id: str | None = None
 
 
@@ -76,8 +77,16 @@ class CapacityExceeded(RuntimeError):
 class Engine:
     """Submit/track/cancel Model runs on a SparkSession."""
 
-    def __init__(self, spark: SparkSession, max_concurrent_tasks: int = 8):
+    def __init__(self, spark: SparkSession, max_concurrent_tasks: int | None = None,
+                 cpu_task_ratio: float = 1.0):
+        """``max_concurrent_tasks`` defaults to cpu_count × cpu_task_ratio —
+        the reference's CPU-derived capacity (RuntimeKnowledge.cpu_task_ratio,
+        reference lib/fossa/app.py:81-83)."""
+        import os
+
         self.spark = spark
+        if max_concurrent_tasks is None:
+            max_concurrent_tasks = max(1, int((os.cpu_count() or 4) * cpu_task_ratio))
         self.max_concurrent_tasks = max_concurrent_tasks
         self._accepted: dict[str, type[Model]] = {}
         self._jobs: dict[str, JobResult] = {}
@@ -132,6 +141,9 @@ class Engine:
             with connector_resolver.context(**job.resolver_context):
                 model = cls(spark=self.spark, **job.model_construction_kwargs)
                 model.on_start()  # lifecycle hook (reference process.py:45-55)
+                if job.partition_initialise_kwargs and hasattr(model, "partition_initialise"):
+                    # reference process.py:91-92: per-task partition init
+                    model.partition_initialise(**job.partition_initialise_kwargs)
                 value = getattr(model, job.method)(**job.method_kwargs)
             rec.value = value
             rec.status = JobStatus.COMPLETE

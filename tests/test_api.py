@@ -90,3 +90,42 @@ def test_http_error_contract(api):
     code2, _ = _post(a.port, f"{API_PREFIX}/task", {"model_class": "SlowApiModel"})
     assert code2 == 503                                                # at capacity
     eng.wait(doc["task_id"])
+
+
+def test_html_views(api):
+    a, eng = api
+    code, _ = _post(a.port, f"{API_PREFIX}/task", {"model_class": "HelloApiModel"})
+    assert code == 200
+    import urllib.request
+    with urllib.request.urlopen(f"http://127.0.0.1:{a.port}/") as r:
+        html = r.read().decode()
+    assert "fossa_spark node" in html and "capacity" in html
+    tid = html.split("/task/")[1].split("'")[0]
+    with urllib.request.urlopen(f"http://127.0.0.1:{a.port}/task/{tid}") as r:
+        page = r.read().decode()
+    assert f"task {tid}" in page
+
+
+def test_partition_initialise_kwargs_passed(spark):
+    from fossa_spark.engine import Engine, Job
+    from fossa_spark.model import PartitionedModel
+
+    class InitAware(PartitionedModel):
+        from fossa_spark.model import LocalThreadStrategy as strategy_cls
+
+        def partition_initialise(self, tag: str = "none") -> None:
+            self.tag = tag
+
+        def partition_slice(self, n):
+            return [("echo", {})]
+
+        def echo(self) -> str:
+            return self.tag
+
+    eng = Engine(spark, max_concurrent_tasks=2)
+    eng.register_model(InitAware)
+    tid = eng.submit(Job(model_class="InitAware",
+                         partition_initialise_kwargs={"tag": "hello-init"}))
+    res = eng.wait(tid)
+    assert res.value == ["hello-init"]
+    eng.shutdown(wait=False)
