@@ -217,7 +217,19 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full training-data pipeline transform (quality gates → langid →
+    exact dedup → MinHash-LSH near-dedup → token annotations) as one lazy
+    plan. rows-only (near-dedup stage uses seeded xxhash64)."""
+    from fossa_spark.pipelines import TrainingDataPipeline
+
+    docs = load(spark, sf_dir, "documents")
+    p = TrainingDataPipeline(spark=spark)
+    return p.transform(docs).orderBy("doc_id")
+
+
 QUERIES = {
+    "q_pipeline": q_pipeline,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
     "q_dedup_ngram": q_dedup_ngram,
