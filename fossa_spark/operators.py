@@ -7,7 +7,7 @@ keys dominating a shuffle) and repeated joins on the same key (bucketing).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -46,3 +46,118 @@ def broadcast_threshold_hint(df: DataFrame, force: bool = True) -> DataFrame:
     """Explicit broadcast hint — used when statistics are missing (fresh
     files, no ANALYZE) and Catalyst would otherwise pick a shuffle join."""
     return F.broadcast(df) if force else df
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    allow_exact_match: bool = True,
+    suffix: str = "_right",
+) -> DataFrame:
+    """General as-of join (pandas ``merge_asof`` semantics, Spark-scale
+    formulation): for every left row, attach the single right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` (direction="backward") or smallest
+    ``right_ts`` ≥ ``left_ts`` ("forward"), matching on ``on``.
+
+    No pairwise time-range join anywhere: tag both sides, UNION, one window
+    pass partitioned by the key ordered by time — last-seen right payload
+    carried forward (O(1) state per row, one shuffle on the key). This is
+    the only as-of shape that survives two big sides at 100 TB; Spark has
+    no native as-of join (pandas-on-Spark's merge_asof builds a similar
+    plan).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    lcols = [c for c in left.columns if c not in (on, left_ts)]
+    rcols = [c for c in right.columns if c not in (on, right_ts)]
+
+    payload = F.struct(F.col(right_ts).alias("_rts"),
+                       *[F.col(c) for c in rcols]).alias("_rpayload")
+    r = right.select(F.col(on), F.col(right_ts).alias("_ts"), payload,
+                     F.lit(0).alias("_side"))
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(None).cast(r.schema["_rpayload"].dataType).alias("_rpayload"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+    )
+    r_full = r.select(
+        on, "_ts", "_rpayload", "_side",
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+    )
+    u = l.unionByName(r_full)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal ts iff exact match allowed
+        side_order = F.col("_side").asc() if allow_exact_match else F.col("_side").desc()
+        w = (
+            W.partitionBy(on)
+            .orderBy(F.col("_ts").asc(), side_order)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+    else:
+        side_order = F.col("_side").asc() if allow_exact_match else F.col("_side").desc()
+        w = (
+            W.partitionBy(on)
+            .orderBy(F.col("_ts").desc(), side_order)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+    matched = u.withColumn("_match", F.last("_rpayload", ignorenulls=True).over(w))
+    out = matched.filter(F.col("_side") == 1).select(
+        F.col(on),
+        F.col("_ts").alias(left_ts),
+        *[F.col(c) for c in lcols],
+        F.col("_match._rts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"_match.{c}").alias(c if c not in lcols else f"{c}{suffix}")
+          for c in rcols],
+    )
+    return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket: float,
+    how_filter: str = "overlap",
+) -> DataFrame:
+    """Interval-overlap join for TWO LARGE sides via banding: explode each
+    interval into the fixed-width buckets it covers, equi-join on the
+    bucket id (a hash join — no nested loop), then dedup and apply the
+    exact overlap predicate. Shuffle volume = Σ interval_width/bucket per
+    row; pick ``bucket`` ≈ the median interval width.
+
+    Intervals are half-open [start, end). Numeric columns (cast timestamps
+    to epoch seconds first)."""
+    lb = left.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_start) / bucket).cast("long"),
+                F.ceil(F.col(l_end) / bucket).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_start) / bucket).cast("long"),
+                F.ceil(F.col(r_end) / bucket).cast("long"),
+            )
+        ),
+    )
+    joined = lb.join(rb, "_b").drop("_b").distinct()
+    if how_filter == "overlap":
+        joined = joined.filter(
+            (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+        )
+    return joined

@@ -1,0 +1,91 @@
+"""Custom-operator tests: general as-of join validated against
+pandas.merge_asof (the semantics oracle), and the banded interval join
+validated against the naive non-equi join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fossa_spark.operators import asof_join, interval_join
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    rng = np.random.RandomState(7)
+    n_t, n_q = 300, 200
+    trades = pd.DataFrame(
+        {
+            "sym": rng.choice(["A", "B", "C"], n_t),
+            "t_ts": rng.randint(0, 10_000, n_t).astype("int64"),
+            "qty": rng.randint(1, 100, n_t).astype("int64"),
+        }
+    ).sort_values("t_ts").reset_index(drop=True)
+    quotes = pd.DataFrame(
+        {
+            "sym": rng.choice(["A", "B", "C"], n_q),
+            "q_ts": rng.randint(0, 10_000, n_q).astype("int64"),
+            "px": rng.randint(100, 200, n_q).astype("int64"),
+        }
+    ).sort_values("q_ts").reset_index(drop=True)
+    # merge_asof requires unique-ish handling of ties; dedup exact ts per sym
+    quotes = quotes.drop_duplicates(["sym", "q_ts"]).reset_index(drop=True)
+    return (
+        trades,
+        quotes,
+        spark.createDataFrame(trades),
+        spark.createDataFrame(quotes),
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_matches_pandas(trades_quotes, direction):
+    trades_pd, quotes_pd, trades, quotes = trades_quotes
+    got = (
+        asof_join(trades, quotes, on="sym", left_ts="t_ts", right_ts="q_ts",
+                  direction=direction)
+        .toPandas()
+        .sort_values(["sym", "t_ts", "qty"])
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        trades_pd.sort_values("t_ts"),
+        quotes_pd.sort_values("q_ts"),
+        left_on="t_ts",
+        right_on="q_ts",
+        by="sym",
+        direction=direction,
+    ).sort_values(["sym", "t_ts", "qty"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for col_g, col_w in (("px", "px"), ("q_ts_right", "q_ts")):
+        g = got[col_g].fillna(-1).astype("int64").tolist()
+        w = want[col_w].fillna(-1).astype("int64").tolist()
+        assert g == w, f"{direction}: {col_g} mismatch"
+
+
+def test_interval_join_matches_naive(spark):
+    rng = np.random.RandomState(11)
+    a = pd.DataFrame(
+        {
+            "a_id": range(150),
+            "a_lo": rng.randint(0, 1000, 150).astype("float64"),
+        }
+    )
+    a["a_hi"] = a["a_lo"] + rng.randint(1, 60, 150)
+    b = pd.DataFrame(
+        {
+            "b_id": range(120),
+            "b_lo": rng.randint(0, 1000, 120).astype("float64"),
+        }
+    )
+    b["b_hi"] = b["b_lo"] + rng.randint(1, 60, 120)
+    A, B = spark.createDataFrame(a), spark.createDataFrame(b)
+    banded = interval_join(A, B, "a_lo", "a_hi", "b_lo", "b_hi", bucket=32.0)
+    naive = A.join(B, (F.col("a_lo") < F.col("b_hi")) & (F.col("b_lo") < F.col("a_hi")))
+    got = {(r.a_id, r.b_id) for r in banded.select("a_id", "b_id").collect()}
+    want = {(r.a_id, r.b_id) for r in naive.select("a_id", "b_id").collect()}
+    assert got == want
+    assert want  # non-trivial overlap set
