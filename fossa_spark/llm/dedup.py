@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from fossa_spark.llm.text import tokens
 
@@ -183,10 +184,14 @@ def minhash_lsh_dedup(
     """Full near-dedup pipeline: shingle → MinHash → banded LSH → exact
     Jaccard verification. Returns verified near-duplicate pairs."""
     with_sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
-    # exploded (id, shingle) rows drive BOTH signature computation and the
-    # verify join — at corpus scale this is a staging relation you'd
-    # materialize once, not a per-doc array you carry around
-    sh_rows = with_sh.select(id_col, F.explode("shingles").alias("_sh"))
+    # exploded (id, shingle) rows drive signature computation AND both
+    # sides of the verify join (3 consumers) — persist instead of
+    # recomputing the upstream plan per consumer. At corpus scale this is
+    # the staging relation you'd materialize to storage once.
+    sh_rows = (
+        with_sh.select(id_col, F.explode("shingles").alias("_sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sigs = _signatures_from_rows(sh_rows, id_col, num_hashes)
     cands = lsh_candidates(sigs, id_col=id_col, bands=bands,
                            rows_per_band=num_hashes // bands)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from fossa_spark.connect import Connect, AccessMode
 from fossa_spark.llm import dedup as D
@@ -65,7 +66,13 @@ class TrainingDataPipeline(Model):
             .groupBy("_norm").agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id")
         )
-        exact = allowed.join(keep_exact, "doc_id", "left_semi")
+        # `exact` feeds the near-dedup stage (shingles) AND the final
+        # anti-join — persist the filtered/gated relation instead of
+        # recomputing the whole upstream per consumer (at 100 TB: a
+        # materialized staging table between pipeline phases)
+        exact = allowed.join(keep_exact, "doc_id", "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
         # near-dedup: drop the larger id of every verified near-dup pair
         # (min-pair keep rule — at corpus scale you'd take connected
