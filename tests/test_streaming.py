@@ -147,3 +147,29 @@ def test_exactly_once_foreach_batch_sink(spark, tmp_path):
     assert first.select("event_id").distinct().count() == n_src
     run_once()  # same checkpoint: no new offsets → no duplicates
     assert spark.read.parquet(out).count() == n_src
+
+
+def test_stream_stream_interval_join_batch_parity(spark):
+    """Click→purchase attribution: the stream-stream interval join must
+    produce exactly the batch non-equi join's pairs."""
+    from fossa_spark.streaming.joins import purchases_after_clicks
+
+    stream_pairs = purchases_after_clicks(FS.events_stream(spark, SF_DIR))
+    _run_to_completion(stream_pairs, "t_ssj")
+    got = spark.sql("SELECT click_id, purchase_id FROM t_ssj")
+
+    e = load_events(spark, SF_DIR)
+    clicks = e.filter("event_type = 'click'").selectExpr(
+        "user_id u", "ts cts", "event_id click_id"
+    )
+    buys = e.filter("event_type = 'purchase'").selectExpr(
+        "user_id bu", "ts bts", "event_id purchase_id"
+    )
+    want = clicks.join(
+        buys,
+        (F.col("u") == F.col("bu"))
+        & (F.col("bts") > F.col("cts"))
+        & (F.col("bts") <= F.col("cts") + F.expr("INTERVAL 10 minutes")),
+    ).select("click_id", "purchase_id")
+    assert _canon(got) == _canon(want)
+    assert want.count() > 0
