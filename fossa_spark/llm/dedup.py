@@ -243,6 +243,66 @@ def _jaccard_verify_rows(candidates: DataFrame, sh_rows: DataFrame,
     )
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph →
+    (doc_id, component) where component = min id reachable.
+
+    Iterative label propagation ("large-star" style): each round joins
+    current labels across edges and takes the min; converges in
+    O(log(diameter)) rounds — dup clusters are near-cliques, so 2-3 rounds
+    in practice. This is the non-SQL-expressible iterative piece the keep
+    rule needs when duplicates chain (A≈B≈C but A̸≈C): min-pair dropping
+    alone can drop B and keep both A and C.
+
+    Each iteration TRUNCATES lineage with an eager localCheckpoint —
+    labels feeds two places per round, so without truncation the logical
+    plan doubles every iteration (exponential planning blow-up long before
+    any data problem). On a real cluster use reliable checkpoint() to also
+    survive executor loss.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "component")
+
+
 def simhash(col: Column | str, bits: int = 64) -> Column:
     """SimHash signature of the token multiset: per-bit majority vote over
     xxhash64(token). Expressed as a fold over the token array — narrow,

@@ -74,12 +74,12 @@ class TrainingDataPipeline(Model):
             StorageLevel.MEMORY_AND_DISK
         )
 
-        # near-dedup: drop the larger id of every verified near-dup pair
-        # (min-pair keep rule — at corpus scale you'd take connected
-        # components over the pair graph; the pair set is already bounded
-        # by LSH banding)
+        # near-dedup: connected components over the verified pair graph,
+        # keep the minimum id of each component (handles duplicate CHAINS
+        # A≈B≈C where pairwise dropping could keep both endpoints)
         pairs = D.minhash_lsh_dedup(exact, threshold=self.near_dedup_threshold)
-        drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        comps = D.connected_components(pairs)
+        drop = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
         clean = exact.join(drop, "doc_id", "left_anti")
 
         return clean.select(

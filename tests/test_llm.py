@@ -154,3 +154,32 @@ def test_multimodal_pipeline(spark):
         M.extract_features(media, decode_stub=False).collect()
     frames = M.frame_sample(media, every_nth=10).collect()
     assert frames and all(r.frame_idx % 10 == 0 for r in frames)
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Chain 1-2-3-4 plus clique {10,11,12} plus isolated pair (20,21):
+    component = min reachable id for every member."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comps = {r.doc_id: r.component for r in D.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_pipeline_keeps_one_per_component(spark, docs):
+    """After the component-based keep rule, no two surviving docs are in
+    the same near-dup component."""
+    from fossa_spark.pipelines import TrainingDataPipeline
+
+    p = TrainingDataPipeline(spark=spark, min_chars=0, max_punct_ratio=1.0)
+    cleaned = p.transform(docs)
+    kept = {r.doc_id for r in cleaned.select("doc_id").collect()}
+    pairs = D.minhash_lsh_dedup(docs, threshold=0.5)
+    comps = D.connected_components(pairs).collect()
+    by_comp = {}
+    for r in comps:
+        by_comp.setdefault(r.component, []).append(r.doc_id)
+    for comp, members in by_comp.items():
+        survivors = [m for m in members if m in kept]
+        assert len(survivors) <= 1, f"component {comp}: multiple survivors {survivors}"
