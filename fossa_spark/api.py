@@ -96,6 +96,8 @@ def _make_handler(engine: Engine):
                 method_kwargs=doc.get("method_kwargs", {}),
                 model_construction_kwargs=doc.get("model_construction_kwargs", {}),
                 resolver_context=doc.get("resolver_context", {}),
+                partition_initialise_kwargs=doc.get("partition_initialise_kwargs", {}),
+                task_id=doc.get("task_id"),
             )
             try:
                 task_id = engine.submit(job)

@@ -119,15 +119,20 @@ class Engine:
         if job.model_class not in self._accepted:
             raise InvalidTaskSpec(f"class not in accepted list: {job.model_class}")
         deadline = time.monotonic() + timeout
-        while not self.has_processing_capacity():
+        task_id = job.task_id or uuid.uuid4().hex[:8]
+        while True:
+            # capacity check and RUNNING insert must be one atomic step —
+            # concurrent submits (ThreadingHTTPServer) would otherwise both
+            # pass the check before either registers
+            with self._lock:
+                if self.max_concurrent_tasks - self._running() > 0:
+                    self._jobs[task_id] = JobResult(task_id, JobStatus.RUNNING, time.time())
+                    break
             if not block_if_full or time.monotonic() > deadline:
                 raise CapacityExceeded(
                     f"no processing capacity ({self.max_concurrent_tasks} running)"
                 )
             time.sleep(0.02)
-        task_id = job.task_id or uuid.uuid4().hex[:8]
-        with self._lock:
-            self._jobs[task_id] = JobResult(task_id, JobStatus.RUNNING, time.time())
         fut = self._pool.submit(self._run, task_id, job)
         self._futures[task_id] = fut
         return task_id
@@ -141,8 +146,11 @@ class Engine:
             with connector_resolver.context(**job.resolver_context):
                 model = cls(spark=self.spark, **job.model_construction_kwargs)
                 model.on_start()  # lifecycle hook (reference process.py:45-55)
+                # per-task partition init (reference process.py:91-92); also
+                # recorded on the model so fan-out strategies ship the same
+                # kwargs to executor-side subtask runs
+                model.partition_initialise_kwargs = dict(job.partition_initialise_kwargs)
                 if job.partition_initialise_kwargs and hasattr(model, "partition_initialise"):
-                    # reference process.py:91-92: per-task partition init
                     model.partition_initialise(**job.partition_initialise_kwargs)
                 value = getattr(model, job.method)(**job.method_kwargs)
             rec.value = value
@@ -198,7 +206,8 @@ class Engine:
         self.spark.sparkContext.cancelJobGroup(task_id)
 
     def shutdown(self, wait: bool = True) -> None:
-        for task_id, rec in self._jobs.items():
-            if rec.status is JobStatus.RUNNING:
-                self.cancel(task_id)
+        with self._lock:
+            running = [t for t, r in self._jobs.items() if r.status is JobStatus.RUNNING]
+        for task_id in running:
+            self.cancel(task_id)
         self._pool.shutdown(wait=wait, cancel_futures=True)

@@ -60,39 +60,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures via explode → N seeded hashes → groupBy min.
 
-    Equivalent to the per-row array-fold formulation but dramatically
-    cheaper to compile (N flat aggregates instead of N nested lambda
-    expressions) and identical at scale: one shuffle on the id, partial
-    min() before it. Returns (id, minhash array<long>)."""
+    Flat aggregates instead of per-row nested lambda folds: dramatically
+    cheaper to compile and identical at scale — one shuffle on the id,
+    partial min() before it. Returns (id, minhash array<long>)."""
     ex = df.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("_sh"))
-    hashed = ex.select(
-        id_col,
-        *[
-            F.xxhash64(F.concat(F.lit(f"mh{i}|"), F.col("_sh"))).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ],
-    )
-    agg = hashed.groupBy(id_col).agg(
-        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
-    )
-    return agg.select(
-        id_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("minhash")
-    )
-
-
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: element i = min over shingles of
-    xxhash64(seed_i ‖ shingle). Seeded → deterministic across runs."""
-    # NB: lambdas passed to Spark HOFs must have the exact expected arity —
-    # a default-arg capture (lambda s, i=i: ...) makes Spark bind the
-    # element-index column to it. Use closure factories instead.
-    def _hasher(i: int):
-        return lambda s: F.xxhash64(F.concat(F.lit(f"mh{i}|"), s))
-
-    sigs = [
-        F.array_min(F.transform(shingle_col, _hasher(i))) for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    return _signatures_from_rows(ex, id_col, num_hashes)
 
 
 def lsh_candidates(
@@ -146,32 +118,6 @@ def lsh_candidates(
     )
 
 
-def jaccard_verify(
-    candidates: DataFrame,
-    docs_with_shingles: DataFrame,
-    id_col: str = "doc_id",
-    shingle_col: str = "shingles",
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs; keeps pairs ≥ threshold.
-    Jaccard is a ratio of exact ints → deterministic double."""
-    left = docs_with_shingles.select(
-        F.col(id_col).alias("id_a"), F.col(shingle_col).alias("_sa")
-    )
-    right = docs_with_shingles.select(
-        F.col(id_col).alias("id_b"), F.col(shingle_col).alias("_sb")
-    )
-    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).cast("double")
-    union = F.size(F.array_union(F.col("_sa"), F.col("_sb"))).cast("double")
-    return (
-        candidates.join(left, "id_a")
-        .join(right, "id_b")
-        .withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-
-
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -187,7 +133,9 @@ def minhash_lsh_dedup(
     # exploded (id, shingle) rows drive signature computation AND both
     # sides of the verify join (3 consumers) — persist instead of
     # recomputing the upstream plan per consumer. At corpus scale this is
-    # the staging relation you'd materialize to storage once.
+    # the staging relation you'd materialize to storage once. The result
+    # (small pair set) is checkpointed eagerly so sh_rows can be
+    # unpersisted before returning — no cached-block leak across calls.
     sh_rows = (
         with_sh.select(id_col, F.explode("shingles").alias("_sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -195,7 +143,11 @@ def minhash_lsh_dedup(
     sigs = _signatures_from_rows(sh_rows, id_col, num_hashes)
     cands = lsh_candidates(sigs, id_col=id_col, bands=bands,
                            rows_per_band=num_hashes // bands)
-    return _jaccard_verify_rows(cands, sh_rows, id_col=id_col, threshold=threshold)
+    pairs = _jaccard_verify_rows(
+        cands, sh_rows, id_col=id_col, threshold=threshold
+    ).localCheckpoint(eager=True)
+    sh_rows.unpersist()
+    return pairs
 
 
 def _signatures_from_rows(sh_rows: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
@@ -249,12 +201,15 @@ def connected_components(
     """Connected components over the near-duplicate pair graph →
     (doc_id, component) where component = min id reachable.
 
-    Iterative label propagation ("large-star" style): each round joins
-    current labels across edges and takes the min; converges in
-    O(log(diameter)) rounds — dup clusters are near-cliques, so 2-3 rounds
-    in practice. This is the non-SQL-expressible iterative piece the keep
-    rule needs when duplicates chain (A≈B≈C but A̸≈C): min-pair dropping
-    alone can drop B and keep both A and C.
+    Each round does (a) one hop of min-label propagation across edges and
+    (b) pointer jumping (component ← component's component), so chains
+    shrink geometrically: convergence in O(log(diameter)) rounds, and dup
+    clusters are near-cliques (1-2 rounds in practice). Raises RuntimeError
+    if max_iter is exhausted before convergence — silently-wrong components
+    would double-keep documents downstream. This is the
+    non-SQL-expressible iterative piece the keep rule needs when
+    duplicates chain (A≈B≈C but A̸≈C): min-pair dropping alone can drop B
+    and keep both A and C.
 
     Each iteration TRUNCATES lineage with an eager localCheckpoint —
     labels feeds two places per round, so without truncation the logical
@@ -274,18 +229,30 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("n_comp"))
         )
+        hopped = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: follow component → that node's own component,
+        # halving chain depth each round
+        parents = hopped.select(
+            F.col("id").alias("p_id"), F.col("component").alias("p_comp")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            hopped.join(parents, hopped.component == parents.p_id, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
@@ -299,7 +266,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
     return labels.select(F.col("id").alias("doc_id"), "component")
 
 

@@ -74,6 +74,9 @@ class Model:
         self.spark = spark
         self.construction_kwargs = construction_kwargs
         self.external_loggers: list[Callable[[str, str], None]] = []
+        # set by the Engine from Job.partition_initialise_kwargs; fan-out
+        # strategies ship these to executor-side subtask construction
+        self.partition_initialise_kwargs: dict[str, Any] = {}
 
     def on_start(self) -> None:
         """Pre-run lifecycle hook (the reference's processor-side
@@ -103,17 +106,19 @@ class Model:
         return self.build()
 
 
-def _run_subtask_remote(payload: tuple[bytes, str, dict[str, Any]]) -> dict[str, Any]:
+def _run_subtask_remote(
+    payload: tuple[bytes, str, dict[str, Any], dict[str, Any]],
+) -> dict[str, Any]:
     """Executor-side subtask runner for TaskParallelStrategy: reconstruct
     the model (without a SparkSession — subtasks must be plain Python) and
     invoke the named method."""
     import pickle
 
-    cls_bytes, method, kwargs = payload
+    cls_bytes, method, kwargs, init_kwargs = payload
     cls = pickle.loads(cls_bytes)
     model = cls(spark=None)
     if hasattr(model, "partition_initialise"):
-        model.partition_initialise()
+        model.partition_initialise(**init_kwargs)
     try:
         value = getattr(model, method)(**kwargs)
         return {"method": method, "kwargs": kwargs, "ok": True, "value": value}
@@ -153,7 +158,8 @@ class TaskParallelStrategy:
             except Exception:  # noqa: BLE001 - best effort; ref-pickle fallback
                 pass
         cls_bytes = cloudpickle.dumps(type(model))
-        payloads = [(cls_bytes, st.method, st.kwargs) for st in subtasks]
+        init_kwargs = getattr(model, "partition_initialise_kwargs", {}) or {}
+        payloads = [(cls_bytes, st.method, st.kwargs, init_kwargs) for st in subtasks]
         rdd = spark.sparkContext.parallelize(payloads, max(n, 1))
         yield from rdd.map(_run_subtask_remote).collect()
 

@@ -92,21 +92,16 @@ def asof_join(
     )
     u = l.unionByName(r_full)
 
-    if direction == "backward":
-        # right rows sort before left rows at equal ts iff exact match allowed
-        side_order = F.col("_side").asc() if allow_exact_match else F.col("_side").desc()
-        w = (
-            W.partitionBy(on)
-            .orderBy(F.col("_ts").asc(), side_order)
-            .rowsBetween(W.unboundedPreceding, 0)
-        )
-    else:
-        side_order = F.col("_side").asc() if allow_exact_match else F.col("_side").desc()
-        w = (
-            W.partitionBy(on)
-            .orderBy(F.col("_ts").desc(), side_order)
-            .rowsBetween(W.unboundedPreceding, 0)
-        )
+    # right rows sort before left rows at equal ts iff exact match allowed
+    # (same rule both directions); the payload struct is the final tiebreak
+    # so duplicate right timestamps resolve deterministically
+    side_order = F.col("_side").asc() if allow_exact_match else F.col("_side").desc()
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    w = (
+        W.partitionBy(on)
+        .orderBy(ts_order, side_order, F.col("_rpayload").asc_nulls_last())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
     matched = u.withColumn("_match", F.last("_rpayload", ignorenulls=True).over(w))
     out = matched.filter(F.col("_side") == 1).select(
         F.col(on),

@@ -46,8 +46,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(tempfile.gettempdir(), f"fossa_events_stream_{tag}")
     os.makedirs(src_dir, exist_ok=True)
     link = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    # lexists, not exists: a dangling symlink (fixture dir moved) must be
+    # detected; and concurrent sessions may race the creation
+    if not os.path.lexists(link):
+        try:
+            os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+        except FileExistsError:
+            pass
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -106,7 +111,9 @@ def session_agg(events: DataFrame, gap: str = "5 minutes",
 
 def stateful_dedup(events: DataFrame, key: str = "event_id",
                    watermark: str = "30 minutes") -> DataFrame:
-    """Streaming exactly-once-per-key dedup: dropDuplicates keyed on
-    (event_id) with a watermark so the seen-keys state store is bounded —
-    the streaming twin of batch q_distinct."""
-    return events.withWatermark("ts", watermark).dropDuplicates([key])
+    """Streaming exactly-once-per-key dedup with BOUNDED state: uses
+    dropDuplicatesWithinWatermark, which evicts a seen key once the
+    watermark passes it. (Plain ``dropDuplicates([key])`` without the
+    event-time column in the subset keeps state forever — the unbounded-
+    state trap this wrapper exists to avoid.)"""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])

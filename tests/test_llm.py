@@ -183,3 +183,14 @@ def test_pipeline_keeps_one_per_component(spark, docs):
     for comp, members in by_comp.items():
         survivors = [m for m in members if m in kept]
         assert len(survivors) <= 1, f"component {comp}: multiple survivors {survivors}"
+
+
+def test_connected_components_long_chain(spark):
+    """25-node chain (diameter > default max_iter under one-hop-only
+    propagation): pointer jumping must converge it well within max_iter."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], "id_a long, id_b long"
+    )
+    comps = {r.doc_id: r.component for r in D.connected_components(pairs).collect()}
+    assert set(comps.values()) == {0}
+    assert len(comps) == 26
