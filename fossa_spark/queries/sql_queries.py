@@ -69,7 +69,83 @@ def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q5)
 
 
-QUERIES = {"q_sql_q3": q_sql_q3, "q_sql_q5": q_sql_q5}
+_SCALAR_SUB = f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM fs_orders
+WHERE o_totalprice > (
+  SELECT (CAST(SUM({sql_cents("o_totalprice")}) AS DOUBLE) / 100.0)
+         / CAST(COUNT(*) AS DOUBLE) * 2.0
+  FROM fs_orders
+)
+ORDER BY o_orderkey
+"""
+
+_IN_SUB = """
+SELECT c_custkey, c_name
+FROM fs_customer
+WHERE c_nationkey IN (
+  SELECT n_nationkey FROM fs_nation WHERE n_regionkey <= 1
+)
+ORDER BY c_custkey
+"""
+
+
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a filter (orders above 2× the exact average) —
+    Catalyst plans the subquery once, broadcasts the scalar."""
+    _register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_SCALAR_SUB)
+
+
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → left-semi join after Catalyst rewrite."""
+    _register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(_IN_SUB)
+
+
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join surfaced as an inventory query: both sides
+    written bucketBy(orderkey) once, then joined with zero shuffle
+    (the pay-at-write-time pattern for recurring 100 TB fact-fact joins).
+    The oracle checks the aggregate over the join result."""
+    import tempfile
+
+    from fossa_spark.queries._util import cents
+    from fossa_spark.sources import colocated_join, write_bucketed
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    base = tempfile.mkdtemp(prefix="fossa_bucketed_")
+    spark.sql("DROP TABLE IF EXISTS fsb_lineitem")
+    spark.sql("DROP TABLE IF EXISTS fsb_orders")
+    write_bucketed(li, "fsb_lineitem", "l_orderkey", buckets=8,
+                   path=f"{base}/li", sort_by="l_orderkey")
+    write_bucketed(o, "fsb_orders", "l_orderkey", buckets=8,
+                   path=f"{base}/o", sort_by="l_orderkey")
+    from pyspark.sql import functions as F
+
+    j = colocated_join(spark, "fsb_lineitem", "fsb_orders", "l_orderkey")
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(cents("l_quantity")).cast("double") / 100.0).alias("total_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+QUERIES = {
+    "q_sql_q3": q_sql_q3,
+    "q_sql_q5": q_sql_q5,
+    "q_subquery_scalar": q_subquery_scalar,
+    "q_subquery_in": q_subquery_in,
+    "q_join_bucketed": q_join_bucketed,
+}
 
 ORACLE = {
     "q_sql_q3": _Q3.replace("fs_", "").replace(
@@ -77,4 +153,12 @@ ORACLE = {
         "strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date",
     ),
     "q_sql_q5": _Q5.replace("fs_", ""),
+    "q_subquery_scalar": _SCALAR_SUB.replace("fs_", ""),
+    "q_subquery_in": _IN_SUB.replace("fs_", ""),
+    "q_join_bucketed": f"""
+        SELECT o_orderstatus, COUNT(*) AS n_lines,
+               CAST(SUM({sql_cents("l_quantity")}) AS DOUBLE) / 100.0 AS total_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
 }
