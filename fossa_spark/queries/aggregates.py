@@ -187,6 +187,8 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.groupBy("c_mktsegment")
         .agg(
             F.median("c_acctbal").alias("med_bal"),
+            F.round(F.percentile("c_acctbal", F.lit(0.25)), 6).alias("p25_bal"),
+            F.round(F.percentile("c_acctbal", F.lit(0.75)), 6).alias("p75_bal"),
             F.round(F.stddev_samp("c_acctbal"), 6).alias("sd_bal"),
             F.round(F.var_samp("c_acctbal"), 6).alias("var_bal"),
             F.min("c_acctbal").alias("min_bal"),
@@ -213,6 +215,8 @@ ORACLE = {
     "q_agg_stats": """
         SELECT c_mktsegment,
                median(c_acctbal) AS med_bal,
+               round(quantile_cont(c_acctbal, 0.25), 6) AS p25_bal,
+               round(quantile_cont(c_acctbal, 0.75), 6) AS p75_bal,
                round(stddev_samp(c_acctbal), 6) AS sd_bal,
                round(var_samp(c_acctbal), 6) AS var_bal,
                min(c_acctbal) AS min_bal,

@@ -69,6 +69,10 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(absbal + F.lit(1.0)), 8).alias("bal_ln"),
         F.pmod(F.col("c_nationkey") * F.lit(7) - F.lit(3), F.lit(5)).alias("bucket"),
         F.pow(F.col("c_nationkey").cast("double"), F.lit(2.0)).alias("nk_sq"),
+        F.col("c_nationkey").bitwiseAND(F.lit(3)).alias("nk_and3"),
+        F.col("c_nationkey").bitwiseOR(F.lit(8)).alias("nk_or8"),
+        F.col("c_nationkey").bitwiseXOR(F.lit(5)).alias("nk_xor5"),
+        F.shiftleft(F.col("c_nationkey"), 2).alias("nk_shl2"),
     )
 
 
@@ -223,7 +227,11 @@ ORACLE = {
                sqrt(abs(c_acctbal)) AS bal_sqrt,
                round(ln(abs(c_acctbal) + 1.0), 8) AS bal_ln,
                ((c_nationkey * 7 - 3) % 5 + 5) % 5 AS bucket,
-               power(CAST(c_nationkey AS DOUBLE), 2.0) AS nk_sq
+               power(CAST(c_nationkey AS DOUBLE), 2.0) AS nk_sq,
+               c_nationkey & 3 AS nk_and3,
+               c_nationkey | 8 AS nk_or8,
+               xor(c_nationkey, 5) AS nk_xor5,
+               CAST(c_nationkey << 2 AS INTEGER) AS nk_shl2
         FROM customer
     """,
     "q_fn_cond": """

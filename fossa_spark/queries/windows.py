@@ -86,14 +86,48 @@ def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs the row-based frames in q_win_frame):
+    per customer, orders and exact-cents spend within the PRECEDING 30
+    DAYS of each order. Epoch-seconds ordering keeps the frame bound
+    numeric and dialect-neutral."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "epoch_s", F.unix_timestamp("o_orderdate")
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("epoch_s").asc())
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "epoch_s",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        (F.sum(cents("o_totalprice")).over(w).cast("double") / 100.0).alias("spend_30d"),
+    )
+
+
 QUERIES = {
     "q_win_rank": q_win_rank,
+    "q_win_range": q_win_range,
     "q_win_lag": q_win_lag,
     "q_win_frame": q_win_frame,
     "q_topk_group": q_topk_group,
 }
 
 ORACLE = {
+    "q_win_range": f"""
+        SELECT o_orderkey, o_custkey,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+               COUNT(*) OVER w AS n_orders_30d,
+               CAST(SUM({sql_cents("o_totalprice")}) OVER w AS DOUBLE) / 100.0
+                 AS spend_30d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY CAST(epoch(o_orderdate) AS BIGINT) ASC
+                     RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    """,
     "q_win_rank": """
         SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
                row_number() OVER w_total AS rn,
