@@ -89,3 +89,39 @@ def test_interval_join_matches_naive(spark):
     want = {(r.a_id, r.b_id) for r in naive.select("a_id", "b_id").collect()}
     assert got == want
     assert want  # non-trivial overlap set
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The point of salting: a hot key's rows land on many reducers.
+    Plain join on one hot key → all its rows in one shuffle partition;
+    salted join → spread across ~salt partitions."""
+    # hot key must be data-derived — a literal would constant-fold the
+    # equi-join into a cartesian plan with no shuffle at all
+    big = spark.range(20_000).select(
+        (F.col("id") % 1 + 42).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.createDataFrame([(42, "hot")], "k long, d string")
+
+    def partition_sizes(df):
+        return [
+            n for n in df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+            if n > 0
+        ]
+
+    from fossa_spark.operators import salted_join
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # keep raw shuffle layout
+    # force real shuffles: a broadcast of the (tiny) salted side would skip
+    # the shuffle entirely — which is also why salting only matters when
+    # the small side is too big to broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = big.join(dim, "k")
+        salted = salted_join(big, dim, "k", salt=8)
+        assert len(partition_sizes(plain)) == 1  # one reducer owns the hot key
+        spread = partition_sizes(salted)
+        assert len(spread) >= 4, f"salt failed to spread: {spread}"
+        assert max(spread) < 20_000
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
