@@ -122,6 +122,20 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array → (position, element) rows, positions preserved —
+    the ordinality-aware flatten (first 8 embedding dims per vector)."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return (
+        e.select(
+            "vec_id",
+            F.posexplode(F.slice(F.col("embedding"), 1, 8)).alias("pos", "val"),
+        )
+        .select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+        .orderBy("vec_id", "pos")
+    )
+
+
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map type: build, keys/values, explode. DuckDB map semantics differ →
     rows-only check (per SURVEY §2c)."""
@@ -176,6 +190,7 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_fn_string": q_fn_string,
     "q_fn_struct": q_fn_struct,
+    "q_fn_posexplode": q_fn_posexplode,
     "q_fn_date": q_fn_date,
     "q_fn_math": q_fn_math,
     "q_fn_cond": q_fn_cond,
@@ -189,6 +204,13 @@ ORACLE = {
         SELECT c_custkey, c_name AS name, c_nationkey AS nation,
                c_mktsegment AS segment, c_nationkey = 7 AS is_nation7
         FROM customer ORDER BY c_custkey
+    """,
+    "q_fn_posexplode": """
+        SELECT vec_id, CAST(gs - 1 AS INTEGER) AS pos,
+               CAST(embedding[gs] AS DOUBLE) AS val
+        FROM embeddings JOIN generate_series(1, 8) AS t(gs) ON TRUE
+        WHERE vec_id < 50
+        ORDER BY vec_id, pos
     """,
     "q_fn_string": """
         SELECT p_partkey,

@@ -103,6 +103,24 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_IN_SUB)
 
 
+_GROUPING_SETS = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+       COUNT(*) AS n_orders,
+       CAST(SUM({sql_cents("o_totalprice")}) AS DOUBLE) / 100.0 AS total_price
+FROM fs_orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() marker columns (distinct from
+    the rollup/cube shorthands: arbitrary set list)."""
+    _register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_GROUPING_SETS)
+
+
 def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join surfaced as an inventory query: both sides
     written bucketBy(orderkey) once, then joined with zero shuffle
@@ -142,6 +160,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_sql_q3": q_sql_q3,
     "q_sql_q5": q_sql_q5,
+    "q_agg_grouping_sets": q_agg_grouping_sets,
     "q_subquery_scalar": q_subquery_scalar,
     "q_subquery_in": q_subquery_in,
     "q_join_bucketed": q_join_bucketed,
@@ -153,6 +172,7 @@ ORACLE = {
         "strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date",
     ),
     "q_sql_q5": _Q5.replace("fs_", ""),
+    "q_agg_grouping_sets": _GROUPING_SETS.replace("fs_", ""),
     "q_subquery_scalar": _SCALAR_SUB.replace("fs_", ""),
     "q_subquery_in": _IN_SUB.replace("fs_", ""),
     "q_join_bucketed": f"""
