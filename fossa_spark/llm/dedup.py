@@ -229,6 +229,13 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    def label_sum(lbls: DataFrame) -> int:
+        return lbls.agg(F.sum("component")).collect()[0][0] or 0
+
+    # labels only ever DECREASE (min-propagation), so Σcomponent is a
+    # strictly-decreasing convergence measure: equal sums ⟺ fixed point.
+    # One cheap aggregate per round instead of a join-based diff.
+    prev_sum = label_sum(labels)
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -257,17 +264,12 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        new_sum = label_sum(labels)
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations"

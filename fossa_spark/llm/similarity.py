@@ -148,6 +148,75 @@ def srp_buckets(bits: int, tables: int, dim: int):
     return buckets
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_q: str = "q_id",
+    id_c: str = "c_id",
+    vec_q: str = "q_vec",
+    vec_c: str = "c_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize candidates with KMeans (the inverted
+    file), then search only the ``nprobe`` nearest centroid buckets per
+    query with an exact cosine re-rank.
+
+    The scale shape: centroids are tiny (n_centroids × dim) and broadcast;
+    candidate bucketing is one ML transform pass; the probe join is an
+    equi-join on the bucket id. Recall/latency tuned by
+    n_centroids/nprobe exactly as in a FAISS IVF index. Deterministic for
+    a fixed seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = candidates.select(array_to_vector(_as_double(F.col(vec_c))).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+
+    # assign buckets with the same numpy math used for query probes —
+    # keeps both sides' distance computation identical (no ML transform
+    # needed once the centroids are extracted)
+    c_b = candidates.withColumn(
+        "bucket", _nearest_centroids_udf(centroids, 1)(F.col(vec_c))[0]
+    )
+    q_b = queries.withColumn(
+        "_probes", _nearest_centroids_udf(centroids, nprobe)(F.col(vec_q))
+    ).select(id_q, vec_q, F.explode("_probes").alias("bucket"))
+
+    pairs = (
+        q_b.join(c_b, "bucket")
+        .filter(F.col(id_q) != F.col(id_c))
+        .select(id_q, id_c, vec_q, vec_c)
+        .distinct()
+    )
+    scored = pairs.withColumn("score", F.round(cosine_batch(F.col(vec_q), F.col(vec_c)), 6))
+    w = W.partitionBy(id_q).orderBy(F.col("score").desc(), F.col(id_c).asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(id_q, id_c, "score", "rk")
+    )
+
+
+def _nearest_centroids_udf(centroids: "np.ndarray", n: int):
+    """Pandas UDF: indices of the n nearest centroids (euclidean) per
+    vector, as array<int> — centroids captured in the closure (broadcast
+    with the task)."""
+
+    @F.pandas_udf("array<int>")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+        d = -2.0 * (m @ centroids.T) + (centroids * centroids).sum(axis=1)
+        idx = np.argsort(d, axis=1)[:, :n]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    return nearest
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,

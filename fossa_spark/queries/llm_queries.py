@@ -113,6 +113,18 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(q, c, k=5, bits=4, tables=8).orderBy("q_id", "rk")
 
 
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer + nprobe bucket search +
+    exact re-rank (the FAISS-IVF shape; rows-only — KMeans is not
+    SQL-expressible)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return S.ivf_topk(q, c, k=5, n_centroids=16, nprobe=4).orderBy("q_id", "rk")
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequencies (tokenize → explode → count)."""
     d = load(spark, sf_dir, "documents")
@@ -237,6 +249,7 @@ QUERIES = {
     "q_dedup_embed": q_dedup_embed,
     "q_sim_topk": q_sim_topk,
     "q_sim_ann": q_sim_ann,
+    "q_sim_ivf": q_sim_ivf,
     "q_text_tokens": q_text_tokens,
     "q_text_stats": q_text_stats,
     "q_text_quality": q_text_quality,

@@ -194,3 +194,19 @@ def test_connected_components_long_chain(spark):
     comps = {r.doc_id: r.component for r in D.connected_components(pairs).collect()}
     assert set(comps.values()) == {0}
     assert len(comps) == 26
+
+
+def test_ivf_topk_recall(vecs):
+    """IVF (16 centroids, nprobe=4) recall vs exact brute force — the
+    coarse-quantized scale path must stay useful on this corpus."""
+    q = vecs.filter("vec_id < 10").selectExpr("vec_id q_id", "embedding q_vec")
+    c = vecs.selectExpr("vec_id c_id", "embedding c_vec")
+    exact = {(r.q_id, r.c_id) for r in S.brute_force_topk(q, c, k=5).collect()}
+    ivf = {(r.q_id, r.c_id)
+           for r in S.ivf_topk(q, c, k=5, n_centroids=16, nprobe=4).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall:.2f}"
+    # determinism: same seed → same result
+    ivf2 = {(r.q_id, r.c_id)
+            for r in S.ivf_topk(q, c, k=5, n_centroids=16, nprobe=4).collect()}
+    assert ivf == ivf2
