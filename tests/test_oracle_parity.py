@@ -34,6 +34,20 @@ def test_oracles_have_queries():
     assert not missing, f"oracle entries without a query: {missing}"
 
 
+def test_registration_order_oracle_backed_first():
+    """Driver contract: a count- or time-capped driver run must hash-verify
+    the full oracle-backed inventory before reaching any rows-only query
+    (round 1's CORRECTNESS file cut off at exactly 50 rows)."""
+    names = list(_QUERIES)
+    first_rows_only = next(i for i, n in enumerate(names) if n not in _ORACLES)
+    assert first_rows_only == len(_ORACLES), (
+        f"rows-only query at position {first_rows_only} precedes an "
+        f"oracle-backed one: {names[first_rows_only]}"
+    )
+    # The two most expensive rows-only plans run dead last.
+    assert names[-2:] == ["q_dedup_near", "q_pipeline"]
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
