@@ -52,6 +52,82 @@ def word_shingles(col: Column | str, k: int = 5) -> Column:
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_jaccard: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard over pairs sharing ≥1 kept shingle.
+
+    Hot-shingle cap: shingles whose document frequency exceeds ``max_df``
+    are removed from the shingle universe (both intersection counting and
+    set sizes — symmetric, so the measure stays a true Jaccard over the
+    capped universe). Without the cap, one boilerplate shingle shared by
+    10⁶ docs creates a 10¹² pair blow-up at corpus scale; with it, the
+    self-join's reducer fan-in is bounded by max_df per shingle — the same
+    bound `lsh_candidates` puts on bucket size. Use
+    :func:`hot_shingles` to inspect what was dropped.
+
+    Returns (id_a, id_b, n_a, n_b, n_inter, jaccard).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, k)).alias("shingle"),
+    ).distinct()
+    kept = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("shingle"),
+        "shingle",
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = kept.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "n_a", "n_b", "n_inter", "jaccard")
+    )
+
+
+def hot_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_df: int = 100,
+) -> DataFrame:
+    """The shingles `ngram_jaccard_pairs` drops: document frequency > max_df.
+    Surface this next to dedup output so a capped run is auditable."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, k)).alias("shingle"),
+    ).distinct()
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -34,35 +34,13 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-5-gram Jaccard over all pairs sharing ≥1 shingle — the
-    ground-truth near-dup measure the LSH path approximates, and the one
-    DuckDB can mirror for the hash check."""
+    """Exact word-5-gram Jaccard — the ground-truth near-dup measure the
+    LSH path approximates, with a hot-shingle cap (document frequency
+    ≤ 100) bounding the self-join's per-shingle fan-in at corpus scale;
+    the oracle applies the identical cap."""
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(D.word_shingles("text", 5)).alias("shingle")
-    ).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b", "n_a", "n_b", "n_inter", "jaccard")
-        .orderBy("id_a", "id_b")
+    return D.ngram_jaccard_pairs(d, k=5, min_jaccard=0.5, max_df=100).orderBy(
+        "id_a", "id_b"
     )
 
 
@@ -281,11 +259,16 @@ ORACLE = {
         WITH toks AS (
           SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
         ),
-        sh AS (
+        sh0 AS (
           SELECT DISTINCT doc_id,
                  array_to_string(t[gs : gs + 4], ' ') AS shingle
           FROM toks JOIN generate_series(1, 100000) AS g(gs)
             ON gs <= greatest(len(t) - 4, 1)
+        ),
+        sh AS (  -- hot-shingle cap: drop shingles with document frequency > 100
+          SELECT sh0.* FROM sh0
+          JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100)
+            USING (shingle)
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (

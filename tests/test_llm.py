@@ -210,3 +210,32 @@ def test_ivf_topk_recall(vecs):
     ivf2 = {(r.q_id, r.c_id)
             for r in S.ivf_topk(q, c, k=5, n_centroids=16, nprobe=4).collect()}
     assert ivf == ivf2
+
+
+def test_ngram_hot_shingle_cap_bounds_pairs(spark):
+    """A boilerplate shingle shared by every document must not generate the
+    O(n²) all-pairs blow-up: with max_df below the corpus size the planted
+    boilerplate is excluded from the shingle universe, so pair counts stay
+    bounded by genuine (capped-universe) overlap."""
+    boiler = "all rights reserved by the publisher"  # 6 tokens → shared 5-grams
+    rows = [(i, f"{boiler} unique body {i} alpha beta gamma delta {i}")
+            for i in range(40)]
+    # two genuine near-dups sharing a long distinctive run
+    core = "the quick brown fox jumps over the lazy dog again and again"
+    rows += [(100, f"{core} tail one"), (101, f"{core} tail two")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = D.ngram_jaccard_pairs(docs, k=5, min_jaccard=0.0, max_df=10**9)
+    capped = D.ngram_jaccard_pairs(docs, k=5, min_jaccard=0.0, max_df=10)
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    assert n_uncapped >= 40 * 39 // 2  # boilerplate links every doc pair
+    assert n_capped < 40  # cap kills the boilerplate clique
+    # the genuine near-dup pair survives the cap
+    assert capped.filter("id_a = 100 AND id_b = 101").count() == 1
+    # dropped shingles are auditable and are exactly the boilerplate 5-grams
+    hot = D.hot_shingles(docs, k=5, max_df=10).collect()
+    assert all(r.df >= 40 for r in hot)
+    assert {r.shingle for r in hot} >= {
+        "all rights reserved by the",
+        "rights reserved by the publisher",
+    }
