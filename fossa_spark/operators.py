@@ -126,31 +126,40 @@ def interval_join(
 ) -> DataFrame:
     """Interval-overlap join for TWO LARGE sides via banding: explode each
     interval into the fixed-width buckets it covers, equi-join on the
-    bucket id (a hash join — no nested loop), then dedup and apply the
-    exact overlap predicate. Shuffle volume = Σ interval_width/bucket per
-    row; pick ``bucket`` ≈ the median interval width.
+    bucket id (a hash join — no nested loop), then apply the exact overlap
+    predicate. Shuffle volume = Σ interval_width/bucket per row; pick
+    ``bucket`` ≈ the median interval width.
+
+    Fan-out dedup is free: a pair overlapping n shared buckets is emitted
+    only in its canonical bucket — the first bucket both intervals cover
+    (``_b == greatest(first_l, first_r)``) — a per-row filter, not a
+    DISTINCT. (The previous whole-row ``.distinct()`` was a second full
+    shuffle of both payloads AND collapsed legitimately duplicate input
+    rows — wrong semantics and wrong cost.)
 
     Intervals are half-open [start, end). Numeric columns (cast timestamps
     to epoch seconds first)."""
     lb = left.withColumn(
+        "_lb0", F.floor(F.col(l_start) / bucket).cast("long")
+    ).withColumn(
         "_b",
         F.explode(
-            F.sequence(
-                F.floor(F.col(l_start) / bucket).cast("long"),
-                F.ceil(F.col(l_end) / bucket).cast("long"),
-            )
+            F.sequence(F.col("_lb0"), F.ceil(F.col(l_end) / bucket).cast("long"))
         ),
     )
     rb = right.withColumn(
+        "_rb0", F.floor(F.col(r_start) / bucket).cast("long")
+    ).withColumn(
         "_b",
         F.explode(
-            F.sequence(
-                F.floor(F.col(r_start) / bucket).cast("long"),
-                F.ceil(F.col(r_end) / bucket).cast("long"),
-            )
+            F.sequence(F.col("_rb0"), F.ceil(F.col(r_end) / bucket).cast("long"))
         ),
     )
-    joined = lb.join(rb, "_b").drop("_b").distinct()
+    joined = (
+        lb.join(rb, "_b")
+        .filter(F.col("_b") == F.greatest(F.col("_lb0"), F.col("_rb0")))
+        .drop("_b", "_lb0", "_rb0")
+    )
     if how_filter == "overlap":
         joined = joined.filter(
             (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))

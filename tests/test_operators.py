@@ -85,10 +85,27 @@ def test_interval_join_matches_naive(spark):
     A, B = spark.createDataFrame(a), spark.createDataFrame(b)
     banded = interval_join(A, B, "a_lo", "a_hi", "b_lo", "b_hi", bucket=32.0)
     naive = A.join(B, (F.col("a_lo") < F.col("b_hi")) & (F.col("b_lo") < F.col("a_hi")))
-    got = {(r.a_id, r.b_id) for r in banded.select("a_id", "b_id").collect()}
-    want = {(r.a_id, r.b_id) for r in naive.select("a_id", "b_id").collect()}
-    assert got == want
+    got = sorted((r.a_id, r.b_id) for r in banded.select("a_id", "b_id").collect())
+    want = sorted((r.a_id, r.b_id) for r in naive.select("a_id", "b_id").collect())
+    assert got == want  # exact multiset, not set — no fan-out dup, no collapse
     assert want  # non-trivial overlap set
+
+
+def test_interval_join_preserves_duplicate_rows(spark):
+    """True overlap-join semantics: a duplicated input row must produce
+    duplicated output pairs (whole-row DISTINCT would collapse them), and
+    canonical-bucket dedup must add no shuffle beyond the join's own two."""
+    A = spark.createDataFrame(
+        [(1, 0.0, 100.0), (1, 0.0, 100.0), (2, 50.0, 60.0)],
+        "a_id long, a_lo double, a_hi double",
+    )
+    B = spark.createDataFrame([(7, 10.0, 55.0)], "b_id long, b_lo double, b_hi double")
+    out = interval_join(A, B, "a_lo", "a_hi", "b_lo", "b_hi", bucket=8.0)
+    pairs = sorted((r.a_id, r.b_id) for r in out.select("a_id", "b_id").collect())
+    assert pairs == [(1, 7), (1, 7), (2, 7)]  # duplicate left row kept twice
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange")
+    assert n_exchange <= 2, f"dedup added a shuffle beyond the join's own:\n{plan}"
 
 
 def test_salted_join_spreads_hot_key(spark):
