@@ -14,6 +14,7 @@ mesh. Spark's own UI/REST covers stage-level observability.
 
 from __future__ import annotations
 
+import html
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -55,7 +56,8 @@ def _make_handler(engine: Engine):
                 # HTML node view (reference lib/fossa/views/web.py:11-27)
                 s = engine.node_summary()
                 rows = "".join(
-                    f"<li><a href='/task/{t}'>{t}</a></li>"
+                    f"<li><a href='/task/{html.escape(t, quote=True)}'>"
+                    f"{html.escape(t)}</a></li>"
                     for t in s["running_tasks"] + s["previous_tasks"]
                 )
                 self._send_html(
@@ -68,11 +70,13 @@ def _make_handler(engine: Engine):
                 task_id = self.path.rsplit("/", 1)[-1]
                 doc = engine.task_summary(task_id)
                 code = 200 if doc["status"] != "unknown" else 404
+                # escape everything URL- or job-derived: reflected XSS otherwise
                 self._send_html(
                     code,
-                    f"<html><body><h1>task {task_id}</h1>"
-                    f"<p>status: {doc['status']}</p>"
-                    f"<pre>{json.dumps(doc, indent=2, default=str)}</pre></body></html>",
+                    f"<html><body><h1>task {html.escape(task_id)}</h1>"
+                    f"<p>status: {html.escape(doc['status'])}</p>"
+                    f"<pre>{html.escape(json.dumps(doc, indent=2, default=str))}"
+                    "</pre></body></html>",
                 )
             else:
                 self._send(404, {"error": "not found"})

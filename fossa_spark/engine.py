@@ -145,6 +145,10 @@ class Engine:
         try:
             with connector_resolver.context(**job.resolver_context):
                 model = cls(spark=self.spark, **job.model_construction_kwargs)
+                # node capacity reaches the fan-out clamp (reference
+                # process.py:185-195); on_start() runs after so a model
+                # may still override for its environment
+                model.runtime_max_workers = self.max_concurrent_tasks
                 model.on_start()  # lifecycle hook (reference process.py:45-55)
                 # per-task partition init (reference process.py:91-92); also
                 # recorded on the model so fan-out strategies ship the same

@@ -77,6 +77,12 @@ class Model:
         # set by the Engine from Job.partition_initialise_kwargs; fan-out
         # strategies ship these to executor-side subtask construction
         self.partition_initialise_kwargs: dict[str, Any] = {}
+        # set by the Engine before dispatch: the node's task capacity. The
+        # fan-out clamp in PartitionedModel.go() honours it — the reference's
+        # processors clamp runtime.max_concurrent_tasks per environment
+        # (reference lib/fossa/control/process.py:185-195 forces 1 locally;
+        # lib/fossa/control/rabbit_mq/process.py:44 sets 128).
+        self.runtime_max_workers: int | None = None
 
     def on_start(self) -> None:
         """Pre-run lifecycle hook (the reference's processor-side
@@ -179,7 +185,8 @@ class LocalThreadStrategy:
                         "error": f"{type(e).__name__}: {e}",
                         "traceback": traceback.format_exc()}
 
-        with ThreadPoolExecutor(max_workers=processes or min(len(subtasks), 32)) as ex:
+        workers = max(1, processes or min(len(subtasks), 32))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
             yield from ex.map(call, subtasks)
 
 
@@ -211,34 +218,39 @@ class PartitionedModel(Model):
     def go(self) -> list[Any]:
         opt = self.partition_plea()
         workers = max(opt.minimum, min(opt.optimal, opt.maximum))
+        if self.runtime_max_workers is not None:
+            # Engine capacity wins over the model's own plea — the node
+            # hosts other concurrent tasks (reference process.py:185-195).
+            workers = max(1, min(workers, self.runtime_max_workers))
         subtasks = [SubTask(m, kw) for m, kw in self.partition_slice(workers)]
         strategy = self.strategy_cls()
         results: list[Any] = []
-        pending = subtasks
+        # Retry budget is PER SUBTASK INSTANCE (keyed by slice index), not
+        # per (method, kwargs) content — two identical subtasks each get
+        # their own budget. Strategies yield one result per input subtask
+        # in input order (rdd.map().collect() and ThreadPoolExecutor.map
+        # both preserve it), which is what lets the index ride along.
+        pending: list[tuple[int, SubTask]] = list(enumerate(subtasks))
         attempts: dict[int, int] = {}
         while pending:
-            retry: list[SubTask] = []
-            for res in strategy.run(self, pending, workers):
+            retry: list[tuple[int, SubTask]] = []
+            batch = [st for _, st in pending]
+            for (idx, st), res in zip(pending, strategy.run(self, batch, workers)):
                 if res["ok"]:
                     self.partition_subtask_complete(res["method"], res["kwargs"],
                                                     res.get("value"))
                     results.append(res.get("value"))
                 else:
-                    key = id_key(res)
-                    attempts[key] = attempts.get(key, 0) + 1
-                    if attempts[key] <= self.task_retries:
+                    attempts[idx] = attempts.get(idx, 0) + 1
+                    if attempts[idx] <= self.task_retries:
                         self.log(f"retrying subtask {res['method']} "
-                                 f"(attempt {attempts[key] + 1})", "WARNING")
-                        retry.append(SubTask(res["method"], res["kwargs"]))
+                                 f"(attempt {attempts[idx] + 1})", "WARNING")
+                        retry.append((idx, st))
                     else:
                         raise SubTaskFailed(res["method"], res["kwargs"],
                                             res.get("error", "unknown"))
             pending = retry
         return results
-
-
-def id_key(res: dict[str, Any]) -> int:
-    return hash((res["method"], tuple(sorted(map(str, res["kwargs"].items())))))
 
 
 FanOutStrategy = Callable[..., Iterable[dict[str, Any]]]

@@ -46,8 +46,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(tempfile.gettempdir(), f"fossa_events_stream_{tag}")
     os.makedirs(src_dir, exist_ok=True)
     link = os.path.join(src_dir, "events.parquet")
-    # lexists, not exists: a dangling symlink (fixture dir moved) must be
-    # detected; and concurrent sessions may race the creation
+    # lexists catches a dangling symlink (fixture moved/deleted) that plain
+    # exists() would miss — repair it, then create; concurrent sessions may
+    # race the creation so tolerate FileExistsError
+    if os.path.lexists(link) and not os.path.exists(link):
+        try:
+            os.remove(link)
+        except FileNotFoundError:
+            pass
     if not os.path.lexists(link):
         try:
             os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)

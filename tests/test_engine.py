@@ -263,3 +263,71 @@ def test_engine_runs_spark_fanout_model(spark):
     expected = [sum(i * i for i in range(b * 1000, (b + 1) * 1000)) for b in range(6)]
     assert sorted(res.value) == sorted(expected)
     eng.shutdown(wait=False)
+
+
+class GreedyModel(PartitionedModel):
+    """Pleads for 128 workers; records what the clamp actually granted."""
+
+    strategy_cls = LocalThreadStrategy
+    granted: int | None = None
+
+    def partition_plea(self):
+        return PartitionOption(minimum=1, maximum=128, optimal=128)
+
+    def partition_slice(self, n):
+        type(self).granted = n
+        return [("noop", {"i": i}) for i in range(2)]
+
+    def noop(self, i):
+        return i
+
+
+def test_engine_capacity_clamps_fanout(spark):
+    """Reference parity (process.py:185-195, rabbit_mq/process.py:44): the
+    node's capacity reaches the fan-out clamp — a model pleading optimal=128
+    gets the engine's max_concurrent_tasks instead."""
+    engine = Engine(spark, max_concurrent_tasks=3)
+    engine.register_model(GreedyModel)
+    GreedyModel.granted = None
+    tid = engine.submit(Job(model_class="GreedyModel"))
+    assert engine.wait(tid).status is JobStatus.COMPLETE
+    assert GreedyModel.granted == 3
+
+    # outside an Engine, the model's own plea governs (no runtime clamp)
+    GreedyModel.granted = None
+    GreedyModel(spark=spark).go()
+    assert GreedyModel.granted == 128
+
+
+class TwinSubtasks(PartitionedModel):
+    """Two IDENTICAL subtasks whose first call each fails: per-instance
+    retry budgets (keyed by slice index) must let both succeed — content-
+    hash keying would let the second one's first failure exhaust the
+    shared budget and raise SubTaskFailed."""
+
+    strategy_cls = LocalThreadStrategy
+    _calls = 0
+    _lock = __import__("threading").Lock()
+
+    def partition_slice(self, n):
+        return [("work", {}), ("work", {})]
+
+    def work(self):
+        cls = type(self)
+        with cls._lock:
+            cls._calls += 1
+            call = cls._calls
+        if call <= 2:  # round one: both instances fail
+            raise RuntimeError(f"transient failure #{call}")
+        return "ok"
+
+
+def test_identical_subtasks_get_independent_retry_budgets(spark):
+    TwinSubtasks._calls = 0
+    assert TwinSubtasks(spark=spark).go() == ["ok", "ok"]
+    assert TwinSubtasks._calls == 4  # 2 failures + 2 retried successes
+
+
+def test_thread_strategy_tolerates_empty_subtask_list(spark):
+    out = list(LocalThreadStrategy().run(HelloModel(spark=spark), [], None))
+    assert out == []
