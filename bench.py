@@ -40,9 +40,14 @@ def main() -> None:
 
     run("q_agg_basic")  # warmup: JVM, codegen, parquet footer cache
 
+    # cold = first run (codegen + plan compile + execute); warm = second run
+    # (execute only). Warm is the round-over-round comparable number — cold
+    # is dominated by per-plan codegen noise at this tiny per-query scale.
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in sorted(queries):
         timings[name] = round(run(name), 4)
+        warm[name] = round(run(name), 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -53,6 +58,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -132,7 +132,7 @@ def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     shingle_col: str = "shingles",
-    num_hashes: int = 32,
+    num_hashes: int = 16,
 ) -> DataFrame:
     """MinHash signatures via explode → N seeded hashes → groupBy min.
 
@@ -148,7 +148,7 @@ def lsh_candidates(
     id_col: str = "doc_id",
     sig_col: str = "minhash",
     bands: int = 8,
-    rows_per_band: int = 4,
+    rows_per_band: int = 2,
     max_bucket: int = 200,
 ) -> DataFrame:
     """Banded LSH: hash each band of the signature into a bucket, self-join
@@ -199,12 +199,19 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
-    num_hashes: int = 32,
+    num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full near-dedup pipeline: shingle → MinHash → banded LSH → exact
-    Jaccard verification. Returns verified near-duplicate pairs."""
+    Jaccard verification. Returns verified near-duplicate pairs.
+
+    Default signature is 16 hashes in 8 bands × 2 rows: the S-curve knee
+    (1/bands)^(1/rows) ≈ 0.35 sits below the 0.5 verify threshold, so
+    candidate recall at the threshold is HIGHER than the old 8×4 layout
+    (knee ≈ 0.59) while signature codegen and shuffle bytes halve; the
+    exact-Jaccard verify step keeps precision unchanged. Extra candidates
+    are bounded by max_bucket in lsh_candidates."""
     with_sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
     # exploded (id, shingle) rows drive signature computation AND both
     # sides of the verify join (3 consumers) — persist instead of

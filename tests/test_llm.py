@@ -32,8 +32,8 @@ def test_exact_dedup_counts(docs):
 
 
 def test_minhash_lsh_recall_vs_exact(spark, docs):
-    """LSH (8×4 bands ⇒ ~0.59 threshold) must recover every pair whose true
-    5-shingle Jaccard is ≥ 0.7 — well above the S-curve knee."""
+    """LSH (8 bands × 2 rows ⇒ knee ≈ 0.35) must recover every pair whose
+    true 5-shingle Jaccard is ≥ 0.7 — far above the S-curve knee."""
     sh = docs.select("doc_id", D.word_shingles("text", 5).alias("shingles"))
     rows = sh.select("doc_id", F.explode("shingles").alias("_sh"))
     sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
