@@ -190,7 +190,15 @@ class Engine:
     def node_summary(self) -> dict[str, Any]:
         with self._lock:
             running = [t for t, r in self._jobs.items() if r.status is JobStatus.RUNNING]
-            done = [t for t, r in self._jobs.items() if r.status is not JobStatus.RUNNING]
+            # ordered by completion time (reference orders previous_tasks by
+            # when they finished, not when they were submitted)
+            done = [
+                t
+                for t, r in sorted(
+                    self._jobs.items(), key=lambda kv: kv[1].finished or 0.0
+                )
+                if r.status is not JobStatus.RUNNING
+            ]
         return {
             "max_concurrent_tasks": self.max_concurrent_tasks,
             "available_processing_capacity": self.capacity,

@@ -115,6 +115,18 @@ def test_job_failure_captured(engine):
     assert any("deliberate failure" in line for line in res.traceback)
 
 
+def test_previous_tasks_ordered_by_completion(engine):
+    """previous_tasks lists finished jobs by completion time, not submission
+    order (reference views order by when work ended)."""
+    engine.register_model(SlowModel)
+    engine.register_model(HelloModel)
+    slow = engine.submit(Job(model_class="SlowModel"))
+    fast = engine.submit(Job(model_class="HelloModel"))
+    engine.wait(slow), engine.wait(fast)
+    prev = engine.node_summary()["previous_tasks"]
+    assert prev.index(fast) < prev.index(slow), prev
+
+
 def test_allowlist_rejects_unknown_and_duplicates(engine):
     engine.register_model(HelloModel)
     with pytest.raises(InvalidTaskSpec):
