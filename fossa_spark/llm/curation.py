@@ -1,0 +1,192 @@
+"""Training-data curation operators: PII redaction, benchmark-contamination
+checks, deterministic sampling, repetition filtering, dup-cluster retention.
+
+These are the corpus-hygiene passes a 100 TB pretraining pipeline runs after
+dedup (fossa_spark.llm.dedup) and quality scoring (fossa_spark.llm.text).
+Scale design:
+- Redaction / repetition stats are narrow per-row column expressions
+  (JVM regex / array ops, whole-stage codegen) — zero shuffle.
+- Contamination joins the corpus n-gram set against a BENCHMARK n-gram set;
+  the benchmark side is small by construction (eval suites are KBs, not TBs)
+  so it broadcasts — per-gram fan-in is bounded by benchmark df, never by
+  corpus df.
+- Sampling is hash-deterministic (md5 of a stable key), so it needs no RNG
+  state, is reproducible across engines/runs, and pushes down as a cheap
+  filter; fixed-N-per-stratum uses one window over the stratum key.
+- Retention joins the connected-component labels (dedup.connected_components)
+  back to documents and keeps argmax(quality) per cluster — one shuffle on
+  component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from fossa_spark.llm.dedup import word_shingles
+
+# Redaction patterns are applied IN ORDER (email first: its matches contain
+# dot-runs an IP pattern could partially claim). Java regex and RE2/DuckDB
+# agree on this subset (classes, bounded repeats, \b, \d).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Redact PII spans and count them per category.
+
+    Adds ``redacted`` (text with each match replaced by its tag) and one
+    ``n_<name>`` count column per pattern. Counts are taken on the INPUT
+    text (before any replacement) so categories don't steal each other's
+    matches; replacements run in pattern order on a running column.
+    Pure regexp_replace/regexp_extract_all — narrow, codegen'd, no Python.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    out = df
+    red: Column = F.col(text_col)
+    for name, pat, tag in pats:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        red = F.regexp_replace(red, pat, tag)
+    return out.withColumn("redacted", red)
+
+
+def contamination_check(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination scan: for each training document, how many
+    benchmark documents share at least one word k-gram, and how many
+    distinct k-grams overlap.
+
+    The benchmark n-gram relation is broadcast (eval sets are tiny relative
+    to the corpus), so the gram equi-join never shuffles the corpus and
+    per-gram fan-in is bounded by the benchmark's gram frequency. Returns
+    (id, n_bench_docs, n_gram_hits) for contaminated documents only.
+    """
+    tg = train.select(
+        F.col(id_col).alias("t_id"),
+        F.explode(word_shingles(text_col, k)).alias("gram"),
+    )
+    bg = bench.select(
+        F.col(id_col).alias("b_id"),
+        F.explode(word_shingles(text_col, k)).alias("gram"),
+    )
+    hits = tg.join(F.broadcast(bg), "gram")
+    return (
+        hits.groupBy("t_id")
+        .agg(
+            F.countDistinct("b_id").alias("n_bench_docs"),
+            F.countDistinct("gram").alias("n_gram_hits"),
+        )
+        .select(F.col("t_id").alias(id_col), "n_bench_docs", "n_gram_hits")
+    )
+
+
+def hash_sample(
+    df: DataFrame, key: Column | str, fraction: Column | float
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff the first 4 hex chars
+    of md5(key) fall below the fraction of the 16⁴ space.
+
+    No RNG state → reproducible across runs, engines, and partitionings
+    (unlike df.sample, whose output depends on split layout), and the
+    predicate pushes down like any filter. ``fraction`` may be a per-row
+    Column for stratified rates."""
+    kc = F.col(key) if isinstance(key, str) else key
+    frac = F.lit(fraction) if isinstance(fraction, float) else fraction
+    bucket = F.conv(F.substring(F.md5(kc.cast("string")), 1, 4), 16, 10).cast("long")
+    return df.filter(bucket < (frac * F.lit(65536.0)).cast("long"))
+
+
+def stratified_fixed_n(
+    df: DataFrame, stratum_col: str, key: Column | str, n: int
+) -> DataFrame:
+    """Deterministic fixed-N-per-stratum sample: rank rows inside each
+    stratum by md5(key) (a uniform, reproducible shuffle order) and keep the
+    first N. One window shuffle on the stratum key; ties broken by the key
+    itself so the result is total-ordered and engine-independent."""
+    kc = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(stratum_col).orderBy(F.md5(kc.cast("string")), kc)
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= n)
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition features: duplicate-token and
+    duplicate-bigram fractions. High values ⇒ boilerplate / degenerate text.
+
+    Pure array expressions over the token list — narrow pass, no shuffle,
+    no Python. Fractions are single double divisions of exact ints."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1)))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    d = df.withColumns(
+        {
+            "n_tokens": n.cast("long"),
+            "n_uniq_tokens": F.size(F.array_distinct(toks)).cast("long"),
+            "n_bigrams": F.size(bigrams).cast("long"),
+            "n_uniq_bigrams": F.size(F.array_distinct(bigrams)).cast("long"),
+        }
+    )
+    return d.withColumns(
+        {
+            "dup_token_frac": F.round(
+                F.lit(1.0)
+                - F.col("n_uniq_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                8,
+            ),
+            "dup_bigram_frac": F.round(
+                F.lit(1.0)
+                - F.col("n_uniq_bigrams").cast("double")
+                / F.col("n_bigrams").cast("double"),
+                8,
+            ),
+        }
+    )
+
+
+def keep_best_per_cluster(
+    components: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Dup-cluster retention policy: for each connected component of the
+    near-duplicate graph, keep the highest-quality document (ties → lowest
+    id). Input ``components`` is (id_col, component) from
+    dedup.connected_components. One shuffle on component; the per-cluster
+    argmax is a window over groups whose size is bounded by cluster size.
+
+    Returns (component, kept_id, cluster_size)."""
+    joined = components.join(docs.select(id_col, quality_col), id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    ranked = joined.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min(F.when(F.col("_rk") == 1, F.col(id_col))).alias("kept_id"),
+        )
+        .select("component", "kept_id", "cluster_size")
+    )

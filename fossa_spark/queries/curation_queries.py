@@ -1,0 +1,248 @@
+"""Training-data curation queries: PII redaction, benchmark contamination,
+deterministic sampling, repetition filtering, dup-cluster retention — the
+corpus-hygiene passes of a pretraining pipeline, each DuckDB-oracle-checked.
+
+Determinism notes (the usual playbook): counts cast to long, ratios are one
+double division rounded to 8 dp, sampling uses md5 hex-string comparison
+(lexicographic compare of fixed-width lowercase hex ≡ numeric compare, and
+thresholds are exact multiples of 1/16 so both engines agree bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fossa_spark.llm import curation as C
+from fossa_spark.llm import dedup as D
+from fossa_spark.queries._util import load
+
+
+def _augmented_pii(d: DataFrame) -> DataFrame:
+    """The test corpus contains no PII, so plant deterministic synthetic
+    spans (email / phone / IPv4 derived from doc_id) before redacting —
+    the redaction regexes then provably fire and hash-verify."""
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+        F.lit(" call 555-"),
+        F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".7"),
+    )
+    return d.select("doc_id", aug.alias("text"))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (email/phone/IPv4 → typed tags) with per-category
+    counts. Narrow codegen'd pass — no shuffle, no Python."""
+    d = _augmented_pii(load(spark, sf_dir, "documents"))
+    return (
+        C.redact_pii(d)
+        .select("doc_id", "n_email", "n_phone", "n_ipv4", "redacted")
+        .orderBy("doc_id")
+    )
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: training docs sharing any word 3-gram
+    with the held-out benchmark slice (doc_id % 97 == 0). The benchmark
+    gram set is broadcast — the corpus never shuffles."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return C.contamination_check(train, bench, k=3).orderBy("doc_id")
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified Bernoulli sample: 25% of short-named sources
+    (src0-src9), 50% of the rest, keyed on md5(doc_id) — reproducible
+    across engines, runs, and partition layouts (unlike df.sample)."""
+    d = load(spark, sf_dir, "documents")
+    rate = F.when(F.length("source") == 4, F.lit(0.25)).otherwise(F.lit(0.5))
+    return (
+        C.hash_sample(d, "doc_id", rate)
+        .select("source", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-N-per-stratum sample: 5 docs per source, ranked by the
+    deterministic md5 shuffle order. One window over the stratum key."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        C.stratified_fixed_n(d, "source", "doc_id", n=5)
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features: duplicate-token / duplicate-bigram
+    fractions per document. Pure array expressions — narrow pass."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        C.repetition_stats(d)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_uniq_tokens",
+            "n_bigrams",
+            "n_uniq_bigrams",
+            "dup_token_frac",
+            "dup_bigram_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster retention: exact n-gram-Jaccard near-dup pairs →
+    connected components (iterative min-label propagation + pointer
+    jumping) → keep the longest doc per cluster (ties → lowest id).
+
+    This puts the ITERATIVE connected-components operator under a hard SQL
+    oracle (recursive-CTE transitive closure on the DuckDB side) — the one
+    piece of the dedup path that is otherwise only pytest-verified."""
+    d = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, k=5, min_jaccard=0.5, max_df=100).select(
+        "id_a", "id_b"
+    )
+    comp = D.connected_components(pairs)
+    return C.keep_best_per_cluster(comp, d).orderBy("component")
+
+
+QUERIES = {
+    "q_pii_redact": q_pii_redact,
+    "q_contamination": q_contamination,
+    "q_sample_hash": q_sample_hash,
+    "q_sample_fixed": q_sample_fixed,
+    "q_repetition": q_repetition,
+    "q_cluster_keep": q_cluster_keep,
+}
+
+# shared oracle fragment: distinct word k-grams per doc (mirrors
+# dedup.word_shingles: split on single space of lowercased text, slices of
+# width k, array_distinct)
+_GRAMS = """
+  toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+  sh0 AS (
+    SELECT DISTINCT doc_id, array_to_string(t[gs : gs + {km1}], ' ') AS gram
+    FROM toks JOIN generate_series(1, 100000) AS g(gs)
+      ON gs <= greatest(len(t) - {km1}, 1)
+  )
+"""
+
+_AUG = """
+  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+"""
+
+_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+ORACLE = {
+    "q_pii_redact": f"""
+        WITH aug AS (SELECT doc_id, {_AUG} AS text FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '{_PHONE}')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(text, '{_IPV4}')) AS BIGINT) AS n_ipv4,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PHONE}', '<PHONE>', 'g'),
+                   '{_IPV4}', '<IP>', 'g') AS redacted
+        FROM aug ORDER BY doc_id
+    """,
+    "q_contamination": f"""
+        WITH {_GRAMS.format(km1=2)},
+        bench AS (SELECT doc_id AS b_id, gram FROM sh0 WHERE doc_id % 97 = 0),
+        train AS (SELECT doc_id AS t_id, gram FROM sh0 WHERE doc_id % 97 <> 0)
+        SELECT t_id AS doc_id,
+               COUNT(DISTINCT b_id) AS n_bench_docs,
+               COUNT(DISTINCT gram) AS n_gram_hits
+        FROM train JOIN bench USING (gram)
+        GROUP BY 1 ORDER BY doc_id
+    """,
+    # fixed-width lowercase hex compares lexicographically == numerically;
+    # 0x4000/0x10000 = 0.25 and 0x8000/0x10000 = 0.5 exactly
+    "q_sample_hash": """
+        SELECT source, doc_id FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              < CASE WHEN length(source) = 4 THEN '4000' ELSE '8000' END
+        ORDER BY doc_id
+    """,
+    "q_sample_fixed": """
+        SELECT source, doc_id, rk FROM (
+          SELECT source, doc_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+          FROM documents)
+        WHERE rk <= 5 ORDER BY source, rk
+    """,
+    "q_repetition": """
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                      FROM documents),
+        bi AS (
+          SELECT doc_id, array_to_string(t[gs : gs + 1], ' ') AS g
+          FROM toks JOIN generate_series(1, 100000) AS s(gs)
+            ON gs <= greatest(len(t) - 1, 1)
+        ),
+        bstats AS (SELECT doc_id, COUNT(*) AS nb, COUNT(DISTINCT g) AS nub
+                   FROM bi GROUP BY doc_id),
+        tstats AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt,
+                          CAST(len(list_distinct(t)) AS BIGINT) AS nut
+                   FROM toks)
+        SELECT doc_id, nt AS n_tokens, nut AS n_uniq_tokens,
+               CAST(nb AS BIGINT) AS n_bigrams,
+               CAST(nub AS BIGINT) AS n_uniq_bigrams,
+               round(1.0 - CAST(nut AS DOUBLE) / CAST(nt AS DOUBLE), 8)
+                 AS dup_token_frac,
+               round(1.0 - CAST(nub AS DOUBLE) / CAST(nb AS DOUBLE), 8)
+                 AS dup_bigram_frac
+        FROM tstats JOIN bstats USING (doc_id) ORDER BY doc_id
+    """,
+    # transitive closure of the near-dup pair graph; component = min
+    # reachable id — exactly connected_components' fixpoint
+    "q_cluster_keep": f"""
+        WITH RECURSIVE {_GRAMS.format(km1=4).replace("gram", "shingle")},
+        sh AS (
+          SELECT sh0.* FROM sh0
+          JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100)
+            USING (shingle)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(n_inter AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+        ),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d
+        ),
+        comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
+        SELECT component,
+               first(doc_id ORDER BY n_chars DESC, doc_id ASC) AS kept_id,
+               COUNT(*) AS cluster_size
+        FROM comp JOIN documents ON comp.id = documents.doc_id
+        GROUP BY component ORDER BY component
+    """,
+}

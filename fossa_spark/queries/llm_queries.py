@@ -24,7 +24,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32) + LSH(8 bands × 4) + exact-Jaccard verify ≥ 0.5.
+    """MinHash(16) + LSH(8 bands × 2) + exact-Jaccard verify ≥ 0.5.
     Seeded hashing → stable rows-only check."""
     d = load(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_dedup(d, threshold=0.5)

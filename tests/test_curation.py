@@ -1,0 +1,95 @@
+"""Behavioral tests for the curation operators (PII redaction,
+contamination, deterministic sampling, repetition stats, cluster
+retention) with planted inputs. Oracle parity at sf scale is covered by
+tests/test_oracle_parity.py, which auto-includes the curation queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fossa_spark.llm import curation as C
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@example.co.uk or call 555-123-4567"),
+            (2, "server at 10.0.42.7 handles traffic"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in C.redact_pii(df).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1 and out[1].n_ipv4 == 0
+    assert "<EMAIL>" in out[1].redacted and "<PHONE>" in out[1].redacted
+    assert "alice" not in out[1].redacted and "4567" not in out[1].redacted
+    assert out[2].n_ipv4 == 1 and "<IP>" in out[2].redacted
+    assert out[3].redacted == "nothing sensitive here"
+
+
+def test_contamination_flags_overlap_only(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox yesterday evening"),  # shares 3-grams
+            (2, "entirely unrelated corpus text about databases"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in C.contamination_check(train, bench, k=3).collect()}
+    assert 1 in got and got[1].n_bench_docs == 1 and got[1].n_gram_hits >= 2
+    assert 2 not in got
+
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    a = sorted(r.doc_id for r in C.hash_sample(df, "doc_id", 0.25).collect())
+    b = sorted(r.doc_id for r in C.hash_sample(df, "doc_id", 0.25).collect())
+    assert a == b  # no RNG state — identical across runs
+    assert 0.20 < len(a) / 4000 < 0.30  # calibrated to the fraction
+    # monotone: a smaller fraction selects a subset of a larger one
+    small = set(r.doc_id for r in C.hash_sample(df, "doc_id", 0.1).collect())
+    assert small <= set(a)
+
+
+def test_stratified_fixed_n_exact_counts(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    out = C.stratified_fixed_n(df, "source", "doc_id", n=4).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, []).append(r.rk)
+    assert set(per) == {"s0", "s1", "s2"}
+    assert all(sorted(v) == [1, 2, 3, 4] for v in per.values())
+
+
+def test_repetition_stats_separates_degenerate_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "each word here is completely different okay"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in C.repetition_stats(df).collect()}
+    assert out[1].dup_token_frac > 0.8 and out[1].dup_bigram_frac > 0.8
+    assert out[2].dup_token_frac == 0.0 and out[2].dup_bigram_frac == 0.0
+
+
+def test_keep_best_per_cluster(spark):
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, component long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (10, 10), (11, 99)],
+        "doc_id long, n_chars long",
+    )
+    out = {r.component: r for r in C.keep_best_per_cluster(comp, docs).collect()}
+    assert out[1].kept_id == 2 and out[1].cluster_size == 3  # tie 2 vs 3 → min id
+    assert out[10].kept_id == 11 and out[10].cluster_size == 2
