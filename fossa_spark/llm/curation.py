@@ -136,8 +136,11 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     no Python. Fractions are single double divisions of exact ints."""
     toks = F.split(F.lower(F.col(text_col)), " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1)))
-    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    # two shifted slices zipped — O(1) array ops per row instead of one
+    # slice per window position (HOFs are interpreted; see word_shingles)
+    width = F.greatest(n - F.lit(1), F.lit(1))
+    zipped = F.arrays_zip(F.slice(toks, 1, width), F.slice(toks, 2, width))
+    bigrams = F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
     d = df.withColumns(
         {
             "n_tokens": n.cast("long"),

@@ -156,14 +156,19 @@ def test_multimodal_pipeline(spark):
     assert frames and all(r.frame_idx % 10 == 0 for r in frames)
 
 
-def test_connected_components_chain_and_clique(spark):
+@pytest.mark.parametrize("small_edges", [10**6, 0], ids=["unionfind", "distributed"])
+def test_connected_components_chain_and_clique(spark, small_edges):
     """Chain 1-2-3-4 plus clique {10,11,12} plus isolated pair (20,21):
-    component = min reachable id for every member."""
+    component = min reachable id for every member — identical via the
+    driver union-find fast path and the distributed min-label loop."""
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
         "id_a long, id_b long",
     )
-    comps = {r.doc_id: r.component for r in D.connected_components(pairs).collect()}
+    comps = {
+        r.doc_id: r.component
+        for r in D.connected_components(pairs, small_graph_edges=small_edges).collect()
+    }
     assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
@@ -187,11 +192,15 @@ def test_pipeline_keeps_one_per_component(spark, docs):
 
 def test_connected_components_long_chain(spark):
     """25-node chain (diameter > default max_iter under one-hop-only
-    propagation): pointer jumping must converge it well within max_iter."""
+    propagation): pointer jumping must converge it well within max_iter.
+    Forces the distributed path — the chain is the worst case for it."""
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(25)], "id_a long, id_b long"
     )
-    comps = {r.doc_id: r.component for r in D.connected_components(pairs).collect()}
+    comps = {
+        r.doc_id: r.component
+        for r in D.connected_components(pairs, small_graph_edges=0).collect()
+    }
     assert set(comps.values()) == {0}
     assert len(comps) == 26
 
