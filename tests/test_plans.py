@@ -66,6 +66,24 @@ def test_whole_stage_codegen_active(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark gram set must broadcast — the corpus side of the
+    contamination join never shuffles (the property that makes the scan
+    scale to the full corpus)."""
+    from fossa_spark.queries.curation_queries import q_contamination
+
+    assert_broadcast_join(q_contamination(spark, SF_DIR))
+
+
+def test_sample_hash_scan_prunes_and_filters(spark):
+    """Deterministic sampling is a plain filter over a 2-column scan —
+    nothing else read, nothing shuffled before the filter."""
+    from fossa_spark.queries.curation_queries import q_sample_hash
+
+    a = audit(q_sample_hash(spark, SF_DIR))
+    assert a.scans_only_columns("doc_id", "source"), a.read_schemas
+
+
 def test_salted_join_equivalence(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
         "l_orderkey", "l_quantity"
