@@ -167,6 +167,54 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def pack_chunks(
+    df: DataFrame,
+    stratum_col: str,
+    order_col: str,
+    tokens_col: Column,
+    budget: int,
+) -> DataFrame:
+    """Sequence-packing chunk assignment: stream documents per stratum in a
+    deterministic order and cut the stream into fixed token-budget chunks
+    (the pack-and-straddle layout pretraining loaders use — a document
+    belongs to the chunk its first token lands in).
+
+    chunk_id = floor(tokens_before_this_doc / budget), where tokens_before
+    is a running window sum — one shuffle on the stratum key, then a
+    single window pass. Deterministic given the order column, and
+    SQL-mirrorable (unlike greedy reset-at-boundary packing, which is
+    inherently sequential)."""
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.withColumns(
+        {
+            "n_tok": tokens_col.cast("long"),
+            "chunk_id": F.floor(before / F.lit(budget)).cast("long"),
+        }
+    )
+
+
+# Domains a corpus pipeline drops (stand-in for the usual blocklists —
+# spam/SEO/adult lists in a real deployment).
+DOMAIN_BLOCKLIST = ["spam.example", "seo-farm.example", "adult.example"]
+
+
+def extract_domains(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Extract http(s) URL domains mentioned in each document.
+
+    Adds ``domains`` (distinct lowercased hostnames) — a narrow regex
+    pass. Filtering against a blocklist is then a broadcast semi/anti
+    join or an array predicate; see q_url_filter."""
+    urls = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"https?://([A-Za-z0-9.-]+)"), F.lit(1)
+    )
+    return df.withColumn("domains", F.array_distinct(F.transform(urls, F.lower)))
+
+
 def keep_best_per_cluster(
     components: DataFrame,
     docs: DataFrame,

@@ -99,6 +99,57 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: stream each source's docs in doc_id order, cut
+    into 512-token training chunks (doc → the chunk its first token lands
+    in). One shuffle on source + one window pass; per-chunk sizes out."""
+    from fossa_spark.llm.text import token_count_ws
+
+    d = load(spark, sf_dir, "documents")
+    packed = C.pack_chunks(d, "source", "doc_id", token_count_ws("text"), budget=512)
+    return (
+        packed.groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("source", "chunk_id")
+    )
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist filtering: extract URL domains (the corpus has
+    none, so plant one deterministic URL per doc), drop blocklisted
+    domains via a broadcast anti join, count survivors per domain."""
+    d = load(spark, sf_dir, "documents")
+    host = F.element_at(
+        F.array(
+            F.lit("spam.example"), F.lit("seo-farm.example"), F.lit("news.example"),
+            F.lit("blog.example"), F.lit("docs.example"),
+        ),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" see https://"), host,
+            F.lit("/p"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    domains = C.extract_domains(aug).select(
+        "doc_id", F.explode("domains").alias("domain")
+    )
+    block = spark.createDataFrame(
+        [(b,) for b in C.DOMAIN_BLOCKLIST], "domain string"
+    )
+    return (
+        domains.join(F.broadcast(block), "domain", "left_anti")
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("domain")
+    )
+
+
 def q_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup-cluster retention: exact n-gram-Jaccard near-dup pairs →
     connected components (iterative min-label propagation + pointer
@@ -121,6 +172,8 @@ QUERIES = {
     "q_sample_hash": q_sample_hash,
     "q_sample_fixed": q_sample_fixed,
     "q_repetition": q_repetition,
+    "q_pack_chunks": q_pack_chunks,
+    "q_url_filter": q_url_filter,
     "q_cluster_keep": q_cluster_keep,
 }
 
@@ -208,6 +261,44 @@ ORACLE = {
                round(1.0 - CAST(nub AS DOUBLE) / CAST(nb AS DOUBLE), 8)
                  AS dup_bigram_frac
         FROM tstats JOIN bstats USING (doc_id) ORDER BY doc_id
+    """,
+    "q_pack_chunks": """
+        WITH toks AS (
+          SELECT source, doc_id,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                   AS n_tok
+          FROM documents
+        ),
+        packed AS (
+          SELECT source, n_tok,
+                 CAST(floor(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / 512) AS BIGINT) AS chunk_id
+          FROM toks
+        )
+        SELECT source, chunk_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM packed GROUP BY source, chunk_id ORDER BY source, chunk_id
+    """,
+    "q_url_filter": """
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' see https://' ||
+                 (['spam.example','seo-farm.example','news.example',
+                   'blog.example','docs.example'])[CAST(doc_id % 5 AS INTEGER) + 1]
+                 || '/p' || CAST(doc_id AS VARCHAR) AS text
+          FROM documents
+        ),
+        doms AS (
+          SELECT doc_id,
+                 lower(regexp_extract(text, 'https?://([A-Za-z0-9.-]+)', 1))
+                   AS domain
+          FROM aug
+        )
+        SELECT domain, COUNT(*) AS n_docs FROM doms
+        WHERE domain NOT IN ('spam.example', 'seo-farm.example', 'adult.example')
+        GROUP BY domain ORDER BY domain
     """,
     # transitive closure of the near-dup pair graph; component = min
     # reachable id — exactly connected_components' fixpoint

@@ -81,6 +81,32 @@ def test_repetition_stats_separates_degenerate_text(spark):
     assert out[2].dup_token_frac == 0.0 and out[2].dup_bigram_frac == 0.0
 
 
+def test_pack_chunks_respects_budget_boundaries(spark):
+    """Docs of 300 tokens each against a 1000-token budget: chunk changes
+    when the running start offset crosses a multiple of the budget."""
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(7)], "doc_id long, source string"
+    )
+    out = C.pack_chunks(df, "source", "doc_id", F.lit(300), budget=1000)
+    got = {r.doc_id: r.chunk_id for r in out.collect()}
+    # starts: 0,300,600,900 → chunk 0; 1200,1500,1800 → chunk 1
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1}
+
+
+def test_extract_domains(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "read https://News.Example/a and http://blog.example/b twice "
+                "http://blog.example/c"),
+            (2, "no links here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.domains for r in C.extract_domains(df).collect()}
+    assert sorted(out[1]) == ["blog.example", "news.example"]  # lowered, distinct
+    assert out[2] == []
+
+
 def test_keep_best_per_cluster(spark):
     comp = spark.createDataFrame(
         [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
