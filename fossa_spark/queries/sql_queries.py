@@ -157,8 +157,65 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(vol_cents) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         {sql_cents("l_extendedprice * (1.0 - l_discount)", 4)} AS vol_cents
+  FROM fs_supplier
+  JOIN fs_lineitem ON s_suppkey = l_suppkey
+  JOIN fs_orders   ON o_orderkey = l_orderkey
+  JOIN fs_customer ON c_custkey = o_custkey
+  JOIN fs_nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN fs_nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (   (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_Q10 = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM({sql_cents("l_extendedprice * (1.0 - l_discount)", 4)}) AS DOUBLE)
+         / 10000.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM fs_customer
+JOIN fs_orders   ON c_custkey = o_custkey
+JOIN fs_lineitem ON l_orderkey = o_orderkey
+JOIN fs_nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_sql_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations, by year):
+    self-joined nation dim under two aliases, both broadcast; the
+    nation-pair disjunction filters before the aggregation."""
+    _register_views(spark, sf_dir, TABLES[:7])
+    return spark.sql(_Q7)
+
+
+def q_sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    returned revenue in a half-year window — pushed date + returnflag
+    filters, broadcast dims, TakeOrderedAndProject for the limit."""
+    _register_views(spark, sf_dir, TABLES[:7])
+    return spark.sql(_Q10)
+
+
 QUERIES = {
     "q_sql_q3": q_sql_q3,
+    "q_sql_q7": q_sql_q7,
+    "q_sql_q10": q_sql_q10,
     "q_sql_q5": q_sql_q5,
     "q_agg_grouping_sets": q_agg_grouping_sets,
     "q_subquery_scalar": q_subquery_scalar,
@@ -172,6 +229,8 @@ ORACLE = {
         "strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date",
     ),
     "q_sql_q5": _Q5.replace("fs_", ""),
+    "q_sql_q7": _Q7.replace("fs_", ""),
+    "q_sql_q10": _Q10.replace("fs_", ""),
     "q_agg_grouping_sets": _GROUPING_SETS.replace("fs_", ""),
     "q_subquery_scalar": _SCALAR_SUB.replace("fs_", ""),
     "q_subquery_in": _IN_SUB.replace("fs_", ""),
