@@ -262,10 +262,18 @@ def _jaccard_verify_rows(candidates: DataFrame, sh_rows: DataFrame,
                          id_col: str, threshold: float) -> DataFrame:
     """Exact Jaccard from exploded shingle rows: |A∩B| via a join on the
     shingle value restricted to candidate pairs, sizes via groupBy counts.
-    All counts exact ints → deterministic ratio."""
+    All counts exact ints → deterministic ratio.
+
+    The shingle and per-doc-size relations are CORPUS-sized — they must
+    shuffle, never broadcast (a persisted shingle relation carries accurate
+    in-memory stats, so without the hint Catalyst happily broadcasts it at
+    mid scale and OOMs at large scale), and a shuffled-hash build of a
+    corpus-sized side can't be guaranteed to fit executor memory either.
+    merge hints pin sort-merge — the only strategy whose memory use is
+    bounded (sort spills) regardless of side sizes."""
     sizes = sh_rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    a = sh_rows.select(F.col(id_col).alias("id_a"), F.col("_sh"))
-    b = sh_rows.select(F.col(id_col).alias("id_b"), F.col("_sh"))
+    a = sh_rows.select(F.col(id_col).alias("id_a"), F.col("_sh")).hint("merge")
+    b = sh_rows.select(F.col(id_col).alias("id_b"), F.col("_sh")).hint("merge")
     inter = (
         candidates.join(a, "id_a")
         .join(b, ["id_b", "_sh"])
@@ -275,8 +283,8 @@ def _jaccard_verify_rows(candidates: DataFrame, sh_rows: DataFrame,
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(sa.hint("merge"), "id_a")
+        .join(sb.hint("merge"), "id_b")
         .withColumn(
             "jaccard",
             F.col("_inter").cast("double")
