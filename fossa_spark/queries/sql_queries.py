@@ -196,6 +196,150 @@ LIMIT 20
 """
 
 
+_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM fs_orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM fs_lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_Q14 = f"""
+SELECT round(
+         CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN {sql_cents("l_extendedprice * (1.0 - l_discount)", 4)}
+                       ELSE 0 END) AS DOUBLE)
+         / CAST(SUM({sql_cents("l_extendedprice * (1.0 - l_discount)", 4)})
+                AS DOUBLE) * 100.0,
+         8) AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM fs_lineitem
+JOIN fs_part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+_Q17 = f"""
+SELECT CAST(SUM({sql_cents("l_extendedprice")}) AS DOUBLE) / 100.0 / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM fs_lineitem
+JOIN fs_part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM fs_lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+_Q18 = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+FROM fs_customer
+JOIN fs_orders   ON c_custkey = o_custkey
+JOIN fs_lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM fs_lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 250.0
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+_Q19 = f"""
+SELECT CAST(SUM({sql_cents("l_extendedprice * (1.0 - l_discount)", 4)}) AS DOUBLE)
+         / 10000.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM fs_lineitem
+JOIN fs_part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+_Q22 = f"""
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM({sql_cents("c_acctbal")}) AS DOUBLE) / 100.0 AS totacctbal
+FROM fs_customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM({sql_cents("c2.c_acctbal")}) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) / 100.0
+    FROM fs_customer c2 WHERE c2.c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM fs_orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def q_sql_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS over returned
+    lineitems → Catalyst rewrites to a left-semi hash join on orderkey;
+    the quarter window prunes the orders scan before the join.
+    (Fixture has no l_commitdate/l_receiptdate; l_returnflag='R' stands in
+    for the late-delivery predicate.)"""
+    _register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_Q4)
+
+
+def q_sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): conditional aggregation —
+    two SUM(CASE ...) branches over one broadcast part join, single pass,
+    exact integer-cents numerator/denominator with one final division."""
+    _register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q14)
+
+
+def q_sql_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated scalar
+    aggregate subquery (per-part 20% of avg quantity) — Catalyst de-
+    correlates it into an aggregate + join, so the inner lineitem relation
+    is scanned once, not per row."""
+    _register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q17)
+
+
+def q_sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): IN-subquery over a
+    GROUP BY/HAVING aggregate → left-semi join against the pre-aggregated
+    key set; top-100 via TakeOrderedAndProject."""
+    _register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(_Q18)
+
+
+def q_sql_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): disjunction of conjunctive
+    brand/size/quantity predicates — the common (p_brand, p_size) x
+    quantity-band OR stack; Catalyst extracts the common join key so this
+    stays one hash join with the OR as a post-join filter, and pushes the
+    derivable per-side bounds into the scans."""
+    _register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q19)
+
+
+def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): uncorrelated scalar
+    subquery (exact-cents average positive balance, planned once and
+    broadcast) + NOT EXISTS anti join against urgent orders.
+    (Fixture has no c_phone, so the country-code grouping becomes
+    c_nationkey; 'has no urgent order' stands in for 'has no orders'
+    because every fixture customer has orders.)"""
+    _register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q22)
+
+
 def q_sql_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping between two nations, by year):
     self-joined nation dim under two aliases, both broadcast; the
@@ -214,8 +358,14 @@ def q_sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_sql_q3": q_sql_q3,
+    "q_sql_q4": q_sql_q4,
     "q_sql_q7": q_sql_q7,
     "q_sql_q10": q_sql_q10,
+    "q_sql_q14": q_sql_q14,
+    "q_sql_q17": q_sql_q17,
+    "q_sql_q18": q_sql_q18,
+    "q_sql_q19": q_sql_q19,
+    "q_sql_q22": q_sql_q22,
     "q_sql_q5": q_sql_q5,
     "q_agg_grouping_sets": q_agg_grouping_sets,
     "q_subquery_scalar": q_subquery_scalar,
@@ -228,9 +378,15 @@ ORACLE = {
         "CAST(o_orderdate AS DATE) AS order_date",
         "strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date",
     ),
+    "q_sql_q4": _Q4.replace("fs_", ""),
     "q_sql_q5": _Q5.replace("fs_", ""),
     "q_sql_q7": _Q7.replace("fs_", ""),
     "q_sql_q10": _Q10.replace("fs_", ""),
+    "q_sql_q14": _Q14.replace("fs_", ""),
+    "q_sql_q17": _Q17.replace("fs_", ""),
+    "q_sql_q18": _Q18.replace("fs_", ""),
+    "q_sql_q19": _Q19.replace("fs_", ""),
+    "q_sql_q22": _Q22.replace("fs_", ""),
     "q_agg_grouping_sets": _GROUPING_SETS.replace("fs_", ""),
     "q_subquery_scalar": _SCALAR_SUB.replace("fs_", ""),
     "q_subquery_in": _IN_SUB.replace("fs_", ""),
