@@ -136,3 +136,46 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_exists_rewrites_to_semi_join(spark):
+    """Q4's EXISTS must become a semi join (each order emitted once, no
+    fan-out on multi-match), with the quarter window pushed to the scan."""
+    from fossa_spark.queries.sql_queries import q_sql_q4
+
+    a = assert_filters_pushed(q_sql_q4(spark, SF_DIR), "o_orderdate")
+    assert "LeftSemi" in a.formatted, a.join_nodes
+
+
+def test_not_exists_rewrites_to_anti_join(spark):
+    """Q22's NOT EXISTS must become an anti join and the uncorrelated
+    scalar average must be a one-shot Subquery, not a per-row plan."""
+    from fossa_spark.queries.sql_queries import q_sql_q22
+
+    a = audit(q_sql_q22(spark, SF_DIR))
+    assert "LeftAnti" in a.formatted, a.join_nodes
+    assert "Subquery" in a.formatted
+
+
+def test_correlated_scalar_subquery_decorrelates(spark):
+    """Q17's per-part avg-quantity subquery must de-correlate into ONE
+    aggregate over lineitem + a join — the plan may not re-plan the inner
+    query per outer row (no nested subquery node under the filter)."""
+    from fossa_spark.queries.sql_queries import q_sql_q17
+
+    a = audit(q_sql_q17(spark, SF_DIR))
+    assert len(a.join_nodes) >= 2, a.join_nodes  # part join + decorrelated agg join
+    assert "ScalarSubquery" not in a.formatted, "subquery not de-correlated"
+
+
+def test_disjunctive_predicate_join_stays_equi(spark):
+    """Q19's OR-of-conjuncts must not break the equi join into a cartesian:
+    the common l_partkey = p_partkey key keeps it a single hash join with
+    the disjunction evaluated post-join."""
+    from fossa_spark.queries.sql_queries import q_sql_q19
+
+    a = audit(q_sql_q19(spark, SF_DIR))
+    assert not any("Cartesian" in j or "NestedLoop" in j for j in a.join_nodes), (
+        a.join_nodes
+    )
+    assert any("Hash" in j for j in a.join_nodes), a.join_nodes
