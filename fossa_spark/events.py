@@ -1,0 +1,112 @@
+"""Event-analytics operators: funnel analysis, cohort retention, and
+transition matrices over an event stream table.
+
+The reference engine's data plane hands models raw event feeds (SURVEY.md
+§1.2); these are the standard product-analytics reductions a user would run
+on them. All three are pure DataFrame compositions — no UDFs, no
+collect — and each shuffles only on the analysis key:
+
+- funnel: per-stage pruned scans (the event-type filter pushes to parquet)
+  + per-user min aggregates, joined smallest-side-first. Never materializes
+  per-user event arrays, so an unbounded per-user history can't OOM an
+  executor (the collect_list formulation would).
+- cohort retention: two hash aggregates on (user) and (cohort, week).
+- transitions: one window sort per user partition, then a hash agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# seconds per week; week index = unix_seconds div WEEK (integer div — both
+# engines truncate identically for positive epochs)
+_WEEK = 604800
+
+
+def funnel(events: DataFrame, steps: list[str], user_col: str = "user_id",
+           ts_col: str = "ts") -> DataFrame:
+    """Ordered-funnel reachability: for each user, how far through ``steps``
+    they progressed, where step k+1 must occur strictly AFTER the earliest
+    completion of step k.
+
+    Greedy earliest-match is optimal for reachability (any step-k+1 event
+    after *some* step-k event is also after the EARLIEST step-k event), so
+    stage times are computed as chained conditional minima:
+
+        t1 = min(ts | type = step1)
+        t2 = min(ts | type = step2, ts > t1)   ...
+
+    Each stage is one filter (pushed to the scan) + one per-user min + one
+    equi join against the shrinking reached-set — k small aggregates instead
+    of one collect_list fold, so per-user history size never hits memory.
+
+    Returns one row per user with ``funnel_stage`` (0..len(steps)) and a
+    ``reached_<step>`` boolean per step.
+    """
+    users = events.select(user_col).distinct()
+    reached = None  # DataFrame[user_col, _t] — users who completed the prefix
+    out = users
+    for i, step in enumerate(steps):
+        stage_events = events.filter(F.col("event_type") == step).select(
+            user_col, F.col(ts_col).alias("_ts")
+        )
+        if reached is None:
+            nxt = stage_events
+        else:
+            nxt = stage_events.join(reached, user_col).filter(
+                F.col("_ts") > F.col("_t")
+            )
+        reached = nxt.groupBy(user_col).agg(F.min("_ts").alias("_t"))
+        flag = reached.select(user_col, F.lit(True).alias(f"reached_{step}"))
+        out = out.join(flag, user_col, "left").withColumn(
+            f"reached_{step}", F.coalesce(f"reached_{step}", F.lit(False))
+        )
+    stage = sum(
+        F.col(f"reached_{s}").cast("int") for s in steps
+    )
+    return out.withColumn("funnel_stage", stage.cast("bigint"))
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort-retention triangle: cohort = ISO-epoch week of the
+    user's first event; one output row per (cohort_week, week_offset) with
+    the distinct active users.
+
+    Two shuffles total: min-week per user (map-side partial), then the
+    (cohort, offset) count-distinct. The distinct-user set per cell is
+    exact — at 100 TB swap count_distinct for approx_count_distinct if a
+    2% error is acceptable (HLL merges map-side).
+    """
+    wk = F.expr(f"unix_timestamp({ts_col}) div {_WEEK}").alias("wk")
+    active = events.select(F.col(user_col), wk).distinct()
+    cohorts = active.groupBy(user_col).agg(F.min("wk").alias("cohort_wk"))
+    return (
+        active.join(cohorts, user_col)
+        .groupBy(
+            F.col("cohort_wk").alias("cohort_week"),
+            (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )
+
+
+def transitions(events: DataFrame, user_col: str = "user_id",
+                ts_col: str = "ts", order_tiebreak: str = "event_id") -> DataFrame:
+    """Event-type transition matrix: count of (previous type → type) pairs
+    over each user's time-ordered history. One window sort per user
+    partition (ties broken deterministically by ``order_tiebreak``), one
+    hash aggregate; session starts (no previous event) appear as
+    prev_type = '∅'.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    return (
+        events.select(
+            user_col,
+            F.coalesce(F.lag("event_type").over(w), F.lit("∅")).alias("prev_type"),
+            F.col("event_type"),
+        )
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

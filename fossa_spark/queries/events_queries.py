@@ -1,0 +1,95 @@
+"""Event-analytics queries: funnel, cohort retention, transition matrix —
+the product-analytics reductions over the events feed (operators in
+fossa_spark/events.py), each DuckDB-oracle-checked.
+
+Determinism: stage times compare with strict ``>`` in both engines; week
+indices are integer division of unix seconds (both truncate for positive
+epochs); counts cast to BIGINT; the transition window breaks ts ties on
+event_id in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fossa_spark import events as E
+from fossa_spark.queries._util import load_events
+
+_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel per user (strictly-ordered stages)."""
+    e = load_events(spark, sf_dir)
+    return E.funnel(e, _STEPS).orderBy("user_id")
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle over the events feed."""
+    e = load_events(spark, sf_dir)
+    return E.cohort_retention(e).orderBy("cohort_week", "week_offset")
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (lag window + hash agg)."""
+    e = load_events(spark, sf_dir)
+    return E.transitions(e).orderBy("prev_type", "event_type")
+
+
+QUERIES = {
+    "q_funnel": q_funnel,
+    "q_cohort_retention": q_cohort_retention,
+    "q_event_transitions": q_event_transitions,
+}
+
+ORACLE = {
+    "q_funnel": """
+        WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events),
+        s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+        SELECT u.user_id,
+               s1.user_id IS NOT NULL AS reached_view,
+               s2.user_id IS NOT NULL AS reached_click,
+               s3.user_id IS NOT NULL AS reached_purchase,
+               CAST((s1.user_id IS NOT NULL)::INT
+                  + (s2.user_id IS NOT NULL)::INT
+                  + (s3.user_id IS NOT NULL)::INT AS BIGINT) AS funnel_stage
+        FROM (SELECT DISTINCT user_id FROM e) u
+        LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+        ORDER BY u.user_id
+    """,
+    "q_cohort_retention": """
+        WITH active AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 604800
+                   AS wk
+          FROM events
+        ),
+        cohorts AS (SELECT user_id, MIN(wk) AS cohort_wk FROM active GROUP BY 1)
+        SELECT cohort_wk AS cohort_week, wk - cohort_wk AS week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM active JOIN cohorts USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q_event_transitions": """
+        SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+          SELECT event_type,
+                 COALESCE(
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY CAST(ts AS TIMESTAMP), event_id),
+                   '∅') AS prev_type
+          FROM events
+        )
+        GROUP BY prev_type, event_type
+        ORDER BY prev_type, event_type
+    """,
+}
