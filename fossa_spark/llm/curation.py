@@ -241,3 +241,80 @@ def keep_best_per_cluster(
         )
         .select("component", "kept_id", "cluster_size")
     )
+
+
+def vocab_top_k(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: the k most frequent whitespace tokens (ties broken
+    lexicographically for determinism). One explode + one count agg — the
+    canonical map-side-combine aggregation; the top-k is a
+    TakeOrderedAndProject over the (small) distinct-token relation, never a
+    full sort of the corpus."""
+    from fossa_spark.llm.text import tokens
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return counts.orderBy(F.desc("freq"), F.asc("token")).limit(k)
+
+
+def vocab_coverage(df: DataFrame, vocab: DataFrame,
+                   text_col: str = "text", by: str = "source") -> DataFrame:
+    """Per-group token coverage of a vocabulary: what fraction of all token
+    OCCURRENCES (not types) a fixed vocab covers, plus the OOV rate.
+
+    The vocab is small by construction (top-k) → broadcast left-semi-style
+    mark join; the corpus explodes once and aggregates with map-side
+    partials. At 100 TB this is the standard 'does my tokenizer cover the
+    corpus' audit — no shuffle of the corpus beyond the group agg."""
+    from fossa_spark.llm.text import tokens
+
+    tok = df.select(F.col(by), F.explode(tokens(text_col)).alias("token"))
+    marked = tok.join(
+        F.broadcast(vocab.select("token", F.lit(True).alias("_in_vocab"))),
+        "token",
+        "left",
+    )
+    return (
+        marked.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("_in_vocab").isNotNull().cast("long")).alias("n_covered"),
+        )
+        .withColumn(
+            "coverage",
+            F.round(F.col("n_covered").cast("double")
+                    / F.col("n_tokens").cast("double"), 8),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round((F.col("n_tokens") - F.col("n_covered")).cast("double")
+                    / F.col("n_tokens").cast("double"), 8),
+        )
+    )
+
+
+def mixing_weights(df: DataFrame, alpha: float = 0.7,
+                   by: str = "source", text_col: str = "text") -> DataFrame:
+    """Temperature-scaled source mixing weights for pretraining sampling:
+    w_i = c_i^alpha / Σ c^alpha over per-source token counts (alpha < 1
+    upweights small sources — the multinomial smoothing used for
+    multi-source corpora). The per-source count relation is tiny, so the
+    normalizing sum is a scalar subquery/window over it, not a second pass
+    over the corpus.
+
+    Determinism contract: pow() is a transcendental — both engines' libm
+    agree to well under 1e-8 relative, so the weight is rounded to 8 dp
+    after ONE division (oracle must round identically)."""
+    counts = df.groupBy(by).agg(
+        F.sum(F.length(text_col) - F.length(F.regexp_replace(text_col, " ", ""))
+              + F.lit(1)).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    raw = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    return (
+        counts.withColumn("_raw", raw)
+        .withColumn("weight", F.round(F.col("_raw") / F.sum("_raw").over(w), 8))
+        .select(by, "n_tokens", "weight")
+    )

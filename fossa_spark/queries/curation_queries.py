@@ -166,8 +166,41 @@ def q_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.keep_best_per_cluster(comp, d).orderBy("component")
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab audit: top-100 corpus vocabulary (count agg +
+    TakeOrderedAndProject), then per-source occurrence coverage / OOV rate
+    via a broadcast mark-join of the vocab against the exploded corpus."""
+    d = load(spark, sf_dir, "documents")
+    vocab = C.vocab_top_k(d, k=100)
+    return C.vocab_coverage(d, vocab).orderBy("source")
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.7) source mixing weights over per-source
+    token counts — the multinomial smoothing pass for multi-source corpora."""
+    d = load(spark, sf_dir, "documents")
+    return C.mixing_weights(d, alpha=0.7).orderBy("source")
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization roundtrip over the embeddings table:
+    integer code sums + saturation counts (exact) and worst-case
+    reconstruction error (rounded) per vector."""
+    from fossa_spark.llm.similarity import quantize_int8
+
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        quantize_int8(e)
+        .select("vec_id", "label", "code_sum", "n_sat", "max_abs_err")
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "q_pii_redact": q_pii_redact,
+    "q_vocab_coverage": q_vocab_coverage,
+    "q_mix_weights": q_mix_weights,
+    "q_embed_quantize": q_embed_quantize,
     "q_contamination": q_contamination,
     "q_sample_hash": q_sample_hash,
     "q_sample_fixed": q_sample_fixed,
@@ -201,6 +234,71 @@ _PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
 _IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
 ORACLE = {
+    "q_vocab_coverage": """
+        WITH tok AS (
+          SELECT source, unnest(string_split(lower(text), ' ')) AS token
+          FROM documents
+        ),
+        vocab AS (
+          SELECT token FROM (
+            SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+            ORDER BY freq DESC, token ASC LIMIT 100
+          )
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM((token IN (SELECT token FROM vocab))::INT) AS BIGINT)
+                 AS n_covered,
+               round(CAST(SUM((token IN (SELECT token FROM vocab))::INT) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 8) AS coverage,
+               round(CAST(COUNT(*) - SUM((token IN (SELECT token FROM vocab))::INT)
+                          AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 8) AS oov_rate
+        FROM tok GROUP BY source ORDER BY source
+    """,
+    "q_mix_weights": """
+        WITH counts AS (
+          SELECT source,
+                 CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                      AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        )
+        SELECT source, n_tokens,
+               round(pow(CAST(n_tokens AS DOUBLE), 0.7)
+                     / SUM(pow(CAST(n_tokens AS DOUBLE), 0.7)) OVER (), 8)
+                 AS weight
+        FROM counts ORDER BY source
+    """,
+    "q_embed_quantize": """
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        s AS (
+          SELECT vec_id, label, v,
+                 list_aggregate(v, 'min') AS mn,
+                 CASE WHEN list_aggregate(v, 'max') > list_aggregate(v, 'min')
+                      THEN (list_aggregate(v, 'max') - list_aggregate(v, 'min'))
+                           / 255.0
+                      ELSE 1.0 END AS sc
+          FROM e
+        ),
+        c AS (
+          SELECT vec_id, label,
+                 list_transform(v, x -> CAST(round((x - mn) / sc) AS BIGINT))
+                   AS codes,
+                 list_transform(v, x -> abs(mn + round((x - mn) / sc) * sc - x))
+                   AS errs
+          FROM s
+        )
+        SELECT vec_id, label,
+               CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+               CAST(len(list_filter(codes, c -> c <= 0 OR c >= 255)) AS BIGINT)
+                 AS n_sat,
+               round(list_aggregate(errs, 'max'), 6) AS max_abs_err
+        FROM c ORDER BY vec_id
+    """,
     "q_pii_redact": f"""
         WITH aug AS (SELECT doc_id, {_AUG} AS text FROM documents)
         SELECT doc_id,

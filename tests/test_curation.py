@@ -119,3 +119,49 @@ def test_keep_best_per_cluster(spark):
     out = {r.component: r for r in C.keep_best_per_cluster(comp, docs).collect()}
     assert out[1].kept_id == 2 and out[1].cluster_size == 3  # tie 2 vs 3 → min id
     assert out[10].kept_id == 11 and out[10].cluster_size == 2
+
+
+def test_vocab_top_k_tiebreak_and_coverage(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b b c", "s1"), (2, "a zz zz", "s2")],
+        "doc_id long, text string, source string",
+    )
+    vocab = C.vocab_top_k(df, k=2)
+    # freq: a=4, b=2, zz=2, c=1 → top-2 is (a, b): b beats zz lexicographically
+    assert [r.token for r in vocab.collect()] == ["a", "b"]
+    cov = {r.source: r for r in C.vocab_coverage(df, vocab).collect()}
+    assert cov["s1"].n_tokens == 6 and cov["s1"].n_covered == 5
+    assert cov["s2"].n_tokens == 3 and cov["s2"].n_covered == 1
+    assert abs(cov["s2"].oov_rate - 2 / 3) < 1e-8
+
+
+def test_mixing_weights_sum_to_one_and_upweight_small(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 99), "big"), (2, "w", "small")],
+        "doc_id long, text string, source string",
+    )
+    w = {r.source: r for r in C.mixing_weights(df, alpha=0.5).collect()}
+    assert w["big"].n_tokens == 99 and w["small"].n_tokens == 1
+    total = w["big"].weight + w["small"].weight
+    assert abs(total - 1.0) < 1e-6
+    # alpha=0.5: small source gets sqrt(1)/(sqrt(99)+sqrt(1)) ≈ 0.0913 — far
+    # above its 0.01 proportional share
+    assert w["small"].weight > 0.05
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    from fossa_spark.llm.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 0.5], 0), (2, [3.0, 3.0, 3.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.vec_id: r for r in quantize_int8(df).collect()}
+    # min→0, max→255, midpoint→128 (0.5 quantizes to round(127.5)=128)
+    assert out[1].codes == [0, 255, 128]
+    assert out[1].n_sat == 2
+    # error bounded by half a quantization step (+ 6-dp rounding slack)
+    assert out[1].max_abs_err <= (1.0 / 255.0) / 2 + 5e-7
+    # constant vector: scale guard → all codes 0, exact reconstruction
+    assert out[2].codes == [0, 0, 0]
+    assert out[2].max_abs_err == 0.0
