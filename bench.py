@@ -51,17 +51,23 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Full cold detail on its own earlier line: the driver captures only the
+    # TAIL of stdout, and r02 showed a single giant line gets truncated from
+    # the head (parsed: null). The FINAL line is the compact contract line —
+    # warm per-query (the round-over-round comparable number) at 3 dp.
+    print(json.dumps({"detail_cold": timings}))
     print(
         json.dumps(
             {
                 "metric": "fossa_spark_total_query_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
+                "cold_total": total,
                 "warm_total": round(sum(warm.values()), 4),
+                "queries": {k: round(v, 3) for k, v in warm.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -25,7 +25,7 @@ _WEEK = 604800
 
 
 def funnel(events: DataFrame, steps: list[str], user_col: str = "user_id",
-           ts_col: str = "ts") -> DataFrame:
+           ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
     """Ordered-funnel reachability: for each user, how far through ``steps``
     they progressed, where step k+1 must occur strictly AFTER the earliest
     completion of step k.
@@ -48,7 +48,7 @@ def funnel(events: DataFrame, steps: list[str], user_col: str = "user_id",
     reached = None  # DataFrame[user_col, _t] — users who completed the prefix
     out = users
     for i, step in enumerate(steps):
-        stage_events = events.filter(F.col("event_type") == step).select(
+        stage_events = events.filter(F.col(type_col) == step).select(
             user_col, F.col(ts_col).alias("_ts")
         )
         if reached is None:
@@ -93,7 +93,8 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
 
 
 def transitions(events: DataFrame, user_col: str = "user_id",
-                ts_col: str = "ts", order_tiebreak: str = "event_id") -> DataFrame:
+                ts_col: str = "ts", order_tiebreak: str = "event_id",
+                type_col: str = "event_type") -> DataFrame:
     """Event-type transition matrix: count of (previous type → type) pairs
     over each user's time-ordered history. One window sort per user
     partition (ties broken deterministically by ``order_tiebreak``), one
@@ -104,9 +105,9 @@ def transitions(events: DataFrame, user_col: str = "user_id",
     return (
         events.select(
             user_col,
-            F.coalesce(F.lag("event_type").over(w), F.lit("∅")).alias("prev_type"),
-            F.col("event_type"),
+            F.coalesce(F.lag(type_col).over(w), F.lit("∅")).alias("prev_type"),
+            F.col(type_col),
         )
-        .groupBy("prev_type", "event_type")
+        .groupBy("prev_type", type_col)
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -266,26 +266,42 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     ``n_sat`` (elements hitting the 0/255 rails), and ``max_abs_err``
     (worst-case reconstruction error, order-independent max, rounded 6 dp).
 
-    Pure JVM higher-order array expressions — narrow pass, zero shuffle,
-    whole-stage codegen; exactly what a 100 TB re-encode job wants.
+    One Arrow-batched numpy pass (the srp_buckets pattern): the previous
+    pure-HOF version was plan-ideal (narrow, shuffle-free) but Spark
+    evaluates transform/aggregate/filter lambdas interpreted per element —
+    three passes × 64 dims dominated the suite at 9.4 s warm/sf0.1.  numpy
+    does the whole batch in a handful of vectorized ops.  Determinism
+    contract is preserved exactly: code rounding is half-up via
+    floor(y+0.5) — bit-identical to JVM/DuckDB ROUND for 0 ≤ y ≤ 255,
+    where the +0.5 add is exact — and the final 6-dp rounding of the raw
+    max error stays JVM-side (F.round) so oracle comparison semantics are
+    unchanged.  Still a narrow, shuffle-free pass at 100 TB.
     """
-    v = _as_double(F.col(vec_col))
-    mn = F.array_min(v)
-    mx = F.array_max(v)
-    scale = F.when(mx > mn, (mx - mn) / F.lit(255.0)).otherwise(F.lit(1.0))
-    codes = F.transform(v, lambda x: F.round((x - mn) / scale).cast("bigint"))
-    errs = F.transform(
-        v, lambda x: F.abs(mn + F.round((x - mn) / scale) * scale - x)
+
+    @F.pandas_udf(
+        "struct<codes:array<bigint>,code_sum:bigint,n_sat:bigint,raw_err:double>"
     )
+    def _quant(vecs: pd.Series) -> pd.DataFrame:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mn = m.min(axis=1, keepdims=True)
+        mx = m.max(axis=1, keepdims=True)
+        scale = np.where(mx > mn, (mx - mn) / 255.0, 1.0)
+        codes = np.floor((m - mn) / scale + 0.5).astype(np.int64)
+        err = np.abs(mn + codes * scale - m)
+        return pd.DataFrame(
+            {
+                "codes": list(codes),
+                "code_sum": codes.sum(axis=1),
+                "n_sat": ((codes <= 0) | (codes >= 255)).sum(axis=1),
+                "raw_err": err.max(axis=1),
+            }
+        )
+
     return (
-        df.withColumn("codes", codes)
-        .withColumn(
-            "code_sum",
-            F.aggregate("codes", F.lit(0).cast("bigint"), lambda a, c: a + c),
-        )
-        .withColumn(
-            "n_sat",
-            F.size(F.filter("codes", lambda c: (c <= 0) | (c >= 255))).cast("bigint"),
-        )
-        .withColumn("max_abs_err", F.round(F.array_max(errs), 6))
+        df.withColumn("_q", _quant(F.col(vec_col)))
+        .withColumn("codes", F.col("_q.codes"))
+        .withColumn("code_sum", F.col("_q.code_sum"))
+        .withColumn("n_sat", F.col("_q.n_sat"))
+        .withColumn("max_abs_err", F.round(F.col("_q.raw_err"), 6))
+        .drop("_q")
     )

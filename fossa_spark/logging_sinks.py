@@ -105,6 +105,11 @@ class BufferedHttpLogger(AbstractExternalLogger):
     CloudWatch batch: ``{"logEvents": [{"timestamp": ms, "message": json}]}``.
     """
 
+    # On delivery failure the batch is retained for the next flush attempt
+    # (matching BufferedFileLogger's durability); the buffer is capped so a
+    # persistent outage degrades to dropping the OLDEST events, not OOM.
+    MAX_BUFFERED = 4096
+
     def __init__(self, url: str, flush_every: int = 16, timeout: float = 2.0):
         self.url = url
         self.flush_every = max(1, flush_every)
@@ -141,15 +146,19 @@ class BufferedHttpLogger(AbstractExternalLogger):
         import urllib.request
 
         body = json.dumps({"logEvents": self._buffer}).encode()
-        self._buffer.clear()
         req = urllib.request.Request(
             self.url, data=body, headers={"Content-Type": "application/json"}
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                return 200 <= resp.status < 300
+                ok = 200 <= resp.status < 300
         except (urllib.error.URLError, OSError):
-            return False  # log delivery must never fail the job
+            ok = False  # log delivery must never fail the job
+        if ok:
+            self._buffer.clear()
+        elif len(self._buffer) > self.MAX_BUFFERED:
+            del self._buffer[: -self.MAX_BUFFERED]
+        return ok
 
 
 class CloudwatchLogsLogger(AbstractExternalLogger):
@@ -180,10 +189,18 @@ class CloudwatchLogsLogger(AbstractExternalLogger):
 
     def write(self, msg: str, level: str = "INFO") -> bool:
         ev = _structured(msg, level)
-        response = self.client.put_log_events(
-            logGroupName=self.group_name,
-            logStreamName=self.stream_name,
-            logEvents=[{"timestamp": ev["timestamp_ms"],
-                        "message": json.dumps({"log_level": level, "message": msg})}],
-        )
+        try:
+            response = self.client.put_log_events(
+                logGroupName=self.group_name,
+                logStreamName=self.stream_name,
+                logEvents=[{"timestamp": ev["timestamp_ms"],
+                            "message": json.dumps({"log_level": level,
+                                                   "message": msg})}],
+            )
+        except ImportError:
+            raise  # missing boto3 is a config error, not a delivery failure
+        except Exception:
+            # network/throttle/auth errors: delivery failure must never fail
+            # the job (same contract as the other sinks)
+            return False
         return response.get("ResponseMetadata", {}).get("HTTPStatusCode") == 200

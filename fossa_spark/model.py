@@ -235,7 +235,18 @@ class PartitionedModel(Model):
         while pending:
             retry: list[tuple[int, SubTask]] = []
             batch = [st for _, st in pending]
-            for (idx, st), res in zip(pending, strategy.run(self, batch, workers)):
+            batch_results = list(strategy.run(self, batch, workers))
+            if len(batch_results) != len(pending):
+                # A strategy that under- (or over-) yields would silently
+                # drop trailing subtasks under zip — no result, no retry, no
+                # SubTaskFailed. Fail loudly instead: losing work is worse
+                # than failing the job.
+                raise SubTaskFailed(
+                    "<strategy>", {},
+                    f"{type(strategy).__name__} yielded {len(batch_results)} "
+                    f"results for {len(pending)} subtasks",
+                )
+            for (idx, st), res in zip(pending, batch_results):
                 if res["ok"]:
                     self.partition_subtask_complete(res["method"], res["kwargs"],
                                                     res.get("value"))

@@ -343,3 +343,28 @@ def test_identical_subtasks_get_independent_retry_budgets(spark):
 def test_thread_strategy_tolerates_empty_subtask_list(spark):
     out = list(LocalThreadStrategy().run(HelloModel(spark=spark), [], None))
     assert out == []
+
+
+def test_under_yielding_strategy_fails_loudly(spark):
+    """A strategy that yields fewer results than subtasks must raise, not
+    silently drop the trailing subtasks (no result, no retry)."""
+    import pytest
+
+    from fossa_spark.model import SubTaskFailed
+
+    class Truncating(LocalThreadStrategy):
+        def run(self, model, subtasks, workers):
+            results = list(super().run(model, subtasks, workers))
+            yield from results[:-1]  # drop the last result
+
+    class TwoTask(PartitionedModel):
+        strategy_cls = Truncating
+
+        def partition_slice(self, n):
+            return [("greet", {}), ("greet", {})]
+
+        def greet(self):
+            return "hi"
+
+    with pytest.raises(SubTaskFailed, match="yielded 1 results for 2"):
+        TwoTask(spark=spark).go()

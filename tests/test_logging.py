@@ -93,7 +93,15 @@ def test_http_sink_batches_and_survives_outage(tmp_path):
         server.shutdown()
         server.server_close()
 
-    # unreachable endpoint: write/flush report failure, never raise
+    # unreachable endpoint: write/flush report failure, never raise — and the
+    # batch is RETAINED for the next attempt (durability parity with the
+    # file sink), capped so a long outage can't grow the buffer unboundedly
     dead = BufferedHttpLogger("http://127.0.0.1:1/logs", flush_every=1)
     assert dead.write("lost") is False
+    assert len(dead._buffer) == 1  # kept, not dropped
     dead.flush()
+    assert len(dead._buffer) == 1
+    dead.MAX_BUFFERED = 3
+    for i in range(6):
+        dead.write(f"m{i}")
+    assert len(dead._buffer) == 3  # oldest evicted at the cap

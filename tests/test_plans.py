@@ -168,6 +168,23 @@ def test_correlated_scalar_subquery_decorrelates(spark):
     assert "ScalarSubquery" not in a.formatted, "subquery not de-correlated"
 
 
+def test_q5_dims_broadcast_single_agg_shuffle(spark):
+    """Q5's star shape: every dim side (orders-filtered, supplier, nation,
+    region) must broadcast — lineitem never shuffles before the aggregate —
+    and exactly one hash-partitioned Exchange feeds the aggregation (the
+    second Exchange in the plan is the final ORDER BY range partitioning)."""
+    from fossa_spark.queries.sql_queries import q_sql_q5
+
+    import re
+
+    a = audit(q_sql_q5(spark, SF_DIR))
+    # numbered detail entries count each physical node exactly once
+    bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", a.formatted))
+    assert bhj == 4, f"expected 4 broadcast joins, saw {bhj}:\n{a.join_nodes}"
+    hash_exchanges = len(re.findall(r"Arguments: hashpartitioning", a.formatted))
+    assert hash_exchanges == 1, f"expected 1 agg shuffle, saw {hash_exchanges}"
+
+
 def test_disjunctive_predicate_join_stays_equi(spark):
     """Q19's OR-of-conjuncts must not break the equi join into a cartesian:
     the common l_partkey = p_partkey key keeps it a single hash join with
