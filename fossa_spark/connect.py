@@ -31,23 +31,38 @@ class AccessMode(Enum):
     READWRITE = "rw"
 
 
-_FORMATS = {"csv", "parquet", "json", "orc", "text"}
+# Spark-native file formats, plus aliases/passthroughs re-expressing the
+# open-ended ayeaye connector registry (reference examples/example_etl.py:140
+# uses csv://; ayeaye also ships ndjson and sqlite engine types):
+#   ndjson:// — newline-delimited JSON; Spark's json source is already
+#     line-per-record, so this is an alias that pins multiLine=false.
+#   tsv://    — csv with a tab separator.
+#   sqlite:// — table read/write through Python's stdlib sqlite3 (no JDBC
+#     driver in this environment). Driver-side by design: control-plane-
+#     sized data only (job specs, manifests) — the same single-node shape
+#     as ayeaye's sqlite connector. Table name rides in the URL fragment:
+#     sqlite:///path/db.sqlite#tablename
+_FORMATS = {"csv", "parquet", "json", "orc", "text", "ndjson", "tsv", "sqlite"}
 
 
 @dataclass
 class EngineUrl:
     scheme: str
     path: str
+    fragment: str = ""
 
     @classmethod
     def parse(cls, url: str) -> "EngineUrl":
         parsed = urlparse(url)
         scheme = parsed.scheme or "parquet"
         if scheme not in _FORMATS:
-            raise ValueError(f"unsupported engine-url scheme: {scheme!r} in {url!r}")
+            raise ValueError(
+                f"unsupported engine-url scheme: {scheme!r} in {url!r}; "
+                f"supported: {sorted(_FORMATS)}"
+            )
         # csv:///abs/path and csv://rel/path both carry the path in netloc+path
         path = (parsed.netloc + parsed.path) if parsed.netloc else parsed.path
-        return cls(scheme=scheme, path=path)
+        return cls(scheme=scheme, path=path, fragment=parsed.fragment)
 
 
 class ConnectorResolver:
@@ -128,27 +143,87 @@ class Connect:
 
     def read(self, spark: SparkSession) -> DataFrame:
         url = self.resolved()
+        if url.scheme == "sqlite":
+            return self._read_sqlite(spark, url)
         reader = spark.read
         schema = self.schema or _schema_from_field_names(self.field_names)
         if schema is not None:
             reader = reader.schema(schema)
-        opts = dict(self.options)
-        if url.scheme == "csv":
-            opts.setdefault("header", "true")
-        return reader.options(**opts).format(url.scheme).load(url.path)
+        fmt, opts = self._format_and_options(url)
+        return reader.options(**opts).format(fmt).load(url.path)
 
     def write(self, df: DataFrame, mode: str = "overwrite",
               partition_by: list[str] | None = None) -> None:
         if self.access is AccessMode.READ:
             raise PermissionError(f"connector {self.engine_url!r} is READ-only")
         url = self.resolved()
+        if url.scheme == "sqlite":
+            self._write_sqlite(df, url, mode)
+            return
         writer = df.write.mode(mode)
+        fmt, opts = self._format_and_options(url)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.options(**opts).format(fmt).save(url.path)
+
+    def _format_and_options(self, url: EngineUrl) -> tuple[str, dict[str, str]]:
         opts = dict(self.options)
         if url.scheme == "csv":
             opts.setdefault("header", "true")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.options(**opts).format(url.scheme).save(url.path)
+            return "csv", opts
+        if url.scheme == "tsv":
+            opts.setdefault("header", "true")
+            opts.setdefault("sep", "\t")
+            return "csv", opts
+        if url.scheme == "ndjson":
+            opts.setdefault("multiLine", "false")
+            return "json", opts
+        return url.scheme, opts
+
+    # sqlite passthrough: stdlib sqlite3 on the driver. Control-plane-sized
+    # data ONLY (same single-node contract as ayeaye's sqlite connector and
+    # job_feed's per-batch collect) — a 100 TB table belongs in parquet.
+    def _sqlite_table(self, url: EngineUrl) -> str:
+        table = url.fragment or "data"
+        if not table.replace("_", "").isalnum():
+            raise ValueError(f"invalid sqlite table name: {table!r}")
+        return table
+
+    def _read_sqlite(self, spark: SparkSession, url: EngineUrl) -> DataFrame:
+        import sqlite3
+
+        import pandas as pd
+
+        with sqlite3.connect(url.path) as conn:
+            pdf = pd.read_sql_query(f"SELECT * FROM {self._sqlite_table(url)}", conn)
+        schema = self.schema or _schema_from_field_names(self.field_names)
+        if schema is not None:
+            return spark.createDataFrame(pdf, schema=schema)
+        return spark.createDataFrame(pdf)
+
+    def _write_sqlite(self, df: DataFrame, url: EngineUrl, mode: str) -> None:
+        import sqlite3
+
+        table = self._sqlite_table(url)
+        pdf = df.toPandas()  # driver-side: see contract above
+        cols = ", ".join(f'"{c}"' for c in pdf.columns)
+        ph = ", ".join("?" for _ in pdf.columns)
+        with sqlite3.connect(url.path) as conn:
+            if mode == "overwrite":
+                conn.execute(f"DROP TABLE IF EXISTS {table}")
+            col_defs = ", ".join(f'"{c}"' for c in pdf.columns)
+            conn.execute(f"CREATE TABLE IF NOT EXISTS {table} ({col_defs})")
+            conn.executemany(
+                f"INSERT INTO {table} ({cols}) VALUES ({ph})",
+                [
+                    tuple(
+                        None if (isinstance(v, float) and v != v) else v
+                        for v in row
+                    )
+                    for row in pdf.itertuples(index=False, name=None)
+                ],
+            )
+            conn.commit()
 
 
 @dataclass

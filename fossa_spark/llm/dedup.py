@@ -18,7 +18,7 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -152,6 +152,47 @@ def minhash_signatures(
     return _signatures_from_rows(ex, id_col, num_hashes)
 
 
+def band_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band, bucket) rows: each signature band hashed to its LSH
+    bucket — the join key relation for both self-join dedup
+    (lsh_candidates) and index-probe dedup (incremental_dedup).
+
+    The band id is FOLDED INTO the bucket hash, so ``bucket`` alone is the
+    complete join key. That single-column key is what lets the persisted
+    index be bucketBy(bucket) and probed with zero index-side shuffle —
+    Spark only elides the Exchange when the join keys equal the bucketing
+    columns (a (band, bucket) composite key disables the bucketed scan)."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.lit(f"b{b}"),
+                                *[
+                                    F.element_at(F.col(sig_col), b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+
+
 def lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -167,36 +208,14 @@ def lsh_candidates(
     fan-in stays bounded at scale — capped buckets are dropped, trading
     recall on exact-boilerplate groups for a bounded O(bucket²) join.
     """
-    band_rows = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(F.col(sig_col), b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
-    counts = band_rows.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-    bounded = band_rows.join(
-        counts.filter(F.col("_n") <= max_bucket), ["band", "bucket"]
-    )
-    a = bounded.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_a"))
-    b = bounded.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_b"))
+    brows = band_rows(df, id_col, sig_col, bands, rows_per_band)
+    # bucket alone is the full key (band folded into the hash — band_rows)
+    counts = brows.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
+    bounded = brows.join(counts.filter(F.col("_n") <= max_bucket), "bucket")
+    a = bounded.select(F.col("bucket"), F.col("_id").alias("id_a"))
+    b = bounded.select(F.col("bucket"), F.col("_id").alias("id_b"))
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -240,6 +259,138 @@ def minhash_lsh_dedup(
     ).localCheckpoint(eager=True)
     sh_rows.unpersist()
     return pairs
+
+
+def build_minhash_index(
+    df: DataFrame,
+    table_prefix: str,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    buckets: int = 16,
+) -> None:
+    """Persist a corpus's near-dup state as BUCKETED parquet tables — the
+    operational 100 TB shape: dedup a daily batch against an existing
+    corpus without recomputing (or reshuffling) the corpus side.
+
+    Three tables under ``table_prefix``:
+      - ``{prefix}_bands``    (band, bucket, doc_id)  bucketBy(bucket) —
+        the candidate probe target; a batch's band rows equi-join it with
+        NO shuffle on the index side (pay-at-write-time co-location).
+      - ``{prefix}_shingles`` (doc_id, _sh)           bucketBy(doc_id) —
+        the verify side; the per-candidate intersection join reads it
+        pre-partitioned by doc id.
+      - ``{prefix}_sizes``    (doc_id, _n)            bucketBy(doc_id).
+    """
+    from fossa_spark.sources import write_bucketed
+
+    with_sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
+    sh_rows = with_sh.select(
+        id_col, F.explode("shingles").alias("_sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _signatures_from_rows(sh_rows, id_col, num_hashes)
+    brows = band_rows(sigs, id_col, "minhash", bands, num_hashes // bands).select(
+        F.col("band"), F.col("bucket"), F.col("_id").alias(id_col)
+    )
+    sizes = sh_rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    write_bucketed(brows, f"{table_prefix}_bands", "bucket", buckets=buckets,
+                   path=f"{path}/bands", sort_by="bucket")
+    write_bucketed(sh_rows, f"{table_prefix}_shingles", id_col, buckets=buckets,
+                   path=f"{path}/shingles", sort_by=id_col)
+    write_bucketed(sizes, f"{table_prefix}_sizes", id_col, buckets=buckets,
+                   path=f"{path}/sizes", sort_by=id_col)
+    sh_rows.unpersist()
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    spark,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Dedup a NEW batch against a persisted minhash index
+    (build_minhash_index) without touching corpus text.
+
+    Scale shape: the batch's band rows probe ``{prefix}_bands`` with an
+    equi-join on the index's bucketing key — only the (small) batch side
+    shuffles; the index is read in place. Verification joins the batch's
+    shingles against ``{prefix}_shingles`` restricted to candidates.
+    Returns one row per new doc: (doc_id, dup_of, jaccard, keep) where
+    dup_of is the best-matching corpus doc (highest jaccard, smallest id
+    tiebreak) or NULL and keep = dup_of IS NULL.  Within-batch dups are
+    the existing minhash_lsh_dedup's job — run it on the batch first.
+    """
+    with_sh = new_docs.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
+    sh_new = with_sh.select(
+        id_col, F.explode("shingles").alias("_sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _signatures_from_rows(sh_new, id_col, num_hashes)
+    brows_new = band_rows(sigs, id_col, "minhash", bands, num_hashes // bands)
+
+    idx_bands = spark.table(f"{table_prefix}_bands")
+    # cap degenerate buckets on the INDEX side (same boilerplate guard as
+    # lsh_candidates) — the count agg reuses the bucketed layout (no
+    # shuffle: grouping key == bucketing key), as does the probe join
+    counts = idx_bands.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
+    bounded = idx_bands.join(counts.filter(F.col("_n") <= max_bucket), "bucket")
+    cands = (
+        brows_new.join(bounded, "bucket")
+        .select(F.col("_id").alias("id_new"), F.col(id_col).alias("id_old"))
+        .distinct()
+    )
+
+    # exact-Jaccard verify: batch shingles vs index shingles
+    idx_sh = spark.table(f"{table_prefix}_shingles")
+    idx_sizes = spark.table(f"{table_prefix}_sizes")
+    a = sh_new.select(F.col(id_col).alias("id_new"), "_sh")
+    b = idx_sh.select(F.col(id_col).alias("id_old"), "_sh").hint("merge")
+    inter = (
+        cands.join(a, "id_new")
+        .join(b, ["id_old", "_sh"])
+        .groupBy("id_new", "id_old")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sz_new = sh_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("_na")).select(
+        F.col(id_col).alias("id_new"), "_na"
+    )
+    sz_old = idx_sizes.select(F.col(id_col).alias("id_old"), F.col("_n").alias("_nb"))
+    verified = (
+        inter.join(sz_new, "id_new")
+        .join(sz_old.hint("merge"), "id_old")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = W.partitionBy("id_new").orderBy(F.col("jaccard").desc(), F.col("id_old").asc())
+    best = (
+        verified.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("id_new").alias(id_col),
+            F.col("id_old").alias("dup_of"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+    )
+    out = (
+        new_docs.select(id_col)
+        .join(best, id_col, "left")
+        .withColumn("keep", F.col("dup_of").isNull())
+        .localCheckpoint(eager=True)
+    )
+    sh_new.unpersist()
+    return out
 
 
 def _signatures_from_rows(sh_rows: DataFrame, id_col: str, num_hashes: int) -> DataFrame:

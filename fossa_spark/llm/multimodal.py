@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — schemas, Arrow-batched mapInPandas
-decode/transform stages, partition sizing — while the codec step is a
-clearly-marked stub (`decode_stub=True` → deterministic fake features;
-`decode_stub=False` → NotImplementedError), because no image/audio libraries
-exist in this container. A deployment swaps `_decode_image` for
-PIL/torchvision; nothing else changes.
+decode/transform stages, partition sizing — and so is the IMAGE path:
+``synthetic_media`` writes real grayscale PNGs (pure-stdlib encoder:
+zlib + struct; the PNG spec is public) and ``_decode_image`` parses them
+back (all five scanline filters) and derives features from the decoded
+pixels.  Audio/video remain clearly-marked stubs (`decode_stub=True` →
+deterministic byte-histogram features), since no codec libraries exist in
+this container; a deployment swaps `_decode_audio`/ffmpeg in, and nothing
+else about the plumbing changes.
 
 Scale notes: binary payloads dominate partition size, so
 `spark.sql.files.maxPartitionBytes` + a repartition by a content-size bucket
@@ -15,8 +18,11 @@ filters prune on it without touching bytes.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,11 +52,93 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, feature array<float>"
 
 
+def _encode_png(pixels: "np.ndarray") -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (PNG spec, RFC 2083): IHDR +
+    one zlib IDAT with filter-0 scanlines + IEND. Pure stdlib."""
+    h, w = pixels.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit, grayscale
+    raw = b"".join(b"\x00" + pixels[y].astype(np.uint8).tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> "np.ndarray":
+    """Minimal 8-bit grayscale PNG decoder: parse chunks, inflate IDAT,
+    undo scanline filters (all five types, per the spec)."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = b""
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color, *_ = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color != 0:
+                raise ValueError("decoder supports 8-bit grayscale only")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    out = np.zeros((h, w), dtype=np.int32)
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        ftype, scan = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int32)
+        prev = out[y - 1] if y > 0 else np.zeros(w, dtype=np.int32)
+        if ftype == 0:  # None
+            out[y] = scan
+        elif ftype == 2:  # Up
+            out[y] = (scan + prev) & 0xFF
+        else:  # Sub/Average/Paeth depend on the left neighbor: sequential
+            row = np.zeros(w, dtype=np.int32)
+            for x in range(w):
+                a = row[x - 1] if x > 0 else 0
+                b = prev[x]
+                c = prev[x - 1] if x > 0 else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                elif ftype == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                row[x] = (scan[x] + pred) & 0xFF
+            out[y] = row
+    return out.astype(np.uint8)
+
+
+def _image_pixels(media_id: int, w: int, h: int) -> "np.ndarray":
+    """Deterministic test-pattern pixels (gradient + id-seeded ripple)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((xx * 255) // max(w - 1, 1) + media_id * 37 + (yy * media_id) % 29) % 256
+
+
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic fake media table exercising the binary+metadata schema.
-    Generated DISTRIBUTEDLY (spark.range → mapInPandas): payload bytes are a
-    pure function of media_id, so the table scales to any n with no
-    driver-side materialization."""
+    """Deterministic media table exercising the binary+metadata schema.
+    Image rows carry REAL PNG payloads (encoded with _encode_png); audio/
+    video carry opaque deterministic bytes. Generated DISTRIBUTEDLY
+    (spark.range → mapInPandas): payloads are a pure function of media_id,
+    so the table scales to any n with no driver-side materialization."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -60,15 +148,22 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
             for i in pdf["id"]:
                 i = int(i)
                 kind = kinds[i % 3]
-                payload = bytes((i * 31 + j * 7) % 256 for j in range(128 + (i % 5) * 64))
+                if kind == "image":
+                    w, h = 64 + i % 8, 64 + i % 4
+                    payload = _encode_png(_image_pixels(i, w, h).astype(np.uint8))
+                else:
+                    w = h = None
+                    payload = bytes(
+                        (i * 31 + j * 7) % 256 for j in range(128 + (i % 5) * 64)
+                    )
                 rows.append(
                     {
                         "media_id": i,
                         "kind": kind,
                         "payload": payload,
                         "meta": {
-                            "width": 64 + i % 8 if kind == "image" else None,
-                            "height": 64 + i % 4 if kind == "image" else None,
+                            "width": w,
+                            "height": h,
                             "sample_rate": 16000 if kind == "audio" else None,
                             "n_frames": 30 * (1 + i % 3) if kind == "video" else None,
                             "mime": mimes[kind],
@@ -80,12 +175,19 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def _decode_image(payload: bytes) -> list[float]:
-    raise NotImplementedError(
-        "real image decode requires PIL/libjpeg — not present in this "
-        "container; call extract_features(decode_stub=True) for the "
-        "deterministic fake path"
-    )
+def _decode_image(payload: bytes, dim: int = 8) -> list[float]:
+    """Real decode path: parse the PNG, then derive features from the
+    DECODED PIXELS — mean/std/min/max plus 4 quadrant means, all in
+    [0, 1].  (A deployment swaps the featurizer for a vision model; the
+    decode+feature contract and batch shape stay identical.)"""
+    px = _decode_png(payload).astype(np.float64)
+    h, w = px.shape
+    quads = [
+        px[: h // 2, : w // 2], px[: h // 2, w // 2 :],
+        px[h // 2 :, : w // 2], px[h // 2 :, w // 2 :],
+    ]
+    feats = [px.mean(), px.std(), px.min(), px.max()] + [q.mean() for q in quads]
+    return [float(v) / 255.0 for v in feats[:dim]]
 
 
 def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
@@ -99,13 +201,20 @@ def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
 def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Arrow-batched decode → feature pipeline over mapInPandas. The batch
     iterator shape (many small pdfs per partition) is exactly what a real
-    GPU/codec stage wants — per-batch model init amortized via the iterator."""
+    GPU/codec stage wants — per-batch model init amortized via the iterator.
+
+    ``decode_stub=False`` runs the REAL decoder where one exists (images:
+    the pure-stdlib PNG path) and falls back to the deterministic byte-
+    histogram features for kinds with no codec in this container
+    (audio/video)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_features(p) if decode_stub else _decode_image(p)
-                for p in pdf["payload"]
+                _decode_image(p)
+                if (not decode_stub and k == "image")
+                else _fake_features(p)
+                for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(
                 {

@@ -71,6 +71,25 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: docs with doc_id % 4 == 0 arrive as the NEW
+    batch, the rest are the existing corpus persisted as a bucketed minhash
+    signature index; the batch probes the index (no full-index shuffle) and
+    each new doc is kept or attributed to its best corpus duplicate.
+    rows-only (seeded xxhash64 signatures)."""
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    for t in ("bands", "shingles", "sizes"):
+        spark.sql(f"DROP TABLE IF EXISTS fs_dedup_idx_{t}")
+    path = tempfile.mkdtemp(prefix="fossa_dedup_idx_")
+    D.build_minhash_index(corpus, "fs_dedup_idx", path)
+    out = D.incremental_dedup(batch, spark, "fs_dedup_idx", threshold=0.5)
+    return out.orderBy("doc_id")
+
+
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors (vec_id < 5) — broadcast
     queries, one narrow pass over candidates."""
@@ -194,16 +213,19 @@ def q_tok_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media plumbing: synthetic media table → Arrow-batched feature
-    extraction (stub decoder) → per-kind aggregate. rows-only."""
+    """Binary media plumbing: synthetic media table (REAL PNG payloads for
+    images) → Arrow-batched feature extraction with the real PNG decoder
+    (decode_stub=False; audio/video fall back to stub features) → per-kind
+    aggregate. rows-only."""
     media = M.synthetic_media(spark, n=64)
-    feats = M.extract_features(media, decode_stub=True)
+    feats = M.extract_features(media, decode_stub=False)
     return (
         feats.groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.sum("n_bytes").alias("total_bytes"),
             F.size(F.first("feature")).alias("feat_dim"),
+            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_feat0"),
         )
         .orderBy("kind")
     )
@@ -227,6 +249,7 @@ QUERIES = {
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embed": q_dedup_embed,
+    "q_dedup_incremental": q_dedup_incremental,
     "q_sim_topk": q_sim_topk,
     "q_sim_ann": q_sim_ann,
     "q_sim_ivf": q_sim_ivf,

@@ -286,6 +286,328 @@ ORDER BY c_nationkey
 """
 
 
+_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM fs_supplier
+JOIN fs_lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN fs_orders ON o_orderkey = l1.l_orderkey
+JOIN fs_nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM fs_lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM fs_lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM fs_customer LEFT OUTER JOIN fs_orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_sql_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the planner
+    stress test — one fact joined, then a correlated EXISTS (another
+    supplier touched the same order) AND a correlated NOT EXISTS (no other
+    supplier returned it) against the SAME fact table.  Catalyst must
+    rewrite these to one left-semi and one left-anti hash join on
+    l_orderkey — never a cartesian or a per-row re-scan.
+    (Fixture has no l_commitdate/l_receiptdate: l_returnflag='R' stands in
+    for the late-delivery predicate, o_orderstatus='F' as in the spec.)"""
+    _register_views(spark, sf_dir, ("supplier", "lineitem", "orders", "nation"))
+    return spark.sql(_Q21)
+
+
+def q_sql_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): left outer join
+    with a join-side predicate (customers with zero qualifying orders must
+    survive with count 0), then a second aggregation over the first —
+    outer join + double aggregation.
+    (Fixture has no o_comment; the 'not like %special%requests%' exclusion
+    becomes o_orderpriority <> '1-URGENT'.)"""
+    _register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q13)
+
+
+# ---- remaining TPC-H shapes (Q2/Q6/Q8/Q9/Q11/Q15/Q16/Q20 + Q12) ----
+# The fixture has no partsupp table, no ps_supplycost/availqty, no
+# l_shipmode/l_commitdate, no comment columns. Each query below keeps the
+# ORIGINAL's plan shape (the property the planner is being tested on) and
+# documents its fixture adaptation:
+#   - "supply" = SELECT DISTINCT/GROUP BY (l_partkey, l_suppkey) from
+#     lineitem — the who-supplies-what relation partsupp represents;
+#     unit cost = min cents(l_extendedprice / l_quantity).
+#   - l_returnflag stands in for l_shipmode (Q12), negative s_acctbal for
+#     the complaints comment (Q16), p_name prefix for the color match (Q20).
+
+_Q2 = f"""
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN({sql_cents("l_extendedprice / l_quantity")}) AS ps_cost_cents
+  FROM fs_lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_name, n_name, p_partkey, p_brand, p_type,
+       CAST(ps_cost_cents AS DOUBLE) / 100.0 AS unit_cost
+FROM fs_part
+JOIN supply      ON p_partkey = ps_partkey
+JOIN fs_supplier ON s_suppkey = ps_suppkey
+JOIN fs_nation   ON s_nationkey = n_nationkey
+JOIN fs_region   ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+  AND ps_cost_cents = (
+    SELECT MIN(ps2.ps_cost_cents)
+    FROM supply ps2
+    JOIN fs_supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN fs_nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN fs_region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+_Q6 = f"""
+SELECT CAST(SUM({sql_cents("l_extendedprice * l_discount", 4)}) AS DOUBLE)
+         / 10000.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM fs_lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+"""
+
+_Q8 = f"""
+SELECT o_year,
+       round(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN vol_cents ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(SUM(vol_cents) AS DOUBLE), 8) AS mkt_share,
+       COUNT(*) AS n_lines
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         {sql_cents("l_extendedprice * (1.0 - l_discount)", 4)} AS vol_cents,
+         n2.n_name AS nation
+  FROM fs_part
+  JOIN fs_lineitem  ON p_partkey = l_partkey
+  JOIN fs_supplier  ON s_suppkey = l_suppkey
+  JOIN fs_orders    ON l_orderkey = o_orderkey
+  JOIN fs_customer  ON o_custkey = c_custkey
+  JOIN fs_nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN fs_region    ON n1.n_regionkey = r_regionkey
+  JOIN fs_nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+_Q9 = f"""
+SELECT nation, o_year,
+       CAST(SUM(amount_cents) AS DOUBLE) / 10000.0 AS sum_profit,
+       COUNT(*) AS n_lines
+FROM (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         {sql_cents("l_extendedprice * (1.0 - l_discount)", 4)}
+           - {sql_cents("0.5 * p_retailprice * l_quantity", 4)} AS amount_cents
+  FROM fs_part
+  JOIN fs_lineitem ON p_partkey = l_partkey
+  JOIN fs_supplier ON s_suppkey = l_suppkey
+  JOIN fs_orders   ON o_orderkey = l_orderkey
+  JOIN fs_nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+_Q11 = f"""
+SELECT ps_partkey,
+       CAST(SUM(val_cents) AS DOUBLE) / 10000.0 AS part_value,
+       COUNT(*) AS n_lines
+FROM (
+  SELECT l_partkey AS ps_partkey,
+         {sql_cents("l_extendedprice * (1.0 - l_discount)", 4)} AS val_cents
+  FROM fs_lineitem
+  JOIN fs_supplier ON l_suppkey = s_suppkey
+  JOIN fs_nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+) x
+GROUP BY ps_partkey
+HAVING SUM(val_cents) > (
+  SELECT SUM({sql_cents("l_extendedprice * (1.0 - l_discount)", 4)}) * 0.001
+  FROM fs_lineitem
+  JOIN fs_supplier ON l_suppkey = s_suppkey
+  JOIN fs_nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+)
+ORDER BY part_value DESC, ps_partkey
+"""
+
+_Q12 = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM fs_orders
+JOIN fs_lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag IN ('A', 'R')
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM({sql_cents("l_extendedprice * (1.0 - l_discount)", 4)}) AS total_cents
+  FROM fs_lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(total_cents AS DOUBLE) / 10000.0 AS total_revenue
+FROM fs_supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_cents = (SELECT MAX(total_cents) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM fs_lineitem) partsupp
+JOIN fs_part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM fs_supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+_Q20 = """
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM fs_supplier
+JOIN fs_nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+    SELECT ps.l_suppkey
+    FROM (SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+          FROM fs_lineitem
+          WHERE l_partkey IN (
+              SELECT p_partkey FROM fs_part WHERE p_name LIKE 'red%'
+            )
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey) ps
+    JOIN (SELECT l_partkey, SUM(l_quantity) AS total_qty
+          FROM fs_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_partkey) tot
+      ON ps.l_partkey = tot.l_partkey
+    WHERE ps.qty > 0.2 * tot.total_qty
+  )
+ORDER BY s_name
+"""
+
+
+def q_sql_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): correlated scalar MIN
+    subquery over the supply relation, re-planned by Catalyst as a
+    per-part aggregate + join (the same de-correlation Q17 tests, but
+    through a 4-table dimension chain on both the outer and inner side)."""
+    _register_views(spark, sf_dir, TABLES[:7])
+    return spark.sql(_Q2)
+
+
+def q_sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): pure scan-side
+    predicate stack (date range + discount band + quantity cut) with no
+    join at all — every filter must reach the parquet scan."""
+    _register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_Q6)
+
+
+def q_sql_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): 8-table star with the
+    nation dim joined TWICE under different roles (customer's region
+    filter, supplier's nation label), conditional share aggregation."""
+    _register_views(spark, sf_dir, TABLES[:7])
+    return spark.sql(_Q8)
+
+
+def q_sql_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): LIKE-filtered part dim, 5-way
+    join, profit = revenue minus cost (cost proxied by 0.5 × retailprice ×
+    quantity — fixture has no ps_supplycost), grouped by nation × year."""
+    _register_views(spark, sf_dir, TABLES[:7])
+    return spark.sql(_Q9)
+
+
+def q_sql_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): HAVING against an uncorrelated
+    scalar subquery computing a fraction of the same aggregate over the
+    same relation — planned once, broadcast as a literal."""
+    _register_views(spark, sf_dir, TABLES[:7])
+    return spark.sql(_Q11)
+
+
+def q_sql_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority): fact-fact join + two
+    conditional counts per group (l_returnflag stands in for l_shipmode)."""
+    _register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_Q12)
+
+
+def q_sql_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): CTE'd revenue view consumed twice —
+    once joined, once under MAX — with an exact integer-cents revenue so
+    the max-tie semantics are deterministic."""
+    _register_views(spark, sf_dir, ("supplier", "lineitem"))
+    return spark.sql(_Q15)
+
+
+def q_sql_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supply pairs
+    + NOT IN subquery (→ null-aware anti join) + COUNT(DISTINCT) per
+    brand/type/size (negative balance stands in for the complaints match)."""
+    _register_views(spark, sf_dir, ("supplier", "part", "lineitem"))
+    return spark.sql(_Q16)
+
+
+def q_sql_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): doubly-nested IN
+    subqueries — suppliers shipping > 20% of a red part's yearly volume —
+    each rewritten to semi joins over pre-aggregated relations."""
+    _register_views(spark, sf_dir, TABLES[:7])
+    return spark.sql(_Q20)
+
+
 def q_sql_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (order-priority checking): EXISTS over returned
     lineitems → Catalyst rewrites to a left-semi hash join on orderkey;
@@ -367,6 +689,17 @@ QUERIES = {
     "q_sql_q17": q_sql_q17,
     "q_sql_q18": q_sql_q18,
     "q_sql_q19": q_sql_q19,
+    "q_sql_q21": q_sql_q21,
+    "q_sql_q13": q_sql_q13,
+    "q_sql_q2": q_sql_q2,
+    "q_sql_q6": q_sql_q6,
+    "q_sql_q8": q_sql_q8,
+    "q_sql_q9": q_sql_q9,
+    "q_sql_q11": q_sql_q11,
+    "q_sql_q12": q_sql_q12,
+    "q_sql_q15": q_sql_q15,
+    "q_sql_q16": q_sql_q16,
+    "q_sql_q20": q_sql_q20,
     "q_sql_q22": q_sql_q22,
     "q_sql_q5": q_sql_q5,
     "q_agg_grouping_sets": q_agg_grouping_sets,
@@ -388,6 +721,17 @@ ORACLE = {
     "q_sql_q17": _Q17.replace("fs_", ""),
     "q_sql_q18": _Q18.replace("fs_", ""),
     "q_sql_q19": _Q19.replace("fs_", ""),
+    "q_sql_q21": _Q21.replace("fs_", ""),
+    "q_sql_q13": _Q13.replace("fs_", ""),
+    "q_sql_q2": _Q2.replace("fs_", ""),
+    "q_sql_q6": _Q6.replace("fs_", ""),
+    "q_sql_q8": _Q8.replace("fs_", ""),
+    "q_sql_q9": _Q9.replace("fs_", ""),
+    "q_sql_q11": _Q11.replace("fs_", ""),
+    "q_sql_q12": _Q12.replace("fs_", ""),
+    "q_sql_q15": _Q15.replace("fs_", ""),
+    "q_sql_q16": _Q16.replace("fs_", ""),
+    "q_sql_q20": _Q20.replace("fs_", ""),
     "q_sql_q22": _Q22.replace("fs_", ""),
     "q_agg_grouping_sets": _GROUPING_SETS.replace("fs_", ""),
     "q_subquery_scalar": _SCALAR_SUB.replace("fs_", ""),

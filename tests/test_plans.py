@@ -168,6 +168,79 @@ def test_correlated_scalar_subquery_decorrelates(spark):
     assert "ScalarSubquery" not in a.formatted, "subquery not de-correlated"
 
 
+def test_q6_all_predicates_reach_scan(spark):
+    """Q6 is the pure-pushdown benchmark: date range, discount band and
+    quantity cut must ALL appear in the parquet scan's PushedFilters, and
+    the scan must read only the three referenced columns."""
+    from fossa_spark.queries.sql_queries import q_sql_q6
+
+    a = assert_filters_pushed(
+        q_sql_q6(spark, SF_DIR), "l_shipdate", "l_discount", "l_quantity"
+    )
+    assert a.scans_only_columns("l_shipdate", "l_discount", "l_quantity",
+                               "l_extendedprice"), a.read_schemas
+
+
+def test_q16_not_in_is_null_aware_anti_join(spark):
+    """Q16's NOT IN subquery must plan as a null-aware anti join
+    (LeftAnti with isnull disjunct / NAAJ), never a per-row subquery."""
+    from fossa_spark.queries.sql_queries import q_sql_q16
+
+    a = audit(q_sql_q16(spark, SF_DIR))
+    assert "LeftAnti" in a.formatted, a.join_nodes
+    assert "InSubquery" not in a.formatted
+
+
+def test_q2_min_cost_subquery_decorrelates(spark):
+    """Q2's correlated MIN-cost subquery must de-correlate into one
+    aggregate over the supply relation + a join on partkey (no re-planned
+    inner query per outer row)."""
+    from fossa_spark.queries.sql_queries import q_sql_q2
+
+    a = audit(q_sql_q2(spark, SF_DIR))
+    assert "ScalarSubquery" not in a.formatted, "Q2 subquery not de-correlated"
+    assert not any("Cartesian" in j for j in a.join_nodes), a.join_nodes
+
+
+def test_q21_semi_and_anti_on_same_fact_no_cartesian(spark):
+    """Q21's EXISTS and NOT EXISTS against lineitem must become one
+    left-semi and one left-anti join (each with the l_suppkey inequality as
+    the join residual) — no cartesian/nested-loop, no per-row subquery."""
+    import re
+
+    from fossa_spark.queries.sql_queries import q_sql_q21
+
+    a = audit(q_sql_q21(spark, SF_DIR))
+    assert "LeftSemi" in a.formatted, a.join_nodes
+    assert "LeftAnti" in a.formatted, a.join_nodes
+    assert not re.search(r"Cartesian", a.formatted), "cartesian product in Q21"
+    assert "ScalarSubquery" not in a.formatted
+
+
+def test_q13_outer_join_keeps_zero_count_customers(spark):
+    """Q13: the join-side predicate must stay in the LEFT OUTER join (not
+    be pushed as a WHERE, which would drop zero-order customers), and the
+    c_count=0 bucket must be present and equal to the number of customers
+    whose every order is urgent (or who have no orders)."""
+    from fossa_spark.queries.sql_queries import q_sql_q13
+
+    df = q_sql_q13(spark, SF_DIR)
+    a = audit(df)
+    assert "LeftOuter" in a.formatted or "LeftOuter" in str(a.join_nodes), (
+        a.join_nodes
+    )
+    rows = {r.c_count: r.custdist for r in df.collect()}
+    import pyspark.sql.functions as F
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    with_orders = o.select("o_custkey").distinct().count()
+    expected_zero = c.count() - with_orders
+    assert rows.get(0, 0) == expected_zero
+
+
 def test_q5_dims_broadcast_single_agg_shuffle(spark):
     """Q5's star shape: every dim side (orders-filtered, supplier, nation,
     region) must broadcast — lineitem never shuffles before the aggregate —

@@ -160,3 +160,57 @@ def test_lsh_candidate_join_is_equi_join(skewed_docs):
     assert any(
         "band" in j and "bucket" in j for j in a.join_nodes
     ) or a.join_nodes, a.join_nodes
+
+
+def test_incremental_dedup_against_persisted_index(spark, skewed_docs, tmp_path):
+    """Operational shape: corpus → bucketed index on disk; a NEW batch
+    probes it. Correctness: a new doc near-identical to a corpus doc is
+    dropped (dup_of set), a novel doc is kept; and the candidate probe
+    joins the index WITHOUT shuffling the index side (bucketed scan)."""
+    for t in ("bands", "shingles", "sizes"):
+        spark.sql(f"DROP TABLE IF EXISTS t_idx_{t}")
+    corpus = skewed_docs.filter(F.col("doc_id") < 2000)
+    D.build_minhash_index(corpus, "t_idx", str(tmp_path / "idx"))
+
+    batch = spark.createDataFrame(
+        [
+            # near-identical to corpus doc 1000 ("... alpha" vs "... beta")
+            (9001, "quick brown fox jumps over the lazy dog near the quiet "
+                   "river bank today beta"),
+            # entirely novel vocabulary
+            (9002, "completely novel content about quantum chromodynamics "
+                   "lattice simulations and gluon field configurations"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           D.incremental_dedup(batch, spark, "t_idx", threshold=0.5).collect()}
+    assert out[9001].keep is False and out[9001].dup_of in (1000, 1001)
+    assert out[9001].jaccard >= 0.5
+    assert out[9002].keep is True and out[9002].dup_of is None
+
+    # plan evidence: with broadcast disabled, the bucket probe join must
+    # shuffle ONLY the batch side — the index scan stays bucketed with no
+    # Exchange above it (the pay-at-write-time co-location contract)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sh = batch.select("doc_id", D.word_shingles("text", 5).alias("shingles"))
+        sigs = D.minhash_signatures(sh, num_hashes=16)
+        brows = D.band_rows(sigs, "doc_id", "minhash", 8, 2)
+        probe = brows.join(spark.table("t_idx_bands"), "bucket")
+        a = audit(probe)
+        assert "Bucketed: true" in a.formatted, (
+            f"index scan not bucketed:\n{a.formatted[:1500]}"
+        )
+        # the whole probe plan carries exactly the batch side's exchanges
+        # (minhash agg + join repartition); the index side adds none
+        import re
+
+        n_exch = len(re.findall(r"\bExchange hashpartitioning", a.formatted))
+        assert n_exch <= 4, f"unexpected exchanges ({n_exch}):\n{a.formatted[:1500]}"
+        assert "CartesianProduct" not in a.formatted
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        for t in ("bands", "shingles", "sizes"):
+            spark.sql(f"DROP TABLE IF EXISTS t_idx_{t}")
