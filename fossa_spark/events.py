@@ -68,6 +68,45 @@ def funnel(events: DataFrame, steps: list[str], user_col: str = "user_id",
     return out.withColumn("funnel_stage", stage.cast("bigint"))
 
 
+def sessionize(events: DataFrame, gap_seconds: int = 1800,
+               user_col: str = "user_id", ts_col: str = "ts",
+               order_tiebreak: str = "event_id") -> DataFrame:
+    """Batch gap-based sessionization: a new session starts when the gap to
+    the user's previous event exceeds ``gap_seconds``. The classic two-
+    window formulation — lag to mark boundaries, running sum to number
+    them — so it stays one shuffle on the user key plus two in-partition
+    window passes (no per-user collect, no UDF).
+
+    Timestamps compare in integer microseconds (unix_micros), so the gap
+    predicate is exact. Returns one row per (user, session_id) with event
+    count, start/end in µs, and duration. The streaming analogue is
+    streaming/windows.py's session window; this is the backfill/batch path
+    over the same feed.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    us = F.unix_micros(F.col(ts_col))
+    gap_us = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_sess = events.select(
+        F.col(user_col),
+        us.alias("_us"),
+        F.col(order_tiebreak),
+        F.sum(is_new).over(run).cast("long").alias("session_id"),
+    )
+    return (
+        with_sess.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("_us").alias("start_us"),
+            F.max("_us").alias("end_us"),
+            (F.max("_us") - F.min("_us")).alias("duration_us"),
+        )
+    )
+
+
 def cohort_retention(events: DataFrame, user_col: str = "user_id",
                      ts_col: str = "ts") -> DataFrame:
     """Weekly cohort-retention triangle: cohort = ISO-epoch week of the

@@ -172,7 +172,12 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+    # partition count sized to the table: spark.range defaults to one
+    # partition per core, which for a small table means paying Python-worker
+    # fan-out for 2-row batches; at real scale pass a larger n and the same
+    # ~4k-rows-per-partition sizing holds.
+    n_parts = max(1, min(32, n // 4096 + 1))
+    return spark.range(n, numPartitions=n_parts).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def _decode_image(payload: bytes, dim: int = 8) -> list[float]:

@@ -257,6 +257,60 @@ def lsh_topk(
     )
 
 
+def blocked_cosine_pairs(
+    df: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    round_to: int = 6,
+) -> DataFrame:
+    """All-pairs cosine WITHIN each block via one applyInPandas per block —
+    the IVF-block shape for embedding near-dup.
+
+    Why not a self-join + per-pair UDF: a pair join ships BOTH vectors over
+    Arrow for every candidate pair (O(pairs × dim) transfer — at 200k pairs
+    × 64 dims that's ~100× the input table). Here each vector crosses the
+    shuffle ONCE (O(n × dim)); pairs are materialized in-worker from the
+    block's matrix, and only (ids, raw cos) come back (~32 bytes/pair).
+    Per-pair math is IDENTICAL to cosine_batch — (va*vb).sum(axis=1) over
+    gathered row pairs, not a BLAS matmul — and the 6-dp round + threshold
+    stay JVM-side (F.round), so scores and the cut are bit-for-bit what the
+    pair-join formulation (and the DuckDB oracle) produces.  Blocks must
+    individually fit a worker (the block key IS the scale knob: at 100 TB
+    use finer blocks)."""
+    block_type = dict(df.dtypes)[block_col]
+    out_schema = f"{block_col} {block_type}, id_a long, id_b long, _raw double"
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        ids = pdf[id_col].to_numpy()
+        ia, ib = np.triu_indices(len(ids), k=1)
+        if len(ia) == 0:
+            return pd.DataFrame({block_col: pdf[block_col].iloc[:0],
+                                 "id_a": ids[:0], "id_b": ids[:0],
+                                 "_raw": np.zeros(0)})
+        ma, mb = m[ia], m[ib]
+        num = (ma * mb).sum(axis=1)
+        den = np.sqrt((ma * ma).sum(axis=1)) * np.sqrt((mb * mb).sum(axis=1))
+        return pd.DataFrame(
+            {block_col: pdf[block_col].iloc[0], "id_a": ids[ia],
+             "id_b": ids[ib], "_raw": num / den}
+        )
+
+    pairs = (
+        df.select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(per_block, out_schema)
+    )
+    return (
+        pairs.withColumn("cos", F.round(F.col("_raw"), round_to))
+        .filter(F.col("cos") >= threshold)
+        .drop("_raw")
+    )
+
+
 def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-vector int8 scalar quantization roundtrip (the storage-compression
     path for embedding tables: 4x smaller than float32, linear de-quant).

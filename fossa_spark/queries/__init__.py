@@ -120,13 +120,19 @@ def all_queries() -> dict[str, QueryFn]:
     oracles = all_oracles()
     last = _last_verified_round()
     # Queries whose semantics/implementation changed this round: their old
-    # green rows no longer attest to the current code, so treat them as
-    # never-verified (maintained by hand alongside each behavioral change).
+    # green rows no longer attest to the current code, so they sort ahead
+    # of everything (maintained by hand alongside each behavioral change).
     changed = {"q_dedup_embed", "q_subquery_scalar", "q_embed_quantize", "q_sql_q5"}
     expensive_tail = ("q_dedup_near", "q_pipeline")
     backed = [n for n in merged if n in oracles]
-    # Stable sort: staleness ascending, registration order breaks ties.
-    backed.sort(key=lambda n: 0 if n in changed else last.get(n, 0))
+    # Stable sort (registration order breaks ties):
+    #   changed-this-round (0) → oldest verified round first (1, 2, ...)
+    #   with never-driver-verified NEW queries slotted between the stalest
+    #   verified round and the rest (1.5): when more queries compete than
+    #   the driver's 50-row cap, the ones whose last green row is oldest
+    #   must win the slots (new queries have full pytest parity locally and
+    #   rotate to the front next round), so no row goes >1 round stale.
+    backed.sort(key=lambda n: 0 if n in changed else last.get(n, 1.5))
     out = {n: merged[n] for n in backed}
     out.update(
         {n: f for n, f in merged.items() if n not in oracles and n not in expensive_tail}

@@ -198,8 +198,40 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles/median (NOT approx_percentile — the exact sort-based
+    aggregate, the ground truth the sketch version approximates): quartiles
+    of l_quantity and the median per return flag.  Linear interpolation at
+    p*(n-1) is the same definition as DuckDB's quantile_cont; values rounded
+    6 dp (one interpolation division, no summation order-dependence)."""
+    li = load(spark, sf_dir, "lineitem")
+    # ONE percentile aggregate with an array of fractions: a single
+    # sort-buffer per group instead of one per percentile (exact percentile
+    # buffers the column; three separate aggs triple that cost).
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.percentile(
+                "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            ).alias("_q"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("_p90"),
+        )
+        .select(
+            "l_returnflag",
+            "n_lines",
+            F.round(F.element_at("_q", 1), 6).alias("qty_p25"),
+            F.round(F.element_at("_q", 2), 6).alias("qty_median"),
+            F.round(F.element_at("_q", 3), 6).alias("qty_p75"),
+            F.round("_p90", 6).alias("price_p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "q_agg_basic": q_agg_basic,
+    "q_agg_percentile": q_agg_percentile,
     "q_agg_stats": q_agg_stats,
     "q_agg_cube": q_agg_cube,
     "q_agg_pivot": q_agg_pivot,
@@ -212,6 +244,16 @@ QUERIES = {
 
 ORACLE = {
     "q_agg_basic": _Q1_SQL,
+    "q_agg_percentile": """
+        SELECT l_returnflag,
+               COUNT(*) AS n_lines,
+               round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+               round(quantile_cont(l_quantity, 0.5), 6) AS qty_median,
+               round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "q_agg_stats": """
         SELECT c_mktsegment,
                median(c_acctbal) AS med_bal,

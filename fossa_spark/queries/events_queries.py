@@ -37,13 +37,51 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.transitions(e).orderBy("prev_type", "event_type")
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based (30 min) batch sessionization per user — lag window for
+    boundaries, running sum for session ids, exact-µs gap arithmetic."""
+    e = load_events(spark, sf_dir)
+    return E.sessionize(e, gap_seconds=1800).orderBy("user_id", "session_id")
+
+
 QUERIES = {
     "q_funnel": q_funnel,
+    "q_sessionize": q_sessionize,
     "q_cohort_retention": q_cohort_retention,
     "q_event_transitions": q_event_transitions,
 }
 
 ORACLE = {
+    "q_sessionize": """
+        WITH t AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events
+        ),
+        marked AS (
+          SELECT user_id, event_id, us,
+                 CASE WHEN us - lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM t
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        s AS (
+          SELECT user_id, us,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+          FROM marked
+        )
+        SELECT user_id, session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(us) AS start_us, MAX(us) AS end_us,
+               MAX(us) - MIN(us) AS duration_us
+        FROM s GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
     "q_funnel": """
         WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
                    FROM events),

@@ -187,7 +187,26 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+def q_fn_strdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-distance functions: Levenshtein edit distance of every part
+    name against a probe string and against the name's own reverse —
+    the fuzzy-matching primitive for entity resolution / near-key joins."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.levenshtein(F.col("p_name"), F.lit("red widget")).cast("long").alias(
+            "dist_probe"
+        ),
+        F.levenshtein(F.col("p_name"), F.reverse(F.col("p_name"))).cast("long").alias(
+            "dist_reverse"
+        ),
+        F.reverse(F.col("p_name")).alias("name_rev"),
+    ).orderBy("p_partkey")
+
+
 QUERIES = {
+    "q_fn_strdist": q_fn_strdist,
     "q_fn_string": q_fn_string,
     "q_fn_struct": q_fn_struct,
     "q_fn_posexplode": q_fn_posexplode,
@@ -200,6 +219,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_fn_strdist": """
+        SELECT p_partkey, p_name,
+               CAST(levenshtein(p_name, 'red widget') AS BIGINT) AS dist_probe,
+               CAST(levenshtein(p_name, reverse(p_name)) AS BIGINT)
+                 AS dist_reverse,
+               reverse(p_name) AS name_rev
+        FROM part ORDER BY p_partkey
+    """,
     "q_fn_struct": """
         SELECT c_custkey, c_name AS name, c_nationkey AS nation,
                c_mktsegment AS segment, c_nationkey = 7 AS is_nation7

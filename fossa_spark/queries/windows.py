@@ -108,8 +108,29 @@ def q_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / ntile
+    deciles over order value within each priority class. The ORDER BY
+    carries a unique tiebreak so rank positions (hence both ratios) are
+    deterministic; ratios rounded 8 dp (one double division, same formula
+    in both engines)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
 QUERIES = {
     "q_win_rank": q_win_rank,
+    "q_win_distribution": q_win_distribution,
     "q_win_range": q_win_range,
     "q_win_lag": q_win_lag,
     "q_win_frame": q_win_frame,
@@ -117,6 +138,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_win_distribution": """
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               round(percent_rank() OVER w, 8) AS pct_rank,
+               round(cume_dist() OVER w, 8) AS cume,
+               ntile(10) OVER w AS decile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
     "q_win_range": f"""
         SELECT o_orderkey, o_custkey,
                CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
