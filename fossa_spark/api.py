@@ -124,7 +124,17 @@ def _make_handler(engine: Engine):
 
 class StatusApi:
     """Serve the engine API on localhost; ``with StatusApi(engine) as api:``
-    or ``api.start()`` / ``api.stop()``."""
+    or ``api.start()`` / ``api.stop()``.
+
+    Serving model (documented trade-off vs the reference): the reference
+    fronts its API with gunicorn, workers=4 (reference lib/fossa/main.py:81)
+    because each of its requests may fork task processes; here requests
+    only read the registry or enqueue to the engine, so a threaded stdlib
+    server on the Spark DRIVER is the right shape — the driver is
+    necessarily a single process, and a multi-process front-end would need
+    shared-state plumbing for zero win on an in-process registry. Behind a
+    real deployment, put any WSGI front (the handler logic is framework-
+    free) — the engine contract does not change."""
 
     def __init__(self, engine: Engine, port: int = 0):
         self._server = ThreadingHTTPServer(("127.0.0.1", port), _make_handler(engine))

@@ -305,6 +305,39 @@ def build_minhash_index(
     sh_rows.unpersist()
 
 
+def append_to_minhash_index(
+    new_docs: DataFrame,
+    spark,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> None:
+    """Fold a batch's KEPT docs into an existing minhash index — the write
+    half of the daily incremental loop (probe with incremental_dedup, keep
+    the novel docs, append them so tomorrow's batch dedups against them).
+
+    ``insertInto`` on the bucketed tables re-clusters the new rows into the
+    tables' existing bucket layout (Spark hash-repartitions the insert by
+    the bucket spec), so the zero-shuffle probe property survives appends.
+    """
+    with_sh = new_docs.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
+    sh_rows = with_sh.select(
+        id_col, F.explode("shingles").alias("_sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _signatures_from_rows(sh_rows, id_col, num_hashes)
+    brows = band_rows(sigs, id_col, "minhash", bands, num_hashes // bands).select(
+        F.col("band"), F.col("bucket"), F.col("_id").alias(id_col)
+    )
+    sizes = sh_rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    brows.write.insertInto(f"{table_prefix}_bands")
+    sh_rows.write.insertInto(f"{table_prefix}_shingles")
+    sizes.write.insertInto(f"{table_prefix}_sizes")
+    sh_rows.unpersist()
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     spark,

@@ -190,6 +190,60 @@ class LocalThreadStrategy:
             yield from ex.map(call, subtasks)
 
 
+class LocalProcessStrategy:
+    """Driver-side OS-process pool: true process-per-subtask isolation —
+    the reference's execution model (it forks one OS process per task,
+    reference lib/fossa/control/governor.py:275-280), for when a subtask
+    calls into native code that could segfault or hold the GIL: a crashed
+    worker fails ITS subtask (BrokenProcessPool → error result) instead of
+    taking the whole driver down, which is the hazard the thread strategy
+    accepts (documented trade-off, VERDICT r02).
+
+    Subtasks must be plain Python (no SparkSession in the child — same
+    contract as TaskParallelStrategy's executor side). The model CLASS is
+    shipped by value via cloudpickle, so user-defined model modules need
+    not be importable in the child."""
+
+    def run(self, model: "PartitionedModel", subtasks: list[SubTask],
+            processes: int | None) -> Iterable[dict[str, Any]]:
+        import sys
+        from concurrent.futures import ProcessPoolExecutor
+        from concurrent.futures.process import BrokenProcessPool
+
+        from pyspark import cloudpickle
+
+        mod = sys.modules.get(type(model).__module__)
+        if mod is not None and mod.__name__ not in ("builtins", "__main__"):
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:  # noqa: BLE001 - best effort; ref-pickle fallback
+                pass
+        cls_bytes = cloudpickle.dumps(type(model))
+        init_kwargs = getattr(model, "partition_initialise_kwargs", {}) or {}
+        payloads = [(cls_bytes, st.method, st.kwargs, init_kwargs)
+                    for st in subtasks]
+        workers = max(1, min(processes or len(subtasks) or 1, 32))
+        results: list[dict[str, Any]] = []
+        # A worker crash (BrokenProcessPool) kills every in-flight future;
+        # completed futures keep their results, the rest become failed
+        # results so the caller's per-subtask retry budget decides — one
+        # bad actor must not discard finished work or the whole batch.
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            futs = [ex.submit(_run_subtask_remote, p) for p in payloads]
+            for st, fut in zip(subtasks, futs):
+                try:
+                    results.append(fut.result())
+                except BrokenProcessPool:
+                    results.append({
+                        "method": st.method,
+                        "kwargs": st.kwargs,
+                        "ok": False,
+                        "error": "BrokenProcessPool: worker died "
+                                 "(crash/OOM/signal)",
+                    })
+        yield from results
+
+
 class PartitionedModel(Model):
     """Model whose work splits into independent subtasks.
 

@@ -205,8 +205,26 @@ def q_fn_strdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operators over integer keys: AND/OR/XOR/NOT/shifts plus
+    bit_count — the hash/partitioning/bitmap primitives."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("and255"),
+        k.bitwiseOR(F.lit(4096)).alias("or4096"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("xor_cust"),
+        F.bitwise_not(k).alias("not_key"),
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    ).orderBy("o_orderkey")
+
+
 QUERIES = {
     "q_fn_strdist": q_fn_strdist,
+    "q_fn_bitwise": q_fn_bitwise,
     "q_fn_string": q_fn_string,
     "q_fn_struct": q_fn_struct,
     "q_fn_posexplode": q_fn_posexplode,
@@ -219,6 +237,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_fn_bitwise": """
+        SELECT o_orderkey,
+               o_orderkey & 255 AS and255,
+               o_orderkey | 4096 AS or4096,
+               xor(o_orderkey, o_custkey) AS xor_cust,
+               ~o_orderkey AS not_key,
+               o_orderkey << 3 AS shl3,
+               o_orderkey >> 2 AS shr2,
+               CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+        FROM orders ORDER BY o_orderkey
+    """,
     "q_fn_strdist": """
         SELECT p_partkey, p_name,
                CAST(levenshtein(p_name, 'red widget') AS BIGINT) AS dist_probe,

@@ -52,6 +52,7 @@ def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("value", 1).over(w).alias("next_value"),
         F.first("event_type").over(w_frame).alias("first_type"),
         F.last("event_type").over(w_frame).alias("running_last_type"),
+        F.nth_value("event_type", 2).over(w_frame).alias("second_type"),
     )
 
 
@@ -175,7 +176,8 @@ ORACLE = {
                lag(value, 1) OVER w AS prev_value,
                lead(value, 1) OVER w AS next_value,
                first_value(event_type) OVER wf AS first_type,
-               last_value(event_type) OVER wf AS running_last_type
+               last_value(event_type) OVER wf AS running_last_type,
+               nth_value(event_type, 2) OVER wf AS second_type
         FROM events
         WINDOW
           w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC),

@@ -395,6 +395,41 @@ def test_thread_strategy_tolerates_empty_subtask_list(spark):
     assert out == []
 
 
+def test_process_strategy_runs_and_isolates_hard_crash(spark):
+    """LocalProcessStrategy gives reference-parity process isolation: a
+    subtask that kills its worker outright (segfault stand-in: os._exit)
+    fails THAT subtask after retries — the driver survives, and healthy
+    subtasks in other processes still return values."""
+    import pytest
+
+    from fossa_spark.model import LocalProcessStrategy, SubTaskFailed
+
+    class ProcModel(PartitionedModel):
+        strategy_cls = LocalProcessStrategy
+
+        def partition_slice(self, n):
+            return [("square", {"x": 3}), ("square", {"x": 4})]
+
+        def square(self, x):
+            return x * x
+
+    assert sorted(ProcModel(spark=spark).go()) == [9, 16]
+
+    class CrashModel(PartitionedModel):
+        strategy_cls = LocalProcessStrategy
+
+        def partition_slice(self, n):
+            return [("die", {})]
+
+        def die(self):
+            import os
+
+            os._exit(42)  # hard kill: no exception, no cleanup
+
+    with pytest.raises(SubTaskFailed, match="BrokenProcessPool"):
+        CrashModel(spark=spark).go()
+
+
 def test_under_yielding_strategy_fails_loudly(spark):
     """A strategy that yields fewer results than subtasks must raise, not
     silently drop the trailing subtasks (no result, no retry)."""

@@ -214,3 +214,47 @@ def test_incremental_dedup_against_persisted_index(spark, skewed_docs, tmp_path)
                        str(64 * 1024 * 1024))
         for t in ("bands", "shingles", "sizes"):
             spark.sql(f"DROP TABLE IF EXISTS t_idx_{t}")
+
+
+def test_incremental_index_append_roundtrip(spark, skewed_docs, tmp_path):
+    """The daily loop closes: probe → keep novel docs → append them to the
+    index → the NEXT batch sees them as duplicates. Appends must also keep
+    the index scan bucketed (insertInto re-clusters into the bucket spec)."""
+    for t in ("bands", "shingles", "sizes"):
+        spark.sql(f"DROP TABLE IF EXISTS t_app_{t}")
+    corpus = skewed_docs.filter(F.col("doc_id") < 2000)
+    D.build_minhash_index(corpus, "t_app", str(tmp_path / "idx"))
+
+    day1 = spark.createDataFrame(
+        [(9100, "completely novel content about quantum chromodynamics "
+                "lattice simulations and gluon field configurations")],
+        "doc_id long, text string",
+    )
+    out1 = {r.doc_id: r for r in
+            D.incremental_dedup(day1, spark, "t_app", threshold=0.5).collect()}
+    assert out1[9100].keep is True
+    D.append_to_minhash_index(day1.filter(F.col("doc_id") == 9100), spark, "t_app")
+
+    # day 2: near-identical to the doc appended on day 1
+    day2 = spark.createDataFrame(
+        [(9200, "completely novel content about quantum chromodynamics "
+                "lattice simulations and gluon field configuration")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r for r in
+            D.incremental_dedup(day2, spark, "t_app", threshold=0.5).collect()}
+    assert out2[9200].keep is False and out2[9200].dup_of == 9100
+
+    # bucketed-scan property survives the append
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sh = day2.select("doc_id", D.word_shingles("text", 5).alias("shingles"))
+        sigs = D.minhash_signatures(sh, num_hashes=16)
+        brows = D.band_rows(sigs, "doc_id", "minhash", 8, 2)
+        a = audit(brows.join(spark.table("t_app_bands"), "bucket"))
+        assert "Bucketed: true" in a.formatted
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        for t in ("bands", "shingles", "sizes"):
+            spark.sql(f"DROP TABLE IF EXISTS t_app_{t}")
