@@ -167,6 +167,25 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT path (Spark 4's semi-structured type): parse_json →
+    try_variant_get typed extraction — the open-schema alternative to
+    from_json when event payloads evolve. Oracle mirrors with DuckDB JSON
+    extraction (same typed results)."""
+    e = load_events(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    return (
+        e.select(
+            "event_id",
+            F.try_variant_get(v, "$.k", "bigint").alias("k_typed"),
+            F.try_variant_get(v, "$.missing", "string").alias("absent"),
+            F.is_variant_null(F.try_parse_json(F.lit("null"))).alias("null_probe"),
+        )
+        .filter(F.col("k_typed") < 25)
+        .orderBy("event_id")
+    )
+
+
 def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested struct build + field access + named_struct comparison
     (flattened back to scalars so the hash is structure-agnostic)."""
@@ -225,6 +244,7 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_fn_strdist": q_fn_strdist,
     "q_fn_bitwise": q_fn_bitwise,
+    "q_fn_variant": q_fn_variant,
     "q_fn_string": q_fn_string,
     "q_fn_struct": q_fn_struct,
     "q_fn_posexplode": q_fn_posexplode,
@@ -237,6 +257,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_fn_variant": """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+               CAST(json_extract_string(props, '$.missing') AS VARCHAR)
+                 AS absent,
+               TRUE AS null_probe
+        FROM events
+        WHERE CAST(json_extract(props, '$.k') AS BIGINT) < 25
+        ORDER BY event_id
+    """,
     "q_fn_bitwise": """
         SELECT o_orderkey,
                o_orderkey & 255 AS and255,

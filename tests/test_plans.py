@@ -168,6 +168,28 @@ def test_correlated_scalar_subquery_decorrelates(spark):
     assert "ScalarSubquery" not in a.formatted, "subquery not de-correlated"
 
 
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned writes must enable partition PRUNING on read:
+    a filter on the partition column appears as a PartitionFilter (not a
+    data filter), and only the matching directory is scanned — the
+    mechanism that turns a 100 TB date-partitioned table into a one-day
+    scan."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    path = str(tmp_path / "orders_by_status")
+    o.write.partitionBy("o_orderstatus").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    a = audit(df)
+    assert "PartitionFilters: [" in a.formatted
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", a.formatted)
+    assert m and "o_orderstatus" in m.group(1), m
+    # the partition predicate must NOT degrade to a pushed data filter
+    assert "o_orderstatus" not in ";".join(a.pushed_filters)
+    # and the result is the partition's rows exactly
+    assert df.count() == o.filter(F.col("o_orderstatus") == "F").count()
+
+
 def test_q6_all_predicates_reach_scan(spark):
     """Q6 is the pure-pushdown benchmark: date range, discount band and
     quantity cut must ALL appear in the parquet scan's PushedFilters, and

@@ -77,3 +77,48 @@ def test_jaccard_ratio_deterministic(na, nb, inter):
     j1 = inter / union
     j2 = inter / union
     assert j1 == j2 and 0.0 <= j1 <= 1.0 and not math.isnan(j1)
+
+
+# -- PNG codec: encode→decode is the identity for any 8-bit grayscale image
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_codec_identity(w, h, seed):
+    import numpy as np
+
+    from fossa_spark.llm import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    assert (M._decode_png(M._encode_png(px)) == px).all()
+
+
+# -- int8 quantization: reconstruction error is bounded by half a step
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=2,
+        max_size=64,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_quantize_error_bound_pure(vals):
+    """The numpy body of quantize_int8 (same math as the pandas UDF):
+    codes are in [0, 255] and |reconstruction - x| <= scale/2 always."""
+    import numpy as np
+
+    m = np.asarray([vals], dtype=np.float64)
+    mn = m.min(axis=1, keepdims=True)
+    mx = m.max(axis=1, keepdims=True)
+    scale = np.where(mx > mn, (mx - mn) / 255.0, 1.0)
+    codes = np.floor((m - mn) / scale + 0.5).astype(np.int64)
+    err = np.abs(mn + codes * scale - m)
+    assert codes.min() >= 0 and codes.max() <= 255
+    assert (err <= scale / 2.0 + 1e-9 * np.maximum(np.abs(m), 1.0)).all()

@@ -258,3 +258,52 @@ def test_incremental_index_append_roundtrip(spark, skewed_docs, tmp_path):
                        str(64 * 1024 * 1024))
         for t in ("bands", "shingles", "sizes"):
             spark.sql(f"DROP TABLE IF EXISTS t_app_{t}")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join evidence: a join where one key carries ~100x the rows
+    of any other must get its reducer split by AQE (skew=true in the final
+    adaptive plan) once the skew thresholds are crossed — the runtime
+    defence salted_join complements for the extreme cases."""
+    import contextlib
+    import io
+
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 300_000, 1, 8).select(
+            F.when(F.col("id") % 3 != 0, F.lit(7)).otherwise(F.col("id"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.range(0, 300_000, 1, 4).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        # the plan must be JOIN-TERMINAL: a downstream aggregation adds a
+        # re-shuffle requirement and AQE then vetoes the skew split (unless
+        # forceOptimizeSkewedJoin). The action must run j's OWN
+        # QueryExecution (a .write wraps it in a new one), so drain a local
+        # iterator instead of collecting 300k rows at once.
+        j = big.join(dim, "k")
+        n = sum(1 for _ in j.toLocalIterator())
+        assert n == 300_000  # finalize AQE plan
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "Final Plan" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
