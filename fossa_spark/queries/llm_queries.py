@@ -128,6 +128,19 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(q, c, k=5, n_centroids=16, nprobe=4).orderBy("q_id", "rk")
 
 
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: per-subspace codebooks, byte-coded
+    candidates (32× compression), LUT scan over codes only, exact re-rank
+    on the shortlist — the FAISS-PQ shape (rows-only: trained codebooks
+    are not SQL-expressible; recall vs q_sim_topk asserted in tests)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return S.pq_topk(q, c, k=5).orderBy("q_id", "rk")
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequencies (tokenize → explode → count)."""
     d = load(spark, sf_dir, "documents")
@@ -257,6 +270,7 @@ QUERIES = {
     "q_sim_topk": q_sim_topk,
     "q_sim_ann": q_sim_ann,
     "q_sim_ivf": q_sim_ivf,
+    "q_sim_pq": q_sim_pq,
     "q_text_tokens": q_text_tokens,
     "q_text_stats": q_text_stats,
     "q_text_quality": q_text_quality,

@@ -292,6 +292,25 @@ def test_ivf_topk_recall(vecs):
     assert ivf == ivf2
 
 
+def test_pq_topk_recall_and_determinism(vecs):
+    """PQ (m=8, ksub=16, shortlist=50) recall vs exact brute force — the
+    compressed-scan scale path; with exact re-rank on a 50-deep shortlist
+    recall should be high on this corpus. Same seed → same result."""
+    q = vecs.filter("vec_id < 10").selectExpr("vec_id q_id", "embedding q_vec")
+    c = vecs.selectExpr("vec_id c_id", "embedding c_vec")
+    exact = {(r.q_id, r.c_id) for r in S.brute_force_topk(q, c, k=5).collect()}
+    pq = {(r.q_id, r.c_id) for r in S.pq_topk(q, c, k=5).collect()}
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.5, f"PQ recall collapsed: {recall:.2f}"
+    pq2 = {(r.q_id, r.c_id) for r in S.pq_topk(q, c, k=5).collect()}
+    assert pq == pq2
+    # exact re-rank contract: scores of true hits match brute force exactly
+    bf = {(r.q_id, r.c_id): r.score for r in S.brute_force_topk(q, c, k=5).collect()}
+    for r in S.pq_topk(q, c, k=5).collect():
+        if (r.q_id, r.c_id) in bf:
+            assert r.score == bf[(r.q_id, r.c_id)]
+
+
 def test_ngram_hot_shingle_cap_bounds_pairs(spark):
     """A boilerplate shingle shared by every document must not generate the
     O(n²) all-pairs blow-up: with max_df below the corpus size the planted
