@@ -198,6 +198,45 @@ def pack_chunks(
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking (token windows of ``size`` every
+    ``size - overlap``) — the RAG/context-window segmentation op. Pure
+    array expressions: tokenize once, posexplode the window starts, slice
+    per window; narrow (zero shuffle), so it streams over a 100 TB corpus
+    as a map-only pass. The final short window is kept (standard loaders
+    pad it); single-window docs emit exactly one chunk."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    step = size - overlap
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    # window starts: 0, step, 2*step, ... strictly below n (≥1 for any doc)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.ceil((n - F.lit(size)) / F.lit(step)), F.lit(0)) * step,
+        F.lit(step),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"), n.alias("_n"),
+                  F.posexplode(starts).alias("chunk_idx", "_start"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("_start").cast("long").alias("start_tok"),
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("_start") + 1, size)
+            ).alias("chunk_text"),
+            F.least(F.col("_n") - F.col("_start"), F.lit(size))
+            .cast("long").alias("n_tok"),
+        )
+    )
+
+
 # Domains a corpus pipeline drops (stand-in for the usual blocklists —
 # spam/SEO/adult lists in a real deployment).
 DOMAIN_BLOCKLIST = ["spam.example", "seo-farm.example", "adult.example"]

@@ -229,9 +229,35 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch pattern (Apache DataSketches HLL, built into Spark
+    3.5+): per-source customer sketches built independently, then UNIONED
+    into a global estimate — the two-level aggregation every 100 TB
+    count-distinct rollup uses (partial sketches merge map-side; raw
+    count_distinct cannot). rows-only: sketch binaries aren't ANSI SQL,
+    but the estimates are deterministic functions of the input multiset,
+    and exact counts ride along for error inspection."""
+    o = load(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_cust"),
+    )
+    return (
+        per_status.groupBy()
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(
+                "est_total_cust"
+            ),
+            F.sum("exact_cust").alias("sum_per_status"),
+            F.count(F.lit(1)).alias("n_statuses"),
+        )
+    )
+
+
 QUERIES = {
     "q_agg_basic": q_agg_basic,
     "q_agg_percentile": q_agg_percentile,
+    "q_agg_sketch_merge": q_agg_sketch_merge,
     "q_agg_stats": q_agg_stats,
     "q_agg_cube": q_agg_cube,
     "q_agg_pivot": q_agg_pivot,

@@ -117,6 +117,17 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, 16-token overlap) — the
+    RAG/context segmentation pass; narrow map-only plan, chunk text +
+    boundaries verified exactly."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        C.chunk_text(d, "doc_id", "text", size=64, overlap=16)
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain blocklist filtering: extract URL domains (the corpus has
     none, so plant one deterministic URL per doc), drop blocklisted
@@ -206,6 +217,7 @@ QUERIES = {
     "q_sample_fixed": q_sample_fixed,
     "q_repetition": q_repetition,
     "q_pack_chunks": q_pack_chunks,
+    "q_chunk_overlap": q_chunk_overlap,
     "q_url_filter": q_url_filter,
     "q_cluster_keep": q_cluster_keep,
 }
@@ -378,6 +390,24 @@ ORACLE = {
         SELECT source, chunk_id, COUNT(*) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         FROM packed GROUP BY source, chunk_id ORDER BY source, chunk_id
+    """,
+    "q_chunk_overlap": """
+        WITH t AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS toks,
+                 len(string_split(lower(text), ' ')) AS n
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, toks, n, gs AS start_tok,
+                 CAST(gs // 48 AS BIGINT) AS chunk_idx
+          FROM t JOIN generate_series(0, 100000, 48) AS g(gs)
+            ON gs <= greatest(CAST(ceil((n - 64.0) / 48.0) AS BIGINT), 0) * 48
+        )
+        SELECT doc_id, chunk_idx, CAST(start_tok AS BIGINT) AS start_tok,
+               array_to_string(list_slice(toks, start_tok + 1, start_tok + 64),
+                               ' ') AS chunk_text,
+               CAST(least(n - start_tok, 64) AS BIGINT) AS n_tok
+        FROM s ORDER BY doc_id, chunk_idx
     """,
     "q_url_filter": """
         WITH aug AS (
