@@ -107,6 +107,39 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800,
     )
 
 
+def scd2_history(events: DataFrame, key_col: str = "user_id",
+                 ts_col: str = "ts", attr_col: str = "event_type",
+                 order_tiebreak: str = "event_id") -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change feed: per
+    key, collapse consecutive identical attribute values (CDC dedupe),
+    then assign validity intervals — valid_from = change time, valid_to =
+    next change (NULL = current), version = change ordinal.
+
+    The standard CDC → warehouse-dimension materialization: two window
+    passes over one shuffle on the key (no self-join, no collect).
+    Timestamps emitted as integer microseconds so interval arithmetic is
+    exact."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    us = F.unix_micros(F.col(ts_col))
+    changed = (
+        events.select(
+            F.col(key_col), us.alias("_us"), F.col(order_tiebreak),
+            F.col(attr_col),
+            F.lag(attr_col).over(w).alias("_prev"),
+        )
+        .filter(F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev")))
+    )
+    w2 = Window.partitionBy(key_col).orderBy("_us", order_tiebreak)
+    return changed.select(
+        F.col(key_col),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.col(attr_col),
+        F.col("_us").alias("valid_from_us"),
+        F.lead("_us").over(w2).alias("valid_to_us"),
+        F.lead("_us").over(w2).isNull().alias("is_current"),
+    )
+
+
 def cohort_retention(events: DataFrame, user_col: str = "user_id",
                      ts_col: str = "ts") -> DataFrame:
     """Weekly cohort-retention triangle: cohort = ISO-epoch week of the

@@ -114,6 +114,50 @@ def asof_join(
     return out
 
 
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    ord_col: str = "seq",
+) -> DataFrame:
+    """CDC merge (MERGE INTO semantics, batch formulation): apply a change
+    feed of upserts ('U') and deletes ('D') to a snapshot — the latest
+    change per key (by ``ord_col``, exact integer ordering) wins, deletes
+    remove the key, upserts replace matched rows or insert new ones.
+
+    Shape: one window pass to reduce the feed to last-change-per-key, one
+    full-outer join on the key, coalesce per column. No MERGE statement
+    needed (OSS parquet has no ACID MERGE; the lakehouse formats implement
+    exactly this plan under theirs) and no driver involvement — both sides
+    shuffle once on the key at any scale.
+
+    ``changes`` must carry the snapshot's non-key columns (values for 'U';
+    ignored for 'D')."""
+    w = W.partitionBy(key).orderBy(F.col(ord_col).desc())
+    last = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    cols = [c for c in snapshot.columns if c != key]
+    s = snapshot.select(key, *[F.col(c).alias(f"_s_{c}") for c in cols])
+    c = last.select(
+        key, F.col(op_col).alias("_op"), *[F.col(x).alias(f"_c_{x}") for x in cols]
+    )
+    j = s.join(c, key, "full_outer")
+    merged = j.filter(F.col("_op").isNull() | (F.col("_op") != "D")).select(
+        key,
+        *[
+            F.when(F.col("_op") == "U", F.col(f"_c_{x}"))
+            .otherwise(F.col(f"_s_{x}"))
+            .alias(x)
+            for x in cols
+        ],
+    )
+    return merged
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -44,14 +44,45 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.sessionize(e, gap_seconds=1800).orderBy("user_id", "session_id")
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history from the event feed: consecutive-dedupe on
+    event_type per user, validity intervals via lead()."""
+    e = load_events(spark, sf_dir)
+    return E.scd2_history(e).orderBy("user_id", "version")
+
+
 QUERIES = {
     "q_funnel": q_funnel,
     "q_sessionize": q_sessionize,
+    "q_scd2": q_scd2,
     "q_cohort_retention": q_cohort_retention,
     "q_event_transitions": q_event_transitions,
 }
 
 ORACLE = {
+    "q_scd2": """
+        WITH t AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY CAST(ts AS TIMESTAMP),
+                                                event_id) AS prev
+          FROM events
+        ),
+        changed AS (
+          SELECT user_id, event_id, event_type, us
+          FROM t WHERE prev IS NULL OR event_type <> prev
+        )
+        SELECT user_id,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               event_type,
+               us AS valid_from_us,
+               lead(us) OVER w AS valid_to_us,
+               lead(us) OVER w IS NULL AS is_current
+        FROM changed
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ORDER BY user_id, version
+    """,
     "q_sessionize": """
         WITH t AS (
           SELECT user_id, event_id,

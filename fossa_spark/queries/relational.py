@@ -116,7 +116,32 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey", "metric")
 
 
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (MERGE INTO semantics): a change feed derived
+    deterministically from orders (one change per order on multiple-of-7
+    orderkeys; custkey%10==0 → delete, else upsert with a new balance;
+    latest orderkey per customer wins) applied to the customer snapshot —
+    window last-change + full-outer join + per-column case, the plan the
+    lakehouse MERGE implementations lower to."""
+    from fossa_spark.operators import apply_changes
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    changes = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(F.col("o_custkey") % 10 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("o_orderkey").alias("seq"),
+        F.concat(F.lit("upd_"), F.col("o_custkey").cast("string")).alias("c_name"),
+        F.round(F.col("o_totalprice"), 2).alias("c_acctbal"),
+        F.lit("CDC").alias("c_mktsegment"),
+    )
+    return apply_changes(c, changes, "c_custkey", "op", "seq").orderBy("c_custkey")
+
+
 QUERIES = {
+    "q_cdc_upsert": q_cdc_upsert,
     "q_project": q_project,
     "q_unpivot": q_unpivot,
     "q_filter": q_filter,
@@ -128,6 +153,33 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_cdc_upsert": """
+        WITH changes AS (
+          SELECT o_custkey AS c_custkey,
+                 CASE WHEN o_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                 o_orderkey AS seq,
+                 'upd_' || CAST(o_custkey AS VARCHAR) AS c_name,
+                 round(o_totalprice, 2) AS c_acctbal,
+                 'CDC' AS c_mktsegment
+          FROM orders WHERE o_orderkey % 7 = 0
+        ),
+        last AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                         ORDER BY seq DESC) AS rn
+            FROM changes
+          ) WHERE rn = 1
+        )
+        SELECT COALESCE(s.c_custkey, l.c_custkey) AS c_custkey,
+               CASE WHEN l.op = 'U' THEN l.c_name ELSE s.c_name END AS c_name,
+               CASE WHEN l.op = 'U' THEN l.c_acctbal ELSE s.c_acctbal END
+                 AS c_acctbal,
+               CASE WHEN l.op = 'U' THEN l.c_mktsegment ELSE s.c_mktsegment END
+                 AS c_mktsegment
+        FROM customer s FULL OUTER JOIN last l ON s.c_custkey = l.c_custkey
+        WHERE l.op IS NULL OR l.op <> 'D'
+        ORDER BY c_custkey
+    """,
     "q_unpivot": """
         SELECT p_partkey, 'retail_price' AS metric, p_retailprice AS value FROM part
         UNION ALL

@@ -142,3 +142,30 @@ def test_salted_join_spreads_hot_key(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_apply_changes_merge_semantics(spark):
+    """CDC merge contract: latest change per key wins; 'U' updates matched
+    rows and inserts unmatched ones; 'D' removes the key (and is a no-op
+    for absent keys); untouched rows pass through."""
+    from pyspark.sql import functions as F
+
+    from fossa_spark.operators import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "U", 1, "a1", 11.0),   # superseded by seq=2
+            (1, "U", 2, "a2", 12.0),   # wins
+            (2, "D", 1, None, None),   # delete
+            (9, "U", 1, "new", 99.0),  # insert (unmatched)
+            (8, "D", 1, None, None),   # delete of absent key: no-op
+        ],
+        "k long, op string, seq long, name string, bal double",
+    )
+    got = {r.k: (r.name, r.bal)
+           for r in apply_changes(snap, changes, "k").collect()}
+    assert got == {1: ("a2", 12.0), 3: ("c", 30.0), 9: ("new", 99.0)}
