@@ -46,6 +46,32 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII DISCOVERY (the audit pass that precedes redaction): extract
+    every matched span per document with regexp_extract_all — emails and
+    IPv4s as sorted arrays — narrow codegen'd pass, zero shuffle."""
+    from fossa_spark.llm.curation import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    d = _augmented_pii(load(spark, sf_dir, "documents"))
+    # matched spans emitted as a '|'-joined sorted string, not an array —
+    # array cells round-trip as numpy arrays whose dtype (object vs <U)
+    # differs between the two engines' pandas bridges and can flip the
+    # value hash even when contents are identical
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "|", F.array_sort(F.regexp_extract_all("text", F.lit(pats["email"]), F.lit(0)))
+        ).alias("emails"),
+        F.concat_ws(
+            "|", F.array_sort(F.regexp_extract_all("text", F.lit(pats["ipv4"]), F.lit(0)))
+        ).alias("ips"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(pats["email"]), F.lit(0))
+        ).cast("long").alias("n_spans"),
+    ).orderBy("doc_id")
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination scan: training docs sharing any word 3-gram
     with the held-out benchmark slice (doc_id % 97 == 0). The benchmark
@@ -209,6 +235,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_pii_redact": q_pii_redact,
+    "q_pii_scan": q_pii_scan,
     "q_vocab_coverage": q_vocab_coverage,
     "q_mix_weights": q_mix_weights,
     "q_embed_quantize": q_embed_quantize,
@@ -390,6 +417,17 @@ ORACLE = {
         SELECT source, chunk_id, COUNT(*) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         FROM packed GROUP BY source, chunk_id ORDER BY source, chunk_id
+    """,
+    "q_pii_scan": f"""
+        WITH aug AS (SELECT doc_id, {_AUG} AS text FROM documents)
+        SELECT doc_id,
+               array_to_string(list_sort(regexp_extract_all(text, '{_EMAIL}')),
+                               '|') AS emails,
+               array_to_string(list_sort(regexp_extract_all(text, '{_IPV4}')),
+                               '|') AS ips,
+               CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS BIGINT)
+                 AS n_spans
+        FROM aug ORDER BY doc_id
     """,
     "q_chunk_overlap": """
         WITH t AS (
