@@ -543,6 +543,51 @@ ORDER BY s_name
 """
 
 
+_LATERAL = """
+SELECT n_name, c.c_custkey, c.c_acctbal
+FROM fs_nation, LATERAL (
+  SELECT c_custkey, c_acctbal FROM fs_customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) c
+ORDER BY n_name, c_acctbal DESC, c_custkey
+"""
+
+_RECURSIVE = f"""
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1995-01-01 00:00:00'
+  UNION ALL
+  SELECT m + INTERVAL '1' MONTH FROM months
+  WHERE m < TIMESTAMP '2001-07-01 00:00:00'
+)
+SELECT m AS month_start,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM({sql_cents("o_totalprice")}), 0) AS DOUBLE) / 100.0
+         AS revenue
+FROM months
+LEFT JOIN fs_orders ON date_trunc('month', o_orderdate) = m
+GROUP BY m
+ORDER BY m
+"""
+
+
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (top-2 customers per nation) — the
+    per-row dependent-join shape; Catalyst decorrelates it into a ranked
+    window join rather than re-running the inner query per nation row."""
+    _register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(_LATERAL)
+
+
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.0+): generate a monthly date spine and LEFT
+    JOIN order revenue onto it — months with zero orders survive with
+    zeros, the report shape a bare GROUP BY can't produce. The spine join
+    is an equi join on date_trunc, not a range nested loop."""
+    _register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_RECURSIVE)
+
+
 def q_sql_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (minimum-cost supplier): correlated scalar MIN
     subquery over the supply relation, re-planned by Catalyst as a
@@ -698,6 +743,8 @@ QUERIES = {
     "q_sql_q19": q_sql_q19,
     "q_sql_q21": q_sql_q21,
     "q_sql_q13": q_sql_q13,
+    "q_join_lateral": q_join_lateral,
+    "q_sql_recursive": q_sql_recursive,
     "q_sql_q2": q_sql_q2,
     "q_sql_q6": q_sql_q6,
     "q_sql_q8": q_sql_q8,
@@ -730,6 +777,8 @@ ORACLE = {
     "q_sql_q19": _Q19.replace("fs_", ""),
     "q_sql_q21": _Q21.replace("fs_", ""),
     "q_sql_q13": _Q13.replace("fs_", ""),
+    "q_join_lateral": _LATERAL.replace("fs_", ""),
+    "q_sql_recursive": _RECURSIVE.replace("fs_", ""),
     "q_sql_q2": _Q2.replace("fs_", ""),
     "q_sql_q6": _Q6.replace("fs_", ""),
     "q_sql_q8": _Q8.replace("fs_", ""),

@@ -73,13 +73,53 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution under the oracle: the events
+    fixture replayed through readStream (file source, one file per
+    trigger) → watermarked tumbling aggregation → availableNow run into a
+    memory sink; the returned frame is the sink table. This puts the
+    actual streaming engine — state store, watermark accounting, sink
+    commit — inside the driver's hash check, not just the window
+    EXPRESSIONS the batch twin (q_stream_tumble) verifies."""
+    import uuid
+
+    from fossa_spark.streaming.windows import events_stream, tumbling_agg
+
+    name = f"fs_stream_exec_{uuid.uuid4().hex[:8]}"
+    agg = tumbling_agg(events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .orderBy("win_start", "event_type")
+    )
+
+
 QUERIES = {
     "q_stream_tumble": q_stream_tumble,
+    "q_stream_exec": q_stream_exec,
     "q_stream_slide": q_stream_slide,
     "q_stream_session": q_stream_session,
 }
 
 ORACLE = {
+    # same semantics as q_stream_tumble — the POINT: the real streaming
+    # run must reproduce the batch/SQL answer exactly
+    "q_stream_exec": f"""
+        SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS win_start,
+               time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+                 + INTERVAL '10 minutes' AS win_end,
+               event_type, COUNT(*) AS n_events,
+               CAST(SUM({sql_cents("value")}) AS DOUBLE) / 100.0 AS total_value
+        FROM events
+        GROUP BY 1, 2, 3 ORDER BY win_start, event_type
+    """,
     "q_stream_tumble": f"""
         SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS win_start,
                time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))

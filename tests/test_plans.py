@@ -224,6 +224,17 @@ def test_q2_min_cost_subquery_decorrelates(spark):
     assert not any("Cartesian" in j for j in a.join_nodes), a.join_nodes
 
 
+def test_lateral_subquery_decorrelates_to_ranked_join(spark):
+    """The LATERAL top-2-per-nation must decorrelate: no per-outer-row
+    re-execution (no nested Subquery under the join), the inner LIMIT
+    becomes a ranked window, and the join stays non-cartesian."""
+    from fossa_spark.queries.sql_queries import q_join_lateral
+
+    a = audit(q_join_lateral(spark, SF_DIR))
+    assert "Window" in a.formatted, "LIMIT-per-group not windowed"
+    assert not any("Cartesian" in j for j in a.join_nodes), a.join_nodes
+
+
 def test_q21_semi_and_anti_on_same_fact_no_cartesian(spark):
     """Q21's EXISTS and NOT EXISTS against lineitem must become one
     left-semi and one left-anti join (each with the l_suppkey inequality as
