@@ -94,11 +94,21 @@ class TrainingDataPipeline(Model):
         )
 
     def build(self) -> dict[str, int]:
+        from pyspark.sql import Observation
+
         docs = self.source.read(self.spark)
-        out = self.transform(docs)
+        # Observation metrics ride the write's single pass: docs_in is
+        # counted where the source flows INTO the plan and docs_out where
+        # rows reach the sink — no second source scan, no output re-read
+        # (three actions collapsed to one; at 100 TB the difference is a
+        # full extra pass over the corpus).
+        obs_in, obs_out = Observation("docs_in"), Observation("docs_out")
+        out = self.transform(
+            docs.observe(obs_in, F.count(F.lit(1)).alias("n"))
+        ).observe(obs_out, F.count(F.lit(1)).alias("n"))
         self.sink.write(out, partition_by=["lang"])
-        n_in = docs.count()
-        n_out = self.sink.read(self.spark).count()
+        n_in = int(obs_in.get["n"])
+        n_out = int(obs_out.get["n"])
         self.stats = {"docs_in": n_in, "docs_out": n_out,
                       "dropped": n_in - n_out}
         self.log(f"pipeline: {self.stats}")

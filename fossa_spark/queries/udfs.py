@@ -96,7 +96,55 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — the two-sided Python fan-out: customer
+    and orders groups co-shuffled by key, one pandas function per key pair
+    (the API for per-key reconciliation/merge logic Spark SQL can't
+    express). Here it reproduces a join+agg exactly, so the SQL oracle
+    checks the cogroup plumbing end-to-end."""
+
+    def reconcile(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(cust) == 0:
+            return pd.DataFrame(
+                columns=["c_custkey", "c_acctbal", "n_orders", "total_cents"]
+            )
+        # integer-cents discipline, numpy side: floor(x*100 + 0.5) is
+        # half-up — identical to JVM/DuckDB ROUND for positive prices
+        total = (
+            int(np.floor(orders["o_totalprice"].to_numpy() * 100.0 + 0.5).sum())
+            if len(orders)
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(cust["c_custkey"].iloc[0])],
+                "c_acctbal": [float(cust["c_acctbal"].iloc[0])],
+                "n_orders": [len(orders)],
+                "total_cents": [total],
+            }
+        )
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    ).filter(F.col("o_totalprice") > 200000.0)
+    out = (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("c_custkey"))
+        .applyInPandas(
+            reconcile,
+            "c_custkey long, c_acctbal double, n_orders long, total_cents long",
+        )
+    )
+    return out.withColumn(
+        "total_price", (F.col("total_cents").cast("double") / 100.0)
+    ).drop("total_cents").orderBy("c_custkey")
+
+
 QUERIES = {
+    "q_udf_cogroup": q_udf_cogroup,
     "q_udf_scalar": q_udf_scalar,
     "q_udf_grouped": q_udf_grouped,
     "q_udaf": q_udaf,
@@ -104,6 +152,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_udf_cogroup": """
+        SELECT c.c_custkey, c.c_acctbal,
+               CAST(COUNT(o.o_totalprice) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)),
+                             0) AS DOUBLE) / 100.0 AS total_price
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, o_totalprice FROM orders
+                   WHERE o_totalprice > 200000.0) o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+        ORDER BY c.c_custkey
+    """,
     "q_udf_scalar": """
         SELECT doc_id, n_chars,
                CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
