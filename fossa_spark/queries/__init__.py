@@ -119,10 +119,15 @@ def all_queries() -> dict[str, QueryFn]:
             merged[name] = _wrap(fn)
     oracles = all_oracles()
     last = _last_verified_round()
-    # Queries whose semantics/implementation changed this round: their old
-    # green rows no longer attest to the current code, so they sort ahead
-    # of everything (maintained by hand alongside each behavioral change).
-    changed = {"q_dedup_embed", "q_subquery_scalar", "q_embed_quantize", "q_sql_q5"}
+    # Priority queries sort ahead of everything (maintained by hand each
+    # round): queries whose semantics/implementation changed this round
+    # (their old green rows no longer attest to the current code) plus
+    # new queries the round's VERDICT explicitly asked to see verified
+    # (r02 item 7: Q21/Q13 green rows in r03).
+    changed = {
+        "q_dedup_embed", "q_subquery_scalar", "q_embed_quantize", "q_sql_q5",
+        "q_sql_q21", "q_sql_q13",
+    }
     expensive_tail = ("q_dedup_near", "q_pipeline")
     backed = [n for n in merged if n in oracles]
     # Stable sort (registration order breaks ties):
