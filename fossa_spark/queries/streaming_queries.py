@@ -101,9 +101,42 @@ def q_stream_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join under the oracle: clicks and
+    purchases as two watermarked streams, joined on user within a
+    10-minute attribution window, run availableNow into a memory sink —
+    the state-store eviction path itself produces the rows the SQL
+    non-equi join oracle checks. Timestamps emitted as exact integer
+    microseconds."""
+    import uuid
+
+    from fossa_spark.streaming.joins import purchases_after_clicks
+    from fossa_spark.streaming.windows import events_stream
+
+    name = f"fs_stream_join_{uuid.uuid4().hex[:8]}"
+    pairs = purchases_after_clicks(events_stream(spark, sf_dir)).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "purchase_value",
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "click_id", "purchase_id")
+
+
 QUERIES = {
     "q_stream_tumble": q_stream_tumble,
     "q_stream_exec": q_stream_exec,
+    "q_stream_join_exec": q_stream_join_exec,
     "q_stream_slide": q_stream_slide,
     "q_stream_session": q_stream_session,
 }
@@ -119,6 +152,21 @@ ORACLE = {
                CAST(SUM({sql_cents("value")}) AS DOUBLE) / 100.0 AS total_value
         FROM events
         GROUP BY 1, 2, 3 ORDER BY win_start, event_type
+    """,
+    "q_stream_join_exec": """
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
+               epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us,
+               p.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND CAST(p.ts AS TIMESTAMP) > CAST(c.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+                                        + INTERVAL '10 minutes'
+        ORDER BY c.user_id, click_id, purchase_id
     """,
     "q_stream_tumble": f"""
         SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS win_start,
