@@ -165,3 +165,29 @@ def test_quantize_int8_roundtrip_bounds(spark):
     # constant vector: scale guard → all codes 0, exact reconstruction
     assert out[2].codes == [0, 0, 0]
     assert out[2].max_abs_err == 0.0
+
+
+def test_chunk_text_edge_cases(spark):
+    from fossa_spark.llm.curation import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(f"w{i}" for i in range(10)))],
+        "doc_id long, text string",
+    )
+    # doc shorter than the window -> exactly one chunk, n_tok = doc length
+    out = {(r.doc_id, r.chunk_idx): r for r in
+           chunk_text(df, size=8, overlap=2).collect()}
+    assert out[(1, 0)].n_tok == 3 and out[(1, 0)].chunk_text == "a b c"
+    # 10 tokens, size 8, step 6 -> starts 0 and 6; window 2 holds 4 tokens
+    assert out[(2, 0)].n_tok == 8
+    assert out[(2, 1)].start_tok == 6 and out[(2, 1)].n_tok == 4
+    assert out[(2, 1)].chunk_text == "w6 w7 w8 w9"
+    # overlap=0: wall-to-wall cover, no token in two chunks
+    seen = []
+    for r in chunk_text(df.filter("doc_id = 2"), size=4, overlap=0).collect():
+        seen += list(range(r.start_tok, r.start_tok + r.n_tok))
+    assert sorted(seen) == list(range(10))
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(df, size=4, overlap=4)

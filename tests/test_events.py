@@ -91,3 +91,28 @@ def test_funnel_stage_filter_pushed_to_scan(spark, tmp_path):
     e = spark.read.parquet(p)
     a = audit(E.funnel(e, ["view", "click"]))
     assert any("event_type" in f for f in a.pushed_filters), a.pushed_filters
+
+
+def test_sessionize_and_scd2_edges(spark):
+    from fossa_spark import events as E
+
+    df = spark.createDataFrame(
+        [
+            # user 1: two events 10s apart (one session), then one 2h later
+            (1, 1, "a", "2024-01-01 10:00:00"),
+            (2, 1, "a", "2024-01-01 10:00:10"),
+            (3, 1, "b", "2024-01-01 12:00:10"),
+            # user 2: single event
+            (4, 2, "x", "2024-01-01 09:00:00"),
+        ],
+        "event_id long, user_id long, event_type string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sess = {(r.user_id, r.session_id): r for r in E.sessionize(df, 1800).collect()}
+    assert sess[(1, 1)].n_events == 2 and sess[(1, 2)].n_events == 1
+    assert sess[(2, 1)].n_events == 1 and sess[(2, 1)].duration_us == 0
+    # scd2: consecutive 'a','a' collapse into one version; 'b' opens v2
+    hist = {(r.user_id, r.version): r for r in E.scd2_history(df).collect()}
+    assert hist[(1, 1)].event_type == "a" and hist[(1, 1)].is_current is False
+    assert hist[(1, 2)].event_type == "b" and hist[(1, 2)].is_current is True
+    assert (1, 3) not in hist
+    assert hist[(2, 1)].is_current is True
