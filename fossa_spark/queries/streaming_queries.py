@@ -122,14 +122,24 @@ def q_stream_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("purchase_ts").alias("purchase_us"),
         "purchase_value",
     )
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # shuffle partitions fix the state-store partition count for the run's
+    # lifetime: a stream-stream join maintains TWO keyed stores per
+    # partition, and at this feed size 32-200 partitions is pure overhead
+    # (~10× the actual join work). Sized to the stream, restored after —
+    # at a 100 TB feed you'd size it UP for the same reason.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).orderBy("user_id", "click_id", "purchase_id")
 
 

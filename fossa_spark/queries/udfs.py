@@ -98,10 +98,14 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped applyInPandas — the two-sided Python fan-out: customer
-    and orders groups co-shuffled by key, one pandas function per key pair
-    (the API for per-key reconciliation/merge logic Spark SQL can't
-    express). Here it reproduces a join+agg exactly, so the SQL oracle
-    checks the cogroup plumbing end-to-end."""
+    and orders co-shuffled and paired per group, with per-customer
+    reconciliation done VECTORIZED inside each group (pandas merge +
+    groupby). The cogroup key is the coarse nation key on purpose: one
+    Python invocation per nation (25), not per customer (15k at sf0.1) —
+    per-key Python dispatch costs ~1 ms each, so fine-grained cogroup keys
+    are the classic anti-pattern; pick a key at "per-invocation work ≫
+    dispatch cost" granularity and vectorize within. Reproduces a
+    join+agg exactly, so the SQL oracle checks the plumbing end-to-end."""
 
     def reconcile(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -112,27 +116,39 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         # integer-cents discipline, numpy side: floor(x*100 + 0.5) is
         # half-up — identical to JVM/DuckDB ROUND for positive prices
-        total = (
-            int(np.floor(orders["o_totalprice"].to_numpy() * 100.0 + 0.5).sum())
-            if len(orders)
-            else 0
-        )
-        return pd.DataFrame(
-            {
-                "c_custkey": [int(cust["c_custkey"].iloc[0])],
-                "c_acctbal": [float(cust["c_acctbal"].iloc[0])],
-                "n_orders": [len(orders)],
-                "total_cents": [total],
-            }
-        )
+        if len(orders):
+            cents = np.floor(
+                orders["o_totalprice"].to_numpy() * 100.0 + 0.5
+            ).astype("int64")
+            agg = (
+                pd.DataFrame({"c_custkey": orders["c_custkey"], "cents": cents})
+                .groupby("c_custkey", as_index=False)
+                .agg(n_orders=("cents", "size"), total_cents=("cents", "sum"))
+            )
+        else:
+            agg = pd.DataFrame(columns=["c_custkey", "n_orders", "total_cents"])
+        out = cust[["c_custkey", "c_acctbal"]].merge(agg, on="c_custkey", how="left")
+        out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+        out["total_cents"] = out["total_cents"].fillna(0).astype("int64")
+        return out
 
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    o = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
-    ).filter(F.col("o_totalprice") > 200000.0)
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000.0)
+        .join(
+            load(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            ),
+            "o_custkey",
+        )
+        .select("c_nationkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    )
     out = (
-        c.groupBy("c_custkey")
-        .cogroup(o.groupBy("c_custkey"))
+        c.groupBy("c_nationkey")
+        .cogroup(o.groupBy("c_nationkey"))
         .applyInPandas(
             reconcile,
             "c_custkey long, c_acctbal double, n_orders long, total_cents long",
