@@ -87,14 +87,22 @@ def q_stream_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"fs_stream_exec_{uuid.uuid4().hex[:8]}"
     agg = tumbling_agg(events_stream(spark, sf_dir))
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store partition count = shuffle partitions at stream start;
+    # sized to the feed (a vanilla 200-partition session pays 200 store
+    # instances for an 8k-row window state), restored after
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.table(name)
         .orderBy("win_start", "event_type")
