@@ -86,13 +86,18 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, k)).alias("shingle"),
     ).distinct()
+    # the capped shingle relation feeds FOUR consumers (sizes + both join
+    # sides); persist it once instead of recomputing the explode+distinct
+    # +df-filter per consumer, checkpoint the (small) verified pair set
+    # eagerly so the cache can be released before returning — the same
+    # staging pattern minhash_lsh_dedup uses
     kept = sh.join(
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") <= max_df)
         .select("shingle"),
         "shingle",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = kept.select(F.col("doc_id").alias("id_a"), "shingle")
     b = kept.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -104,7 +109,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    pairs = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -114,7 +119,10 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "n_a", "n_b", "n_inter", "jaccard")
+        .localCheckpoint(eager=True)
     )
+    kept.unpersist()
+    return pairs
 
 
 def hot_shingles(
