@@ -54,9 +54,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assumed from fossa_spark.session — set it here (runtime-settable).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = load(spark, sf_dir, "events")
-    if dict(e.dtypes)["ts"] in ("bigint", "long"):
+    dt = dict(e.dtypes)["ts"]
+    if dt in ("bigint", "long"):
         # integer `div`, not `/`: double division loses ulps on int64 ns
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt != "timestamp":
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet arrives as
+        # TIMESTAMP_NTZ; with the session TZ pinned UTC (load() above) the
+        # cast reinterprets the same wall-clock as the same epoch µs the
+        # ns-fixture path produced — and unix_micros()/watermarks need
+        # TimestampType, not NTZ.
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
     return e
 
 

@@ -19,23 +19,15 @@ from pyspark.sql import types as T
 
 from fossa_spark.queries._util import cents
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns since epoch (fixture layout)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (one file per trigger →
-    deterministic availableNow runs). ts arrives as int64 ns; converted to
-    µs-truncated timestamps exactly like the batch loader."""
+    deterministic availableNow runs). The fixture's ts physical type has
+    varied between driver generations (TIMESTAMP(NANOS) → int64 ns under
+    nanosAsLong; TIMESTAMP(MICROS) → TIMESTAMP_NTZ), so probe the batch
+    footer for the real schema and normalize to TimestampType exactly like
+    the batch loader (queries/_util.load_events)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # The file source needs a DIRECTORY; expose the single fixture file
     # through a scratch dir of symlinks (testdata itself is read-only).
     # Path must be STABLE per sf_dir: streaming checkpoints record the
@@ -59,12 +51,20 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
         except FileExistsError:
             pass
+    # readStream requires an explicit schema; it must match the file's
+    # actual layout, so take it from a (footer-only) batch read.
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        # int64 ns — integer `div`, not `/` (doubles lose ulps on int64)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # TIMESTAMP_NTZ (or already TIMESTAMP): session TZ is UTC, so the cast
+    # yields the same epoch µs as the ns path did.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_agg(events: DataFrame, width: str = "10 minutes",
