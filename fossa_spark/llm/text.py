@@ -8,7 +8,7 @@ transforms; the only shuffles are the explicit groupBys.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small function-word profiles for the n-gram/stopword language heuristic.
@@ -105,3 +105,46 @@ def fingerprint(col: Column | str) -> Column:
     sorted distinct token set — whitespace/word-order/duplication
     insensitive. Used as a cheap canonical-form dedup key."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF.
+
+    Classic smooth-idf formulation: ``tf`` = term count in the doc, ``idf``
+    = ln((1 + N) / (1 + df)) + 1 (never negative, never divides by zero),
+    score = tf · idf. Scale shape: one explode → one (doc, term) groupBy,
+    one term-grain groupBy for df whose result is broadcast back (term
+    vocabulary ≪ corpus), one per-doc window for the top-k — no
+    corpus-sized self-join anywhere. Ties break lexicographically so the
+    result is deterministic. Score is rounded to 8 dp (transcendental-
+    rounding contract, see queries/_util.py).
+    """
+    n_docs = docs.select(id_col).distinct().count()
+    pairs = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = pairs.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    # idf is a per-TERM constant: join on the tiny vocabulary side,
+    # broadcast so the (doc, term) grain never reshuffles.
+    scored = tf.join(F.broadcast(df_), "term").select(
+        F.col(id_col),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.round(
+            F.col("tf")
+            * (F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + 1.0),
+            8,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

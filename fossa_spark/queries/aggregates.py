@@ -10,7 +10,7 @@ on the group keys, combiner before it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from fossa_spark.queries._util import cents, load, sql_cents
@@ -229,6 +229,45 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per group: median absolute deviation (MAD) of
+    l_quantity per return flag, plus the robust z-score outlier count at
+    |x − median| > 3·MAD.
+
+    Two passes over the same grouping key — medians first, then deviations
+    against the broadcast per-group medians — the unavoidable shape for an
+    exact MAD (it is a nested median). Both aggregations shuffle on the
+    SAME key, so at 100 TB the second pass reuses the first's
+    partitioning; the tiny medians table broadcasts. Exact percentile
+    semantics match DuckDB's quantile_cont; 6-dp rounding contract."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("_med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "_med",
+        F.abs(F.col("l_quantity") - F.col("_med")).alias("_dev"),
+    )
+    # MAD via a whole-partition window (exact percentile of the deviations),
+    # then the outlier count in the same grouping — the window shuffle and
+    # the groupBy share the l_returnflag partitioning, so this is ONE
+    # exchange end-to-end after the broadcast.
+    mad = F.percentile("_dev", F.lit(0.5)).over(W.partitionBy("l_returnflag"))
+    return (
+        dev.withColumn("_mad", mad)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("_med"), 6).alias("median_qty"),
+            F.round(F.first("_mad"), 6).alias("mad_qty"),
+            F.sum(
+                F.when(F.col("_dev") > 3 * F.col("_mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch pattern (Apache DataSketches HLL, built into Spark
     3.5+): per-source customer sketches built independently, then UNIONED
@@ -257,6 +296,7 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_agg_basic": q_agg_basic,
     "q_agg_percentile": q_agg_percentile,
+    "q_agg_mad": q_agg_mad,
     "q_agg_sketch_merge": q_agg_sketch_merge,
     "q_agg_stats": q_agg_stats,
     "q_agg_cube": q_agg_cube,
@@ -279,6 +319,28 @@ ORACLE = {
                round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
         FROM lineitem
         GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q_agg_mad": """
+        WITH med AS (
+          SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS _med
+          FROM lineitem GROUP BY l_returnflag
+        ),
+        dev AS (
+          SELECT l.l_returnflag, m._med,
+                 abs(l.l_quantity - m._med) AS _dev
+          FROM lineitem l JOIN med m USING (l_returnflag)
+        ),
+        madt AS (
+          SELECT l_returnflag, quantile_cont(_dev, 0.5) AS _mad
+          FROM dev GROUP BY l_returnflag
+        )
+        SELECT d.l_returnflag,
+               round(any_value(d._med), 6) AS median_qty,
+               round(any_value(m._mad), 6) AS mad_qty,
+               CAST(SUM(CASE WHEN d._dev > 3 * m._mad THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_outliers
+        FROM dev d JOIN madt m USING (l_returnflag)
+        GROUP BY d.l_returnflag ORDER BY d.l_returnflag
     """,
     "q_agg_stats": """
         SELECT c_mktsegment,

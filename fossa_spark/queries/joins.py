@@ -152,6 +152,46 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join WITH TOLERANCE, window formulation: for every
+    click, the timestamp of the next purchase by the same user — but only
+    if it lands within 10 minutes (else NULL), plus the exact gap in µs.
+
+    Same scale argument as q_join_asof: min() over (rows 1 following →
+    unbounded) beats a pairwise time-range join — one shuffle on user_id,
+    O(1) running state per row, and the tolerance is a post-hoc predicate
+    on the matched timestamp, not a join condition. pandas
+    merge_asof(direction='forward', tolerance=...) semantics, distributed.
+    """
+    e = load_events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    next_p = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    # predicate must reference the MATERIALIZED column: re-using the window
+    # expression after .filter() would re-evaluate it over the clicks-only
+    # frame (where min(purchase ts) is always NULL)
+    in_tol = F.col("_next_p") <= F.col("ts") + F.expr("INTERVAL 10 minutes")
+    return (
+        e.withColumn("_next_p", next_p)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.when(in_tol, F.unix_micros("_next_p")).alias("next_purchase_us"),
+            F.when(
+                in_tol, F.unix_micros("_next_p") - F.unix_micros("ts")
+            ).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join: order activity windows [orderdate,
     orderdate+30d) against a small derived set of month-long campaign
@@ -194,6 +234,7 @@ QUERIES = {
     "q_join_range": q_join_range,
     "q_join_cross": q_join_cross,
     "q_join_asof": q_join_asof,
+    "q_join_asof_tol": q_join_asof_tol,
 }
 
 ORACLE = {
@@ -271,5 +312,23 @@ ORACLE = {
                        ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_ts
         FROM events ORDER BY event_id
+    """,
+    "q_join_asof_tol": """
+        WITH o AS (
+          SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                 MIN(CASE WHEN event_type = 'purchase'
+                          THEN CAST(ts AS TIMESTAMP) END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_p
+          FROM events
+        )
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN next_p <= ts + INTERVAL '10 minutes'
+                    THEN epoch_us(next_p) END AS next_purchase_us,
+               CASE WHEN next_p <= ts + INTERVAL '10 minutes'
+                    THEN epoch_us(next_p) - epoch_us(ts) END AS gap_us
+        FROM o WHERE event_type = 'click' ORDER BY event_id
     """,
 }

@@ -152,6 +152,15 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smooth idf, lexicographic tie-
+    break). Explode → two aggregations + a broadcast vocabulary join +
+    one per-doc window; no corpus-sized self-join (llm/text.py
+    tfidf_top_terms)."""
+    d = load(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(d, k=5).orderBy("doc_id", "rk")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus stats + length-bucket distribution."""
     d = load(spark, sf_dir, "documents")
@@ -272,6 +281,7 @@ QUERIES = {
     "q_sim_ivf": q_sim_ivf,
     "q_sim_pq": q_sim_pq,
     "q_text_tokens": q_text_tokens,
+    "q_tfidf": q_tfidf,
     "q_text_stats": q_text_stats,
     "q_text_quality": q_text_quality,
     "q_text_langid": q_text_langid,
@@ -356,6 +366,35 @@ ORACLE = {
         SELECT t.token AS token, COUNT(*) AS freq
         FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
         GROUP BY t.token ORDER BY freq DESC, token ASC
+    """,
+    "q_tfidf": """
+        WITH pairs AS (
+          SELECT doc_id, t.term
+          FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+          WHERE t.term <> ''
+        ),
+        tf AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM pairs GROUP BY doc_id, term
+        ),
+        vocab AS (
+          SELECT term, COUNT(DISTINCT doc_id) AS df FROM pairs GROUP BY term
+        ),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 round(tf.tf * (ln((1.0 + n.n) / (1.0 + vocab.df)) + 1.0), 8)
+                   AS score
+          FROM tf JOIN vocab ON tf.term = vocab.term CROSS JOIN n
+        ),
+        ranked AS (
+          SELECT doc_id, term, tf, score,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term ASC) AS BIGINT) AS rk
+          FROM scored
+        )
+        SELECT doc_id, term, tf, score, rk FROM ranked WHERE rk <= 5
+        ORDER BY doc_id, rk
     """,
     "q_text_stats": """
         SELECT source, COUNT(*) AS n_docs,

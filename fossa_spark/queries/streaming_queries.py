@@ -151,15 +151,64 @@ def q_stream_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("user_id", "click_id", "purchase_id")
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static enrich join under the oracle: the events stream
+    joined against the static customer dimension (broadcast, stateless —
+    no state store, no watermark) and run availableNow into an append-mode
+    memory sink. The canonical streaming-enrichment shape: each
+    micro-batch probes the broadcast dim in place, the stream never
+    shuffles."""
+    import uuid
+
+    from fossa_spark.queries._util import load
+    from fossa_spark.streaming.joins import enrich_with_dim
+    from fossa_spark.streaming.windows import events_stream
+
+    name = f"fs_stream_static_{uuid.uuid4().hex[:8]}"
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    enriched = enrich_with_dim(
+        events_stream(spark, sf_dir), dim, "user_id", "c_custkey"
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+        "c_name",
+        "c_mktsegment",
+    )
+    # Stateless join: no state store to size, so the session's shuffle
+    # partition count is irrelevant here — nothing shuffles.
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("event_id")
+
+
 QUERIES = {
     "q_stream_tumble": q_stream_tumble,
     "q_stream_exec": q_stream_exec,
     "q_stream_join_exec": q_stream_join_exec,
+    "q_stream_static_join": q_stream_static_join,
     "q_stream_slide": q_stream_slide,
     "q_stream_session": q_stream_session,
 }
 
 ORACLE = {
+    "q_stream_static_join": """
+        SELECT e.event_id, e.user_id,
+               epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+               e.event_type, e.value, c.c_name, c.c_mktsegment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        ORDER BY e.event_id
+    """,
     # same semantics as q_stream_tumble — the POINT: the real streaming
     # run must reproduce the batch/SQL answer exactly
     "q_stream_exec": f"""

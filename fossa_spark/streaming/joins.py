@@ -59,3 +59,19 @@ def purchases_after_clicks(events: DataFrame, max_delay: str = "10 minutes") -> 
         F.col("r_ts").alias("purchase_ts"),
         F.col("r_value").alias("purchase_value"),
     )
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame,
+                    stream_key: str, dim_key: str) -> DataFrame:
+    """Stream-static enrich join: attach dimension attributes to a stream.
+
+    The static side is broadcast (hinted explicitly), so the join is
+    STATELESS — no state store, no watermark requirement, and the stream
+    never shuffles: each micro-batch's tasks probe the broadcast hash map
+    in place. This is the canonical 100 TB/day enrichment shape; only if
+    the dim outgrew broadcast would you fall back to a shuffled join keyed
+    on ``stream_key``.
+    """
+    return stream.join(
+        F.broadcast(dim), stream[stream_key] == dim[dim_key], "inner"
+    )

@@ -302,3 +302,39 @@ def test_disjunctive_predicate_join_stays_equi(spark):
         a.join_nodes
     )
     assert any("Hash" in j for j in a.join_nodes), a.join_nodes
+
+
+def test_tfidf_vocab_broadcasts(spark):
+    """TF-IDF's df-side (term vocabulary) must broadcast back onto the
+    (doc, term) grain — the corpus-sized side never reshuffles for it."""
+    from fossa_spark.queries.llm_queries import q_tfidf
+
+    assert_broadcast_join(q_tfidf(spark, SF_DIR))
+
+
+def test_asof_tol_single_user_shuffle(spark):
+    """Forward as-of w/ tolerance is one window pass: exactly one
+    hash-partitioned Exchange (on user_id), no join nodes at all."""
+    import re
+
+    from fossa_spark.queries.joins import q_join_asof_tol
+
+    a = audit(q_join_asof_tol(spark, SF_DIR))
+    assert not any("Join" in j for j in a.join_nodes), a.join_nodes
+    hash_exchanges = len(re.findall(r"Arguments: hashpartitioning", a.formatted))
+    assert hash_exchanges == 1, f"expected 1 shuffle, saw {hash_exchanges}"
+
+
+def test_mad_single_exchange_after_broadcast(spark):
+    """MAD's nested-median shape: the per-group medians broadcast back,
+    and the deviation window + final aggregate share ONE hashpartitioning
+    exchange on the group key."""
+    import re
+
+    from fossa_spark.queries.aggregates import q_agg_mad
+
+    a = assert_broadcast_join(q_agg_mad(spark, SF_DIR))
+    hash_exchanges = len(
+        set(re.findall(r"Arguments: hashpartitioning\(l_returnflag", a.formatted))
+    )
+    assert hash_exchanges == 1, f"window and agg must share the exchange:\n{a.formatted[-2000:]}"
