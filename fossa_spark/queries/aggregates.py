@@ -268,6 +268,42 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS slope of price vs quantity per return
+    flag — computed from EXACT integer moments, not corr()/covar_samp().
+
+    Spark's corr() sums doubles, so its result depends on partition-merge
+    order; instead accumulate n, Σx, Σy, Σxy, Σx², Σy² exactly (cents as
+    int64 rows, DECIMAL(38,0) sums — Σx² overflows int64 at this scale),
+    then evaluate the closed form with a handful of deterministic double
+    ops at the very end. Map-side partial aggregation still applies — six
+    exact counters per group, one shuffle. 8-dp rounding absorbs the
+    decimal→double conversion ulp."""
+    li = load(spark, sf_dir, "lineitem").select(
+        cents("l_extendedprice").alias("x"),
+        cents("l_quantity").alias("y"),
+        "l_returnflag",
+    )
+    dec = "decimal(38,0)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_lines"),
+        F.round(num / (F.sqrt(d1) * F.sqrt(d2)), 8).alias("corr_price_qty"),
+        F.round(num / d1, 8).alias("slope_qty_per_cent"),
+    ).orderBy("l_returnflag")
+
+
 def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch pattern (Apache DataSketches HLL, built into Spark
     3.5+): per-source customer sketches built independently, then UNIONED
@@ -297,6 +333,7 @@ QUERIES = {
     "q_agg_basic": q_agg_basic,
     "q_agg_percentile": q_agg_percentile,
     "q_agg_mad": q_agg_mad,
+    "q_agg_corr": q_agg_corr,
     "q_agg_sketch_merge": q_agg_sketch_merge,
     "q_agg_stats": q_agg_stats,
     "q_agg_cube": q_agg_cube,
@@ -341,6 +378,31 @@ ORACLE = {
                  AS BIGINT) AS n_outliers
         FROM dev d JOIN madt m USING (l_returnflag)
         GROUP BY d.l_returnflag ORDER BY d.l_returnflag
+    """,
+    "q_agg_corr": f"""
+        WITH m AS (
+          SELECT l_returnflag,
+                 COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM (
+            SELECT l_returnflag,
+                   {sql_cents("l_extendedprice")} AS x,
+                   {sql_cents("l_quantity")} AS y
+            FROM lineitem
+          )
+          GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_lines,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 8)
+                 AS corr_price_qty,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 8)
+                 AS slope_qty_per_cent
+        FROM m ORDER BY l_returnflag
     """,
     "q_agg_stats": """
         SELECT c_mktsegment,

@@ -64,9 +64,42 @@ def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newline-delimited-JSON sink + schemaful scan (the reference's
+    open-ended connector-string family includes ndjson; Connect maps
+    ndjson:// to exactly this json-lines format). Longs and strings
+    round-trip exactly; the money column rides as exact integer cents
+    because JSON doubles would re-parse shortest-repr (fine) but cents
+    keep the oracle comparison integer-only end-to-end."""
+    out = tempfile.mkdtemp(prefix="fossa_ndjson_")
+    src = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        cents("c_acctbal").alias("acctbal_cents"),
+    )
+    src.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("acctbal_cents", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("acctbal_cents").cast("double") / 100.0).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "q_csv_roundtrip": q_csv_roundtrip,
     "q_partitioned_write": q_partitioned_write,
+    "q_ndjson_roundtrip": q_ndjson_roundtrip,
 }
 
 ORACLE = {
@@ -79,5 +112,10 @@ ORACLE = {
         SELECT o_orderstatus, COUNT(*) AS n_orders,
                COUNT(DISTINCT o_custkey) AS n_customers
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "q_ndjson_roundtrip": f"""
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               CAST(SUM({sql_cents("c_acctbal")}) AS DOUBLE) / 100.0 AS total_bal
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
 }

@@ -192,6 +192,63 @@ def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join under the oracle: orders joined to the
+    nation-sized customer-segment dim through operators.salted_join, which
+    spreads each join key over 16 reducers ((key, salt) composite) while
+    replicating the small side 16×. The oracle is the PLAIN join — the
+    point being hash-checked is that salting is result-invariant, the
+    defining property that makes it safe to deploy against a hot key."""
+    from fossa_spark.operators import salted_join
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, "o_custkey", salt=16)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias(
+                "total_price"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join: match a small probe list of misspelled nation
+    names (last character dropped) against the nation dim by edit
+    distance ≤ 1. The probe side is broadcast, so the non-equi
+    levenshtein predicate runs as a broadcast nested loop over the DIM —
+    never a shuffled cartesian. At 100 TB you'd band by a cheap blocking
+    key (first char / length bucket) first; the broadcast shape here is
+    the post-blocking inner step."""
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    probes = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 5)
+        .select(
+            F.substring(
+                "n_name", 1, F.length("n_name") - F.lit(1)
+            ).alias("probe")
+        )
+    )
+    return (
+        n.join(
+            F.broadcast(probes),
+            F.levenshtein("n_name", "probe") <= 1,
+            "inner",
+        )
+        .select("n_nationkey", "n_name", "probe")
+        .orderBy("n_nationkey", "probe")
+    )
+
+
 def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join: order activity windows [orderdate,
     orderdate+30d) against a small derived set of month-long campaign
@@ -235,6 +292,8 @@ QUERIES = {
     "q_join_cross": q_join_cross,
     "q_join_asof": q_join_asof,
     "q_join_asof_tol": q_join_asof_tol,
+    "q_join_salted": q_join_salted,
+    "q_join_fuzzy": q_join_fuzzy,
 }
 
 ORACLE = {
@@ -330,5 +389,21 @@ ORACLE = {
                CASE WHEN next_p <= ts + INTERVAL '10 minutes'
                     THEN epoch_us(next_p) - epoch_us(ts) END AS gap_us
         FROM o WHERE event_type = 'click' ORDER BY event_id
+    """,
+    "q_join_salted": f"""
+        SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM({sql_cents("o.o_totalprice")}) AS DOUBLE) / 100.0
+                 AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    "q_join_fuzzy": """
+        WITH probes AS (
+          SELECT substr(n_name, 1, length(n_name) - 1) AS probe
+          FROM nation WHERE n_nationkey < 5
+        )
+        SELECT n.n_nationkey, n.n_name, p.probe
+        FROM nation n JOIN probes p ON levenshtein(n.n_name, p.probe) <= 1
+        ORDER BY n.n_nationkey, p.probe
     """,
 }

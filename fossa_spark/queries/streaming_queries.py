@@ -192,16 +192,71 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("event_id")
 
 
+def q_stream_stateful_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL arbitrary-stateful streaming under the oracle:
+    applyInPandasWithState running per-user (count, exact-cents total)
+    through the actual state store, availableNow into an update-mode
+    memory sink. Update mode emits the running totals for every key each
+    micro-batch touches; n_events is strictly increasing per user, so the
+    FINAL totals are recovered deterministically as max_by(totals,
+    n_events) — independent of micro-batch boundaries. The grouped-state
+    codepath (state (de)serialization, Arrow hand-off, update semantics)
+    is what lands inside the driver's hash check."""
+    import uuid
+
+    from fossa_spark.streaming.state import running_totals
+    from fossa_spark.streaming.windows import events_stream
+
+    name = f"fs_stream_state_{uuid.uuid4().hex[:8]}"
+    rt = running_totals(events_stream(spark, sf_dir))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            rt.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    t = spark.table(name)
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "total_cents"), "n_events"
+            ).alias("_f")
+        )
+        .select(
+            "user_id",
+            F.col("_f.n_events").alias("n_events"),
+            (F.col("_f.total_cents").cast("double") / 100.0).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "q_stream_tumble": q_stream_tumble,
     "q_stream_exec": q_stream_exec,
     "q_stream_join_exec": q_stream_join_exec,
     "q_stream_static_join": q_stream_static_join,
+    "q_stream_stateful_exec": q_stream_stateful_exec,
     "q_stream_slide": q_stream_slide,
     "q_stream_session": q_stream_session,
 }
 
 ORACLE = {
+    "q_stream_stateful_exec": f"""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM({sql_cents("value")}) AS DOUBLE) / 100.0 AS total_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
     "q_stream_static_join": """
         SELECT e.event_id, e.user_id,
                epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,

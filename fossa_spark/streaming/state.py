@@ -45,3 +45,28 @@ def running_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def foreach_batch_parquet_sink(stream: DataFrame, path: str):
+    """Start ``stream`` into an idempotent foreachBatch parquet sink.
+
+    Structured Streaming's exactly-once story for arbitrary sinks:
+    foreachBatch hands (batch DataFrame, batch_id) to user code, and on
+    failure/restart a batch is REPLAYED with the same batch_id. Writing
+    each batch to its own ``b{batch_id}`` subdirectory (no leading underscore — Hadoop file listings treat ``_``-prefixed paths as hidden metadata) with
+    mode=overwrite makes the replay idempotent — a re-run of batch N
+    replaces batch N's output instead of appending a duplicate. Readers
+    scan ``path`` recursively; at 100 TB you'd compact subdirs
+    periodically, but correctness never depends on compaction.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/b{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_write)
+        .trigger(availableNow=True)
+        .start()
+    )

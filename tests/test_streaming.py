@@ -173,3 +173,21 @@ def test_stream_stream_interval_join_batch_parity(spark):
     ).select("click_id", "purchase_id")
     assert _canon(got) == _canon(want)
     assert want.count() > 0
+
+
+def test_foreach_batch_sink_idempotent(spark, tmp_path):
+    """foreachBatch parquet sink: per-batch overwrite directories make a
+    batch replay idempotent — running the same bounded stream twice (same
+    batch ids from a fresh checkpoint) yields the same rows, not doubles."""
+    from fossa_spark.queries._util import load_events
+    from fossa_spark.streaming.state import foreach_batch_parquet_sink
+    from fossa_spark.streaming.windows import events_stream
+
+    out = str(tmp_path / "sink")
+    n_expected = load_events(spark, SF_DIR).count()
+    for _ in range(2):  # second run replays the same single batch
+        q = foreach_batch_parquet_sink(events_stream(spark, SF_DIR), out)
+        q.awaitTermination()
+    got = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    assert got.count() == n_expected
+    assert got.select("event_id").distinct().count() == n_expected
