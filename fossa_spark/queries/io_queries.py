@@ -96,10 +96,43 @@ def q_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through Spark 4's Python Data Source API: the
+    fossa_synth source plans 8 parallel input partitions over a
+    deterministic integer-hash table, and the aggregate runs on top like
+    any file scan. The oracle regenerates the identical table from
+    range() — proving the connector's planning/reading path, not just its
+    arithmetic. (The Spark-native equivalent of adding a new engine-URL
+    scheme to the reference's connector registry.)"""
+    from fossa_spark.sources import SyntheticDataSource
+
+    try:
+        spark.dataSource.register(SyntheticDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    df = (
+        spark.read.format("fossa_synth")
+        .option("rows", "20000")
+        .option("parts", "8")
+        .load()
+    )
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("val_cents").cast("double") / 100.0).alias("total_val"),
+            F.min("val_cents").alias("min_cents"),
+            F.max("val_cents").alias("max_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "q_csv_roundtrip": q_csv_roundtrip,
     "q_partitioned_write": q_partitioned_write,
     "q_ndjson_roundtrip": q_ndjson_roundtrip,
+    "q_source_python": q_source_python,
 }
 
 ORACLE = {
@@ -117,5 +150,16 @@ ORACLE = {
         SELECT c_mktsegment, COUNT(*) AS n_customers,
                CAST(SUM({sql_cents("c_acctbal")}) AS DOUBLE) / 100.0 AS total_bal
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "q_source_python": """
+        WITH t AS (
+          SELECT range AS id, range % 16 AS bucket,
+                 ((range * 2654435761) % 2147483647) % 100000 AS val_cents
+          FROM range(20000)
+        )
+        SELECT bucket, COUNT(*) AS n_rows,
+               CAST(SUM(val_cents) AS DOUBLE) / 100.0 AS total_val,
+               MIN(val_cents) AS min_cents, MAX(val_cents) AS max_cents
+        FROM t GROUP BY bucket ORDER BY bucket
     """,
 }

@@ -159,12 +159,73 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("total_cents").orderBy("c_custkey")
 
 
+def q_udtf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE Python UDTF (Spark 4 @udtf class, not the mapInPandas
+    emulation in q_udtf): a table function lateral-joined per document,
+    emitting (position, term) rows. The analyzer plans it like any
+    generator — correlated lateral over the scan, no shuffle; rows stream
+    out of the Python worker via Arrow."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, term string")
+    class SplitTerms:
+        def eval(self, text: str):  # noqa: D102
+            if text is None:
+                return
+            for i, t in enumerate(text.lower().split(" ")):
+                yield i, t
+
+    spark.udtf.register("fossa_split_terms", SplitTerms)
+    d = load(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.term
+        FROM _udtf_docs d, LATERAL fossa_split_terms(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )
+
+
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy sibling of mapInPandas: embedding L2
+    norms computed on raw Arrow batches (no pandas materialization).
+    float32 → float64 casts and squares are exact IEEE; the sum runs as a
+    cumulative scan so its order is LEFT-TO-RIGHT — matching the oracle's
+    sequential list_reduce exactly — and rounding stays JVM-side
+    (np.round is banker's; F.round is the half-up the oracle uses)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def norms(batches):
+        for batch in batches:
+            vec_ids = batch.column("vec_id")
+            emb = np.asarray(
+                batch.column("embedding").to_pylist(), dtype=np.float64
+            )
+            sq = emb * emb
+            norm = np.sqrt(sq.cumsum(axis=1)[:, -1])
+            yield pa.RecordBatch.from_arrays(
+                [vec_ids, pa.array(norm, type=pa.float64())],
+                names=["vec_id", "l2_norm"],
+            )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        e.mapInArrow(norms, "vec_id long, l2_norm double")
+        .select("vec_id", F.round("l2_norm", 6).alias("l2_norm"))
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "q_udf_cogroup": q_udf_cogroup,
     "q_udf_scalar": q_udf_scalar,
     "q_udf_grouped": q_udf_grouped,
     "q_udaf": q_udaf,
     "q_udtf": q_udtf,
+    "q_udtf_native": q_udtf_native,
+    "q_udf_arrow": q_udf_arrow,
 }
 
 ORACLE = {
@@ -203,5 +264,20 @@ ORACLE = {
         JOIN generate_series(0, 100000) AS t(gs)
           ON gs <= CAST(ceil(length(text) / 64.0) AS BIGINT) - 1
         ORDER BY doc_id, chunk_idx
+    """,
+    "q_udtf_native": """
+        SELECT doc_id,
+               generate_subscripts(string_split(lower(text), ' '), 1) - 1
+                 AS pos,
+               unnest(string_split(lower(text), ' ')) AS term
+        FROM documents ORDER BY doc_id, pos
+    """,
+    "q_udf_arrow": """
+        SELECT vec_id,
+               round(sqrt(list_reduce(
+                   list_prepend(0.0, list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                   (acc, x) -> acc + x)), 6) AS l2_norm
+        FROM embeddings ORDER BY vec_id
     """,
 }

@@ -39,3 +39,56 @@ def colocated_join(
     lt = spark.table(left_table)
     rt = spark.table(right_table)
     return lt.join(rt, key, how)
+
+
+# ---------------------------------------------------------------------------
+# Custom connector via the Python Data Source API (Spark 4): the Spark-native
+# answer to the reference's open-ended engine-URL connector strings — a new
+# scheme becomes a DataSource class, planned and read like any other source
+# (schema, partition planning, parallel partition reads, pushdown-ready).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+
+class SyntheticDataSource(DataSource):
+    """Deterministic synthetic-rows source (``fossa_synth``).
+
+    Generates ``rows`` rows as (id, bucket, val_cents) where val_cents is a
+    Knuth-hash of the id — pure integer arithmetic, so any engine can
+    reproduce the table exactly (the DuckDB oracle regenerates it from
+    range()). ``parts`` contiguous id ranges become Spark input partitions:
+    the read is planned as ``parts`` parallel tasks, exactly how a real
+    connector would split a cursor/scan."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fossa_synth"
+
+    def schema(self) -> str:
+        return "id bigint, bucket bigint, val_cents bigint"
+
+    def reader(self, schema) -> "SyntheticReader":  # noqa: ARG002
+        return SyntheticReader(
+            int(self.options.get("rows", "1000")),
+            int(self.options.get("parts", "4")),
+        )
+
+
+class SyntheticReader(DataSourceReader):
+    def __init__(self, rows: int, parts: int) -> None:
+        self.rows = rows
+        self.parts = parts
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(i) for i in range(self.parts)]
+
+    def read(self, partition: InputPartition):
+        lo = partition.value * self.rows // self.parts
+        hi = (partition.value + 1) * self.rows // self.parts
+        for i in range(lo, hi):
+            yield (i, i % 16, (i * 2654435761) % 2147483647 % 100000)
