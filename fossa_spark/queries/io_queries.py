@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fossa_spark.queries._util import cents, load, sql_cents
+from fossa_spark.sources import compact_parquet
 
 _CSV_SCHEMA = T.StructType(
     [
@@ -128,11 +129,67 @@ def q_source_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches written with
+    different schemas (the second adds o_orderpriority) unified by
+    mergeSchema — rows from the older batch surface NULL for the added
+    column. This is how a long-lived 100 TB dataset absorbs new columns
+    without rewriting history; the oracle reconstructs the same
+    null-for-old-rows view from the source table."""
+    out = tempfile.mkdtemp(prefix="fossa_merge_")
+    o = load(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{out}/b1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{out}/b2")
+    back = spark.read.option("mergeSchema", True).parquet(
+        f"{out}/b1", f"{out}/b2"
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias(
+                "total_price"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (sources.compact_parquet): orders exploded
+    into 64 tiny files, compacted back by listing-driven coalesce (no
+    shuffle), then aggregated from the compacted copy — the oracle proves
+    the rewrite lossless, pytest asserts the file count actually drops."""
+    scratch = tempfile.mkdtemp(prefix="fossa_compact_")
+    small, compacted = f"{scratch}/small", f"{scratch}/compacted"
+    load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).repartition(64).write.mode("overwrite").parquet(small)
+    compact_parquet(spark, small, compacted)
+    back = spark.read.parquet(compacted)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias(
+                "total_price"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
     "q_csv_roundtrip": q_csv_roundtrip,
     "q_partitioned_write": q_partitioned_write,
     "q_ndjson_roundtrip": q_ndjson_roundtrip,
     "q_source_python": q_source_python,
+    "q_schema_merge": q_schema_merge,
+    "q_compact_files": q_compact_files,
 }
 
 ORACLE = {
@@ -150,6 +207,20 @@ ORACLE = {
         SELECT c_mktsegment, COUNT(*) AS n_customers,
                CAST(SUM({sql_cents("c_acctbal")}) AS DOUBLE) / 100.0 AS total_bal
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "q_schema_merge": f"""
+        SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+                 AS o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM({sql_cents("o_totalprice")}) AS DOUBLE) / 100.0
+                 AS total_price
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    "q_compact_files": f"""
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM({sql_cents("o_totalprice")}) AS DOUBLE) / 100.0
+                 AS total_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "q_source_python": """
         WITH t AS (

@@ -92,3 +92,48 @@ class SyntheticReader(DataSourceReader):
         hi = (partition.value + 1) * self.rows // self.parts
         for i in range(lo, hi):
             yield (i, i % 16, (i * 2654435761) % 2147483647 % 100000)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``target_bytes`` files. Returns the output file count.
+
+    The classic 100 TB operational chore — streaming sinks and
+    over-parallel writers leave thousands of KB-sized files whose
+    per-file open/footer cost dominates scans. Sizing comes from the
+    source LISTING (no data read), and the rewrite uses coalesce(), not
+    repartition(): compaction must not pay a shuffle, it only narrows the
+    write parallelism. (Row-group-level clustering would use a sorted
+    repartition — a different, shuffle-paying operator.)
+    """
+    import math
+
+    # Hadoop FS listing (works for any scheme Spark can read, not just
+    # file://) via the JVM — driver-side metadata only.
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    path = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    total = sum(
+        f.getLen()
+        for f in fs.listStatus(path)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    (
+        spark.read.parquet(src_dir)
+        .coalesce(n_out)
+        .write.mode("overwrite")
+        .parquet(dst_dir)
+    )
+    out_path = jvm.org.apache.hadoop.fs.Path(dst_dir)
+    return sum(
+        1
+        for f in fs.listStatus(out_path)
+        if f.getPath().getName().endswith(".parquet")
+    )

@@ -169,3 +169,41 @@ def test_apply_changes_merge_semantics(spark):
     got = {r.k: (r.name, r.bal)
            for r in apply_changes(snap, changes, "k").collect()}
     assert got == {1: ("a2", 12.0), 3: ("c", 30.0), 9: ("new", 99.0)}
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """Listing-driven compaction: 64 tiny files collapse to the
+    target-size count (1 here) without a shuffle, rows intact."""
+    from fossa_spark.queries._util import load
+    from fossa_spark.sources import compact_parquet
+    from tests.conftest import SF_DIR
+
+    small = str(tmp_path / "small")
+    compacted = str(tmp_path / "compacted")
+    src = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    src.repartition(64).write.mode("overwrite").parquet(small)
+    n_out = compact_parquet(spark, small, compacted, target_bytes=1 << 30)
+    assert n_out == 1
+    back = spark.read.parquet(compacted)
+    assert back.count() == src.count()
+
+
+def test_python_datasource_plans_partitions(spark):
+    """The fossa_synth Python Data Source must plan exactly the requested
+    number of input partitions (parallel read), and the union of the
+    partition ranges must cover every row exactly once."""
+    from fossa_spark.sources import SyntheticDataSource
+
+    try:
+        spark.dataSource.register(SyntheticDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("fossa_synth")
+        .option("rows", "999")
+        .option("parts", "7")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 999
+    assert df.select("id").distinct().count() == 999
