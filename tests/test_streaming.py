@@ -191,3 +191,46 @@ def test_foreach_batch_sink_idempotent(spark, tmp_path):
     got = spark.read.option("recursiveFileLookup", "true").parquet(out)
     assert got.count() == n_expected
     assert got.select("event_id").distinct().count() == n_expected
+
+
+def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Exactly-once across restarts: a second availableNow run from the
+    SAME checkpoint must process only files added since the first run —
+    the committed offsets in the checkpoint fence off everything already
+    processed."""
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    fixture = os.path.abspath(f"{SF_DIR}/events.parquet")
+    os.symlink(fixture, src / "f1.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    n_fixture = spark.read.parquet(fixture).count()
+
+    seen: list[tuple[int, int]] = []
+
+    def sink(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first_total = sum(n for _, n in seen)
+    assert first_total == n_fixture
+
+    os.symlink(fixture, src / "f2.parquet")  # new data arrives
+    run_once()
+    # second run saw ONLY f2 (n_fixture new rows), not f1 again
+    assert sum(n for _, n in seen) == 2 * n_fixture
+    batch_ids = [b for b, _ in seen]
+    assert batch_ids == sorted(set(batch_ids)), "batch ids must advance"
