@@ -137,8 +137,8 @@ def q_fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map type: build, keys/values, explode. DuckDB map semantics differ →
-    rows-only check (per SURVEY §2c)."""
+    """Map type: build, keys/values, explode. The map-typed intermediate
+    stays Spark-side; the exploded (k, v) counts are SQL-checkable."""
     e = load_events(spark, sf_dir)
     m = F.create_map(
         F.lit("type"), F.col("event_type"),
@@ -257,6 +257,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    # The map is BUILT and EXPLODED Spark-side (create_map → explode); the
+    # oracle checks the exploded (k, v) relation, which plain SQL can
+    # express — the map-typed intermediate never crosses engines.
+    "q_fn_map": """
+        SELECT k, v, COUNT(*) AS n FROM (
+          SELECT 'type' AS k, event_type AS v FROM events
+          UNION ALL
+          SELECT 'uid' AS k, CAST(user_id AS VARCHAR) AS v FROM events
+        ) GROUP BY k, v ORDER BY k, v
+    """,
     "q_fn_variant": """
         SELECT event_id,
                CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,

@@ -202,8 +202,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language-ID predictions vs the labeled lang column
-    (rows-only; accuracy asserted separately in tests)."""
+    """Heuristic language-ID confusion matrix vs the labeled lang column —
+    oracle-backed: the DuckDB argmax SQL is GENERATED from the same
+    LANG_PROFILES constant, so the two sides cannot drift."""
     d = load(spark, sf_dir, "documents")
     scored = X.language_scores(d)
     return (
@@ -302,7 +303,41 @@ _DOT = """
   6)
 """
 
+# Language-ID oracle generated from the SAME LANG_PROFILES constant the
+# Spark operator uses, so profile edits can't drift the two sides. The
+# argmax mirrors language_scores' sequential strict-> update: winner = the
+# FIRST profile (dict order) attaining the max, 'und' when every score
+# is 0.
+_LANGID_SCORE_COLS = ",\n               ".join(
+    f"""CAST(len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN ({", ".join(repr(w) for w in words)})))
+               AS DOUBLE) AS score_{lang}"""
+    for lang, words in X.LANG_PROFILES.items()
+    if words
+)
+_LANGID_ALL = [f"score_{lang}" for lang in X.LANG_PROFILES]
+_LANGID_PRED = (
+    f"CASE WHEN greatest({', '.join(_LANGID_ALL)}) <= 0.0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lang} = greatest({', '.join(_LANGID_ALL)}) "
+        f"THEN '{lang}'"
+        for lang in X.LANG_PROFILES
+    )
+    + " END"
+)
+
 ORACLE = {
+    "q_text_langid": f"""
+        WITH scored AS (
+          SELECT lang,
+               {_LANGID_SCORE_COLS},
+               CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+                 AS DOUBLE) AS score_zh
+          FROM documents
+        )
+        SELECT lang, {_LANGID_PRED} AS pred_lang, COUNT(*) AS n
+        FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang
+    """,
     "q_dedup_exact": """
         SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
                MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
