@@ -128,6 +128,32 @@ def stratified_fixed_n(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    key: Column | str,
+    cuts: tuple[int, int] = (0xCC, 0xE6),
+    names: tuple[str, str, str] = ("train", "val", "test"),
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket each row by the first
+    two hex chars of md5(key) (256 buckets) and cut the space at ``cuts``.
+
+    Defaults give ~79.7% / 10.2% / 10.1% — the exact fractions are
+    byte-boundary multiples of 1/256, so the comparison is integer-exact and
+    identical in every engine. The split is a pure narrow projection (no
+    shuffle, no RNG state): re-running on any partitioning, engine, or day
+    yields the same assignment, which is what makes the split *auditable* —
+    a given doc_id is provably always in the same fold. Reference analogue:
+    ayeaye models express this as user Python per row; here it's one
+    codegen'd expression at 100 TB scan speed."""
+    kc = F.col(key) if isinstance(key, str) else key
+    bucket = F.conv(F.substring(F.md5(kc.cast("string")), 1, 2), 16, 10).cast("int")
+    lo, hi = cuts
+    return df.withColumn(
+        "split",
+        F.when(bucket < lo, names[0]).when(bucket < hi, names[1]).otherwise(names[2]),
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style within-document repetition features: duplicate-token and
     duplicate-bigram fractions. High values ⇒ boilerplate / degenerate text.

@@ -178,6 +178,45 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (materialized-view) aggregation maintenance: facts arrive
+    in batches; each batch reduces to one small PARTIAL-aggregate state row
+    per group (count / sum / min / max in exact integer cents), and a
+    refresh merges states instead of re-scanning history. Simulated here
+    with lineitem split into 4 arrival batches on l_orderkey % 4; the
+    merged result provably equals the direct full aggregate — which is
+    exactly what the oracle computes. Derived measures (avg) come from the
+    algebraic components at read time, never stored. At 100 TB this is the
+    difference between an O(new-batch) refresh and an O(history) rescan;
+    each partial agg is map-side combined so the per-batch shuffle carries
+    only group-cardinality rows."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("l_quantity")).alias("sq"),
+            F.min(cents("l_quantity")).alias("mn"),
+            F.max(cents("l_quantity")).alias("mx"),
+        )
+
+    states = partial(li.filter(F.col("l_orderkey") % 4 == 0))
+    for i in range(1, 4):
+        states = states.unionByName(partial(li.filter(F.col("l_orderkey") % 4 == i)))
+    return (
+        states.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("n").alias("count_order"),
+            (F.sum("sq").cast("double") / 100.0).alias("sum_qty"),
+            (F.min("mn").cast("double") / 100.0).alias("min_qty"),
+            (F.max("mx").cast("double") / 100.0).alias("max_qty"),
+            (F.sum("sq").cast("double") / F.sum("n").cast("double") / 100.0)
+            .alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: exact median (interpolated percentile),
     sample stddev/variance (rounded — accumulation order differs across
@@ -335,6 +374,7 @@ QUERIES = {
     "q_agg_mad": q_agg_mad,
     "q_agg_corr": q_agg_corr,
     "q_agg_sketch_merge": q_agg_sketch_merge,
+    "q_agg_incremental": q_agg_incremental,
     "q_agg_stats": q_agg_stats,
     "q_agg_cube": q_agg_cube,
     "q_agg_pivot": q_agg_pivot,
@@ -347,6 +387,23 @@ QUERIES = {
 
 ORACLE = {
     "q_agg_basic": _Q1_SQL,
+    # direct full aggregate — the merged partial states must equal it exactly
+    "q_agg_incremental": f"""
+        WITH c AS (
+          SELECT l_returnflag, l_linestatus,
+                 {sql_cents("l_quantity")} AS cq
+          FROM lineitem
+        )
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS count_order,
+               CAST(SUM(cq) AS DOUBLE) / 100.0 AS sum_qty,
+               CAST(MIN(cq) AS DOUBLE) / 100.0 AS min_qty,
+               CAST(MAX(cq) AS DOUBLE) / 100.0 AS max_qty,
+               CAST(SUM(cq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+                 AS avg_qty
+        FROM c GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
     "q_agg_percentile": """
         SELECT l_returnflag,
                COUNT(*) AS n_lines,

@@ -106,6 +106,28 @@ def q_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10 at exact 1/256
+    byte boundaries of md5(doc_id)) with per-(source, split) counts and
+    token sums — the fold-assignment audit a training pipeline snapshots
+    before every run. Narrow hash projection + one partial-agg shuffle."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    ).cast("long")
+    return (
+        C.hash_split(d, "doc_id")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source", "split")
+    )
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition features: duplicate-token / duplicate-bigram
     fractions per document. Pure array expressions — narrow pass."""
@@ -241,6 +263,7 @@ QUERIES = {
     "q_embed_quantize": q_embed_quantize,
     "q_contamination": q_contamination,
     "q_sample_hash": q_sample_hash,
+    "q_split_train": q_split_train,
     "q_sample_fixed": q_sample_fixed,
     "q_repetition": q_repetition,
     "q_pack_chunks": q_pack_chunks,
@@ -367,6 +390,25 @@ ORACLE = {
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
               < CASE WHEN length(source) = 4 THEN '4000' ELSE '8000' END
         ORDER BY doc_id
+    """,
+    # two lowercase hex chars compare lexicographically == numerically, so
+    # the fold cuts 'cc' (204/256) and 'e6' (230/256) are integer-exact
+    "q_split_train": """
+        WITH s AS (
+          SELECT source, doc_id,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                        THEN 'train'
+                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'val'
+                      ELSE 'test' END AS split,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1
+                      AS BIGINT) AS n_tok
+          FROM documents
+        )
+        SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM s GROUP BY source, split ORDER BY source, split
     """,
     "q_sample_fixed": """
         SELECT source, doc_id, rk FROM (
