@@ -1,0 +1,103 @@
+"""Iterative graph operators on DataFrames: PageRank over an edge list.
+
+Companion to the connected-components operator (llm/dedup.py:298-418 —
+min-label propagation with checkpointed rounds); PageRank is the weighted
+power-iteration sibling. The reference engine has no graph operators at all
+(its dataflow is a task DAG, not data graphs — /root/reference/lib/fossa),
+so this family is part of the beyond-reference analytics surface.
+
+Determinism contract: rank mass is held as exact 1e12-scaled BIGINTs.
+Per-edge contributions use integer division (``pr div outdeg``), so the
+per-node SUM is an order-independent integer — a raw double PageRank can
+never be hash-compared across engines because float addition is not
+associative. The only float ops are one multiply-by-damping and one final
+rescale, both single deterministic IEEE ops per value. The DuckDB oracle
+unrolls the same iterations as CTEs and matches bit-for-bit.
+
+Scale shape (100 TB): edges are built once (one fact-join shuffle), then
+each iteration is one equi-join of the rank vector against the persisted
+edge list plus one groupBy(dst) with map-side partial sums — the classic
+distributed power iteration. The rank vector is node-sized, edges dominate;
+both stay partitioned on their join keys. For deep iteration counts,
+truncate lineage every few rounds exactly like connected_components does
+(localCheckpoint) — at 3 rounds the lazy plan is fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SCALE = int(1e12)
+
+
+def bipartite_purchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customer↔supplier purchase graph: an undirected edge per distinct
+    (customer, supplier) trading pair, emitted as both directed arcs so
+    every node has out-degree ≥ 1 (no dangling-mass correction needed).
+    Node ids are namespaced strings ('C…'/'S…') — the two key spaces are
+    disjoint, so the reversed arcs can never collide with forward ones."""
+    pairs = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pairs.unionByName(pairs.select(F.col("dst").alias("src"),
+                                          F.col("src").alias("dst")))
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list (src, dst).
+
+    Returns (node, pr_scaled BIGINT, pr DOUBLE). pr_scaled is the exact
+    1e12 fixed-point rank; pr is the single final rescale. Nodes are the
+    set appearing in edges. Every node must have out-degree ≥ 1 (callers
+    with dangling nodes should add self-loops or reversed arcs first).
+    """
+    edges = edges.persist()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # per-arc out-degree rides with the edge list: built once, reused every
+    # iteration, partitioned on src (the per-iteration join key)
+    edgesdeg = edges.join(outdeg, "src").persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    # corpus scalars as a 1-row broadcast: initial rank S/N and the
+    # per-iteration teleport base (1-d)·S/N — no driver collect
+    consts = nodes.agg(
+        F.round(F.lit(float(SCALE)) / F.count(F.lit(1)).cast("double"))
+        .cast("bigint").alias("pr0"),
+        F.round(F.lit((1.0 - damping) * SCALE) / F.count(F.lit(1)).cast("double"))
+        .cast("bigint").alias("base"),
+    )
+    pr = nodes.crossJoin(F.broadcast(consts)).select(
+        "node", F.col("pr0").alias("pr"), "base"
+    )
+    for _ in range(iters):
+        contrib = (
+            edgesdeg.join(pr, edgesdeg.src == pr.node)
+            .select(F.col("dst"), F.expr("pr div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(consts))
+            .join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.col("base")
+                    + F.round(
+                        F.lit(damping)
+                        * F.coalesce("contrib", F.lit(0)).cast("double")
+                    ).cast("bigint")
+                ).alias("pr"),
+                "base",
+            )
+        )
+    return pr.select(
+        "node",
+        F.col("pr").alias("pr_scaled"),
+        (F.col("pr").cast("double") / float(SCALE)).alias("pr"),
+    )

@@ -107,6 +107,76 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
 
 
+def lm_score(docs: DataFrame, vocab_k: int = 100, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Per-document unigram language-model score — the perplexity-style
+    quality signal CCNet-class pipelines use to rank web text (there via a
+    KenLM 5-gram; the unigram form keeps the same plumbing with a
+    SQL-checkable oracle).
+
+    Model: add-one-smoothed unigram LM over the corpus itself, restricted
+    to the top-``vocab_k`` tokens (freq desc, token asc ties); everything
+    else scores as one OOV bucket ln(1/(N+V)). Per-token log-probs are
+    rounded to 8 dp and scaled to exact 1e8-integers so the per-document
+    sum is an order-independent bigint (sums of raw doubles are not
+    associative — see queries/_util.py); the single double division back
+    out happens once at the end.
+
+    Scale shape: one explode → (doc, token) groupBy (map-side combined),
+    token-grain count whose top-K result is BROADCAST back, per-doc final
+    agg. The LM table is vocab-bounded (50k rows at production K), so the
+    corpus never reshuffles for the join. No Python anywhere."""
+    pairs = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    counts = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    # corpus scalars (token mass N, vocab size V) ride along as a 1-row
+    # broadcast — no driver collect, the plan stays lazy end-to-end
+    scalars = counts.agg(
+        F.sum("freq").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("v_total"),
+    )
+    vocab = (
+        counts.orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(vocab_k)
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "token",
+            F.round(
+                F.log((F.col("freq").cast("double") + 1.0)
+                      / (F.col("n_total") + F.col("v_total"))) * 1e8
+            ).cast("bigint").alias("lp"),
+        )
+    )
+    oov_lp = (
+        F.round(F.log(1.0 / (F.col("n_total") + F.col("v_total"))) * 1e8)
+        .cast("bigint")
+    )
+    dt = pairs.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        dt.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(scalars.select(oov_lp.alias("oov"))))
+        .select(
+            F.col(id_col),
+            "n",
+            F.coalesce("lp", "oov").alias("lp"),
+            F.col("lp").isNull().alias("is_oov"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("n").alias("n_tokens"),
+        F.sum(F.when(F.col("is_oov"), F.col("n")).otherwise(F.lit(0)))
+        .alias("n_oov"),
+        F.sum(F.col("n") * F.col("lp")).alias("sum_lp"),
+        F.round(
+            F.sum(F.col("n") * F.col("lp")).cast("double")
+            / F.sum("n").cast("double") / 1e8,
+            8,
+        ).alias("avg_logprob"),
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Top-``k`` terms per document by TF-IDF.

@@ -161,6 +161,16 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.tfidf_top_terms(d, k=5).orderBy("doc_id", "rk")
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score per document (the CCNet-style
+    perplexity ranking signal, with a SQL-expressible unigram LM): add-one
+    smoothing over the top-100 corpus vocabulary, one OOV bucket,
+    log-probs as exact 1e8-scaled integers so the doc sum is
+    order-independent (llm/text.py lm_score)."""
+    d = load(spark, sf_dir, "documents")
+    return X.lm_score(d, vocab_k=100).orderBy("doc_id")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus stats + length-bucket distribution."""
     d = load(spark, sf_dir, "documents")
@@ -283,6 +293,7 @@ QUERIES = {
     "q_sim_pq": q_sim_pq,
     "q_text_tokens": q_text_tokens,
     "q_tfidf": q_tfidf,
+    "q_lm_score": q_lm_score,
     "q_text_stats": q_text_stats,
     "q_text_quality": q_text_quality,
     "q_text_langid": q_text_langid,
@@ -430,6 +441,48 @@ ORACLE = {
         )
         SELECT doc_id, term, tf, score, rk FROM ranked WHERE rk <= 5
         ORDER BY doc_id, rk
+    """,
+    # per-token log-probs rounded to 8 dp then scaled to exact 1e8-integers:
+    # the per-doc SUM is bigint (order-independent); one division at the end
+    "q_lm_score": """
+        WITH tok AS (
+          SELECT doc_id, t.token
+          FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
+          WHERE t.token <> ''
+        ),
+        counts AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+        c AS (SELECT CAST(SUM(freq) AS DOUBLE) AS n_total,
+                     CAST(COUNT(*) AS DOUBLE) AS v_total FROM counts),
+        vocab AS (SELECT token, freq FROM counts
+                  ORDER BY freq DESC, token ASC LIMIT 100),
+        lm AS (
+          SELECT v.token,
+                 CAST(round(ln((CAST(v.freq AS DOUBLE) + 1.0)
+                               / (c.n_total + c.v_total)) * 1e8) AS BIGINT)
+                   AS lp
+          FROM vocab v CROSS JOIN c
+        ),
+        oov AS (
+          SELECT CAST(round(ln(1.0 / (n_total + v_total)) * 1e8) AS BIGINT)
+            AS lp
+          FROM c
+        ),
+        dt AS (SELECT doc_id, token, COUNT(*) AS n
+               FROM tok GROUP BY doc_id, token),
+        scored AS (
+          SELECT d.doc_id, d.n,
+                 COALESCE(l.lp, (SELECT lp FROM oov)) AS lp,
+                 (l.lp IS NULL) AS is_oov
+          FROM dt d LEFT JOIN lm l USING (token)
+        )
+        SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN is_oov THEN n ELSE 0 END) AS BIGINT)
+                 AS n_oov,
+               CAST(SUM(n * lp) AS BIGINT) AS sum_lp,
+               round(CAST(SUM(n * lp) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                     / 1e8, 8) AS avg_logprob
+        FROM scored GROUP BY doc_id ORDER BY doc_id
     """,
     "q_text_stats": """
         SELECT source, COUNT(*) AS n_docs,

@@ -207,3 +207,29 @@ def test_python_datasource_plans_partitions(spark):
     assert df.rdd.getNumPartitions() == 7
     assert df.count() == 999
     assert df.select("id").distinct().count() == 999
+
+
+def test_pagerank_structure(spark):
+    """PageRank sanity on hand-built graphs: (a) a symmetric cycle gives
+    every node the same rank; (b) a hub-and-spoke graph ranks the hub
+    strictly above the spokes; (c) total mass stays within integer-
+    truncation slack of the initial mass."""
+    from fossa_spark.graph import SCALE, pagerank
+
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    ranks = {r["node"]: r["pr_scaled"] for r in pagerank(cycle, iters=3).collect()}
+    assert len(set(ranks.values())) == 1  # symmetry ⇒ identical ranks
+
+    # star: every spoke points at the hub, hub points back at every spoke
+    spokes = [f"s{i}" for i in range(5)]
+    star = spark.createDataFrame(
+        [(s, "hub") for s in spokes] + [("hub", s) for s in spokes],
+        ["src", "dst"],
+    )
+    out = {r["node"]: r["pr_scaled"] for r in pagerank(star, iters=3).collect()}
+    assert all(out["hub"] > out[s] for s in spokes)
+    # mass is conserved up to `div` truncation (< outdeg per node per round)
+    total = sum(out.values())
+    assert 0.99 * SCALE <= total <= 1.001 * SCALE
