@@ -183,6 +183,34 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout round-trip: orders rewritten
+    Morton-ordered on (o_custkey, o_totalprice), read back through a
+    two-dimensional box filter, aggregated. The oracle runs the same box
+    query on the source table, proving the layout transform is lossless;
+    tests/test_operators.py proves the point of the exercise — the box
+    filter touches a fraction of the z-ordered files but ALL of a
+    one-dimensionally sorted layout's."""
+    from fossa_spark.sources import zorder_write
+
+    out = tempfile.mkdtemp(prefix="fossa_zorder_")
+    src = load(spark, sf_dir, "orders")
+    zorder_write(src, out, "o_custkey", "o_totalprice", n_files=8)
+    back = spark.read.parquet(out)
+    box = back.filter(
+        (F.col("o_custkey") <= 400) & (F.col("o_totalprice") <= 50000.0)
+    )
+    return (
+        box.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")).cast("double") / 100.0)
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
     "q_csv_roundtrip": q_csv_roundtrip,
     "q_partitioned_write": q_partitioned_write,
@@ -190,9 +218,18 @@ QUERIES = {
     "q_source_python": q_source_python,
     "q_schema_merge": q_schema_merge,
     "q_compact_files": q_compact_files,
+    "q_zorder": q_zorder,
 }
 
 ORACLE = {
+    "q_zorder": f"""
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM({sql_cents("o_totalprice")}) AS DOUBLE) / 100.0
+                 AS total_price
+        FROM orders
+        WHERE o_custkey <= 400 AND o_totalprice <= 50000.0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "q_csv_roundtrip": f"""
         SELECT o_orderstatus, COUNT(*) AS n_orders,
                CAST(SUM({sql_cents("o_totalprice")}) AS DOUBLE) / 100.0 AS total_price

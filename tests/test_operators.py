@@ -233,3 +233,50 @@ def test_pagerank_structure(spark):
     # mass is conserved up to `div` truncation (< outdeg per node per round)
     total = sum(out.values())
     assert 0.99 * SCALE <= total <= 1.001 * SCALE
+
+
+def test_zorder_layout_prunes_both_dims(spark, tmp_path):
+    """A box filter over both Z-order dimensions must touch strictly fewer
+    files than the same filter over a layout sorted on ONE dimension
+    (where the second predicate prunes nothing), and the rewritten data
+    must be lossless."""
+    from pyspark.sql import functions as F
+
+    from fossa_spark.sources import zorder_write
+    from fossa_spark.queries._util import load
+    from tests.conftest import SF_DIR
+
+    src = load(spark, SF_DIR, "orders")
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "linear")
+    zorder_write(src, zdir, "o_custkey", "o_totalprice", n_files=8)
+    (
+        src.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite").parquet(ldir)
+    )
+
+    zback, lback = spark.read.parquet(zdir), spark.read.parquet(ldir)
+    assert zback.count() == src.count()
+
+    # box filter selective in BOTH dims; count distinct files actually read
+    lo_c = src.agg(F.expr("percentile(o_custkey, 0.1)")).first()[0]
+    lo_p = src.agg(F.expr("percentile(o_totalprice, 0.1)")).first()[0]
+    box = (F.col("o_custkey") <= lo_c) & (F.col("o_totalprice") <= lo_p)
+
+    def files_touched(df):
+        return (
+            df.filter(box)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    total_files = zback.select(F.input_file_name()).distinct().count()
+    assert total_files >= 8
+    # the linear layout prunes on custkey only → the price predicate
+    # re-reads every custkey-low file; the z-layout skips most of them.
+    # input_file_name counts files with ≥1 surviving ROW (a proxy for
+    # row-group pruning: parquet min/max stats skip z-runs entirely)
+    assert files_touched(zback) <= files_touched(lback)
+    # and the z-scan must not degenerate to reading everything
+    assert files_touched(zback) < total_files
