@@ -241,17 +241,84 @@ def q_stream_stateful_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming dedup under the oracle: the events feed is replayed
+    with PLANTED duplicates (every event_id % 10 == 0 row arrives again in
+    a second, later file → a later micro-batch), streamed through
+    dropDuplicatesWithinWatermark, and the exactly-once append output is
+    aggregated per event_type. The oracle is the plain original feed — if
+    any duplicate leaked through the state store, counts and sums would
+    differ. The wide watermark makes the run's semantics 'dedup
+    everything' (a production feed would tighten it to bound state; the
+    eviction behavior itself is covered in tests/test_streaming.py)."""
+    import tempfile
+    import uuid
+
+    from fossa_spark.streaming.windows import stateful_dedup
+
+    e = load_events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    feed = tempfile.mkdtemp(prefix="fossa_dup_feed_")
+    # file source triggers one file per micro-batch, in mtime order: the
+    # full feed lands in batch 1, the duplicate rows in batch 2 — so the
+    # dups must be caught by state persisted ACROSS batches, not within one
+    e.coalesce(1).write.mode("append").parquet(feed)
+    e.filter(F.col("event_id") % 10 == 0).coalesce(1).write.mode("append").parquet(feed)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    deduped = stateful_dedup(stream, key="event_id", watermark="100 days")
+    name = f"fs_stream_dedup_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_id").alias("n_ids"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q_stream_tumble": q_stream_tumble,
     "q_stream_exec": q_stream_exec,
     "q_stream_join_exec": q_stream_join_exec,
     "q_stream_static_join": q_stream_static_join,
     "q_stream_stateful_exec": q_stream_stateful_exec,
+    "q_stream_dedup_exec": q_stream_dedup_exec,
     "q_stream_slide": q_stream_slide,
     "q_stream_session": q_stream_session,
 }
 
 ORACLE = {
+    # the duplicates are planted Spark-side only, so the oracle is simply
+    # the original feed: any dup leaking through the state store breaks
+    # n_events AND total_value; n_ids == n_events proves per-key uniqueness
+    "q_stream_dedup_exec": f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+               CAST(SUM({sql_cents("value")}) AS DOUBLE) / 100.0
+                 AS total_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "q_stream_stateful_exec": f"""
         SELECT user_id, COUNT(*) AS n_events,
                CAST(SUM({sql_cents("value")}) AS DOUBLE) / 100.0 AS total_value
