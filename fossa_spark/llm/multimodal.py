@@ -1,14 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — schemas, Arrow-batched mapInPandas
-decode/transform stages, partition sizing — and so is the IMAGE path:
-``synthetic_media`` writes real grayscale PNGs (pure-stdlib encoder:
-zlib + struct; the PNG spec is public) and ``_decode_image`` parses them
-back (all five scanline filters) and derives features from the decoded
-pixels.  Audio/video remain clearly-marked stubs (`decode_stub=True` →
-deterministic byte-histogram features), since no codec libraries exist in
-this container; a deployment swaps `_decode_audio`/ffmpeg in, and nothing
-else about the plumbing changes.
+decode/transform stages, partition sizing — and so are the IMAGE and
+AUDIO paths: ``synthetic_media`` writes real grayscale PNGs (pure-stdlib
+encoder: zlib + struct; the PNG spec is public) and real 16-bit PCM WAV
+payloads (stdlib ``wave``), and ``_decode_image`` / ``_decode_audio``
+parse them back and derive features from decoded pixels / samples.
+Video remains a clearly-marked stub (`decode_stub=True` → deterministic
+byte-histogram features), since no video codec exists in this container;
+a deployment swaps ffmpeg in and nothing else about the plumbing changes.
 
 Scale notes: binary payloads dominate partition size, so
 `spark.sql.files.maxPartitionBytes` + a repartition by a content-size bucket
@@ -127,6 +127,40 @@ def _decode_png(payload: bytes) -> "np.ndarray":
     return out.astype(np.uint8)
 
 
+def _encode_wav(samples: "np.ndarray", rate: int = 16000) -> bytes:
+    """16-bit PCM mono WAV via the stdlib ``wave`` module (RIFF/WAVE spec
+    is public; no codec library involved)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
+    """Parse a PCM WAV back to (int16 samples, sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("decoder supports 16-bit mono PCM only")
+        rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    return np.frombuffer(frames, dtype="<i2"), rate
+
+
+def _audio_samples(media_id: int, n: int) -> "np.ndarray":
+    """Deterministic int16 test tone: id-seeded triangle-ish wave."""
+    j = np.arange(n)
+    return (((media_id * 31 + j * 17) % 2048 - 1024) * 16).astype(np.int16)
+
+
 def _image_pixels(media_id: int, w: int, h: int) -> "np.ndarray":
     """Deterministic test-pattern pixels (gradient + id-seeded ripple)."""
     yy, xx = np.mgrid[0:h, 0:w]
@@ -151,6 +185,11 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
                 if kind == "image":
                     w, h = 64 + i % 8, 64 + i % 4
                     payload = _encode_png(_image_pixels(i, w, h).astype(np.uint8))
+                elif kind == "audio":
+                    w = h = None
+                    payload = _encode_wav(
+                        _audio_samples(i, 256 + (i % 5) * 64), rate=16000
+                    )
                 else:
                     w = h = None
                     payload = bytes(
@@ -195,6 +234,28 @@ def _decode_image(payload: bytes, dim: int = 8) -> list[float]:
     return [float(v) / 255.0 for v in feats[:dim]]
 
 
+def _decode_audio(payload: bytes, dim: int = 8) -> list[float]:
+    """Real decode path: parse the WAV, then derive features from the
+    DECODED SAMPLES — duration (s), RMS, peak, zero-crossing rate, and
+    4 quarter-window RMS values, amplitude terms normalized to [0, 1].
+    (A deployment swaps the featurizer for an audio model; the
+    decode+feature contract and batch shape stay identical.)"""
+    samples, rate = _decode_wav(payload)
+    x = samples.astype(np.float64) / 32768.0
+    n = len(x)
+    zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))) / max(
+        n - 1, 1
+    )
+    quarters = np.array_split(x, 4)
+    feats = [
+        n / float(rate),
+        float(np.sqrt(np.mean(x * x))),
+        float(np.abs(x).max()),
+        zc,
+    ] + [float(np.sqrt(np.mean(q * q))) for q in quarters]
+    return feats[:dim]
+
+
 def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a decoder+featurizer: byte histogram
     moments. Same shape/contract as a real embedding."""
@@ -209,17 +270,21 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     GPU/codec stage wants — per-batch model init amortized via the iterator.
 
     ``decode_stub=False`` runs the REAL decoder where one exists (images:
-    the pure-stdlib PNG path) and falls back to the deterministic byte-
-    histogram features for kinds with no codec in this container
-    (audio/video)."""
+    the pure-stdlib PNG path; audio: the stdlib WAV path) and falls back
+    to the deterministic byte-histogram features for kinds with no codec
+    in this container (video)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = {"image": _decode_image, "audio": _decode_audio}
+
+        def featurize(payload, kind):
+            if not decode_stub and kind in real:
+                return real[kind](payload)
+            return _fake_features(payload)
+
         for pdf in batches:
             feats = [
-                _decode_image(p)
-                if (not decode_stub and k == "image")
-                else _fake_features(p)
-                for p, k in zip(pdf["payload"], pdf["kind"])
+                featurize(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(
                 {

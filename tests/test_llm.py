@@ -222,9 +222,36 @@ def test_multimodal_real_decode(spark):
         w, h = 64 + m % 8, 64 + m % 4
         px = M._image_pixels(m, w, h).astype(np.float64)
         assert abs(mean - px.mean() / 255.0) < 1e-6
-    # non-image kinds fall back to the deterministic stub features
-    for m in (x for x in real if x % 3 != 0):
+    # audio rows decode through the real WAV path: duration matches the
+    # generator's sample count, amplitude features bounded, quarter-RMS ≤ peak
+    auds = [m for m in real if m % 3 == 1]
+    assert auds
+    for m in auds:
+        f = real[m].feature
+        dur, rms, peak, zcr = f[0], f[1], f[2], f[3]
+        assert abs(dur - (256 + (m % 5) * 64) / 16000.0) < 1e-6
+        assert 0.0 < rms <= peak <= 1.0 and 0.0 <= zcr <= 1.0
+        assert all(q <= peak + 1e-9 for q in f[4:8])
+        assert f != stub[m].feature
+        # direct check against the generator's samples
+        import numpy as np
+
+        x = M._audio_samples(m, 256 + (m % 5) * 64).astype(np.float64) / 32768.0
+        # feature column is array<float> (float32) — tolerance accordingly
+        assert abs(rms - float(np.sqrt(np.mean(x * x)))) < 1e-6
+    # video keeps the deterministic stub features (no codec in container)
+    for m in (x for x in real if x % 3 == 2):
         assert real[m].feature == stub[m].feature
+
+
+def test_wav_roundtrip():
+    """WAV encode/decode is exact for 16-bit PCM."""
+    import numpy as np
+
+    samples = M._audio_samples(7, 300)
+    back, rate = M._decode_wav(M._encode_wav(samples, rate=16000))
+    assert rate == 16000
+    assert (back == samples).all()
 
 
 @pytest.mark.parametrize("small_edges", [10**6, 0], ids=["unionfind", "distributed"])
