@@ -37,6 +37,7 @@ _MODULES = [
     "fossa_spark.queries.curation_queries",
     "fossa_spark.queries.events_queries",
     "fossa_spark.queries.graph_queries",
+    "fossa_spark.queries.profiling_queries",
     "fossa_spark.queries.relational",
     "fossa_spark.queries.sql_queries",
 ]
