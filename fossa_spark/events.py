@@ -183,3 +183,49 @@ def transitions(events: DataFrame, user_col: str = "user_id",
         .groupBy("prev_type", type_col)
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def rolling_active(events: DataFrame, window_days: int = 7,
+                   user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """Rolling distinct active users: per calendar day, DAU plus the
+    trailing-``window_days`` distinct-user count (WAU for 7).
+
+    Rolling COUNT DISTINCT has no window-function form (distinct is not
+    frame-decomposable), so the scalable shape is contribution explode:
+    each (user, day) pair — already deduped, so the explode is over the
+    per-day ACTIVE-user grain, not raw events — contributes to the
+    ``window_days`` window-end days it is visible from, then one
+    count_distinct per target day. Shuffle cost: |active user-days| ×
+    window_days rows into a day-keyed aggregate, independent of raw event
+    volume — at 100 TB the events→(user, day) dedup is the big reduction
+    and happens first."""
+    ud = (
+        events.select(
+            F.col(user_col).alias("u"), F.to_date(ts_col).alias("day")
+        ).distinct()
+    )
+    span = ud.agg(F.max("day").alias("mx"))
+    contrib = (
+        ud.select(
+            "u",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(window_days - 1))
+            ).alias("i"),
+            "day",
+        )
+        .select("u", F.date_add("day", F.col("i")).alias("tday"))
+        .crossJoin(F.broadcast(span))
+        .filter(F.col("tday") <= F.col("mx"))
+    )
+    wau = contrib.groupBy("tday").agg(
+        F.count_distinct("u").alias("rolling_users")
+    )
+    dau = ud.groupBy("day").agg(F.count_distinct("u").alias("dau"))
+    return (
+        wau.join(dau, wau.tday == dau.day, "left")
+        .select(
+            F.date_format("tday", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.col("rolling_users").cast("long").alias("rolling_users"),
+        )
+    )

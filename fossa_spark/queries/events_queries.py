@@ -51,8 +51,18 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.scd2_history(e).orderBy("user_id", "version")
 
 
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (WAU) + same-day DAU.
+    Rolling COUNT DISTINCT has no window-function form, so the operator
+    uses the scalable contribution-explode shape (events.py
+    rolling_active)."""
+    e = load_events(spark, sf_dir)
+    return E.rolling_active(e, window_days=7).orderBy("day")
+
+
 QUERIES = {
     "q_funnel": q_funnel,
+    "q_rolling_active": q_rolling_active,
     "q_sessionize": q_sessionize,
     "q_scd2": q_scd2,
     "q_cohort_retention": q_cohort_retention,
@@ -60,6 +70,32 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_rolling_active": """
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+          FROM events
+        ),
+        span AS (SELECT MAX(day) AS mx FROM ud),
+        contrib AS (
+          SELECT user_id, day + CAST(g.i AS INTEGER) AS tday
+          FROM ud JOIN generate_series(0, 6) AS g(i) ON TRUE
+        ),
+        wau AS (
+          SELECT tday, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                   AS rolling_users
+          FROM contrib, span WHERE tday <= mx GROUP BY tday
+        ),
+        dau AS (
+          SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+          FROM ud GROUP BY day
+        )
+        SELECT strftime(w.tday, '%Y-%m-%d') AS day,
+               CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+               w.rolling_users
+        FROM wau w LEFT JOIN dau d ON w.tday = d.day
+        ORDER BY day
+    """,
     "q_scd2": """
         WITH t AS (
           SELECT user_id, event_id, event_type,
