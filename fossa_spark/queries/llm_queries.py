@@ -171,6 +171,61 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.lm_score(d, vocab_k=100).orderBy("doc_id")
 
 
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch under an EXACT oracle — possible because the hash
+    rows use md5 bucketing, which both engines compute identically (the
+    usual sketch ops are rows-only; this one hash-verifies end-to-end).
+
+    Build: 4 hash rows × 64 buckets over the corpus token stream — one
+    groupBy of (seed, bucket), fully mergeable (the 100 TB shape: per-
+    partition partial counts combine map-side; sketches from disjoint
+    corpus shards ADD). Probe: the exact top-20 tokens, estimate =
+    min over rows of their bucket counts; CMS guarantees est ≥ exact,
+    surfaced as overcount = est - exact (≥ 0 always, and the driver hash
+    locks the exact collision pattern)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(X.tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    seeds = F.array([F.lit(i) for i in range(4)])
+
+    def bucket(seed_col, token_col):
+        h2 = F.substring(
+            F.md5(F.concat_ws(":", seed_col.cast("string"), token_col)), 1, 2
+        )
+        return (F.conv(h2, 16, 10).cast("long") % 64).alias("bucket")
+
+    hashed = toks.select("token", F.explode(seeds).alias("seed"))
+    cms = hashed.groupBy(
+        "seed", bucket(F.col("seed"), F.col("token"))
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+    probe = top.select(
+        "token", "exact_cnt", F.explode(seeds).alias("seed")
+    ).select("token", "exact_cnt", "seed", bucket(F.col("seed"), F.col("token")))
+    return (
+        probe.join(F.broadcast(cms), ["seed", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.first("exact_cnt").alias("exact_cnt"),
+            F.min("cnt").alias("est_cnt"),
+        )
+        .select(
+            "token",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus stats + length-bucket distribution."""
     d = load(spark, sf_dir, "documents")
@@ -294,6 +349,7 @@ QUERIES = {
     "q_text_tokens": q_text_tokens,
     "q_tfidf": q_tfidf,
     "q_lm_score": q_lm_score,
+    "q_sketch_cms": q_sketch_cms,
     "q_text_stats": q_text_stats,
     "q_text_quality": q_text_quality,
     "q_text_langid": q_text_langid,
@@ -441,6 +497,44 @@ ORACLE = {
         )
         SELECT doc_id, term, tf, score, rk FROM ranked WHERE rk <= 5
         ORDER BY doc_id, rk
+    """,
+    # md5 bucketing: identical two-hex-digit parse in both engines, and
+    # 256 % 64 == 0 keeps the bucket map uniform
+    "q_sketch_cms": """
+        WITH tok AS (
+          SELECT t.token
+          FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
+          WHERE t.token <> ''
+        ),
+        hashed AS (
+          SELECT token, g.seed,
+                 CAST(('0x' || substr(md5(CAST(g.seed AS VARCHAR) || ':' ||
+                                          token), 1, 2)) AS INTEGER) % 64
+                   AS bucket
+          FROM tok JOIN generate_series(0, 3) AS g(seed) ON TRUE
+        ),
+        cms AS (
+          SELECT seed, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM hashed GROUP BY seed, bucket
+        ),
+        top AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+          FROM tok GROUP BY token
+          ORDER BY exact_cnt DESC, token ASC LIMIT 20
+        ),
+        probe AS (
+          SELECT t.token, t.exact_cnt, g.seed,
+                 CAST(('0x' || substr(md5(CAST(g.seed AS VARCHAR) || ':' ||
+                                          t.token), 1, 2)) AS INTEGER) % 64
+                   AS bucket
+          FROM top t JOIN generate_series(0, 3) AS g(seed) ON TRUE
+        )
+        SELECT p.token, p.exact_cnt,
+               MIN(c.cnt) AS est_cnt,
+               MIN(c.cnt) - p.exact_cnt AS overcount
+        FROM probe p JOIN cms c ON p.seed = c.seed AND p.bucket = c.bucket
+        GROUP BY p.token, p.exact_cnt
+        ORDER BY exact_cnt DESC, token ASC
     """,
     # per-token log-probs rounded to 8 dp then scaled to exact 1e8-integers:
     # the per-doc SUM is bigint (order-independent); one division at the end

@@ -73,9 +73,60 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(ref).orderBy("check")
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the report you run BEFORE a 100 TB
+    shuffle to decide between plain, salted, or skew-hint joins: group-size
+    distribution (p50/p90/p99/max) of a prospective join key plus the top-5
+    heaviest keys. One groupBy to the key grain, then a tiny aggregate;
+    heavy-key list is deterministically ordered (size desc, key asc) and
+    emitted as a joined string so the hash is structural-type-agnostic."""
+    li = load(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("sz"))
+    # collect_list has no ordering guarantee — sort_array over
+    # (-size, key) structs makes the joined string deterministic
+    heavy = (
+        sizes.orderBy(F.col("sz").desc(), F.col("l_orderkey").asc())
+        .limit(5)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("sz")).alias("neg"),
+                        F.col("l_orderkey").alias("k"),
+                    )
+                )
+            ).alias("arr")
+        )
+        .select(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    "arr",
+                    lambda s: F.concat_ws(
+                        ":", s["k"].cast("string"), (-s["neg"]).cast("string")
+                    ),
+                ),
+            ).alias("heavy_keys")
+        )
+    )
+    stats = sizes.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("sz").alias("n_rows"),
+        F.round(F.percentile(F.col("sz").cast("double"), F.lit(0.5)), 6)
+        .alias("p50"),
+        F.round(F.percentile(F.col("sz").cast("double"), F.lit(0.9)), 6)
+        .alias("p90"),
+        F.round(F.percentile(F.col("sz").cast("double"), F.lit(0.99)), 6)
+        .alias("p99"),
+        F.max("sz").alias("max_sz"),
+    )
+    return stats.crossJoin(heavy)
+
+
 QUERIES = {
     "q_profile": q_profile,
     "q_quality_checks": q_quality_checks,
+    "q_skew_report": q_skew_report,
 }
 
 _NUM_PROFILE = """
@@ -106,6 +157,27 @@ _STR_PROFILE = """
         FROM orders"""
 
 ORACLE = {
+    "q_skew_report": """
+        WITH sizes AS (
+          SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM lineitem GROUP BY l_orderkey
+        ),
+        heavy AS (
+          SELECT string_agg(CAST(l_orderkey AS VARCHAR) || ':' ||
+                            CAST(sz AS VARCHAR), '|'
+                            ORDER BY sz DESC, l_orderkey ASC) AS heavy_keys
+          FROM (SELECT l_orderkey, sz FROM sizes
+                ORDER BY sz DESC, l_orderkey ASC LIMIT 5)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(sz) AS BIGINT) AS n_rows,
+               round(quantile_cont(CAST(sz AS DOUBLE), 0.5), 6) AS p50,
+               round(quantile_cont(CAST(sz AS DOUBLE), 0.9), 6) AS p90,
+               round(quantile_cont(CAST(sz AS DOUBLE), 0.99), 6) AS p99,
+               MAX(sz) AS max_sz,
+               (SELECT heavy_keys FROM heavy) AS heavy_keys
+        FROM sizes
+    """,
     "q_profile": " UNION ALL ".join(
         [_NUM_PROFILE.format(c=c)
          for c in ("o_orderkey", "o_custkey", "o_totalprice")]

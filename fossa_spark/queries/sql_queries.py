@@ -732,6 +732,31 @@ def q_sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q10)
 
 
+_COPURCHASE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM fs_lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY support DESC, p1, p2
+LIMIT 20
+"""
+
+
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part pairs (market-basket pair counting):
+    parts appearing on the same order, top-20 pairs by support. The
+    scalable shape is a self-equi-join on the basket key — fan-out is
+    bounded by per-order basket size (≤7 lineitems here), never
+    corpus-sized; ``p1 < p2`` canonicalizes pairs so each counts once and
+    halves the join output. DISTINCT first: a part listed twice on one
+    order must not double-count support. Total order (support, p1, p2)
+    makes the top-20 deterministic."""
+    _register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_COPURCHASE)
+
+
 QUERIES = {
     "q_sql_q3": q_sql_q3,
     "q_sql_q4": q_sql_q4,
@@ -760,9 +785,11 @@ QUERIES = {
     "q_subquery_scalar": q_subquery_scalar,
     "q_subquery_in": q_subquery_in,
     "q_join_bucketed": q_join_bucketed,
+    "q_copurchase": q_copurchase,
 }
 
 ORACLE = {
+    "q_copurchase": _COPURCHASE.replace("fs_", ""),
     "q_sql_q3": _Q3.replace("fs_", "").replace(
         "CAST(o_orderdate AS DATE) AS order_date",
         "strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date",
