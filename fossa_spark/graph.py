@@ -35,13 +35,19 @@ def bipartite_purchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFram
     """Customer↔supplier purchase graph: an undirected edge per distinct
     (customer, supplier) trading pair, emitted as both directed arcs so
     every node has out-degree ≥ 1 (no dangling-mass correction needed).
-    Node ids are namespaced strings ('C…'/'S…') — the two key spaces are
-    disjoint, so the reversed arcs can never collide with forward ones."""
+
+    Node ids stay INTEGER through every join and aggregation — customers
+    as their key, suppliers as ``-suppkey - 1`` (disjoint by sign, so the
+    reversed arcs can never collide with forward ones). String-labeled
+    nodes would work, but every per-iteration shuffle would then hash and
+    compare strings; at 10⁹ edges that's the difference that matters.
+    Callers label nodes for presentation AFTER the iterations (one narrow
+    pass over the node-sized result)."""
     pairs = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+            F.col("o_custkey").cast("long").alias("src"),
+            (-F.col("l_suppkey").cast("long") - 1).alias("dst"),
         )
         .distinct()
     )

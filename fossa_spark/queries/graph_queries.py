@@ -24,8 +24,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     edges = G.bipartite_purchase_edges(li, o)
+    # iterations run on integer node ids; label for presentation at the end
+    label = F.when(
+        F.col("node") >= 0, F.concat(F.lit("C"), F.col("node").cast("string"))
+    ).otherwise(
+        F.concat(F.lit("S"), (-F.col("node") - 1).cast("string"))
+    )
     return (
         G.pagerank(edges, iters=3, damping=0.85)
+        .select(label.alias("node"), "pr_scaled", "pr")
         .orderBy(F.col("pr_scaled").desc(), F.col("node").asc())
         .limit(20)
     )
@@ -55,8 +62,8 @@ _ITER = """
 ORACLE = {
     "q_pagerank": """
         WITH e0 AS (
-          SELECT DISTINCT 'C' || CAST(o.o_custkey AS VARCHAR) AS src,
-                          'S' || CAST(l.l_suppkey AS VARCHAR) AS dst
+          SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+                          CAST(-l.l_suppkey - 1 AS BIGINT) AS dst
           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         ),
         edges AS (
@@ -80,7 +87,9 @@ ORACLE = {
     + _ITER.format(i=1, prev=0) + ","
     + _ITER.format(i=2, prev=1) + ","
     + _ITER.format(i=3, prev=2) + """
-        SELECT node, pr AS pr_scaled, CAST(pr AS DOUBLE) / 1e12 AS pr
+        SELECT CASE WHEN node >= 0 THEN 'C' || CAST(node AS VARCHAR)
+                    ELSE 'S' || CAST(-node - 1 AS VARCHAR) END AS node,
+               pr AS pr_scaled, CAST(pr AS DOUBLE) / 1e12 AS pr
         FROM p3
         ORDER BY pr_scaled DESC, node ASC LIMIT 20
     """,
