@@ -338,3 +338,58 @@ def test_mad_single_exchange_after_broadcast(spark):
         set(re.findall(r"Arguments: hashpartitioning\(l_returnflag", a.formatted))
     )
     assert hash_exchanges == 1, f"window and agg must share the exchange:\n{a.formatted[-2000:]}"
+
+
+def test_copurchase_self_join_stays_equi(spark):
+    """Basket pair counting must stay an equi hash/merge join on the
+    basket key with the p1 < p2 canonicalization as a post-join residual —
+    never a cartesian/nested-loop expansion."""
+    from fossa_spark.queries.sql_queries import q_copurchase
+
+    a = audit(q_copurchase(spark, SF_DIR))
+    assert not any("Cartesian" in j or "NestedLoop" in j for j in a.join_nodes), (
+        a.join_nodes
+    )
+
+
+def test_lm_score_broadcasts_lm_table(spark):
+    """The unigram-LM table (vocab-bounded) and corpus scalars must
+    broadcast onto the (doc, token) grain — the corpus never reshuffles
+    for the scoring join."""
+    from fossa_spark.queries.llm_queries import q_lm_score
+
+    a = assert_broadcast_join(q_lm_score(spark, SF_DIR))
+    # left join LM + cross join scalars: at least 2 broadcast nodes
+    assert sum("Broadcast" in j for j in a.join_nodes) >= 2, a.join_nodes
+
+
+def test_sketch_cms_probe_broadcasts(spark):
+    """The 4x64 CMS table is sketch-sized by construction; the probe join
+    must broadcast it, never shuffle the probe side."""
+    from fossa_spark.queries.llm_queries import q_sketch_cms
+
+    assert_broadcast_join(q_sketch_cms(spark, SF_DIR))
+
+
+def test_quality_checks_referential_is_broadcast_semi(spark):
+    """The referential-integrity check must plan the customer dimension as
+    a broadcast LEFT SEMI probe — the orders fact never reshuffles."""
+    from fossa_spark.queries.profiling_queries import q_quality_checks
+
+    a = audit(q_quality_checks(spark, SF_DIR))
+    assert "BroadcastHashJoin LeftSemi" in a.formatted, a.join_nodes
+
+
+def test_pagerank_iterations_avoid_cartesian(spark):
+    """Every power-iteration join (rank vector × edge list, plus the 1-row
+    consts broadcasts) must be hash/broadcast equi — no nested-loop blowup
+    anywhere in the unrolled 3-iteration plan."""
+    from fossa_spark.queries.graph_queries import q_pagerank
+
+    a = audit(q_pagerank(spark, SF_DIR))
+    bad = [j for j in a.join_nodes
+           if ("Cartesian" in j or "NestedLoop" in j) and "LeftOuter" not in j]
+    # the 1-row consts crossJoin legitimately plans as BroadcastNestedLoop;
+    # anything non-broadcast nested-loop is a regression
+    bad = [j for j in bad if "Broadcast" not in j]
+    assert not bad, bad
