@@ -211,6 +211,43 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partition backfill via DYNAMIC partition overwrite — the
+    operational primitive behind every 'recompute last Tuesday' job on a
+    date-partitioned 100 TB table: rewriting one partition must replace
+    ONLY that partition, leaving the rest byte-identical (static overwrite
+    mode would truncate the whole table — the classic footgun this mode
+    exists to avoid).
+
+    Here: orders written partitioned by o_orderstatus, then the 'F'
+    partition is backfilled with corrected rows (prices +10%). The oracle
+    computes the expected post-backfill state directly, so both the
+    replacement AND the untouched partitions are hash-verified."""
+    out = tempfile.mkdtemp(prefix="fossa_backfill_")
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    corrected = src.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("sum_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
     "q_csv_roundtrip": q_csv_roundtrip,
     "q_partitioned_write": q_partitioned_write,
@@ -219,9 +256,20 @@ QUERIES = {
     "q_schema_merge": q_schema_merge,
     "q_compact_files": q_compact_files,
     "q_zorder": q_zorder,
+    "q_backfill_overwrite": q_backfill_overwrite,
 }
 
 ORACLE = {
+    # expected post-backfill state: 'F' partition replaced with corrected
+    # prices, every other partition untouched
+    "q_backfill_overwrite": f"""
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                             THEN {sql_cents("o_totalprice * 1.1")}
+                             ELSE {sql_cents("o_totalprice")} END) AS BIGINT)
+                 AS sum_cents
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "q_zorder": f"""
         SELECT o_orderstatus, COUNT(*) AS n_orders,
                CAST(SUM({sql_cents("o_totalprice")}) AS DOUBLE) / 100.0
