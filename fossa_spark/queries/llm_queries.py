@@ -226,6 +226,52 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding corpus — the
+    feature-normalization pass before clustering/ANN training. Exactness
+    playbook: values quantize to 1e6-integers (per-value, deterministic),
+    per-dimension moments (n, Σv, Σv² in DECIMAL(38,0) — Σv² overflows
+    int64 at corpus scale) aggregate exactly, the 64-row dimension-stats
+    table BROADCASTS back onto the exploded grain, and per-vector z sums
+    are 1e8-integers so no float accumulation order can flip the hash.
+    Scale shape: posexplode → one (pos) agg → broadcast join → one
+    (vec_id) agg; the corpus shuffles once per grain, never pairwise."""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        "pos",
+        F.round(F.col("val").cast("double") * 1e6).cast("long").alias("vi"),
+    )
+    vdec = F.col("vi").cast("decimal(38,0)")
+    dims = x.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("vi").cast("double").alias("s"),
+        F.sum(vdec * vdec).cast("double").alias("q"),
+    )
+    j = x.join(F.broadcast(dims), "pos")
+    z = (
+        (F.col("vi").cast("double") / 1e6 - F.col("s") / F.col("n") / 1e6)
+        / (F.sqrt(F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+           / F.col("n") / 1e6)
+    )
+    scored = j.select(
+        "vec_id",
+        F.round(z * 1e8).cast("long").alias("zi"),
+        (F.abs(z) > 2.0).cast("long").alias("clip"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.sum("clip").alias("n_clipped"),
+            F.sum("zi").alias("sum_z"),
+            F.round(F.sum("zi").cast("double") / 64.0 / 1e8, 8).alias("mean_z"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus stats + length-bucket distribution."""
     d = load(spark, sf_dir, "documents")
@@ -350,6 +396,7 @@ QUERIES = {
     "q_tfidf": q_tfidf,
     "q_lm_score": q_lm_score,
     "q_sketch_cms": q_sketch_cms,
+    "q_embed_standardize": q_embed_standardize,
     "q_text_stats": q_text_stats,
     "q_text_quality": q_text_quality,
     "q_text_langid": q_text_langid,
@@ -497,6 +544,42 @@ ORACLE = {
         )
         SELECT doc_id, term, tf, score, rk FROM ranked WHERE rk <= 5
         ORDER BY doc_id, rk
+    """,
+    # quantize → exact integer moments → identical double formulas: the
+    # z expression is written with the same operation order in both engines
+    "q_embed_standardize": """
+        WITH x AS (
+          SELECT vec_id, gs - 1 AS pos,
+                 CAST(ROUND(CAST(embedding[gs] AS DOUBLE) * 1000000.0)
+                      AS BIGINT) AS vi
+          FROM embeddings JOIN generate_series(1, 64) AS t(gs) ON TRUE
+        ),
+        dims AS (
+          SELECT pos,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(vi) AS DOUBLE) AS s,
+                 CAST(SUM(CAST(vi AS HUGEINT) * CAST(vi AS HUGEINT))
+                      AS DOUBLE) AS q
+          FROM x GROUP BY pos
+        ),
+        scored AS (
+          SELECT x.vec_id,
+                 CAST(ROUND(
+                   (CAST(x.vi AS DOUBLE) / 1000000.0 - s / n / 1000000.0)
+                   / (sqrt(n * q - s * s) / n / 1000000.0)
+                   * 100000000.0) AS BIGINT) AS zi,
+                 CASE WHEN abs(
+                   (CAST(x.vi AS DOUBLE) / 1000000.0 - s / n / 1000000.0)
+                   / (sqrt(n * q - s * s) / n / 1000000.0)) > 2.0
+                      THEN 1 ELSE 0 END AS clip
+          FROM x JOIN dims USING (pos)
+        )
+        SELECT vec_id,
+               CAST(SUM(clip) AS BIGINT) AS n_clipped,
+               CAST(SUM(zi) AS BIGINT) AS sum_z,
+               round(CAST(SUM(zi) AS DOUBLE) / 64.0 / 100000000.0, 8)
+                 AS mean_z
+        FROM scored GROUP BY vec_id ORDER BY vec_id
     """,
     # md5 bucketing: identical two-hex-digit parse in both engines, and
     # 256 % 64 == 0 keeps the bucket map uniform

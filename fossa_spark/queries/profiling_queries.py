@@ -123,10 +123,50 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(heavy)
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 10-bin histogram of o_totalprice with data-driven
+    bounds — the distribution panel of the profiling dashboard. Bounds
+    ride along as a 1-row broadcast; the bucket expression is explicit
+    arithmetic (identical in any engine) rather than a built-in
+    width_bucket, so boundary assignment is bit-reproducible. One narrow
+    pass + one tiny aggregate."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
+    b = o.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo")) * 10.0
+            ).cast("long"),
+        ).alias("bucket"),
+        "o_totalprice",
+        "lo",
+        "hi",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.first("lo") + F.col("bucket") * (F.first("hi") - F.first("lo"))
+                / 10.0,
+                6,
+            ).alias("bin_lo"),
+        )
+        .select("bucket", "n", "bin_lo")
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "q_profile": q_profile,
     "q_quality_checks": q_quality_checks,
     "q_skew_report": q_skew_report,
+    "q_histogram": q_histogram,
 }
 
 _NUM_PROFILE = """
@@ -157,6 +197,24 @@ _STR_PROFILE = """
         FROM orders"""
 
 ORACLE = {
+    "q_histogram": """
+        WITH b AS (
+          SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+                 CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+          FROM orders
+        ),
+        x AS (
+          SELECT least(9, CAST(floor((o_totalprice - lo) / (hi - lo) * 10.0)
+                               AS BIGINT)) AS bucket,
+                 lo, hi
+          FROM orders, b
+        )
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+               round(any_value(lo)
+                     + bucket * (any_value(hi) - any_value(lo)) / 10.0, 6)
+                 AS bin_lo
+        FROM x GROUP BY bucket ORDER BY bucket
+    """,
     "q_skew_report": """
         WITH sizes AS (
           SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS sz

@@ -140,7 +140,35 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes(c, changes, "c_custkey", "op", "seq").orderBy("c_custkey")
 
 
+def q_union_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: three batches whose schemas diverged over time
+    (a column added, a column dropped) reconciled with
+    unionByName(allowMissingColumns=True) — missing fields become NULLs,
+    names align by NAME not position (positional unionAll silently
+    mismatches columns; this is the safe evolution path for multi-batch
+    100 TB ingests). The aggregate counts per-field presence so the NULL
+    padding itself is hash-verified."""
+    o = load(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v3 = o.filter(F.col("o_orderkey") % 3 == 2).select("o_orderkey", "o_orderstatus")
+    u = v1.unionByName(v2, allowMissingColumns=True).unionByName(
+        v3, allowMissingColumns=True
+    )
+    from fossa_spark.queries._util import cents
+
+    return u.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_price"),
+        F.count("o_orderstatus").alias("n_status"),
+        F.sum(cents("o_totalprice")).alias("price_cents"),
+    )
+
+
 QUERIES = {
+    "q_union_evolve": q_union_evolve,
     "q_cdc_upsert": q_cdc_upsert,
     "q_project": q_project,
     "q_unpivot": q_unpivot,
@@ -153,6 +181,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    # NULL padding from by-name union: price absent for %3==2 rows, status
+    # absent for %3==0 rows — presence counts verify the padding exactly
+    "q_union_evolve": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey % 3 <> 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_price,
+               CAST(SUM(CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_status,
+               CAST(SUM(CASE WHEN o_orderkey % 3 <> 2
+                             THEN CAST(ROUND(o_totalprice * 100.0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS price_cents
+        FROM orders
+    """,
     "q_cdc_upsert": """
         WITH changes AS (
           SELECT o_custkey AS c_custkey,
