@@ -60,9 +60,55 @@ def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.rolling_active(e, window_days=7).orderBy("day")
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits its value to
+    the LAST preceding non-purchase touch (view/click/error) by the same
+    user within 30 minutes; purchases with no qualifying touch fall into
+    an 'unattributed' bucket. One per-user window pass (last_value over
+    preceding touches — the as-of-join shape without a join), then a tiny
+    aggregate per credited touch type. Exact-cents money."""
+    e = load_events(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    from fossa_spark.queries._util import cents
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch_type = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_us = F.when(
+        F.col("event_type") != "purchase", F.unix_micros("ts")
+    )
+    annotated = e.withColumn(
+        "last_touch", F.last(touch_type, ignorenulls=True).over(w)
+    ).withColumn("last_touch_us", F.last(touch_us, ignorenulls=True).over(w))
+    purchases = annotated.filter(F.col("event_type") == "purchase")
+    credited = purchases.select(
+        F.when(
+            F.col("last_touch_us")
+            >= F.unix_micros("ts") - F.lit(30 * 60 * 1_000_000),
+            F.col("last_touch"),
+        )
+        .otherwise(F.lit("unattributed"))
+        .alias("touch"),
+        cents("value").alias("v"),
+    )
+    return (
+        credited.groupBy("touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (F.sum("v").cast("double") / 100.0).alias("credited_value"),
+        )
+        .orderBy("touch")
+    )
+
+
 QUERIES = {
     "q_funnel": q_funnel,
     "q_rolling_active": q_rolling_active,
+    "q_attribution": q_attribution,
     "q_sessionize": q_sessionize,
     "q_scd2": q_scd2,
     "q_cohort_retention": q_cohort_retention,
@@ -70,6 +116,34 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_attribution": """
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(ROUND(value * 100.0) AS BIGINT) AS v
+          FROM events
+        ),
+        ann AS (
+          SELECT *,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                   OVER w AS last_touch,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN us END IGNORE NULLS)
+                   OVER w AS last_touch_us
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        c AS (
+          SELECT CASE WHEN last_touch_us >= us - 1800000000 THEN last_touch
+                      ELSE 'unattributed' END AS touch, v
+          FROM ann WHERE event_type = 'purchase'
+        )
+        SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(v) AS DOUBLE) / 100.0 AS credited_value
+        FROM c GROUP BY touch ORDER BY touch
+    """,
     "q_rolling_active": """
         WITH ud AS (
           SELECT DISTINCT user_id,

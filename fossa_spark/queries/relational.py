@@ -167,8 +167,51 @@ def q_union_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (table diff): classify every key across two
+    snapshots as added / removed / changed / unchanged — the regression
+    gate run after every pipeline rewrite ('same output as yesterday?').
+    Snapshot B is derived deterministically from orders (keys %7==0
+    dropped, %5==0 re-priced, %3==0 new keys added), so the oracle can
+    state the expected classification exactly. Scale shape: one full
+    outer join on the key (both sides shuffle once on the same key — AQE
+    merges the exchanges) + per-class counts; value comparison uses exact
+    cents, never raw doubles."""
+    from fossa_spark.queries._util import cents
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("vc")
+    )
+    b_kept = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("vc") + 100)
+        .otherwise(F.col("vc"))
+        .alias("vc"),
+    )
+    b_new = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"), F.col("vc")
+    )
+    b = b_kept.unionByName(b_new)
+    a = o.select(F.col("o_orderkey").alias("k"), F.col("vc").alias("va"))
+    d = b.select(F.col("o_orderkey").alias("k"), F.col("vc").alias("vb"))
+    j = a.join(d, "k", "full_outer")
+    cls = (
+        F.when(F.col("va").isNull(), F.lit("added"))
+        .when(F.col("vb").isNull(), F.lit("removed"))
+        .when(F.col("va") != F.col("vb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(cls.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("status")
+    )
+
+
 QUERIES = {
     "q_union_evolve": q_union_evolve,
+    "q_table_diff": q_table_diff,
     "q_cdc_upsert": q_cdc_upsert,
     "q_project": q_project,
     "q_unpivot": q_unpivot,
@@ -181,6 +224,34 @@ QUERIES = {
 }
 
 ORACLE = {
+    # expected classification: %7==0 removed; surviving %5==0 changed;
+    # %3==0 keys re-added under offset ids = added; rest unchanged
+    "q_table_diff": """
+        WITH a AS (
+          SELECT o_orderkey AS k,
+                 CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS va
+          FROM orders
+        ),
+        b AS (
+          SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 5 = 0
+                      THEN CAST(ROUND(o_totalprice * 100.0) AS BIGINT) + 100
+                      ELSE CAST(ROUND(o_totalprice * 100.0) AS BIGINT) END
+                   AS vb
+          FROM orders WHERE o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000 AS k,
+                 CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS vb
+          FROM orders WHERE o_orderkey % 3 = 0
+        )
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys FROM (
+          SELECT CASE WHEN a.va IS NULL THEN 'added'
+                      WHEN b.vb IS NULL THEN 'removed'
+                      WHEN a.va <> b.vb THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM a FULL OUTER JOIN b ON a.k = b.k
+        ) GROUP BY status ORDER BY status
+    """,
     # NULL padding from by-name union: price absent for %3==2 rows, status
     # absent for %3==0 rows — presence counts verify the padding exactly
     "q_union_evolve": """
