@@ -70,3 +70,62 @@ def foreach_batch_parquet_sink(stream: DataFrame, path: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def running_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, exact-cents max) via transformWithState —
+    Spark 4's successor to applyInPandasWithState: typed state handles
+    (value/list/map states, timers, TTL) instead of one opaque tuple.
+    Same operational contract as running_totals above: update-mode
+    emissions per key per micro-batch, state checkpointed per key.
+
+    The processor keeps a single ValueState; at 100 TB the state store is
+    O(distinct keys) per partition and RocksDB-backed on a real cluster.
+
+    DEPLOYMENT NOTE: transformWithStateInPandas's state-server protocol
+    requires the ``protobuf`` Python package at runtime; environments
+    without it (like this container) should use running_totals
+    (applyInPandasWithState), which has no such dependency — the query
+    inventory registers only that variant, and
+    tests/test_streaming.py::test_transform_with_state runs this one
+    when protobuf is available.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "n LONG, mx LONG")
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._state.exists():
+                n, mx = self._state.get()
+            else:
+                n, mx = 0, None
+            for pdf in rows:
+                n += len(pdf)
+                # per-ROW rounding (micro-batch-boundary independent)
+                cents = pdf["value"].mul(100.0).round().astype("int64")
+                if len(cents):
+                    m = int(cents.max())
+                    mx = m if mx is None else max(mx, m)
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_cents": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningStats(),
+            outputStructType="user_id long, n_events long, max_cents long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

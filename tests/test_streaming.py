@@ -234,3 +234,42 @@ def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
     assert sum(n for _, n in seen) == 2 * n_fixture
     batch_ids = [b for b, _ in seen]
     assert batch_ids == sorted(set(batch_ids)), "batch ids must advance"
+
+
+def test_transform_with_state(spark):
+    """transformWithState (Spark 4 typed-state API) parity with the batch
+    per-user count/max — runs only where its protobuf dependency exists
+    (the applyInPandasWithState twin, which has no such dependency, is the
+    registered inventory query)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from fossa_spark.queries._util import cents, load_events
+    from fossa_spark.streaming.state import running_stats_tws
+    from fossa_spark.streaming.windows import events_stream
+
+    out = running_stats_tws(events_stream(spark, SF_DIR))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n_events, r.max_cents)
+        for r in spark.table("tws_test")
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "max_cents"), "n_events").alias("f"))
+        .select("user_id", "f.n_events", "f.max_cents")
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.mx)
+        for r in load_events(spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max(cents("value")).alias("mx"))
+        .collect()
+    }
+    assert got == want
