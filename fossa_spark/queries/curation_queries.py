@@ -128,6 +128,30 @@ def q_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): keep the top-50 docs by ln(u)/w where u is a
+    md5-derived uniform and w the document weight (n_chars here; quality
+    score in production) — longer docs proportionally likelier, yet fully
+    reproducible across engines/partitionings because there is no RNG
+    state. Log-domain key (≡ u^(1/w) ordering) rounded to 8 dp,
+    doc_id tie-break. One global top-k (TakeOrdered — no full sort)."""
+    d = load(spark, sf_dir, "documents")
+    # 8 hex chars → 32-bit uniform; +1 keeps u in (0, 1]
+    u = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+         .cast("double") + 1.0)
+        / 4294967296.0
+    )
+    key = F.round(F.log(u) / F.col("n_chars").cast("double"), 8)
+    return (
+        d.select("doc_id", "source", F.col("n_chars").cast("long").alias("w"),
+                 key.alias("k"))
+        .orderBy(F.col("k").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition features: duplicate-token / duplicate-bigram
     fractions per document. Pure array expressions — narrow pass."""
@@ -264,6 +288,7 @@ QUERIES = {
     "q_contamination": q_contamination,
     "q_sample_hash": q_sample_hash,
     "q_split_train": q_split_train,
+    "q_sample_weighted": q_sample_weighted,
     "q_sample_fixed": q_sample_fixed,
     "q_repetition": q_repetition,
     "q_pack_chunks": q_pack_chunks,
@@ -390,6 +415,17 @@ ORACLE = {
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
               < CASE WHEN length(source) = 4 THEN '4000' ELSE '8000' END
         ORDER BY doc_id
+    """,
+    # A-ES key in the log domain; the md5-derived uniform is integer-exact
+    # and ln+round(8) has matched across engines throughout the suite
+    "q_sample_weighted": """
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+               round(ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                   1, 8)) AS BIGINT) AS DOUBLE)
+                         + 1.0) / 4294967296.0)
+                     / CAST(n_chars AS DOUBLE), 8) AS k
+        FROM documents
+        ORDER BY k DESC, doc_id ASC LIMIT 50
     """,
     # two lowercase hex chars compare lexicographically == numerically, so
     # the fold cuts 'cc' (204/256) and 'e6' (230/256) are integer-exact
