@@ -709,3 +709,68 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def remove_repeated_ngrams(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document exact-substring dedup: delete every token covered by
+    a NON-FIRST occurrence of a word ``k``-gram inside the same document —
+    the single-document form of the suffix-array exact-substring dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"); the cross-document form is the minhash/LSH family above.
+
+    Shape: tokens and gram starts come from ONE split of the text (array
+    ops, no self-join on the corpus); repeat spans explode to at most
+    k positions each; coverage dedups and anti-joins back onto the token
+    grain. Everything is per-document — embarrassingly parallel, no
+    corpus-wide shuffle beyond the doc-grain aggregations.
+
+    Returns (id_col, n_before, n_removed, cleaned_md5) where cleaned_md5
+    fingerprints the space-joined surviving tokens in position order.
+    """
+    arr = F.split(F.lower(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), arr.alias("a"), F.size(arr).alias("n"))
+    toks = base.select(
+        id_col, "n", F.posexplode("a").alias("pos", "token")
+    )
+    starts = base.filter(F.col("n") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - k),
+                lambda i: F.concat_ws(" ", F.slice("a", i + 1, k)),
+            )
+        ).alias("start", "gram"),
+    )
+    firsts = starts.groupBy(id_col, "gram").agg(F.min("start").alias("first"))
+    repeats = (
+        starts.join(firsts, [id_col, "gram"])
+        .filter(F.col("start") > F.col("first"))
+        .select(id_col, "start")
+    )
+    covered = repeats.select(
+        id_col,
+        F.explode(F.sequence(F.col("start"), F.col("start") + (k - 1))).alias(
+            "pos"
+        ),
+    ).distinct()
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.first("n").cast("long").alias("n_before"),
+            (F.first("n") - F.count(F.lit(1))).cast("long").alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("pos", "token"))
+                        ),
+                        lambda s: s["token"],
+                    ),
+                )
+            ).alias("cleaned_md5"),
+        )
+    )

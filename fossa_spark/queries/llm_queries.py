@@ -226,6 +226,31 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document exact-substring (repeated word-8-gram) removal —
+    Lee-et-al-style self-dedup (llm/dedup.py remove_repeated_ngrams).
+    The fixture corpus has no natural 8-gram self-repeats, so docs with
+    doc_id % 3 == 0 get their first 16 tokens re-appended (the
+    _augmented_pii planting pattern): removal provably fires for exactly
+    those docs and the cleaned-text md5 locks the surviving content."""
+    d = load(spark, sf_dir, "documents")
+    first16 = F.concat_ws(
+        " ", F.slice(F.split(F.lower(F.col("text")), " "), 1, 16)
+    )
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lower(F.col("text")), F.lit(" "), first16),
+        )
+        .otherwise(F.lower(F.col("text")))
+        .alias("text"),
+    )
+    from fossa_spark.llm.dedup import remove_repeated_ngrams
+
+    return remove_repeated_ngrams(aug, k=8).orderBy("doc_id")
+
+
 def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension z-score standardization of the embedding corpus — the
     feature-normalization pass before clustering/ANN training. Exactness
@@ -397,6 +422,7 @@ QUERIES = {
     "q_lm_score": q_lm_score,
     "q_sketch_cms": q_sketch_cms,
     "q_embed_standardize": q_embed_standardize,
+    "q_dedup_substring": q_dedup_substring,
     "q_text_stats": q_text_stats,
     "q_text_quality": q_text_quality,
     "q_text_langid": q_text_langid,
@@ -544,6 +570,51 @@ ORACLE = {
         )
         SELECT doc_id, term, tf, score, rk FROM ranked WHERE rk <= 5
         ORDER BY doc_id, rk
+    """,
+    "q_dedup_substring": """
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN lower(text) || ' ' ||
+                           array_to_string(
+                             (string_split(lower(text), ' '))[1:16], ' ')
+                      ELSE lower(text) END AS t
+          FROM documents
+        ),
+        arr AS (SELECT doc_id, string_split(t, ' ') AS a FROM aug),
+        toks AS (
+          SELECT doc_id, gs - 1 AS pos, a[gs] AS token,
+                 CAST(len(a) AS BIGINT) AS n
+          FROM arr JOIN generate_series(1, 100000) g(gs) ON gs <= len(a)
+        ),
+        starts AS (
+          SELECT doc_id, gs - 1 AS start,
+                 array_to_string(a[gs : gs + 7], ' ') AS gram
+          FROM arr JOIN generate_series(1, 100000) g(gs) ON gs <= len(a) - 7
+        ),
+        firsts AS (
+          SELECT doc_id, gram, MIN(start) AS first FROM starts GROUP BY 1, 2
+        ),
+        repeats AS (
+          SELECT s.doc_id, s.start
+          FROM starts s JOIN firsts f USING (doc_id, gram)
+          WHERE s.start > f.first
+        ),
+        covered AS (
+          SELECT DISTINCT doc_id, start + o.i AS pos
+          FROM repeats JOIN generate_series(0, 7) o(i) ON TRUE
+        ),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.token, t.n
+          FROM toks t
+          WHERE NOT EXISTS (SELECT 1 FROM covered c
+                            WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+        )
+        SELECT doc_id,
+               any_value(n) AS n_before,
+               CAST(any_value(n) - COUNT(*) AS BIGINT) AS n_removed,
+               md5(string_agg(token, ' ' ORDER BY pos)) AS cleaned_md5
+        FROM kept GROUP BY doc_id ORDER BY doc_id
     """,
     # quantize → exact integer moments → identical double formulas: the
     # z expression is written with the same operation order in both engines
