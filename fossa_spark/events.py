@@ -229,3 +229,71 @@ def rolling_active(events: DataFrame, window_days: int = 7,
             F.col("rolling_users").cast("long").alias("rolling_users"),
         )
     )
+
+
+def resample_ffill(events: DataFrame, every_us: int = 900_000_000,
+                   key_col: str = "event_type", ts_col: str = "ts",
+                   val_col: str = "value") -> DataFrame:
+    """Resample an irregular event series onto a fixed grid with forward
+    fill: per key, emit one row per grid instant carrying the most recent
+    observed value at-or-before it (the time-series regularization step
+    before joins/models that need aligned timestamps).
+
+    Scalable shape — the union trick: grid points and observations union
+    into ONE relation, a single per-key window pass computes
+    last(value, ignorenulls) in (ts, is_grid, id) order, and grid rows are
+    filtered back out. No per-grid-point as-of join, no range join: one
+    shuffle on the key, O(1) window state per row. Grid rows carry a
+    sentinel id sorting AFTER any real observation at the same instant
+    (NULL ordering defaults differ across engines — never order by a
+    nullable column)."""
+    from pyspark.sql import Window as W
+
+    obs = events.select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(ts_col).alias("us"),
+        F.col(val_col).cast("double").alias("v"),
+        F.lit(0).alias("is_grid"),
+        F.col("event_id").cast("long").alias("ord_id"),
+    )
+    span = events.agg(
+        F.min(F.unix_micros(ts_col)).alias("mn"),
+        F.max(F.unix_micros(ts_col)).alias("mx"),
+    )
+    keys = events.select(F.col(key_col).alias("k")).distinct()
+    grid = (
+        keys.crossJoin(F.broadcast(span))
+        .select(
+            "k",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.col("mx") - F.col("mn")) / float(every_us))
+                    .cast("long"),
+                )
+            ).alias("i"),
+            "mn",
+        )
+        .select(
+            "k",
+            (F.col("mn") + F.col("i") * every_us).alias("us"),
+            F.lit(None).cast("double").alias("v"),
+            F.lit(1).alias("is_grid"),
+            F.lit(1 << 60).alias("ord_id"),
+        )
+    )
+    u = obs.unionByName(grid)
+    w = (
+        W.partitionBy("k")
+        .orderBy("us", "is_grid", "ord_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("ff", F.last("v", ignorenulls=True).over(w))
+        .filter(F.col("is_grid") == 1)
+        .select(
+            F.col("k").alias(key_col),
+            F.col("us").alias("grid_us"),
+            F.col("ff").alias("filled_value"),
+        )
+    )

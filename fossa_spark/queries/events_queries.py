@@ -105,10 +105,22 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: each event_type's irregular value
+    series resampled onto a 15-minute grid with forward fill (events.py
+    resample_ffill — the union trick: one window pass, no per-point
+    as-of join)."""
+    e = load_events(spark, sf_dir)
+    return E.resample_ffill(e, every_us=900_000_000).orderBy(
+        "event_type", "grid_us"
+    )
+
+
 QUERIES = {
     "q_funnel": q_funnel,
     "q_rolling_active": q_rolling_active,
     "q_attribution": q_attribution,
+    "q_resample_ffill": q_resample_ffill,
     "q_sessionize": q_sessionize,
     "q_scd2": q_scd2,
     "q_cohort_retention": q_cohort_retention,
@@ -116,6 +128,37 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_resample_ffill": """
+        WITH e AS (
+          SELECT event_type AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(value AS DOUBLE) AS v, 0 AS is_grid,
+                 event_id AS ord_id
+          FROM events
+        ),
+        span AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),
+        grid AS (
+          SELECT k.k, s.mn + g.i * 900000000 AS us,
+                 CAST(NULL AS DOUBLE) AS v, 1 AS is_grid,
+                 CAST(1152921504606846976 AS BIGINT) AS ord_id
+          FROM (SELECT DISTINCT k FROM e) k
+          CROSS JOIN span s
+          JOIN generate_series(0, 100000) g(i)
+            ON g.i <= (s.mx - s.mn) // 900000000
+        ),
+        u AS (
+          SELECT * FROM e UNION ALL SELECT * FROM grid
+        ),
+        f AS (
+          SELECT k, us, is_grid,
+                 last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY us, is_grid, ord_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff
+          FROM u
+        )
+        SELECT k AS event_type, us AS grid_us, ff AS filled_value
+        FROM f WHERE is_grid = 1
+        ORDER BY event_type, grid_us
+    """,
     "q_attribution": """
         WITH e AS (
           SELECT user_id, event_id, event_type,
