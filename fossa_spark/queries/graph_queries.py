@@ -38,8 +38,33 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the co-purchase part graph (parts sharing
+    an order at least twice): canonical low→high orientation, two
+    equi-joins, each triangle counted once (graph.py triangle_count).
+    Support ≥ 2 keeps the projected graph sparse — the support threshold
+    is how real co-occurrence graphs stay sub-quadratic at 100 TB."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 2)
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    return G.triangle_count(edges)
+
+
 QUERIES = {
     "q_pagerank": q_pagerank,
+    "q_triangles": q_triangles,
 }
 
 # One iteration of the fixed-point update, as a reusable CTE pair:
@@ -60,6 +85,32 @@ _ITER = """
         )"""
 
 ORACLE = {
+    "q_triangles": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS s
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+        ),
+        e AS (SELECT p1 AS lo, p2 AS hi FROM e0 WHERE s >= 2),
+        w AS (SELECT x.lo AS a, x.hi AS b, y.hi AS c
+              FROM e x JOIN e y ON x.hi = y.lo),
+        closed AS (
+          SELECT CASE WHEN EXISTS (SELECT 1 FROM e z
+                                   WHERE z.lo = w.a AND z.hi = w.c)
+                      THEN 1 ELSE 0 END AS hit
+          FROM w
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+               CAST(COUNT(*) AS BIGINT) AS n_wedges,
+               CAST(SUM(hit) AS BIGINT) AS n_triangles,
+               round(CASE WHEN COUNT(*) > 0
+                          THEN CAST(SUM(hit) AS DOUBLE)
+                               / CAST(COUNT(*) AS DOUBLE)
+                          ELSE 0.0 END, 8) AS closure_rate
+        FROM closed
+    """,
     "q_pagerank": """
         WITH e0 AS (
           SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,

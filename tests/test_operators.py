@@ -280,3 +280,25 @@ def test_zorder_layout_prunes_both_dims(spark, tmp_path):
     assert files_touched(zback) <= files_touched(lback)
     # and the z-scan must not degenerate to reading everything
     assert files_touched(zback) < total_files
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has exactly 4 triangles (and 100% of its wedges close... no —
+    K4 has C(4,2)=6 edges, 12 canonical wedges, 4 triangles); a path
+    graph has wedges but zero triangles; duplicate/reversed input edges
+    must not inflate any count."""
+    from fossa_spark.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + k4[:2]  # reversed + dup edges
+    r = triangle_count(
+        spark.createDataFrame(noisy, "src long, dst long")
+    ).first()
+    assert (r.n_edges, r.n_triangles) == (6, 4)
+
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    r2 = triangle_count(path).first()
+    assert (r2.n_edges, r2.n_triangles, r2.closure_rate) == (3, 0, 0.0)
+    assert r2.n_wedges == 2
