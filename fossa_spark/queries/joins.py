@@ -281,7 +281,47 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution join (blocked variant — the
+    scalable classic): rank records within first-letter blocks by sort
+    key, generate candidate pairs ONLY within a rank window of 3, verify
+    with edit distance. Candidate count is O(n·w) instead of the O(n²)
+    all-pairs a naive fuzzy join pays; each block ranks independently so
+    no global single-partition window exists (the unblocked textbook
+    form would bottleneck exactly there at 100 TB). Rank-offset pairing
+    is an integer equi-join — no range join, no cartesian."""
+    p = load(spark, sf_dir, "part")
+    r = p.select(
+        F.substring("p_name", 1, 1).alias("block"), "p_name", "p_partkey"
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("block").orderBy("p_name", "p_partkey")
+        ),
+    )
+    left = r.select(
+        "block", F.col("p_name").alias("name_a"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("off"), "rk",
+    ).select("block", "name_a", (F.col("rk") + F.col("off")).alias("rk2"))
+    right = r.select(
+        "block", F.col("rk").alias("rk2"), F.col("p_name").alias("name_b")
+    )
+    cand = left.join(right, ["block", "rk2"])
+    lev = F.levenshtein("name_a", "name_b")
+    return (
+        cand.groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((lev <= 3).cast("long")).alias("n_matches"),
+            F.sum((F.col("name_a") == F.col("name_b")).cast("long"))
+            .alias("n_exact"),
+        )
+        .orderBy("block")
+    )
+
+
 QUERIES = {
+    "q_join_sorted_neighborhood": q_join_sorted_neighborhood,
     "q_join_inner": q_join_inner,
     "q_join_interval": q_join_interval,
     "q_join_broadcast": q_join_broadcast,
@@ -297,6 +337,27 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_join_sorted_neighborhood": """
+        WITH r AS (
+          SELECT substr(p_name, 1, 1) AS block, p_name, p_partkey,
+                 CAST(row_number() OVER (
+                   PARTITION BY substr(p_name, 1, 1)
+                   ORDER BY p_name, p_partkey) AS BIGINT) AS rk
+          FROM part
+        ),
+        cand AS (
+          SELECT a.block, a.p_name AS name_a, b.p_name AS name_b
+          FROM r a
+          JOIN generate_series(1, 3) o(i) ON TRUE
+          JOIN r b ON b.block = a.block AND b.rk = a.rk + o.i
+        )
+        SELECT block, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN levenshtein(name_a, name_b) <= 3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+               CAST(SUM(CASE WHEN name_a = name_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact
+        FROM cand GROUP BY block ORDER BY block
+    """,
     "q_join_interval": """
         WITH o AS (
           SELECT o_orderkey, CAST(o_orderdate AS DATE) AS start_d,
