@@ -217,6 +217,70 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped-at-percentile) aggregates — the robust
+    preprocessing twin of q_agg_mad: per return flag, clip l_quantity to
+    its exact [p05, p95] and compare raw vs winsorized sums/means. The
+    3-row percentile table broadcasts back onto the fact (the fact never
+    reshuffles for the clip); sums stay in exact integer cents."""
+    li = load(spark, sf_dir, "lineitem")
+    pct = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.05)).alias("lo"),
+        F.percentile("l_quantity", F.lit(0.95)).alias("hi"),
+    )
+    j = li.join(F.broadcast(pct), "l_returnflag")
+    clipped = F.least(F.greatest(F.col("l_quantity"), F.col("lo")), F.col("hi"))
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("l_quantity")).cast("double") / 100.0).alias("sum_raw"),
+            (F.sum(cents(clipped)).cast("double") / 100.0).alias("sum_wins"),
+            F.sum((F.col("l_quantity") < F.col("lo")).cast("long")).alias(
+                "n_clip_lo"
+            ),
+            F.sum((F.col("l_quantity") > F.col("hi")).cast("long")).alias(
+                "n_clip_hi"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of order value per market segment —
+    exact integer formulation: values as cents, ranked ascending within
+    segment (ties broken by order key → total order), G = (2·Σ i·xᵢ)/
+    (n·Σx) − (n+1)/n computed from exact int64 sums with the divisions
+    last. One window + one aggregate per segment; rank·value products
+    stay in DECIMAL(38,0) (Σ i·xᵢ overflows int64 at warehouse scale)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select("c_mktsegment", cents("o_totalprice").alias("v"), "o_orderkey")
+    w = W.partitionBy("c_mktsegment").orderBy("v", "o_orderkey")
+    r = j.withColumn("i", F.row_number().over(w).cast("decimal(38,0)"))
+    agg = r.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum(F.col("i") * F.col("v").cast("decimal(38,0)")).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("six").cast("double")
+        / (n * F.col("sx").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return agg.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n_orders"),
+        (F.col("sx").cast("double") / 100.0).alias("total_value"),
+        F.round(gini, 8).alias("gini"),
+    ).orderBy("c_mktsegment")
+
+
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: exact median (interpolated percentile),
     sample stddev/variance (rounded — accumulation order differs across
@@ -375,6 +439,8 @@ QUERIES = {
     "q_agg_corr": q_agg_corr,
     "q_agg_sketch_merge": q_agg_sketch_merge,
     "q_agg_incremental": q_agg_incremental,
+    "q_agg_winsorize": q_agg_winsorize,
+    "q_agg_gini": q_agg_gini,
     "q_agg_stats": q_agg_stats,
     "q_agg_cube": q_agg_cube,
     "q_agg_pivot": q_agg_pivot,
@@ -387,6 +453,50 @@ QUERIES = {
 
 ORACLE = {
     "q_agg_basic": _Q1_SQL,
+    "q_agg_winsorize": f"""
+        WITH pct AS (
+          SELECT l_returnflag,
+                 quantile_cont(l_quantity, 0.05) AS lo,
+                 quantile_cont(l_quantity, 0.95) AS hi
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_cents("l.l_quantity")}) AS DOUBLE) / 100.0
+                 AS sum_raw,
+               CAST(SUM({sql_cents("least(greatest(l.l_quantity, p.lo), p.hi)")})
+                    AS DOUBLE) / 100.0 AS sum_wins,
+               CAST(SUM(CASE WHEN l.l_quantity < p.lo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clip_lo,
+               CAST(SUM(CASE WHEN l.l_quantity > p.hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clip_hi
+        FROM lineitem l JOIN pct p USING (l_returnflag)
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+    "q_agg_gini": f"""
+        WITH r AS (
+          SELECT c.c_mktsegment,
+                 {sql_cents("o.o_totalprice")} AS v,
+                 CAST(row_number() OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY {sql_cents("o.o_totalprice")}, o.o_orderkey)
+                   AS HUGEINT) AS i
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        agg AS (
+          SELECT c_mktsegment, COUNT(*) AS n, SUM(v) AS sx,
+                 SUM(i * CAST(v AS HUGEINT)) AS six
+          FROM r GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment,
+               CAST(n AS BIGINT) AS n_orders,
+               CAST(sx AS DOUBLE) / 100.0 AS total_value,
+               round(2.0 * CAST(six AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                     - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 8)
+                 AS gini
+        FROM agg ORDER BY c_mktsegment
+    """,
     # direct full aggregate — the merged partial states must equal it exactly
     "q_agg_incremental": f"""
         WITH c AS (
