@@ -774,3 +774,47 @@ def remove_repeated_ngrams(
             ).alias("cleaned_md5"),
         )
     )
+
+
+# Universal-hash constants for the ORACLE-CHECKABLE minhash variant:
+# h_i(x) = (a_i * h(x) + b_i) mod P over a single md5-derived 32-bit base
+# hash. P is the smallest prime > 2^32; a_i < 1e9 keeps a*h < 2^63 (exact
+# int64 in both engines). Identical literals are formatted into the DuckDB
+# oracle, so signatures match bit-for-bit — unlike xxhash64 (JVM-only),
+# this classic a·x+b construction is expressible in ANSI SQL.
+UNIVERSAL_P = 4294967311
+UNIVERSAL_AB = [
+    (999999937, 15485863), (999999893, 15485867), (999999883, 15485917),
+    (999999797, 15485927), (999999761, 15485933), (999999757, 15485941),
+    (999999751, 15485959), (999999739, 15485989), (999999733, 15485993),
+    (999999677, 15486013), (999999667, 15486041), (999999613, 15486047),
+    (999999607, 15486059), (999999541, 15486071), (999999527, 15486101),
+    (999999503, 15486139),
+]
+
+
+def minhash_signatures_universal(
+    sh_rows: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signatures whose every bit is reproducible in ANSI SQL:
+    one md5-derived 32-bit base hash per shingle, then ``num_hashes``
+    (a·h + b) mod P universal permutations — same flat-aggregate shape as
+    the xxhash64 fast path (_signatures_from_rows): explode → N columns →
+    groupBy min, partial aggregation before the one shuffle. Use this
+    variant when the signature table itself must be auditable by another
+    engine; the xxhash64 path stays the throughput default."""
+    h = F.conv(F.substring(F.md5(F.col("_sh")), 1, 8), 16, 10).cast("long")
+    hashed = sh_rows.select(
+        id_col,
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(UNIVERSAL_P)).alias(f"_h{i}")
+            for i, (a, b) in enumerate(UNIVERSAL_AB[:num_hashes])
+        ],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        id_col,
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("minhash"),
+    )

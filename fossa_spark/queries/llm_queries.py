@@ -251,6 +251,51 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_ngrams(aug, k=8).orderBy("doc_id")
 
 
+def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(8 bands × 2) near-dedup whose ENTIRE chain —
+    signatures, banding, candidate set, Jaccard verify — hash-verifies
+    against DuckDB: universal (a·h+b mod P) permutations over an
+    md5-derived base replace the JVM-only xxhash64 of q_dedup_near
+    (llm/dedup.py minhash_signatures_universal). Band keys are the raw
+    signature pairs (no bucket hash needed — the pair IS the key), the
+    self-join is banded, the verify reuses the pinned sort-merge exact-
+    Jaccard path. The throughput default stays xxhash64; this variant is
+    the auditable one."""
+    from fossa_spark.llm import dedup as D
+
+    d = load(spark, sf_dir, "documents")
+    sh_rows = d.select(
+        "doc_id", F.explode(D.word_shingles("text", k=5)).alias("_sh")
+    )
+    sigs = D.minhash_signatures_universal(sh_rows, "doc_id", num_hashes=16)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.element_at("minhash", 2 * j + 1).alias("s0"),
+                        F.element_at("minhash", 2 * j + 2).alias("s1"),
+                    )
+                    for j in range(8)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.j", "bb.s0", "bb.s1")
+    a = bands.select("j", "s0", "s1", F.col("doc_id").alias("id_a"))
+    b = bands.select("j", "s0", "s1", F.col("doc_id").alias("id_b"))
+    cands = (
+        a.join(b, ["j", "s0", "s1"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return D._jaccard_verify_rows(cands, sh_rows, "doc_id", 0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension z-score standardization of the embedding corpus — the
     feature-normalization pass before clustering/ANN training. Exactness
@@ -423,6 +468,7 @@ QUERIES = {
     "q_sketch_cms": q_sketch_cms,
     "q_embed_standardize": q_embed_standardize,
     "q_dedup_substring": q_dedup_substring,
+    "q_dedup_minhash_exact": q_dedup_minhash_exact,
     "q_text_stats": q_text_stats,
     "q_text_quality": q_text_quality,
     "q_text_langid": q_text_langid,
@@ -571,6 +617,63 @@ ORACLE = {
         SELECT doc_id, term, tf, score, rk FROM ranked WHERE rk <= 5
         ORDER BY doc_id, rk
     """,
+    # the whole minhash chain in SQL: same (a·h+b) mod P constants as
+    # minhash_signatures_universal, band keys are raw signature pairs
+    "q_dedup_minhash_exact": """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(t[gs : gs + 4], ' ') AS shingle
+          FROM toks JOIN generate_series(1, 100000) AS g(gs)
+            ON gs <= greatest(len(t) - 4, 1)
+        ),
+        base AS (
+          SELECT doc_id, shingle,
+                 CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+          FROM sh
+        ),
+        seeds(i, a, b) AS (VALUES __SEEDS__),
+        sig AS (
+          SELECT doc_id, i, MIN((a * h + b) % 4294967311) AS s
+          FROM base CROSS JOIN seeds GROUP BY doc_id, i
+        ),
+        bands AS (
+          SELECT s0.doc_id, j.j, s0.s AS s0, s1.s AS s1
+          FROM generate_series(0, 7) j(j)
+          JOIN sig s0 ON s0.i = 2 * j.j
+          JOIN sig s1 ON s1.i = 2 * j.j + 1 AND s1.doc_id = s0.doc_id
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.j = b.j AND a.s0 = b.s0 AND a.s1 = b.s1
+               AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(n_inter AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+        ORDER BY id_a, id_b
+    """.replace(
+        "__SEEDS__",
+        ", ".join(
+            f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.UNIVERSAL_AB)
+        ),
+    ),
     "q_dedup_substring": """
         WITH aug AS (
           SELECT doc_id,
