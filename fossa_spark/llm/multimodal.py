@@ -1,14 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — schemas, Arrow-batched mapInPandas
-decode/transform stages, partition sizing — and so are the IMAGE and
-AUDIO paths: ``synthetic_media`` writes real grayscale PNGs (pure-stdlib
-encoder: zlib + struct; the PNG spec is public) and real 16-bit PCM WAV
-payloads (stdlib ``wave``), and ``_decode_image`` / ``_decode_audio``
-parse them back and derive features from decoded pixels / samples.
-Video remains a clearly-marked stub (`decode_stub=True` → deterministic
-byte-histogram features), since no video codec exists in this container;
-a deployment swaps ffmpeg in and nothing else about the plumbing changes.
+decode/transform stages, partition sizing — and so are ALL THREE media
+paths: ``synthetic_media`` writes real grayscale PNGs (pure-stdlib
+encoder: zlib + struct; the PNG spec is public), real 16-bit PCM WAV
+payloads (stdlib ``wave``), and real YUV4MPEG2 (.y4m) video payloads
+(mono plane; the Y4M layout is public — a plain-text stream header plus
+``FRAME\n``-delimited raw planes, the format mjpegtools/ffmpeg exchange
+uncompressed video in).  ``_decode_image`` / ``_decode_audio`` /
+``_decode_video`` parse the bytes back and derive features from decoded
+pixels / samples / frames; ``frame_sample(decode=True)`` seeks straight
+to sampled frames by fixed stride without materializing the rest.  A
+deployment swaps ffmpeg in for compressed codecs and nothing else about
+the plumbing changes.
 
 Scale notes: binary payloads dominate partition size, so
 `spark.sql.files.maxPartitionBytes` + a repartition by a content-size bucket
@@ -155,6 +159,68 @@ def _decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
     return np.frombuffer(frames, dtype="<i2"), rate
 
 
+def _encode_y4m(frames: "np.ndarray", fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Minimal YUV4MPEG2 encoder, mono colorspace: text stream header +
+    per-frame ``FRAME\\n`` marker + raw 8-bit Y plane. Pure stdlib —
+    the Y4M layout is public (mjpegtools / ffmpeg interchange format)."""
+    n, h, w = frames.shape
+    header = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n".encode()
+    body = b"".join(
+        b"FRAME\n" + frames[i].astype(np.uint8).tobytes() for i in range(n)
+    )
+    return header + body
+
+
+def _parse_y4m_header(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Return (width, height, fps_num, fps_den, header_end_offset)."""
+    end = payload.index(b"\n")
+    fields = payload[:end].decode().split()
+    if fields[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = fn = fd = None
+    for tok in fields[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            fn, fd = (int(x) for x in tok[1:].split(":"))
+        elif tok[0] == "C" and tok[1:] != "mono":
+            raise ValueError("decoder supports mono (single-plane) Y4M only")
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    return w, h, fn or 25, fd or 1, end + 1
+
+
+def _decode_y4m(payload: bytes) -> tuple["np.ndarray", float]:
+    """Parse a mono Y4M back to (frames (n,h,w) uint8, fps). Frames sit at
+    a FIXED stride after the stream header, so decoding frame k is an O(1)
+    seek — what frame_sample(decode=True) relies on."""
+    w, h, fn, fd, pos = _parse_y4m_header(payload)
+    fsize = w * h
+    frames = []
+    while pos < len(payload):
+        nl = payload.index(b"\n", pos)  # FRAME marker (may carry params)
+        if not payload[pos:nl].startswith(b"FRAME"):
+            raise ValueError("bad Y4M frame marker")
+        plane = payload[nl + 1 : nl + 1 + fsize]
+        frames.append(
+            np.frombuffer(plane, dtype=np.uint8).reshape(h, w)
+        )
+        pos = nl + 1 + fsize
+    return np.stack(frames), fn / fd
+
+
+def _video_frames(media_id: int, n_frames: int, w: int, h: int) -> "np.ndarray":
+    """Deterministic test clip: the image test pattern panned one column
+    per frame with a small brightness ramp — real temporal structure for
+    the temporal-diff features."""
+    base = _image_pixels(media_id, w, h)
+    return np.stack(
+        [(np.roll(base, -k, axis=1) + 3 * k) % 256 for k in range(n_frames)]
+    ).astype(np.uint8)
+
+
 def _audio_samples(media_id: int, n: int) -> "np.ndarray":
     """Deterministic int16 test tone: id-seeded triangle-ish wave."""
     j = np.arange(n)
@@ -169,19 +235,25 @@ def _image_pixels(media_id: int, w: int, h: int) -> "np.ndarray":
 
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic media table exercising the binary+metadata schema.
-    Image rows carry REAL PNG payloads (encoded with _encode_png); audio/
-    video carry opaque deterministic bytes. Generated DISTRIBUTEDLY
-    (spark.range → mapInPandas): payloads are a pure function of media_id,
-    so the table scales to any n with no driver-side materialization."""
+    Every kind carries a REAL payload — PNG images (_encode_png), PCM WAV
+    audio (_encode_wav), mono Y4M video (_encode_y4m). Generated
+    DISTRIBUTEDLY (spark.range → mapInPandas): payloads are a pure function
+    of media_id, so the table scales to any n with no driver-side
+    materialization."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
-        mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+        mimes = {
+            "image": "image/png",
+            "audio": "audio/wav",
+            "video": "video/x-yuv4mpeg",
+        }
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
                 kind = kinds[i % 3]
+                nf = None
                 if kind == "image":
                     w, h = 64 + i % 8, 64 + i % 4
                     payload = _encode_png(_image_pixels(i, w, h).astype(np.uint8))
@@ -191,10 +263,9 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
                         _audio_samples(i, 256 + (i % 5) * 64), rate=16000
                     )
                 else:
-                    w = h = None
-                    payload = bytes(
-                        (i * 31 + j * 7) % 256 for j in range(128 + (i % 5) * 64)
-                    )
+                    w, h = 32, 24
+                    nf = 10 * (1 + i % 3) + 1  # 11/21/31 frames @ 25fps
+                    payload = _encode_y4m(_video_frames(i, nf, w, h))
                 rows.append(
                     {
                         "media_id": i,
@@ -204,7 +275,7 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
                             "width": w,
                             "height": h,
                             "sample_rate": 16000 if kind == "audio" else None,
-                            "n_frames": 30 * (1 + i % 3) if kind == "video" else None,
+                            "n_frames": nf,
                             "mime": mimes[kind],
                         },
                     }
@@ -256,6 +327,28 @@ def _decode_audio(payload: bytes, dim: int = 8) -> list[float]:
     return feats[:dim]
 
 
+def _decode_video(payload: bytes, dim: int = 8) -> list[float]:
+    """Real decode path: parse the Y4M, then derive features from the
+    DECODED FRAMES — duration (s), mean luma, spatial std, temporal-diff
+    RMS (motion energy), and 4 temporal-quarter mean-luma values, the
+    luma terms normalized to [0, 1].  (A deployment swaps the featurizer
+    for a video model; the decode+feature contract stays identical.)"""
+    frames, fps = _decode_y4m(payload)
+    x = frames.astype(np.float64) / 255.0
+    n = x.shape[0]
+    tdiff = (
+        float(np.sqrt(np.mean((x[1:] - x[:-1]) ** 2))) if n > 1 else 0.0
+    )
+    quarters = np.array_split(x, 4)
+    feats = [
+        n / fps,
+        float(x.mean()),
+        float(x.std()),
+        tdiff,
+    ] + [float(q.mean()) if q.size else 0.0 for q in quarters]
+    return feats[:dim]
+
+
 def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a decoder+featurizer: byte histogram
     moments. Same shape/contract as a real embedding."""
@@ -269,13 +362,17 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     iterator shape (many small pdfs per partition) is exactly what a real
     GPU/codec stage wants — per-batch model init amortized via the iterator.
 
-    ``decode_stub=False`` runs the REAL decoder where one exists (images:
-    the pure-stdlib PNG path; audio: the stdlib WAV path) and falls back
-    to the deterministic byte-histogram features for kinds with no codec
-    in this container (video)."""
+    ``decode_stub=False`` runs the REAL decoder for every kind (images:
+    pure-stdlib PNG; audio: stdlib WAV; video: pure-stdlib mono Y4M);
+    ``decode_stub=True`` keeps the deterministic byte-histogram stand-in
+    (the shape a compressed-codec deployment would slot ffmpeg into)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        real = {"image": _decode_image, "audio": _decode_audio}
+        real = {
+            "image": _decode_image,
+            "audio": _decode_audio,
+            "video": _decode_video,
+        }
 
         def featurize(payload, kind):
             if not decode_stub and kind in real:
@@ -298,9 +395,42 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def frame_sample(media: DataFrame, every_nth: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: explode frame indices from metadata
-    (decode stubbed — indices are what a real ffmpeg stage would consume)."""
+def frame_sample(
+    media: DataFrame, every_nth: int = 10, decode: bool = False
+) -> DataFrame:
+    """Video frame sampling.
+
+    ``decode=False``: explode frame indices from metadata — the index
+    stream a downstream ffmpeg/seek stage would consume.  ``decode=True``:
+    REAL path — parse each Y4M header, seek straight to every nth frame by
+    fixed stride (frames after the stream header are fixed-size, so a
+    sampled frame costs O(frame) not O(clip)), and emit per-frame mean
+    luma. Arrow-batched mapInPandas; only video rows reach Python."""
     v = media.filter(F.col("kind") == "video")
-    idx = F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_nth))
-    return v.select("media_id", F.explode(idx).alias("frame_idx"))
+    if not decode:
+        idx = F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_nth))
+        return v.select("media_id", F.explode(idx).alias("frame_idx"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lumas = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _, _, start = _parse_y4m_header(payload)
+                fsize = w * h
+                stride = len(b"FRAME\n") + fsize
+                n = (len(payload) - start) // stride
+                for k in range(0, n, every_nth):
+                    off = start + k * stride + len(b"FRAME\n")
+                    plane = np.frombuffer(
+                        payload[off : off + fsize], dtype=np.uint8
+                    )
+                    ids.append(mid)
+                    idxs.append(k)
+                    lumas.append(float(plane.mean()) / 255.0)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "mean_luma": lumas}
+            )
+
+    return v.select("media_id", "payload").mapInPandas(
+        run, "media_id long, frame_idx int, mean_luma double"
+    )

@@ -421,10 +421,10 @@ def q_tok_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media plumbing: synthetic media table (REAL PNG payloads for
-    images) → Arrow-batched feature extraction with the real PNG decoder
-    (decode_stub=False; audio/video fall back to stub features) → per-kind
-    aggregate. rows-only."""
+    """Binary media plumbing: synthetic media table (REAL payloads for all
+    three kinds — PNG images, PCM WAV audio, mono Y4M video) → Arrow-batched
+    feature extraction with the real decoders (decode_stub=False) →
+    per-kind aggregate. rows-only."""
     media = M.synthetic_media(spark, n=64)
     feats = M.extract_features(media, decode_stub=False)
     return (

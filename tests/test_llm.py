@@ -239,9 +239,47 @@ def test_multimodal_real_decode(spark):
         x = M._audio_samples(m, 256 + (m % 5) * 64).astype(np.float64) / 32768.0
         # feature column is array<float> (float32) — tolerance accordingly
         assert abs(rms - float(np.sqrt(np.mean(x * x)))) < 1e-6
-    # video keeps the deterministic stub features (no codec in container)
-    for m in (x for x in real if x % 3 == 2):
-        assert real[m].feature == stub[m].feature
+    # video rows decode through the real Y4M path: duration matches the
+    # generator's frame count at 25 fps; luma features bounded; panning
+    # + brightness ramp means real motion energy (tdiff > 0)
+    vids = [m for m in real if m % 3 == 2]
+    assert vids
+    for m in vids:
+        f = real[m].feature
+        dur, mean, std, tdiff = f[0], f[1], f[2], f[3]
+        nf = 10 * (1 + m % 3) + 1
+        assert abs(dur - nf / 25.0) < 1e-6
+        assert 0.0 <= mean <= 1.0 and std > 0.0 and tdiff > 0.0
+        assert f != stub[m].feature
+        # direct check against the generator's frames
+        import numpy as np
+
+        fr = M._video_frames(m, nf, 32, 24).astype(np.float64) / 255.0
+        assert abs(mean - fr.mean()) < 1e-6
+
+
+def test_y4m_roundtrip_and_frame_seek(spark):
+    """Y4M encode/decode is frame-exact; frame_sample(decode=True) seeks
+    to the right frames and reports their true mean luma."""
+    import numpy as np
+
+    frames = M._video_frames(5, 13, 16, 12)
+    back, fps = M._decode_y4m(M._encode_y4m(frames))
+    assert fps == 25.0
+    assert (back == frames).all()
+
+    media = M.synthetic_media(spark, n=9)
+    rows = M.frame_sample(media, every_nth=10, decode=True).collect()
+    assert rows and all(r.frame_idx % 10 == 0 for r in rows)
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, {})[r.frame_idx] = r.mean_luma
+    for mid, sampled in by_id.items():
+        nf = 10 * (1 + mid % 3) + 1
+        fr = M._video_frames(mid, nf, 32, 24).astype(np.float64) / 255.0
+        assert set(sampled) == set(range(0, nf, 10))
+        for k, luma in sampled.items():
+            assert abs(luma - fr[k].mean()) < 1e-9
 
 
 def test_wav_roundtrip():

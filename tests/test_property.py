@@ -98,6 +98,28 @@ def test_png_codec_identity(w, h, seed):
     assert (M._decode_png(M._encode_png(px)) == px).all()
 
 
+# -- Y4M codec: encode → decode is frame-exact for any mono clip
+
+
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_y4m_codec_identity(w, h, n, seed):
+    import numpy as np
+
+    from fossa_spark.llm import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+    back, fps = M._decode_y4m(M._encode_y4m(frames))
+    assert fps == 25.0
+    assert (back == frames).all()
+
+
 # -- int8 quantization: reconstruction error is bounded by half a step
 
 
