@@ -47,7 +47,12 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
         F.dayofmonth("o_orderdate").alias("dom"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        # date_trunc returns TIMESTAMP in Spark but DATE in DuckDB (month
+        # granularity) — surface as an ISO string in both engines, per the
+        # determinism contract (NOTES.md).
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
         F.datediff(d, F.lit("2000-01-01").cast("date")).alias("days_since_y2k"),
         # DATE-typed outputs canonicalize differently (date vs datetime64)
         # across pandas paths — surface as ISO strings in both engines.
@@ -329,7 +334,8 @@ ORACLE = {
                CAST(year(o_orderdate) AS INTEGER) AS yr,
                CAST(month(o_orderdate) AS INTEGER) AS mo,
                CAST(day(o_orderdate) AS INTEGER) AS dom,
-               date_trunc('month', o_orderdate) AS month_start,
+               strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d')
+                 AS month_start,
                CAST(date_diff('day', DATE '2000-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
                  AS days_since_y2k,
                strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
