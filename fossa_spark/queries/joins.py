@@ -320,7 +320,69 @@ def q_join_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — the manual form of the runtime
+    filters Spark 3.3+ can inject: build a bloom over the (filtered) dim
+    join keys, pre-filter the FACT side with pure JVM bit tests before it
+    ever shuffles, then run the real join to drop the (rare) false
+    positives. Result-invariant (blooms have no false negatives), so the
+    oracle is the plain join.
+
+    100 TB shape: the bloom is CONSTANT-sized (m = 2^16 bits packed into
+    1024 longs) regardless of fact size; the build aggregates bit words
+    distributedly (groupBy word index + bit_or) and collects ≤1024 rows —
+    driver traffic is bounded by the filter size, never by the data. The
+    membership test is element_at + shiftright + bitwise AND over a
+    folded literal array: whole-stage codegen, no UDF, applied BEFORE the
+    join's exchange so ~4/5 of fact rows never shuffle."""
+    m, n_hashes = 1 << 16, 4
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    key = F.col("c_custkey")
+    # distributed build: per-key bit positions → packed 64-bit words
+    pos = F.explode(
+        F.array(
+            *[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m)) for i in range(n_hashes)]
+        )
+    ).alias("pos")
+    words = (
+        c.select(pos)
+        .groupBy((F.col("pos") / 64).cast("long").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").alias("bits"))
+        .collect()
+    )
+    packed = [0] * (m // 64)
+    for r in words:
+        packed[int(r["w"])] = int(r["bits"])
+    arr = F.array(*[F.lit(w).cast("long") for w in packed])
+
+    o = load(spark, sf_dir, "orders").withColumn("_bloom", arr)
+    # ConstantFolding collapses the all-literal CreateArray into one array
+    # literal, so the per-row cost is k folded hash + bit ops in codegen.
+    tests = []
+    for i in range(n_hashes):
+        p = f"pmod(xxhash64(o_custkey, {i}), {m})"
+        tests.append(
+            f"(element_at(_bloom, CAST({p} div 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST({p} % 64 AS INT))) != 0"
+        )
+    pruned = o.filter(F.expr(" AND ".join(tests))).drop("_bloom")
+    j = pruned.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias(
+                "total_price"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
+    "q_join_bloom": q_join_bloom,
     "q_join_sorted_neighborhood": q_join_sorted_neighborhood,
     "q_join_inner": q_join_inner,
     "q_join_interval": q_join_interval,
@@ -337,6 +399,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    # The bloom pre-filter is result-invariant (no false negatives; false
+    # positives die in the real join), so the oracle is the plain join.
+    "q_join_bloom": f"""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM({sql_cents('o_totalprice')}) AS DOUBLE) / 100.0
+                 AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     "q_join_sorted_neighborhood": """
         WITH r AS (
           SELECT substr(p_name, 1, 1) AS block, p_name, p_partkey,

