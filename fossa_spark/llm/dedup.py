@@ -818,3 +818,91 @@ def minhash_signatures_universal(
         id_col,
         F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("minhash"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.35,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with KMeans, compare cosine
+    similarity ONLY within clusters, connect the >= threshold pairs into
+    components, and keep ONE representative per component — the member
+    FARTHEST from its cluster centroid (the paper's keep rule: peripheral
+    examples carry more signal than the redundant cluster core).
+
+    Scale shape = the IVF shape: centroids are tiny and broadcast;
+    within-cluster pairs come from one applyInPandas per cluster
+    (blocked_cosine_pairs — each vector crosses the shuffle once); the
+    component step runs on the post-threshold EDGE list, orders of
+    magnitude smaller than the corpus. n_clusters is the knob that keeps
+    blocks worker-sized at 100 TB.
+
+    Returns (component, size, kept_id, cluster) per duplicate group,
+    singletons excluded (they are trivially kept).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from fossa_spark.llm.similarity import (
+        _as_double,
+        _nearest_centroids_udf,
+        blocked_cosine_pairs,
+    )
+
+    train = embeddings.select(
+        array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+
+    assigned = embeddings.withColumn(
+        "cluster", _nearest_centroids_udf(centroids, 1)(F.col(vec_col))[0]
+    ).persist()
+
+    pairs = blocked_cosine_pairs(
+        assigned, block_col="cluster", id_col=id_col, vec_col=vec_col,
+        threshold=threshold,
+    )
+    comp = connected_components(pairs)  # (doc_id, component)
+
+    # distance to own centroid, for the keep rule — same pandas-UDF math
+    # as the assignment step, one narrow pass
+    def _dist_fn(vecs, clusters):
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        c = centroids[clusters.to_numpy()]
+        return pd.Series(np.sqrt(((m - c) ** 2).sum(axis=1)))
+
+    # legacy (no-type-hint) form: pd is function-local here, so hint
+    # strings would not resolve under `from __future__ import annotations`
+    _dist = F.pandas_udf(_dist_fn, "double")
+
+    members = comp.join(
+        assigned.select(
+            F.col(id_col).alias("doc_id"),
+            "cluster",
+            F.round(_dist(F.col(vec_col), F.col("cluster")), 6).alias("d"),
+        ),
+        "doc_id",
+    )
+    w = W.partitionBy("component").orderBy(
+        F.col("d").desc(), F.col("doc_id").asc()
+    )
+    out = (
+        members.withColumn("rk", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("size"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("kept_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("cluster"))).cast("int")
+            .alias("cluster"),
+        )
+    )
+    assigned.unpersist()
+    return out

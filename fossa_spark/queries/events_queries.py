@@ -116,7 +116,55 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of event values per type — the
+    irregular-interval time-series reduction where plain AVG is wrong:
+    each observation is weighted by how long it stayed current (µs until
+    the user's next event of that type; the open-ended last observation
+    drops out, standard left-closed TWAP). One window shuffle on
+    (user_id, event_type), then a partial-agg reduction.
+
+    Determinism: value is exact 2-dp → integer cents; weights are integer
+    µs; cents×µs products sum in DECIMAL(38,0) (int64 would overflow at
+    ~100× scale), and the single cents-weighted division happens once in
+    double at the end — order-independent, hash-comparable."""
+    from pyspark.sql import Window as W
+
+    from fossa_spark.queries._util import cents
+
+    e = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    dur = (
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+    ).alias("dur_us")
+    obs = e.select("event_type", cents("value").alias("v_cents"), dur).filter(
+        F.col("dur_us").isNotNull()
+    )
+    wd = (F.col("v_cents") * F.col("dur_us")).cast("decimal(38,0)")
+    return (
+        obs.groupBy("event_type")
+        .agg(
+            F.sum(wd).alias("_swd"),
+            F.sum("dur_us").alias("total_us"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .select(
+            "event_type",
+            F.round(
+                F.col("_swd").cast("double")
+                / F.col("total_us").cast("double")
+                / 100.0,
+                6,
+            ).alias("twap"),
+            "total_us",
+            "n_intervals",
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "q_agg_twap": q_agg_twap,
     "q_funnel": q_funnel,
     "q_rolling_active": q_rolling_active,
     "q_attribution": q_attribution,
@@ -128,6 +176,24 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_agg_twap": """
+        WITH obs AS (
+          SELECT event_type,
+                 CAST(ROUND(value * 100.0) AS BIGINT) AS v_cents,
+                 epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id))
+                   - epoch_us(CAST(ts AS TIMESTAMP)) AS dur_us
+          FROM events
+        )
+        SELECT event_type,
+               ROUND(CAST(SUM(v_cents * dur_us) AS DOUBLE)
+                     / CAST(SUM(dur_us) AS DOUBLE) / 100.0, 6) AS twap,
+               CAST(SUM(dur_us) AS BIGINT) AS total_us,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals
+        FROM obs WHERE dur_us IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """,
     "q_resample_ffill": """
         WITH e AS (
           SELECT event_type AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS us,

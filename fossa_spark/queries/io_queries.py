@@ -97,6 +97,37 @@ def q_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan (Spark's second first-class columnar format; ORC
+    keeps min/max stripe stats so predicate pushdown works like parquet).
+    Round-trips lineitem's mixed types — timestamp, double, string —
+    through a scratch dir, filters AFTER re-read so the pushed predicate
+    exercises the ORC reader, then aggregates. The oracle computes the
+    same result straight from the parquet source: lossless IO is what's
+    checked."""
+    out = tempfile.mkdtemp(prefix="fossa_orc_")
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+        "l_shipdate",
+    )
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).filter(F.col("l_quantity") >= 25.0)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")).cast("double") / 100.0).alias(
+                "sum_price"
+            ),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias(
+                "last_ship"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_source_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom connector through Spark 4's Python Data Source API: the
     fossa_synth source plans 8 parallel input partitions over a
@@ -252,6 +283,7 @@ QUERIES = {
     "q_csv_roundtrip": q_csv_roundtrip,
     "q_partitioned_write": q_partitioned_write,
     "q_ndjson_roundtrip": q_ndjson_roundtrip,
+    "q_orc_roundtrip": q_orc_roundtrip,
     "q_source_python": q_source_python,
     "q_schema_merge": q_schema_merge,
     "q_compact_files": q_compact_files,
@@ -260,6 +292,18 @@ QUERIES = {
 }
 
 ORACLE = {
+    # ORC round-trip is lossless, so the oracle aggregates the source
+    "q_orc_roundtrip": f"""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM({sql_cents("l_extendedprice")}) AS DOUBLE) / 100.0
+                 AS sum_price,
+               strftime(CAST(MAX(l_shipdate) AS DATE), '%Y-%m-%d')
+                 AS last_ship
+        FROM lineitem
+        WHERE l_quantity >= 25.0
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     # expected post-backfill state: 'F' partition replaced with corrected
     # prices, every other partition untouched
     "q_backfill_overwrite": f"""

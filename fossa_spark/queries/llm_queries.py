@@ -450,8 +450,22 @@ def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.transform(docs).orderBy("doc_id")
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (arXiv:2303.09540): KMeans-cluster
+    the embeddings, connect within-cluster cosine >= 0.35 pairs into
+    components, keep the member farthest from its centroid per component.
+    rows-only: the trained quantizer is not SQL-expressible."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        D.semantic_dedup(e, "vec_id", "embedding",
+                         n_clusters=16, threshold=0.35)
+        .orderBy("component")
+    )
+
+
 QUERIES = {
     "q_pipeline": q_pipeline,
+    "q_dedup_semantic": q_dedup_semantic,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
     "q_dedup_ngram": q_dedup_ngram,

@@ -341,6 +341,40 @@ def test_connected_components_long_chain(spark):
     assert len(comps) == 26
 
 
+def test_semantic_dedup_planted_groups(spark):
+    """Two planted near-duplicate embedding groups plus singletons:
+    each group collapses to ONE kept representative — the member farthest
+    from its KMeans centroid (the SemDeDup keep rule) — and singletons
+    never appear in the output."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # group A: ids 0-2 around a base vector; group B: ids 10-12 around an
+    # orthogonal-ish base; singletons 20-24 random
+    base_a = rng.normal(size=8)
+    base_b = rng.normal(size=8) + 5.0
+    for i in range(3):
+        rows.append((i, (base_a + rng.normal(scale=0.01, size=8)).tolist()))
+        rows.append((10 + i, (base_b + rng.normal(scale=0.01, size=8)).tolist()))
+    for i in range(20, 25):
+        rows.append((i, rng.normal(size=8).tolist()))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = D.semantic_dedup(df, n_clusters=4, threshold=0.95).collect()
+    sizes = sorted(r.size for r in out)
+    assert sizes == [3, 3], out
+    kept = {r.kept_id for r in out}
+    assert len(kept) == 2
+    assert any(k in (0, 1, 2) for k in kept)
+    assert any(k in (10, 11, 12) for k in kept)
+    # determinism: same seed → identical result
+    out2 = D.semantic_dedup(df, n_clusters=4, threshold=0.95).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
 def test_ivf_topk_recall(vecs):
     """IVF (16 centroids, nprobe=4) recall vs exact brute force — the
     coarse-quantized scale path must stay useful on this corpus."""
