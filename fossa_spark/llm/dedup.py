@@ -906,3 +906,104 @@ def semantic_dedup(
     )
     assigned.unpersist()
     return out
+
+
+def setsim_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    set_col: Column | None = None,
+) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (the AllPairs /
+    PPJoin family, Bayardo et al. WWW'07 / Xiao et al. WWW'08): token-SET
+    Jaccard >= threshold pairs WITHOUT MinHash approximation and WITHOUT
+    the all-pairs cross product.
+
+    The filter: order every document's tokens by global rarity (document
+    frequency asc, token asc — a total order computed per-doc with
+    sort_array over (df, token) structs, no global rank window), keep only
+    the first ``n - ceil(t*n) + 1`` tokens as the PREFIX; two sets with
+    Jaccard >= t MUST share a prefix token, so the candidate join is an
+    equi-join on prefix tokens only. Prefix tokens are each document's
+    RAREST tokens, so candidate fan-in per token is bounded — the hot
+    tokens ("the") that would explode a naive token join never enter a
+    prefix. A length filter (t*na <= nb <= na/t) prunes further. Exact
+    verification counts the real intersection on candidates only.
+
+    No recall loss (unlike MinHash/SimHash): candidates are a superset of
+    all qualifying pairs, verification is exact — which is why this query
+    can be hash-checked against a brute-force SQL oracle.
+
+    ``set_col`` overrides the set definition (default: distinct whitespace
+    tokens); pass e.g. ``word_shingles(text_col, 3)`` for shingle-set
+    Jaccard — on corpora whose unigram vocabularies overlap heavily,
+    shingles are what make the measure (and the prefix filter)
+    discriminative."""
+    elems = set_col if set_col is not None else F.array_distinct(
+        tokens(text_col)
+    )
+    # tok feeds FOUR consumers (dfreq, prefix ranking, both verify sides),
+    # but its distinct's Exchange subtree is identical in each — Catalyst
+    # dedupes via ReusedExchange, so an explicit persist costs MORE than
+    # it saves (measured: 5.7 s → 11.4 s warm at sf0.1 with persist +
+    # eager checkpoint). Leave it lazy.
+    tok = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(elems).alias("tok"))
+        .distinct()
+    )
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    ranked = (
+        tok.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("dfreq", "tok"))
+            ).alias("sorted_toks"),
+        )
+        .select(
+            "doc_id",
+            F.col("sorted_toks.tok").alias("toks"),
+            F.size("sorted_toks").alias("n"),
+        )
+    )
+    t = float(threshold)
+    prefix_len = F.col("n") - F.ceil(F.col("n") * t).cast("int") + 1
+    prefix = ranked.select(
+        "doc_id", "n",
+        F.explode(F.slice("toks", 1, prefix_len)).alias("tok"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(
+            (F.col("b.n").cast("double") >= t * F.col("a.n"))
+            & (F.col("a.n").cast("double") >= t * F.col("b.n"))
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("id_a"), "tok")
+    tb = tok.select(F.col("doc_id").alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    uni = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        inter.withColumn("uni", uni.cast("long"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter").cast("double") / F.col("uni"), 6),
+        )
+        .filter(F.col("jaccard") >= t)
+        .select("id_a", "id_b",
+                F.col("inter").cast("long").alias("inter"), "uni", "jaccard")
+    )

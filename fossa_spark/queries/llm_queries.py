@@ -463,9 +463,27 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join via prefix filtering (AllPairs/PPJoin):
+    word-3-shingle-set Jaccard >= 0.5 pairs with NO approximation —
+    candidates come only from shared rare-prefix shingles (prefix length
+    ~ n*(1-t)+1), never an all-pairs product and never a hot-element cap
+    (the prefix filter bounds fan-in structurally: common shingles never
+    enter a prefix). Shingle sets, not unigram tokens: this corpus's
+    unigram vocabularies overlap so heavily that token-set Jaccard is
+    non-discriminative (92k of 125k possible pairs pass 0.5 at sf0.01).
+    The oracle brute-forces the same Jaccard in SQL; results are
+    identical because prefix filtering has no false negatives."""
+    d = load(spark, sf_dir, "documents")
+    return D.setsim_join(
+        d, threshold=0.5, set_col=D.word_shingles("text", 3)
+    ).orderBy("id_a", "id_b")
+
+
 QUERIES = {
     "q_pipeline": q_pipeline,
     "q_dedup_semantic": q_dedup_semantic,
+    "q_dedup_setsim": q_dedup_setsim,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
     "q_dedup_ngram": q_dedup_ngram,
@@ -542,6 +560,35 @@ ORACLE = {
         SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
                MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY text_hash
+    """,
+    # brute-force 3-shingle-set Jaccard: prefix filtering is exact, so the
+    # candidate-pruned Spark plan and this all-pairs SQL agree bit-for-bit
+    "q_dedup_setsim": """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ),
+        tok AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(t[gs : gs + 2], ' ') AS tok
+          FROM toks JOIN generate_series(1, 100000) AS g(gs)
+            ON gs <= greatest(len(t) - 2, 1)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, inter,
+               CAST(sa.n + sb.n - inter AS BIGINT) AS uni,
+               ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6)
+                 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.5
+        ORDER BY id_a, id_b
     """,
     "q_dedup_ngram": """
         WITH toks AS (
