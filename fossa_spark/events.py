@@ -297,3 +297,92 @@ def resample_ffill(events: DataFrame, every_us: int = 900_000_000,
             F.col("ff").alias("filled_value"),
         )
     )
+
+
+def resample_interp(events: DataFrame, every_us: int = 900_000_000,
+                    key_col: str = "event_type", ts_col: str = "ts",
+                    val_col: str = "value") -> DataFrame:
+    """Resample an irregular series onto a fixed grid with LINEAR
+    INTERPOLATION between the surrounding observations (the alignment
+    step models want when forward-fill's staircase bias matters).
+
+    Same union-trick shape as :func:`resample_ffill` — grid points and
+    observations union into one relation, ONE shuffle on the key — but
+    with two frame passes over the same sorted window: the backward frame
+    carries (prev value, prev ts), the forward frame (next value,
+    next ts); the interpolation arithmetic is then a narrow projection.
+    Grid points outside the observed span fall back to the nearest
+    observation (ffill right of the last obs, bfill left of the first);
+    a grid instant that coincides with an observation reproduces it
+    exactly (dt = 0).
+
+    Determinism: timestamps are integer µs and values exact 2-dp, so
+    both engines compute the identical double expression; output rounded
+    to 6 dp."""
+    from pyspark.sql import Window as W
+
+    obs = events.select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(ts_col).alias("us"),
+        F.col(val_col).cast("double").alias("v"),
+        F.lit(0).alias("is_grid"),
+        F.col("event_id").cast("long").alias("ord_id"),
+    )
+    span = events.agg(
+        F.min(F.unix_micros(ts_col)).alias("mn"),
+        F.max(F.unix_micros(ts_col)).alias("mx"),
+    )
+    keys = events.select(F.col(key_col).alias("k")).distinct()
+    grid = (
+        keys.crossJoin(F.broadcast(span))
+        .select(
+            "k",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.col("mx") - F.col("mn")) / float(every_us))
+                    .cast("long"),
+                )
+            ).alias("i"),
+            "mn",
+        )
+        .select(
+            "k",
+            (F.col("mn") + F.col("i") * every_us).alias("us"),
+            F.lit(None).cast("double").alias("v"),
+            F.lit(1).alias("is_grid"),
+            F.lit(1 << 60).alias("ord_id"),
+        )
+    )
+    u = obs.unionByName(grid)
+    # observation timestamp column (null on grid rows) for the frames
+    u = u.withColumn("obs_us", F.when(F.col("is_grid") == 0, F.col("us")))
+    order = [F.col("us"), F.col("is_grid"), F.col("ord_id")]
+    back = (
+        W.partitionBy("k").orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    fwd = (
+        W.partitionBy("k").orderBy(*order)
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    vp = F.last("v", ignorenulls=True).over(back)
+    tp = F.last("obs_us", ignorenulls=True).over(back)
+    vn = F.first("v", ignorenulls=True).over(fwd)
+    tn = F.first("obs_us", ignorenulls=True).over(fwd)
+    interp = F.when(vp.isNull(), vn).when(vn.isNull(), vp).when(
+        tn == tp, vp
+    ).otherwise(
+        vp
+        + (vn - vp)
+        * ((F.col("us") - tp).cast("double") / (tn - tp).cast("double"))
+    )
+    return (
+        u.withColumn("iv", F.round(interp, 6))
+        .filter(F.col("is_grid") == 1)
+        .select(
+            F.col("k").alias(key_col),
+            F.col("us").alias("grid_us"),
+            F.col("iv").alias("interp_value"),
+        )
+    )

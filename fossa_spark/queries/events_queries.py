@@ -116,6 +116,77 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization with LINEAR INTERPOLATION between the
+    surrounding observations (events.py resample_interp — the same
+    union-trick single-shuffle shape as ffill, two frame passes)."""
+    e = load_events(spark, sf_dir)
+    return E.resample_interp(e, every_us=900_000_000).orderBy(
+        "event_type", "grid_us"
+    )
+
+
+def q_anomaly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: daily event counts per type, z-scored
+    against that type's own daily distribution; emit the anomalous days
+    (|z| > 1.5). The operational data-quality monitor shape: two hash
+    aggregates (day grain, then type grain) + a broadcast stats join —
+    no window over the full feed.
+
+    Determinism: counts are exact integers; mean/var come from exact
+    integer sum/sumsq via identical double expressions both sides; z
+    rounded to 6 dp."""
+    e = load_events(spark, sf_dir)
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_days").cast("double")
+    var = (
+        F.col("ss").cast("double") / F.col("n_days").cast("double")
+        - mean * mean
+    )
+    z = (F.col("cnt").cast("double") - mean) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) > 1.5)
+        .select("event_type", "day", "cnt", "z")
+        .orderBy("event_type", "day")
+    )
+
+
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-collapse (debounce) dedup: drop events that land within 60 s
+    of the same user's previous event of the same type — the batch
+    analogue of stream throttling, one lag window on the natural key.
+    Emits per-type kept/dropped counts (exact integers)."""
+    from pyspark.sql import Window as W
+
+    e = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = e.withColumn(
+        "kept", gap.isNull() | (gap > 60_000_000)
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum((~F.col("kept")).cast("long")).alias("n_dropped"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_agg_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average (TWAP) of event values per type — the
     irregular-interval time-series reduction where plain AVG is wrong:
@@ -165,6 +236,9 @@ def q_agg_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_agg_twap": q_agg_twap,
+    "q_resample_interp": q_resample_interp,
+    "q_anomaly_volume": q_anomaly_volume,
+    "q_event_debounce": q_event_debounce,
     "q_funnel": q_funnel,
     "q_rolling_active": q_rolling_active,
     "q_attribution": q_attribution,
@@ -193,6 +267,98 @@ ORACLE = {
                CAST(COUNT(*) AS BIGINT) AS n_intervals
         FROM obs WHERE dur_us IS NOT NULL
         GROUP BY event_type ORDER BY event_type
+    """,
+    "q_resample_interp": """
+        WITH e AS (
+          SELECT event_type AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(value AS DOUBLE) AS v, 0 AS is_grid,
+                 event_id AS ord_id
+          FROM events
+        ),
+        span AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),
+        grid AS (
+          SELECT k.k, s.mn + g.i * 900000000 AS us,
+                 CAST(NULL AS DOUBLE) AS v, 1 AS is_grid,
+                 CAST(1152921504606846976 AS BIGINT) AS ord_id
+          FROM (SELECT DISTINCT k FROM e) k
+          CROSS JOIN span s
+          JOIN generate_series(0, 100000) g(i)
+            ON g.i <= (s.mx - s.mn) // 900000000
+        ),
+        u AS (
+          SELECT *, CASE WHEN is_grid = 0 THEN us END AS obs_us
+          FROM (SELECT * FROM e UNION ALL SELECT * FROM grid)
+        ),
+        f AS (
+          SELECT k, us, is_grid,
+                 last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY us, is_grid, ord_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+                 last_value(obs_us IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY us, is_grid, ord_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+                 first_value(v IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY us, is_grid, ord_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+                 first_value(obs_us IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY us, is_grid, ord_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
+          FROM u
+        )
+        SELECT k AS event_type, us AS grid_us,
+               ROUND(CASE WHEN vp IS NULL THEN vn
+                          WHEN vn IS NULL THEN vp
+                          WHEN tn = tp THEN vp
+                          ELSE vp + (vn - vp) *
+                               (CAST(us - tp AS DOUBLE)
+                                / CAST(tn - tp AS DOUBLE))
+                     END, 6) AS interp_value
+        FROM f WHERE is_grid = 1
+        ORDER BY event_type, grid_us
+    """,
+    "q_anomaly_volume": """
+        WITH daily AS (
+          SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+                   AS day,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events GROUP BY event_type, day
+        ),
+        stats AS (
+          SELECT event_type, COUNT(*) AS n_days, SUM(cnt) AS s,
+                 SUM(cnt * cnt) AS ss
+          FROM daily GROUP BY event_type
+        )
+        SELECT d.event_type, d.day, d.cnt,
+               ROUND((CAST(d.cnt AS DOUBLE)
+                      - CAST(s.s AS DOUBLE) / CAST(s.n_days AS DOUBLE))
+                     / sqrt(CAST(s.ss AS DOUBLE) / CAST(s.n_days AS DOUBLE)
+                            - (CAST(s.s AS DOUBLE) / CAST(s.n_days AS DOUBLE))
+                              * (CAST(s.s AS DOUBLE)
+                                 / CAST(s.n_days AS DOUBLE))), 6) AS z
+        FROM daily d JOIN stats s USING (event_type)
+        WHERE ABS(ROUND((CAST(d.cnt AS DOUBLE)
+                      - CAST(s.s AS DOUBLE) / CAST(s.n_days AS DOUBLE))
+                     / sqrt(CAST(s.ss AS DOUBLE) / CAST(s.n_days AS DOUBLE)
+                            - (CAST(s.s AS DOUBLE) / CAST(s.n_days AS DOUBLE))
+                              * (CAST(s.s AS DOUBLE)
+                                 / CAST(s.n_days AS DOUBLE))), 6)) > 1.5
+        ORDER BY event_type, day
+    """,
+    "q_event_debounce": """
+        WITH g AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap
+          FROM events
+        )
+        SELECT event_type,
+               CAST(SUM(CASE WHEN gap IS NULL OR gap > 60000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN gap IS NOT NULL AND gap <= 60000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        FROM g GROUP BY event_type ORDER BY event_type
     """,
     "q_resample_ffill": """
         WITH e AS (
