@@ -103,6 +103,37 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via Spark's mergeable Greenwald-Khanna sketch
+    (percentile_approx, accuracy 10000) — the 100 TB quantile path: one
+    streaming pass with bounded per-group state and map-side merge, where
+    the exact percentile must buffer the whole column per group.
+    Deterministic for fixed data but engine-specific (DuckDB has no GK
+    sketch) → rows-only; the rank-error bound vs the exact percentile is
+    asserted in tests/test_operators.py."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_quantity",
+                F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                F.lit(10000),
+            ).alias("_q"),
+            F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000))
+            .alias("p90_price"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("_q")[0].alias("q25"),
+            F.col("_q")[1].alias("q50"),
+            F.col("_q")[2].alias("q75"),
+            "p90_price",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over two keys (grouping-sets family)."""
     li = load(spark, sf_dir, "lineitem")
@@ -446,6 +477,7 @@ QUERIES = {
     "q_agg_pivot": q_agg_pivot,
     "q_agg_distinct": q_agg_distinct,
     "q_agg_approx": q_agg_approx,
+    "q_agg_approx_quantile": q_agg_approx_quantile,
     "q_agg_rollup": q_agg_rollup,
     "q_agg_having": q_agg_having,
     "q_agg_collect": q_agg_collect,

@@ -302,3 +302,34 @@ def test_triangle_count_known_graphs(spark):
     r2 = triangle_count(path).first()
     assert (r2.n_edges, r2.n_triangles, r2.closure_rate) == (3, 0, 0.0)
     assert r2.n_wedges == 2
+
+
+def test_approx_quantile_rank_error_bound(spark):
+    """percentile_approx (GK sketch, accuracy 10000) must land within the
+    documented 1/accuracy rank-error bound of the exact percentile — the
+    contract that justifies the sketch as the 100 TB quantile path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fossa_spark.queries._util import load
+    from fossa_spark.queries.aggregates import q_agg_approx_quantile
+
+    sf = os.environ.get("FOSSA_TEST_SF_DIR", "/root/testdata/sf0.001")
+    approx = {r["l_returnflag"]: r for r in q_agg_approx_quantile(spark, sf).collect()}
+    li = load(spark, sf, "lineitem")
+    for flag, row in approx.items():
+        vals = sorted(
+            r[0] for r in li.filter(F.col("l_returnflag") == flag)
+            .select("l_quantity").collect()
+        )
+        n = len(vals)
+        for p, got in [(0.25, row["q25"]), (0.5, row["q50"]), (0.75, row["q75"])]:
+            # rank of the returned value must be within eps*n of p*n
+            import bisect
+
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = p * n
+            eps_n = n / 10000 + 1  # accuracy=10000 → eps=1e-4, +1 slack
+            assert lo - eps_n <= target <= hi + eps_n, (flag, p, got)
