@@ -279,7 +279,56 @@ def q_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out hive-
+    partitioned by join key (orders by o_orderstatus), the dim side is a
+    tiny filtered frame whose qualifying keys are only known at runtime —
+    Spark broadcasts the dim, derives the partition filter FROM the join,
+    and skips the non-qualifying fact partitions entirely (the scan reads
+    'P' only, never 'O'/'F' files). The 100 TB pattern for star joins
+    over partitioned lakes; tests/test_plans.py asserts the
+    dynamicpruning subquery in the scan. Oracle = the plain join."""
+    out = tempfile.mkdtemp(prefix="fossa_dpp_")
+    src = load(spark, sf_dir, "orders")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    # the qualifying key must be DATA-DERIVED (the rarest status) — a
+    # literal would constant-fold into a static partition filter and
+    # nothing dynamic would be exercised
+    # rank-then-filter rather than orderBy().limit(1): Spark's
+    # PartitionPruning rule inserts the DPP subquery only when the dim side
+    # carries a selective FILTER — a GlobalLimit doesn't qualify (measured:
+    # the limit formulation plans a static isnotnull scan, no pruning).
+    from pyspark.sql import Window as W
+
+    dim = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy(F.lit(1)).orderBy(F.col("n"), F.col("status"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("status")
+    )
+    j = fact.join(F.broadcast(dim), fact.o_orderstatus == dim.status)
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias(
+                "total_price"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
+    "q_join_dpp": q_join_dpp,
     "q_csv_roundtrip": q_csv_roundtrip,
     "q_partitioned_write": q_partitioned_write,
     "q_ndjson_roundtrip": q_ndjson_roundtrip,
@@ -292,6 +341,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    # DPP is plan-level only — the result is the aggregate over orders
+    # whose status is the rarest one (tie-break alphabetical)
+    "q_join_dpp": f"""
+        WITH rare AS (
+          SELECT o_orderstatus AS status
+          FROM orders GROUP BY o_orderstatus
+          ORDER BY COUNT(*) ASC, status ASC LIMIT 1
+        )
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM({sql_cents("o_totalprice")}) AS DOUBLE) / 100.0
+                 AS total_price
+        FROM orders JOIN rare ON o_orderstatus = rare.status
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     # ORC round-trip is lossless, so the oracle aggregates the source
     "q_orc_roundtrip": f"""
         SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,

@@ -393,3 +393,15 @@ def test_pagerank_iterations_avoid_cartesian(spark):
     # anything non-broadcast nested-loop is a regression
     bad = [j for j in bad if "Broadcast" not in j]
     assert not bad, bad
+
+
+def test_dpp_join_prunes_partitions_dynamically(spark):
+    """q_join_dpp's fact scan must carry a dynamicpruningexpression in its
+    PartitionFilters — runtime partition pruning derived from the
+    broadcast dim join, not a constant-folded static filter."""
+    from fossa_spark.queries.io_queries import q_join_dpp
+
+    a = audit(q_join_dpp(spark, SF_DIR))
+    assert "dynamicpruningexpression" in a.formatted.lower(), (
+        [ln for ln in a.formatted.splitlines() if "PartitionFilters" in ln]
+    )
