@@ -152,3 +152,40 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             ).alias("closure_rate"),
         )
     )
+
+
+def bfs_levels(edges: DataFrame, sources: DataFrame, max_depth: int = 3) -> DataFrame:
+    """Breadth-first shortest hop distance from a source set over a
+    directed edge list (src, dst) → (node, dist), dist ≤ max_depth.
+
+    Classic distributed frontier expansion: each round joins the CURRENT
+    FRONTIER (not the visited set) against the edge list, anti-joins the
+    visited set, and unions the new level in — so per-round work is
+    O(frontier × avg-degree), the textbook BSP/Pregel BFS. Lineage is
+    truncated per round with eager localCheckpoints (the same contract as
+    connected_components: without truncation the plan doubles per round);
+    on a cluster, use reliable checkpoint() to survive executor loss.
+    Stops early when a frontier comes back empty — the one scalar count
+    per round is control-plane, not data movement."""
+    edges = edges.persist()
+    visited = sources.select("node").distinct().select(
+        "node", F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    edges.unpersist()
+    return visited

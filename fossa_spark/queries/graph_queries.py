@@ -62,9 +62,32 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_count(edges)
 
 
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest hop distances from customer node 1 over the
+    customer↔supplier purchase graph, depth ≤ 3 (graph.py bfs_levels —
+    frontier expansion, per-round work O(frontier × degree), lineage
+    checkpointed per round). Emitted as per-level summaries (count,
+    min/max node); the oracle unrolls the same levels as NOT-IN CTEs."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    edges = G.bipartite_purchase_edges(li, o)
+    src = spark.range(1, 2).select(F.col("id").alias("node"))
+    levels = G.bfs_levels(edges, src, max_depth=3)
+    return (
+        levels.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("dist")
+    )
+
+
 QUERIES = {
     "q_pagerank": q_pagerank,
     "q_triangles": q_triangles,
+    "q_bfs": q_bfs,
 }
 
 # One iteration of the fixed-point update, as a reusable CTE pair:
@@ -85,6 +108,46 @@ _ITER = """
         )"""
 
 ORACLE = {
+    "q_bfs": """
+        WITH pairs AS (
+          SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                 -CAST(l_suppkey AS BIGINT) - 1 AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+          SELECT src, dst FROM pairs
+          UNION ALL SELECT dst AS src, src AS dst FROM pairs
+        ),
+        l0 AS (SELECT CAST(1 AS BIGINT) AS node),
+        l1 AS (
+          SELECT DISTINCT e.dst AS node FROM edges e
+          JOIN l0 ON e.src = l0.node
+          WHERE e.dst NOT IN (SELECT node FROM l0)
+        ),
+        l2 AS (
+          SELECT DISTINCT e.dst AS node FROM edges e
+          JOIN l1 ON e.src = l1.node
+          WHERE e.dst NOT IN (SELECT node FROM l0)
+            AND e.dst NOT IN (SELECT node FROM l1)
+        ),
+        l3 AS (
+          SELECT DISTINCT e.dst AS node FROM edges e
+          JOIN l2 ON e.src = l2.node
+          WHERE e.dst NOT IN (SELECT node FROM l0)
+            AND e.dst NOT IN (SELECT node FROM l1)
+            AND e.dst NOT IN (SELECT node FROM l2)
+        ),
+        lv AS (
+          SELECT node, 0 AS dist FROM l0
+          UNION ALL SELECT node, 1 FROM l1
+          UNION ALL SELECT node, 2 FROM l2
+          UNION ALL SELECT node, 3 FROM l3
+        )
+        SELECT CAST(dist AS INTEGER) AS dist,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               MIN(node) AS min_node, MAX(node) AS max_node
+        FROM lv GROUP BY dist ORDER BY dist
+    """,
     "q_triangles": """
         WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         e0 AS (

@@ -333,3 +333,20 @@ def test_approx_quantile_rank_error_bound(spark):
             target = p * n
             eps_n = n / 10000 + 1  # accuracy=10000 → eps=1e-4, +1 slack
             assert lo - eps_n <= target <= hi + eps_n, (flag, p, got)
+
+
+def test_bfs_levels_known_graph(spark):
+    """Chain 0-1-2-3-4 plus a branch 1-10: distances from 0 are exact;
+    max_depth truncates; early stop on an isolated source."""
+    from fossa_spark.graph import bfs_levels
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 10)]
+    both = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(both, "src long, dst long")
+    src = spark.createDataFrame([(0,)], "node long")
+    out = {r.node: r.dist for r in bfs_levels(edges, src, max_depth=3).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 10: 2, 3: 3}
+    # isolated source: only level 0, loop stops on first empty frontier
+    iso = spark.createDataFrame([(99,)], "node long")
+    out2 = {r.node: r.dist for r in bfs_levels(edges, iso, max_depth=3).collect()}
+    assert out2 == {99: 0}
