@@ -160,6 +160,65 @@ def q_source_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_source_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of the custom Python data source (Spark 4
+    SimpleDataSourceStreamReader): fossa_synth's deterministic table
+    arrives in 250-row micro-batches through the actual streaming engine
+    (offset tracking, prefetch, sink commits) into a memory sink; the
+    query polls until all 600 rows land, stops the stream, and aggregates
+    the sink. Oracle regenerates the table from range() — the planning,
+    offset, and replay paths are what's being checked."""
+    import time
+    import uuid
+
+    from fossa_spark.sources import make_stream_source
+
+    try:
+        spark.dataSource.register(make_stream_source())
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    total = 600
+    name = f"fs_stream_src_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("fossa_synth_stream")
+        .option("rows", str(total))
+        .option("batch", "250")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while spark.table(name).count() < total:
+            err = q.exception()
+            if err is not None:
+                raise RuntimeError(f"stream failed: {err}") from None
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"stream source delivered "
+                    f"{spark.table(name).count()}/{total} rows"
+                )
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val_cents").alias("sum_cents"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on read: two parquet batches written with
     different schemas (the second adds o_orderpriority) unified by
@@ -334,6 +393,7 @@ QUERIES = {
     "q_ndjson_roundtrip": q_ndjson_roundtrip,
     "q_orc_roundtrip": q_orc_roundtrip,
     "q_source_python": q_source_python,
+    "q_stream_source_python": q_stream_source_python,
     "q_schema_merge": q_schema_merge,
     "q_compact_files": q_compact_files,
     "q_zorder": q_zorder,
@@ -413,6 +473,17 @@ ORACLE = {
                CAST(SUM({sql_cents("o_totalprice")}) AS DOUBLE) / 100.0
                  AS total_price
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "q_stream_source_python": """
+        WITH t AS (
+          SELECT range AS id, range % 16 AS bucket,
+                 ((range * 2654435761) % 2147483647) % 100000 AS val_cents
+          FROM range(600)
+        )
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(val_cents) AS BIGINT) AS sum_cents,
+               MIN(id) AS min_id, MAX(id) AS max_id
+        FROM t GROUP BY bucket ORDER BY bucket
     """,
     "q_source_python": """
         WITH t AS (

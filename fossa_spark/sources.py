@@ -52,6 +52,7 @@ from pyspark.sql.datasource import (  # noqa: E402
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 
@@ -79,6 +80,7 @@ class SyntheticDataSource(DataSource):
         )
 
 
+
 class SyntheticReader(DataSourceReader):
     def __init__(self, rows: int, parts: int) -> None:
         self.rows = rows
@@ -92,6 +94,66 @@ class SyntheticReader(DataSourceReader):
         hi = (partition.value + 1) * self.rows // self.parts
         for i in range(lo, hi):
             yield (i, i % 16, (i * 2654435761) % 2147483647 % 100000)
+
+
+def make_stream_source():
+    """Factory for the STREAMING face of fossa_synth (Spark 4 Python Data
+    Source streaming API): the same deterministic integer-hash table
+    arrives in ``batch``-row micro-batches until ``rows`` is exhausted,
+    then the source idles (empty batches). Offsets are plain dicts
+    ({"i": next}); readBetweenOffsets replays any range exactly — the
+    contract that makes restart/exactly-once possible for a custom source.
+
+    The classes are FUNCTION-LOCAL on purpose: cloudpickle serializes
+    local classes BY VALUE, so the driver-side python_streaming_source_
+    runner worker can deserialize them without fossa_spark on its path —
+    unlike executor task workers, that runner does not see
+    addPyFile()-shipped modules, and a module-level class (pickled by
+    reference) dies there with ModuleNotFoundError when the host app runs
+    from an arbitrary cwd."""
+
+    class SyntheticStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, rows: int, batch: int) -> None:
+            self.rows = rows
+            self.batch = batch
+
+        def initialOffset(self) -> dict:
+            return {"i": 0}
+
+        def read(self, start: dict):
+            lo = int(start["i"])
+            hi = min(lo + self.batch, self.rows)
+            return iter(self._rows(lo, hi)), {"i": hi}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return iter(self._rows(int(start["i"]), int(end["i"])))
+
+        @staticmethod
+        def _rows(lo: int, hi: int) -> list:
+            # returned to the engine as iter(list): the prefetch cache both
+            # copy.copy()s the iterator (generators aren't copyable) and
+            # next()s it (bare lists aren't iterators) — a list_iterator is
+            # the one shape that satisfies both
+            return [
+                (i, i % 16, (i * 2654435761) % 2147483647 % 100000)
+                for i in range(lo, hi)
+            ]
+
+    class SyntheticStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "fossa_synth_stream"
+
+        def schema(self) -> str:
+            return "id bigint, bucket bigint, val_cents bigint"
+
+        def simpleStreamReader(self, schema):  # noqa: ARG002
+            return SyntheticStreamReader(
+                int(self.options.get("rows", "1000")),
+                int(self.options.get("batch", "250")),
+            )
+
+    return SyntheticStreamSource
 
 
 def compact_parquet(
