@@ -10,8 +10,9 @@ Scale design (the part that matters at 100 TB):
   join. This is the shuffle-friendly banding layout from the MMDS LSH
   construction.
 - SimHash: 64 per-bit votes as one aggregate pass over exploded tokens,
-  then banded candidate pairing on signature bytes (here: small-data
-  crossJoin fallback with a bit_count Hamming filter).
+  then pigeonhole-banded candidate pairing (equi-joins on signature
+  chunks — exact, no recall loss, never a cross join) verified with
+  bit_count.
 - All randomness is seeded via xxhash64 of (seed-string ‖ value) so reruns
   and the driver's rows-only checks are stable.
 """

@@ -218,3 +218,80 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 5,
+              text_col: str = "text") -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016,
+    arXiv:1508.07909): learn the ``n_merges`` most frequent adjacent
+    symbol pairs, greedily, starting from characters.
+
+    The Spark-first shape is the one real BPE trainers use: iterate over
+    the WORD-TYPE table (distinct words + corpus counts — vocabulary-
+    sized), never the corpus. Each round is (a) explode adjacent symbol
+    pairs weighted by word count, (b) one tiny aggregate to pick the
+    winner (count desc, pair asc tie-break — fully deterministic),
+    (c) one narrow pass rewriting the symbol arrays with the merge
+    applied. The corpus is touched exactly once (tokenize + count); the
+    loop runs on data orders of magnitude smaller. Per-round lineage is
+    checkpointed like every iterative operator in this repo.
+
+    Returns (merge_rank, left, right, pair_count) — the learned merge
+    table a tokenizer would apply."""
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.split(F.regexp_replace("w", "(.)", "$1\x00"), "\x00")
+            .alias("syms"), "n",
+        )
+        .select(F.expr("filter(syms, s -> s != '')").alias("syms"), "n")
+        .localCheckpoint(eager=True)
+    )
+    out_rows = []
+    for rank in range(1, n_merges + 1):
+        pairs = words.select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1), "
+                    "(s, i) -> struct(s AS l, syms[i + 1] AS r))"
+                )
+            ).alias("p"),
+        ).filter(F.col("p.l").isNotNull() & F.col("p.r").isNotNull())
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        out_rows.append((rank, left, right, cnt))
+        merged = left + right
+        # symbols are interpolated into the fold expression — escape any
+        # embedded single quotes (free-text corpora)
+        left, right, merged = (
+            s.replace("'", "\\'") for s in (left, right, merged)
+        )
+        # rewrite each word's symbol array with the merge applied:
+        # aggregate() folds left-to-right, greedily joining (left, right)
+        # neighbors — exactly the BPE apply rule
+        words = words.select(
+            F.expr(
+                "aggregate(syms, CAST(array() AS array<string>), "
+                "(acc, s) -> CASE WHEN size(acc) > 0 "
+                f"AND element_at(acc, -1) = '{left}' AND s = '{right}' "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
+                "ELSE concat(acc, array(s)) END)"
+            ).alias("syms"),
+            "n",
+        ).localCheckpoint(eager=True)
+    sc = docs.sparkSession
+    return sc.createDataFrame(
+        out_rows, "merge_rank int, left string, right string, pair_count bigint"
+    )

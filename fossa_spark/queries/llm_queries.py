@@ -480,10 +480,22 @@ def q_dedup_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (arXiv:1508.07909) over the documents corpus:
+    the 8 most frequent adjacent symbol pairs learned greedily from
+    characters, iterating on the vocabulary-sized word-type table (the
+    corpus is scanned once). rows-only: the greedy iterative selection
+    has no SQL-expressible oracle; known-corpus merges asserted in
+    tests/test_llm.py."""
+    d = load(spark, sf_dir, "documents")
+    return X.bpe_train(d, n_merges=8).orderBy("merge_rank")
+
+
 QUERIES = {
     "q_pipeline": q_pipeline,
     "q_dedup_semantic": q_dedup_semantic,
     "q_dedup_setsim": q_dedup_setsim,
+    "q_bpe_train": q_bpe_train,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
     "q_dedup_ngram": q_dedup_ngram,

@@ -437,3 +437,30 @@ def test_ngram_hot_shingle_cap_bounds_pairs(spark):
         "all rights reserved by the",
         "rights reserved by the publisher",
     }
+
+
+def test_bpe_train_known_corpus(spark):
+    """The classic BPE example: {low×5, lowest×2, newer×6, wider×3} —
+    first merges must follow exact greedy pair frequencies with
+    deterministic tie-breaks, matching a hand-run of the algorithm."""
+    rows = (["low"] * 5 + ["lowest"] * 2 + ["newer"] * 6 + ["wider"] * 3)
+    df = spark.createDataFrame([(" ".join(rows),)], "text string")
+    out = X.bpe_train(df, n_merges=4).collect()
+    got = [(r.merge_rank, r.left, r.right, r.pair_count) for r in out]
+    # hand derivation: r1 (e,r)=9 (newer 6 + wider 3); r2 (l,o)=7 ties
+    # (o,w)=7, 'l'<'o' wins; r3 (lo,w)=7; r4 three-way tie at 6 —
+    # (e,w) / (n,e) / (w,er) — 'e' wins the left-asc tie-break
+    assert got[0] == (1, "e", "r", 9)
+    assert got[1] == (2, "l", "o", 7)
+    assert got[2] == (3, "lo", "w", 7)
+    assert got[3] == (4, "e", "w", 6)
+
+
+def test_bpe_train_handles_quotes(spark):
+    """Symbols containing single quotes must not break the fold-expression
+    interpolation."""
+    df = spark.createDataFrame([("o'o o'o o'o",)], "text string")
+    out = X.bpe_train(df, n_merges=2).collect()
+    # (o,')=3 ties (',o)=3; left-asc tie-break: "'" < "o"
+    assert (out[0].left, out[0].right, out[0].pair_count) == ("'", "o", 3)
+    assert (out[1].left, out[1].right, out[1].pair_count) == ("o", "'o", 3)
