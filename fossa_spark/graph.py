@@ -189,3 +189,37 @@ def bfs_levels(edges: DataFrame, sources: DataFrame, max_depth: int = 3) -> Data
         frontier = nxt
     edges.unpersist()
     return visited
+
+
+def k_core(edges: DataFrame, k: int = 3, max_iter: int = 12) -> DataFrame:
+    """The k-core of an undirected graph (both arcs present in ``edges``):
+    iteratively peel nodes of degree < k until the remainder is stable.
+    Returns the surviving arc list.
+
+    Each round is one degree aggregate + two semi-joins (src and dst both
+    in the surviving node set) — no collect of nodes, lineage truncated
+    per round. Converges in at most O(peeling-depth) rounds; raises
+    RuntimeError if ``max_iter`` rounds don't reach a fixpoint, because a
+    silently-unpeeled core corrupts every downstream density metric (and
+    because the SQL oracle unrolls a FIXED round count — the raise is
+    what makes the fixed unroll sound)."""
+    cur = edges.localCheckpoint(eager=True)
+    n_prev = cur.count()
+    for _ in range(max_iter):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n = cur.count()
+        if n == n_prev:
+            return cur
+        n_prev = n
+    raise RuntimeError(f"k_core did not converge within {max_iter} rounds")

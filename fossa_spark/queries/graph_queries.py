@@ -84,11 +84,92 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_arcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected arc list of the support-≥2 co-purchase part graph
+    (both directions), shared by q_triangles-style builders and q_kcore."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("p1", "p2")
+    )
+    return und.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionByName(
+        und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase part graph: iterative peeling (degree
+    aggregate + two semi-joins per round, graph.py k_core) until stable.
+    k_core RAISES if not converged within 16 rounds, which is what makes
+    the oracle's FIXED 16-round unroll sound (peeling is monotone — extra
+    rounds on a stable core are no-ops, so any convergence ≤ 16 matches;
+    measured depth: 11 rounds at sf0.01, 3 at sf0.1)."""
+    arcs = _copurchase_arcs(spark, sf_dir)
+    core = G.k_core(arcs, k=3, max_iter=16)
+    return core.agg(
+        F.count_distinct("src").alias("n_nodes"),
+        F.count(F.lit(1)).alias("n_arcs"),
+        F.min("src").alias("min_node"),
+        F.max("src").alias("max_node"),
+    )
+
+
 QUERIES = {
     "q_pagerank": q_pagerank,
     "q_triangles": q_triangles,
     "q_bfs": q_bfs,
+    "q_kcore": q_kcore,
 }
+
+
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    """Generate the fixed-round peel as chained CTEs. MATERIALIZED is
+    load-bearing: DuckDB inlines plain CTEs, and each round references
+    the previous one twice — 16 inlined rounds expand to 2^16 scans
+    ("Too many open files" long before any data problem)."""
+    parts = ["""
+        WITH li AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        und AS MATERIALIZED (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2
+        ),
+        e0 AS MATERIALIZED (
+          SELECT p1 AS src, p2 AS dst FROM und
+          UNION ALL SELECT p2, p1 FROM und
+        )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+        n{i} AS MATERIALIZED (
+          SELECT src AS node FROM e{i - 1}
+          GROUP BY src HAVING COUNT(*) >= {k}
+        ),
+        e{i} AS MATERIALIZED (
+          SELECT e.src, e.dst FROM e{i - 1} e
+          JOIN n{i} a ON e.src = a.node
+          JOIN n{i} b ON e.dst = b.node
+        )""")
+    parts.append(f"""
+        SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+               CAST(COUNT(*) AS BIGINT) AS n_arcs,
+               MIN(src) AS min_node, MAX(src) AS max_node
+        FROM e{rounds}""")
+    return "".join(parts)
 
 # One iteration of the fixed-point update, as a reusable CTE pair:
 #   c{i}: per-node integer contribution sum (pr div deg over incoming arcs)
@@ -108,6 +189,7 @@ _ITER = """
         )"""
 
 ORACLE = {
+    "q_kcore": _kcore_unrolled_sql(k=3, rounds=16),
     "q_bfs": """
         WITH pairs AS (
           SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,

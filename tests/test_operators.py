@@ -350,3 +350,22 @@ def test_bfs_levels_known_graph(spark):
     iso = spark.createDataFrame([(99,)], "node long")
     out2 = {r.node: r.dist for r in bfs_levels(edges, iso, max_depth=3).collect()}
     assert out2 == {99: 0}
+
+
+def test_k_core_known_graph(spark):
+    """K4 (every node degree 3) survives a 3-core; a tail path hanging off
+    it peels away completely; the whole graph IS its own 2-core."""
+    from fossa_spark.graph import k_core
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tail = [(3, 10), (10, 11)]
+    und = k4 + tail
+    arcs = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    core3 = k_core(arcs, k=3)
+    nodes = {r.src for r in core3.collect()}
+    assert nodes == {0, 1, 2, 3}
+    assert core3.count() == 12  # K4 both directions
+    core2 = k_core(arcs, k=2)
+    assert core2.count() == len(und) * 2 - 2 * 2  # tail edge (10,11) peels, 11 then 10<2
