@@ -249,6 +249,37 @@ def q_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.keep_best_per_cluster(comp, d).orderBy("component")
 
 
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-AWARE train/val/test split: near-duplicate documents must
+    land in the SAME fold, or eval leaks training data (the
+    contamination mode a plain per-doc split can't prevent). Fold
+    assignment hashes the doc's near-dup COMPONENT id (exact n-gram
+    Jaccard pairs → connected components; singletons hash their own id),
+    so every cluster moves as one unit — and the split stays exactly as
+    auditable/deterministic as q_split_train's. Per-fold audit row:
+    docs, distinct groups, id range."""
+    d = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, k=5, min_jaccard=0.5, max_df=100).select(
+        "id_a", "id_b"
+    )
+    comp = D.connected_components(pairs)
+    grouped = (
+        d.join(comp, "doc_id", "left")
+        .withColumn("group_key", F.coalesce("component", F.col("doc_id")))
+    )
+    return (
+        C.hash_split(grouped, "group_key")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("group_key").alias("n_groups"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocab audit: top-100 corpus vocabulary (count agg +
     TakeOrderedAndProject), then per-source occurrence coverage / OOV rate
@@ -295,6 +326,7 @@ QUERIES = {
     "q_chunk_overlap": q_chunk_overlap,
     "q_url_filter": q_url_filter,
     "q_cluster_keep": q_cluster_keep,
+    "q_split_leakage_safe": q_split_leakage_safe,
 }
 
 # shared oracle fragment: distinct word k-grams per doc (mirrors
@@ -546,6 +578,53 @@ ORACLE = {
     """,
     # transitive closure of the near-dup pair graph; component = min
     # reachable id — exactly connected_components' fixpoint
+    "q_split_leakage_safe": f"""
+        WITH RECURSIVE {_GRAMS.format(km1=4).replace("gram", "shingle")},
+        sh AS (
+          SELECT sh0.* FROM sh0
+          JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100)
+            USING (shingle)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(n_inter AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+        ),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d
+        ),
+        comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+        grouped AS (
+          SELECT d.doc_id,
+                 COALESCE(c.component, d.doc_id) AS group_key
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        ),
+        s AS (
+          SELECT doc_id, group_key,
+                 CASE WHEN substr(md5(CAST(group_key AS VARCHAR)), 1, 2) < 'cc'
+                        THEN 'train'
+                      WHEN substr(md5(CAST(group_key AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'val'
+                      ELSE 'test' END AS split
+          FROM grouped
+        )
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT group_key) AS BIGINT) AS n_groups,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM s GROUP BY split ORDER BY split
+    """,
     "q_cluster_keep": f"""
         WITH RECURSIVE {_GRAMS.format(km1=4).replace("gram", "shingle")},
         sh AS (

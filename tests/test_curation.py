@@ -191,3 +191,33 @@ def test_chunk_text_edge_cases(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_text(df, size=4, overlap=4)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every near-dup component must land entirely in ONE fold — the
+    property that justifies hashing the component id instead of doc_id."""
+    import os
+
+    from fossa_spark.llm import curation as C
+    from fossa_spark.llm import dedup as D
+    from fossa_spark.queries._util import load
+
+    sf = os.environ.get("FOSSA_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(d, k=5, min_jaccard=0.5, max_df=100).select(
+        "id_a", "id_b"
+    )
+    comp = D.connected_components(pairs)
+    grouped = d.join(comp, "doc_id", "left").withColumn(
+        "group_key", F.coalesce("component", F.col("doc_id"))
+    )
+    split = C.hash_split(grouped, "group_key")
+    spread = (
+        split.filter(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("n_folds"))
+        .filter(F.col("n_folds") > 1)
+    )
+    assert spread.count() == 0
+    # and clusters do exist, so the property is non-vacuous
+    assert comp.count() > 0
