@@ -134,6 +134,32 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group (most frequent quantity per return
+    flag, ties to the smallest value): count at (group, value) grain,
+    then one row_number window. Spark's built-in mode() is
+    tie-nondeterministic, so the explicit two-phase formulation is the
+    one that can sit under a hash oracle — and it's the shape that
+    scales (both phases are hash aggregates with map-side partials; the
+    window runs on the tiny (group, value) grain)."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    counts = (
+        li.groupBy("l_returnflag", F.col("l_quantity").cast("long").alias("qty"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("qty").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_returnflag", F.col("qty").alias("mode_qty"), "cnt")
+        .orderBy("l_returnflag")
+    )
+
+
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over two keys (grouping-sets family)."""
     li = load(spark, sf_dir, "lineitem")
@@ -478,12 +504,25 @@ QUERIES = {
     "q_agg_distinct": q_agg_distinct,
     "q_agg_approx": q_agg_approx,
     "q_agg_approx_quantile": q_agg_approx_quantile,
+    "q_agg_mode": q_agg_mode,
     "q_agg_rollup": q_agg_rollup,
     "q_agg_having": q_agg_having,
     "q_agg_collect": q_agg_collect,
 }
 
 ORACLE = {
+    "q_agg_mode": """
+        WITH counts AS (
+          SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM lineitem GROUP BY l_returnflag, qty
+        )
+        SELECT l_returnflag, qty AS mode_qty, cnt FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY l_returnflag ORDER BY cnt DESC, qty ASC) AS rk
+          FROM counts)
+        WHERE rk = 1 ORDER BY l_returnflag
+    """,
     "q_agg_basic": _Q1_SQL,
     "q_agg_winsorize": f"""
         WITH pct AS (

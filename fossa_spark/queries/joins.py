@@ -387,8 +387,32 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of vanishing — the semantics CDC reconciliation
+    and dimension lookups with optional keys need. NULLs are planted
+    deterministically (NULLIF on a residue class) on both sides; the
+    aggregate counts pairs per key INCLUDING the null×null block, which
+    a plain inner join would silently drop. Catalyst still plans <=> as
+    a hash join (the null bucket is just another key), so the shape
+    scales like any equi-join."""
+    c = load(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("nk")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(4)).alias("sk")
+    )
+    j = c.join(F.broadcast(s), c.nk.eqNullSafe(s.sk))
+    return (
+        j.groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.coalesce(F.col("nk"), F.lit(-1)))
+    )
+
+
 QUERIES = {
     "q_join_bloom": q_join_bloom,
+    "q_join_nullsafe": q_join_nullsafe,
     "q_join_sorted_neighborhood": q_join_sorted_neighborhood,
     "q_join_inner": q_join_inner,
     "q_join_interval": q_join_interval,
@@ -405,6 +429,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_join_nullsafe": """
+        WITH c AS (SELECT NULLIF(c_nationkey % 5, 4) AS nk FROM customer),
+             s AS (SELECT NULLIF(s_nationkey % 5, 4) AS sk FROM supplier)
+        SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.sk
+        GROUP BY nk ORDER BY COALESCE(nk, -1)
+    """,
     # The bloom pre-filter is result-invariant (no false negatives; false
     # positives die in the real join), so the oracle is the plain join.
     "q_join_bloom": f"""
