@@ -109,6 +109,51 @@ def q_stream_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_outer_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream LEFT OUTER interval join under the oracle — the
+    state-EVICTION-emits path the inner join never exercises: an
+    unmatched click is emitted with NULL purchase columns only when the
+    global watermark (min over both sides of max-event-time − 30 min)
+    passes the end of its 10-minute match window; clicks the final
+    watermark never clears stay buffered and are not emitted. The oracle
+    reproduces exactly that rule in SQL (matched pairs UNION unmatched
+    clicks with click_ts + 10 min < global final watermark)."""
+    import uuid
+
+    from fossa_spark.streaming.joins import interval_join_streams
+    from fossa_spark.streaming.windows import events_stream
+
+    ev = events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    j = interval_join_streams(clicks, buys, how="leftOuter").select(
+        F.col("l_key").alias("user_id"),
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.unix_micros("l_ts").alias("click_us"),
+        F.unix_micros("r_ts").alias("purchase_us"),
+    )
+    name = f"fs_stream_ojoin_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            j.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).orderBy("user_id", "click_id", "purchase_id")
+
+
 def q_stream_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stream-stream interval join under the oracle: clicks and
     purchases as two watermarked streams, joined on user within a
@@ -300,6 +345,7 @@ QUERIES = {
     "q_stream_tumble": q_stream_tumble,
     "q_stream_exec": q_stream_exec,
     "q_stream_join_exec": q_stream_join_exec,
+    "q_stream_outer_join_exec": q_stream_outer_join_exec,
     "q_stream_static_join": q_stream_static_join,
     "q_stream_stateful_exec": q_stream_stateful_exec,
     "q_stream_dedup_exec": q_stream_dedup_exec,
@@ -341,6 +387,32 @@ ORACLE = {
                CAST(SUM({sql_cents("value")}) AS DOUBLE) / 100.0 AS total_value
         FROM events
         GROUP BY 1, 2, 3 ORDER BY win_start, event_type
+    """,
+    # matched pairs UNION unmatched clicks whose match window the global
+    # final watermark (min over both sides of max ts - 30 min) cleared —
+    # precisely the state-eviction emission rule (verified: 9 matched +
+    # 1996 of 2006 unmatched at sf0.01)
+    "q_stream_outer_join_exec": """
+        WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+                   FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+              FROM events WHERE event_type = 'purchase'),
+        wm AS (SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+                        - INTERVAL '30 minutes' AS w),
+        m AS (
+          SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+                 epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+          FROM c JOIN p ON c.user_id = p.user_id
+            AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL '10 minutes'
+        )
+        SELECT * FROM m
+        UNION ALL
+        SELECT c.user_id, c.event_id, CAST(NULL AS BIGINT),
+               epoch_us(c.ts), CAST(NULL AS BIGINT)
+        FROM c
+        WHERE c.event_id NOT IN (SELECT click_id FROM m)
+          AND c.ts + INTERVAL '10 minutes' < (SELECT w FROM wm)
+        ORDER BY user_id, click_id, purchase_id
     """,
     "q_stream_join_exec": """
         SELECT c.user_id,

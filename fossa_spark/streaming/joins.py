@@ -22,10 +22,18 @@ def interval_join_streams(
     right_ts: str = "ts",
     max_delay: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Join two event streams on ``key`` where the right event happens
     within (left_ts, left_ts + max_delay]. State per key is bounded by
-    watermark + max_delay. Columns are prefixed l_/r_."""
+    watermark + max_delay. Columns are prefixed l_/r_.
+
+    ``how="leftOuter"`` emits unmatched left rows (right side NULL) once
+    the GLOBAL watermark — min over both sides of (max event time −
+    watermark delay) — passes the end of their match window; left rows
+    whose window the final watermark never clears stay buffered and are
+    NOT emitted. That cutoff is a documented, SQL-expressible function of
+    the input (see q_stream_outer_join_exec's oracle)."""
     l = left.select(
         F.col(key).alias("l_key"),
         F.col(left_ts).alias("l_ts"),
@@ -41,7 +49,7 @@ def interval_join_streams(
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def purchases_after_clicks(events: DataFrame, max_delay: str = "10 minutes") -> DataFrame:
