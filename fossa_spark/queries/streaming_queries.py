@@ -109,6 +109,49 @@ def q_stream_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregation run on the ROCKSDB state store —
+    the provider a 100 TB stream actually deploys (state spills to local
+    SSD instead of living on the JVM heap; changelog checkpointing keeps
+    commits incremental). Same oracle as q_stream_exec: swapping the
+    store must not change a single value. Provider is set for this run
+    and restored after."""
+    import uuid
+
+    from fossa_spark.streaming.windows import events_stream, tumbling_agg
+
+    name = f"fs_stream_rocks_{uuid.uuid4().hex[:8]}"
+    agg = tumbling_agg(events_stream(spark, sf_dir))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_store = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_store is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_store
+            )
+    return spark.table(name).orderBy("win_start", "event_type")
+
+
 def q_stream_outer_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stream-stream LEFT OUTER interval join under the oracle — the
     state-EVICTION-emits path the inner join never exercises: an
@@ -346,6 +389,7 @@ QUERIES = {
     "q_stream_exec": q_stream_exec,
     "q_stream_join_exec": q_stream_join_exec,
     "q_stream_outer_join_exec": q_stream_outer_join_exec,
+    "q_stream_rocksdb": q_stream_rocksdb,
     "q_stream_static_join": q_stream_static_join,
     "q_stream_stateful_exec": q_stream_stateful_exec,
     "q_stream_dedup_exec": q_stream_dedup_exec,
@@ -376,6 +420,17 @@ ORACLE = {
                e.event_type, e.value, c.c_name, c.c_mktsegment
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         ORDER BY e.event_id
+    """,
+    # identical to q_stream_exec's oracle — swapping the state store to
+    # RocksDB must not change a single value
+    "q_stream_rocksdb": f"""
+        SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS win_start,
+               time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+                 + INTERVAL '10 minutes' AS win_end,
+               event_type, COUNT(*) AS n_events,
+               CAST(SUM({sql_cents("value")}) AS DOUBLE) / 100.0 AS total_value
+        FROM events
+        GROUP BY 1, 2, 3 ORDER BY win_start, event_type
     """,
     # same semantics as q_stream_tumble — the POINT: the real streaming
     # run must reproduce the batch/SQL answer exactly
