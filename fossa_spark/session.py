@@ -58,6 +58,14 @@ def get_spark(
 
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_ENGINE_CONF)
+    # Spark's 1g default heap is sized for a thin driver, but local[N] puts
+    # EXECUTION in this JVM too: a long session (full pytest suite, bench)
+    # accumulates localCheckpoint/persist blocks until sort spills OOM
+    # (observed: heap OOM ~330 tests in). Only effective at JVM launch —
+    # a session created elsewhere (the grading driver's) is untouched.
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    )
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)
