@@ -129,8 +129,74 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_DEPTH = 8  # weights 1, 1/2, … 1/128 — all dyadic, so sums are exact
+
+
+def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average (α = 1/2, depth 8)
+    of order value per customer — the smoothing operator time-series
+    pipelines put next to resample/ffill.  pandas-`adjust=True`
+    formulation: ewma_i = Σ_k w_k·x_{i-k} / Σ_k w_k over the lags that
+    exist.  Determinism: x is integer cents and every weight is a dyadic
+    rational (2^-k), so numerator and denominator are EXACT doubles built
+    by a fixed-order chain of lag() terms; the single division at the end
+    is bit-identical in both engines — no rounding needed.  Scale: one
+    shuffle on o_custkey, one sort, 8 lag reads per row from the
+    already-sorted run — O(depth) per row, no O(n²) frame (see the
+    UnboundedFollowing lesson in NOTES.md)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    d = o.select(
+        "o_custkey",
+        "o_orderkey",
+        cents("o_totalprice").alias("c"),
+        *[
+            F.lag(cents("o_totalprice"), k).over(w).alias(f"x{k}")
+            for k in range(1, _EWMA_DEPTH)
+        ],
+    )
+    num = F.col("c").cast("double")
+    den = F.lit(1.0)
+    for k in range(1, _EWMA_DEPTH):
+        wgt = F.lit(0.5 ** k)
+        num = num + F.coalesce(F.col(f"x{k}").cast("double") * wgt, F.lit(0.0))
+        den = den + F.when(F.col(f"x{k}").isNull(), F.lit(0.0)).otherwise(wgt)
+    return d.select(
+        "o_custkey",
+        "o_orderkey",
+        ((num / den) / 100.0).alias("ewma"),
+    )
+
+
+def _ewma_sql() -> str:
+    lags = ", ".join(
+        f"lag({sql_cents('o_totalprice')}, {k}) OVER w AS x{k}"
+        for k in range(1, _EWMA_DEPTH)
+    )
+    num = "CAST(c AS DOUBLE)"
+    den = "1.0"
+    for k in range(1, _EWMA_DEPTH):
+        wgt = repr(0.5 ** k)
+        num = f"({num} + COALESCE(CAST(x{k} AS DOUBLE) * {wgt}, 0.0))"
+        den = f"({den} + CASE WHEN x{k} IS NULL THEN 0.0 ELSE {wgt} END)"
+    return f"""
+        WITH lagged AS (
+          SELECT o_custkey, o_orderkey,
+                 {sql_cents("o_totalprice")} AS c, {lags}
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC)
+        )
+        SELECT o_custkey, o_orderkey, (({num} / {den}) / 100.0) AS ewma
+        FROM lagged
+    """
+
+
 QUERIES = {
     "q_win_rank": q_win_rank,
+    "q_win_ewma": q_win_ewma,
     "q_win_distribution": q_win_distribution,
     "q_win_range": q_win_range,
     "q_win_lag": q_win_lag,
@@ -139,6 +205,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_win_ewma": _ewma_sql(),
     "q_win_distribution": """
         SELECT o_orderkey, o_orderpriority, o_totalprice,
                round(percent_rank() OVER w, 8) AS pct_rank,
