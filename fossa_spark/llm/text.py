@@ -220,6 +220,66 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
     )
 
 
+def bm25_topk(docs: DataFrame, terms: tuple[str, ...],
+              k: int = 50, k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Spärck Jones probabilistic
+    ranking): top-``k`` documents for a bag-of-terms query.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Scale shape: one explode → token pairs, the QUERY-TERM filter lands
+    before the (doc, term) groupBy so only matching postings shuffle;
+    df is a per-term scalar broadcast back; per-term scores pivot into
+    fixed columns so the cross-term sum is a fixed-order expression (a
+    groupBy SUM over doubles would be order-dependent → hash-unstable).
+    The global top-k is orderBy+limit (TakeOrderedAndProject — no
+    single-partition window over the corpus); rank is assigned after the
+    limit on k rows. Determinism: per-term scores rounded 8 dp
+    (transcendental contract), total = fixed-order sum of the rounded
+    terms, ties broken by doc id."""
+    toks = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    sum_dl = toks.count()
+    avgdl = float(sum_dl) / float(n_docs)
+    tf = (
+        toks.filter(F.col("term").isin(*terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0
+        + ((F.lit(float(n_docs)) - F.col("df")) + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + (F.lit(b) * F.col("dl")) / F.lit(avgdl)
+    )
+    s = F.round((idf * (F.col("tf") * F.lit(k1 + 1.0))) / denom, 8)
+    scored = tf.join(F.broadcast(dfreq), "term").join(dl, id_col)
+    per_doc = scored.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("term") == t, s)).alias(f"s_{t}")
+            for t in terms
+        ]
+    )
+    total = F.lit(0.0)
+    for t in terms:
+        total = total + F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
+    top = (
+        per_doc.withColumn("score", F.round(total, 8))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
 def bpe_train(docs: DataFrame, n_merges: int = 5,
               text_col: str = "text") -> DataFrame:
     """Byte-pair-encoding merge training (Sennrich et al. 2016,

@@ -161,6 +161,19 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.tfidf_top_terms(d, k=5).orderBy("doc_id", "rk")
 
 
+_BM25_TERMS = ("hash", "join", "vector")
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-50 docs for a 3-term query (llm/text.py
+    bm25_topk). Postings filtered to the query terms BEFORE the shuffle,
+    df broadcast back, per-term scores pivoted to fixed columns so the
+    cross-term sum is order-fixed; global top-k via orderBy+limit
+    (TakeOrderedAndProject), never a corpus-wide window."""
+    d = load(spark, sf_dir, "documents")
+    return X.bm25_topk(d, _BM25_TERMS, k=50).orderBy("rk")
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model quality score per document (the CCNet-style
     perplexity ranking signal, with a SQL-expressible unigram LM): add-one
@@ -507,6 +520,7 @@ QUERIES = {
     "q_sim_ivf": q_sim_ivf,
     "q_sim_pq": q_sim_pq,
     "q_text_tokens": q_text_tokens,
+    "q_text_bm25": q_text_bm25,
     "q_tfidf": q_tfidf,
     "q_lm_score": q_lm_score,
     "q_sketch_cms": q_sketch_cms,
@@ -556,7 +570,55 @@ _LANGID_PRED = (
     + " END"
 )
 
+# BM25 oracle: constants embedded via repr() of the SAME Python floats the
+# Spark operator uses (k1+1, 1-b), so both engines parse identical doubles.
+_BM25_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    scal AS (
+      SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+             CAST((SELECT COUNT(*) FROM toks) AS DOUBLE)
+               / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM toks GROUP BY 1),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+           WHERE term IN ({", ".join(repr(t) for t in _BM25_TERMS)})
+           GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round((ln(1.0 + ((scal.n - dfreq.df) + 0.5) / (dfreq.df + 0.5))
+                    * (tf.tf * {1.2 + 1.0!r}))
+                   / (tf.tf + (1.2 * ({1.0 - 0.75!r}
+                        + ((0.75 * dl.dl) / scal.avgdl)))), 8) AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN scal
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN term = {t!r} THEN s END) AS s_{t}"
+                        for t in _BM25_TERMS)}
+      FROM scored GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT doc_id, {", ".join(f"s_{t}" for t in _BM25_TERMS)},
+             round({"".join("(" for _ in _BM25_TERMS)}0.0
+                   {" ".join(f"+ COALESCE(s_{t}, 0.0))" for t in _BM25_TERMS)},
+                   8) AS score
+      FROM per_doc
+    ),
+    top AS (SELECT * FROM tot ORDER BY score DESC, doc_id ASC LIMIT 50)
+    SELECT doc_id, {", ".join(f"s_{t}" for t in _BM25_TERMS)}, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+             AS rk
+    FROM top ORDER BY rk
+"""
+
 ORACLE = {
+    "q_text_bm25": _BM25_SQL,
     "q_text_langid": f"""
         WITH scored AS (
           SELECT lang,
