@@ -126,6 +126,41 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_overlap: float = 0.6,
+    max_df: int = 100,
+) -> DataFrame:
+    """Near-subset pairs by the overlap coefficient |A∩B| / min(|A|, |B|).
+
+    Containment catches the asymmetric duplicates Jaccard under-scores: a
+    short document quoted wholesale inside a much longer one has tiny
+    Jaccard (the union is dominated by the long doc) but containment ≈ 1.
+    Reuses the capped-shingle machinery of :func:`ngram_jaccard_pairs`
+    (same df ≤ ``max_df`` hot-shingle bound on the self-join fan-in), then
+    rescales the intersection by the SMALLER set. The ratio is a single
+    int/int double division — bit-identical across engines, no rounding.
+
+    Returns (id_a, id_b, n_a, n_b, n_inter, overlap).
+    """
+    base = ngram_jaccard_pairs(
+        df, text_col=text_col, id_col=id_col, k=k,
+        min_jaccard=0.0, max_df=max_df,
+    )
+    return (
+        base.withColumn(
+            "overlap",
+            F.col("n_inter").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .select("id_a", "id_b", "n_a", "n_b", "n_inter", "overlap")
+    )
+
+
 def hot_shingles(
     df: DataFrame,
     text_col: str = "text",

@@ -44,6 +44,19 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-subset pairs by word-5-gram overlap coefficient
+    |A∩B|/min(|A|,|B|) ≥ 0.6 — the asymmetric-duplicate detector (short
+    doc quoted inside a long one) Jaccard under-scores (llm/dedup.py
+    containment_pairs). Same capped-shingle self-join machinery and
+    df ≤ 100 fan-in bound as q_dedup_ngram; the ratio is one int/int
+    division, bit-identical in both engines."""
+    d = load(spark, sf_dir, "documents")
+    return D.containment_pairs(d, k=5, min_overlap=0.6, max_df=100).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs, Hamming ≤ 3 (rows-only: xxhash64). The
     tight radius matters on a small-vocabulary corpus where token-multiset
@@ -512,6 +525,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
     "q_dedup_ngram": q_dedup_ngram,
+    "q_dedup_containment": q_dedup_containment,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embed": q_dedup_embed,
     "q_dedup_incremental": q_dedup_incremental,
@@ -693,6 +707,37 @@ ORACLE = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(n_inter AS DOUBLE)
                  / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    "q_dedup_containment": """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ),
+        sh0 AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(t[gs : gs + 4], ' ') AS shingle
+          FROM toks JOIN generate_series(1, 100000) AS g(gs)
+            ON gs <= greatest(len(t) - 4, 1)
+        ),
+        sh AS (  -- hot-shingle cap: drop shingles with document frequency > 100
+          SELECT sh0.* FROM sh0
+          JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100)
+            USING (shingle)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_inter,
+               CAST(n_inter AS DOUBLE)
+                 / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS overlap
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE)
+                 / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.6
         ORDER BY id_a, id_b
     """,
     "q_dedup_embed": f"""

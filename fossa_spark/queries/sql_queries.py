@@ -757,7 +757,60 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_COPURCHASE)
 
 
+_ASSOC = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM fs_lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM li),
+singles AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+joined AS (
+  SELECT p1, p2, n_ab, s1.cnt AS n_p1, s2.cnt AS n_p2
+  FROM pairs
+  JOIN singles s1 ON p1 = s1.l_partkey
+  JOIN singles s2 ON p2 = s2.l_partkey
+),
+rules AS (
+  SELECT p1 AS antecedent, p2 AS consequent, n_ab,
+         n_p1 AS n_a, n_p2 AS n_b FROM joined
+  UNION ALL
+  SELECT p2, p1, n_ab, n_p2, n_p1 FROM joined
+)
+SELECT antecedent, consequent, n_ab, n_a, n_b,
+       (CAST(n_ab AS DOUBLE) / n_a) AS confidence,
+       ((CAST(n_ab AS DOUBLE) * n.n) / (CAST(n_a AS DOUBLE) * n_b)) AS lift
+FROM rules CROSS JOIN n
+WHERE n_ab >= 3
+ORDER BY n_ab DESC, antecedent, consequent
+LIMIT 100
+"""
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (the step after q_copurchase's
+    pair counting): every frequent pair emits both directed rules with
+    support count, confidence n_ab/n_a and lift n_ab·N/(n_a·n_b).
+
+    Scale shape: the pair self-join is bounded by per-basket size (never
+    corpus²); the part-grain `singles` relation joins back onto the pair
+    grain — at 100 TB that side is still |parts| ≪ |pairs| and Catalyst
+    broadcasts it; N is a scalar subquery planned once. Determinism: all
+    counts are exact int64; confidence/lift are single divisions of exact
+    products (n_ab·N and n_a·n_b < 2^53) — bit-identical, no rounding.
+    Both metrics derive from the same counts the reference's users would
+    compute by hand in Python — here it is one declarative plan."""
+    _register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_ASSOC)
+
+
 QUERIES = {
+    "q_assoc_rules": q_assoc_rules,
     "q_sql_q3": q_sql_q3,
     "q_sql_q4": q_sql_q4,
     "q_sql_q7": q_sql_q7,
@@ -789,6 +842,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_assoc_rules": _ASSOC.replace("fs_", ""),
     "q_copurchase": _COPURCHASE.replace("fs_", ""),
     "q_sql_q3": _Q3.replace("fs_", "").replace(
         "CAST(o_orderdate AS DATE) AS order_date",
