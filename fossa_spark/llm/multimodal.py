@@ -395,6 +395,41 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Image resize (the decode → transform → re-encode hop of a vision
+    preprocessing pipeline): decode each PNG, nearest-neighbor downsample
+    to ``width``×``height`` with pure integer index mapping
+    (src = dst·src_dim // dst_dim — deterministic, no float resampling
+    kernel to drift across platforms), re-encode as PNG.
+
+    Only image rows reach Python; Arrow-batched mapInPandas, one decode +
+    one encode per row — O(pixels), embarrassingly parallel, the same
+    batch shape a Pillow/torchvision deployment would slot into."""
+    im = media.filter(F.col("kind") == "image")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, payloads = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = _decode_png(payload)
+                h, w = px.shape
+                ys = (np.arange(height) * h) // height
+                xs = (np.arange(width) * w) // width
+                small = px[np.ix_(ys, xs)].astype(np.uint8)
+                ids.append(mid)
+                ws.append(width)
+                hs.append(height)
+                payloads.append(_encode_png(small))
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs,
+                 "payload": payloads}
+            )
+
+    return im.select("media_id", "payload").mapInPandas(
+        run, "media_id long, width int, height int, payload binary"
+    )
+
+
 def frame_sample(
     media: DataFrame, every_nth: int = 10, decode: bool = False
 ) -> DataFrame:

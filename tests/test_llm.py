@@ -153,6 +153,26 @@ def test_multimodal_pipeline(spark):
     assert frames and all(r.frame_idx % 10 == 0 for r in frames)
 
 
+def test_multimodal_resize(spark):
+    """resize_images decodes, nearest-neighbor downsamples with integer
+    index mapping, and re-encodes a valid PNG whose pixels equal the
+    numpy-side reference sampling of the original."""
+    import numpy as np
+
+    media = M.synthetic_media(spark, n=9)
+    out = {r.media_id: r for r in M.resize_images(media, 16, 12).collect()}
+    assert len(out) == 3  # ids 0,3,6 are images
+    for mid, r in out.items():
+        assert (r.width, r.height) == (16, 12)
+        small = M._decode_png(r.payload)
+        assert small.shape == (12, 16)
+        w, h = 64 + mid % 8, 64 + mid % 4
+        src = M._image_pixels(mid, w, h).astype(np.uint8)
+        ys = (np.arange(12) * h) // 12
+        xs = (np.arange(16) * w) // 16
+        assert (small == src[np.ix_(ys, xs)]).all()
+
+
 def test_png_codec_roundtrip():
     """Pure-stdlib PNG encode → decode is pixel-exact; the decoder also
     handles filtered scanlines (types 1-4) per the spec."""
