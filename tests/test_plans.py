@@ -405,3 +405,40 @@ def test_dpp_join_prunes_partitions_dynamically(spark):
     assert "dynamicpruningexpression" in a.formatted.lower(), (
         [ln for ln in a.formatted.splitlines() if "PartitionFilters" in ln]
     )
+
+
+def test_bm25_topk_avoids_corpus_window(spark):
+    """BM25's global top-k must plan as TakeOrderedAndProject (orderBy +
+    limit) — never a single-partition corpus-wide window — and the df
+    (query-term vocabulary) side must broadcast."""
+    from fossa_spark.queries.llm_queries import q_text_bm25
+
+    a = audit(q_text_bm25(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in a.formatted
+    assert any("Broadcast" in j for j in a.join_nodes), a.join_nodes
+
+
+def test_assoc_rules_singles_broadcast(spark):
+    """Association rules: the part-grain singles relation joins the pair
+    grain via broadcast (both directions), and the basket self-join stays
+    a hash equi-join — no nested-loop anywhere."""
+    from fossa_spark.queries.sql_queries import q_assoc_rules
+
+    a = audit(q_assoc_rules(spark, SF_DIR))
+    assert not any("Cartesian" in j or "NestedLoop" in j
+                   for j in a.join_nodes if "Broadcast" not in j), a.join_nodes
+    assert sum("BroadcastHashJoin" in j for j in a.join_nodes) >= 2, a.join_nodes
+
+
+def test_ewma_single_shuffle_no_join(spark):
+    """EWMA is one window pass: a single hashpartitioning Exchange on
+    o_custkey, no join nodes, no O(n^2) following-unbounded frame."""
+    import re
+
+    from fossa_spark.queries.windows import q_win_ewma
+
+    a = audit(q_win_ewma(spark, SF_DIR))
+    assert not a.join_nodes, a.join_nodes
+    hash_exchanges = len(re.findall(r"Arguments: hashpartitioning", a.formatted))
+    assert hash_exchanges == 1, f"expected 1 shuffle, saw {hash_exchanges}"
+    assert "unboundedfollowing" not in a.formatted.lower()
