@@ -146,19 +146,45 @@ def containment_pairs(
 
     Returns (id_a, id_b, n_a, n_b, n_inter, overlap).
     """
-    base = ngram_jaccard_pairs(
-        df, text_col=text_col, id_col=id_col, k=k,
-        min_jaccard=0.0, max_df=max_df,
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, k)).alias("shingle"),
+    ).distinct()
+    # same staging as ngram_jaccard_pairs, but the overlap filter lands
+    # BEFORE the eager checkpoint — materializing the unfiltered pair set
+    # (via ngram_jaccard_pairs(min_jaccard=0)) measured 2× the runtime
+    kept = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("shingle"),
+        "shingle",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = kept.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
-        base.withColumn(
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    pairs = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
             "overlap",
             F.col("n_inter").cast("double")
             / F.least("n_a", "n_b").cast("double"),
         )
         .filter(F.col("overlap") >= min_overlap)
         .select("id_a", "id_b", "n_a", "n_b", "n_inter", "overlap")
+        .localCheckpoint(eager=True)
     )
+    kept.unpersist()
+    return pairs
 
 
 def hot_shingles(
@@ -809,6 +835,69 @@ def remove_repeated_ngrams(
                 )
             ).alias("cleaned_md5"),
         )
+    )
+
+
+def remove_shared_chunks(
+    df: DataFrame,
+    k: int = 8,
+    max_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate removal: drop every non-overlapping
+    ``k``-word chunk that appears in more than ``max_df`` documents — the
+    corpus-level companion of :func:`remove_repeated_ngrams` (within-doc),
+    and the declarative form of the shared-substring scrubbing step of
+    web-corpus pipelines (C4 / RefinedWeb remove lines repeated across
+    pages; the fixture corpus has no newlines, so the "line" unit is a
+    fixed k-word chunk).
+
+    Shape: one split per doc → posexplode to the chunk grain; chunk
+    document-frequencies are ONE groupBy on the chunk string whose hot
+    tail (df > max_df) is tiny and broadcast back as an anti-join; text
+    reassembly is a per-doc sort_array over (pos, chunk) — order exact,
+    no window. Nothing is corpus² — the df aggregation is the only
+    corpus-wide shuffle, same bound as exact_dedup.
+
+    Returns (id_col, n_chunks, n_kept, new_text) — all exact values.
+    """
+    arr = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), arr.alias("a"), F.size(arr).alias("n"))
+    chunks = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.floor((F.col("n") - 1) / k).cast("int")),
+                lambda i: F.concat_ws(" ", F.slice("a", i * k + 1, k)),
+            )
+        ).alias("pos", "chunk"),
+    )
+    hot = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("chunk")
+    )
+    kept = chunks.join(F.broadcast(hot), "chunk", "left_anti")
+    totals = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("new_text"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
     )
 
 

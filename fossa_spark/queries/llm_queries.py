@@ -57,6 +57,16 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal (llm/dedup.py
+    remove_shared_chunks): every 8-word chunk appearing in ≥2 documents is
+    scrubbed and the text reassembled in position order — the C4/
+    RefinedWeb shared-line filter with k-word chunks standing in for
+    lines. Exact counts + exact rebuilt strings under the oracle."""
+    d = load(spark, sf_dir, "documents")
+    return D.remove_shared_chunks(d, k=8, max_df=1).orderBy("doc_id")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs, Hamming ≤ 3 (rows-only: xxhash64). The
     tight radius matters on a small-vocabulary corpus where token-multiset
@@ -526,6 +536,7 @@ QUERIES = {
     "q_dedup_near": q_dedup_near,
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_containment": q_dedup_containment,
+    "q_dedup_boilerplate": q_dedup_boilerplate,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embed": q_dedup_embed,
     "q_dedup_incremental": q_dedup_incremental,
@@ -708,6 +719,38 @@ ORACLE = {
         WHERE CAST(n_inter AS DOUBLE)
                  / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
         ORDER BY id_a, id_b
+    """,
+    "q_dedup_boilerplate": """
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS a,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+        ),
+        chunks AS (
+          SELECT doc_id, c AS pos,
+                 array_to_string(a[c*8+1 : c*8+8], ' ') AS chunk
+          FROM base JOIN generate_series(0, 100000) AS g(c)
+            ON c <= CAST(floor((n - 1) / 8.0) AS INT)
+        ),
+        hot AS (
+          SELECT chunk FROM chunks
+          GROUP BY chunk HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        kept AS (SELECT chunks.* FROM chunks ANTI JOIN hot USING (chunk)),
+        totals AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+          FROM chunks GROUP BY 1
+        ),
+        rebuilt AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 array_to_string(list(chunk ORDER BY pos), ' ') AS new_text
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id, n_chunks,
+               COALESCE(n_kept, 0) AS n_kept,
+               COALESCE(new_text, '') AS new_text
+        FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        ORDER BY t.doc_id
     """,
     "q_dedup_containment": """
         WITH toks AS (
