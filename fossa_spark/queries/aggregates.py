@@ -489,8 +489,81 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bin_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quartile) binning of order value — the feature
+    bucketizer of an ML preprocessing pipeline, exact where ml.feature's
+    QuantileDiscretizer is approximate.  Cutpoints are exact interpolated
+    percentiles over integer cents (one global percentile aggregate —
+    a 3-double scalar broadcast back onto the fact); bin assignment is a
+    codegen'd CASE chain; per-bin stats follow the integer-cents
+    discipline.  Determinism: percentile interpolation over exact int64
+    is the same p·(n-1) definition as DuckDB's quantile_cont, and the
+    bigint-vs-double cut comparisons promote exactly."""
+    o = load(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    cuts = o.agg(
+        F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("_q")
+    ).select(
+        F.element_at("_q", 1).alias("q1"),
+        F.element_at("_q", 2).alias("q2"),
+        F.element_at("_q", 3).alias("q3"),
+    )
+    binned = o.select(c.alias("c")).crossJoin(F.broadcast(cuts)).select(
+        "c",
+        F.when(F.col("c") <= F.col("q1"), F.lit(1))
+        .when(F.col("c") <= F.col("q2"), F.lit(2))
+        .when(F.col("c") <= F.col("q3"), F.lit(3))
+        .otherwise(F.lit(4))
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.min("c").cast("double") / 100.0).alias("lo"),
+            (F.max("c").cast("double") / 100.0).alias("hi"),
+            F.sum("c").alias("_s"),
+        )
+        .select(
+            "bin",
+            "n_orders",
+            "lo",
+            "hi",
+            ((F.col("_s").cast("double") / 100.0)
+             / F.col("n_orders").cast("double")).alias("avg_price"),
+        )
+        .orderBy("bin")
+    )
+
+
+_BIN_SQL = f"""
+    WITH cuts AS (
+      SELECT quantile_cont({sql_cents("o_totalprice")}, 0.25) AS q1,
+             quantile_cont({sql_cents("o_totalprice")}, 0.5)  AS q2,
+             quantile_cont({sql_cents("o_totalprice")}, 0.75) AS q3
+      FROM orders
+    ),
+    binned AS (
+      SELECT {sql_cents("o_totalprice")} AS c,
+             CASE WHEN {sql_cents("o_totalprice")} <= cuts.q1 THEN 1
+                  WHEN {sql_cents("o_totalprice")} <= cuts.q2 THEN 2
+                  WHEN {sql_cents("o_totalprice")} <= cuts.q3 THEN 3
+                  ELSE 4 END AS bin
+      FROM orders CROSS JOIN cuts
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(c) AS DOUBLE) / 100.0 AS lo,
+           CAST(MAX(c) AS DOUBLE) / 100.0 AS hi,
+           (CAST(SUM(c) AS DOUBLE) / 100.0) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_price
+    FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
 QUERIES = {
     "q_agg_basic": q_agg_basic,
+    "q_bin_quantile": q_bin_quantile,
     "q_agg_percentile": q_agg_percentile,
     "q_agg_mad": q_agg_mad,
     "q_agg_corr": q_agg_corr,
@@ -585,6 +658,7 @@ ORACLE = {
         FROM c GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
+    "q_bin_quantile": _BIN_SQL,
     "q_agg_percentile": """
         SELECT l_returnflag,
                COUNT(*) AS n_lines,
