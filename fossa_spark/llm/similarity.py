@@ -486,3 +486,92 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         .withColumn("max_abs_err", F.round(F.col("_q.raw_err"), 6))
         .drop("_q")
     )
+
+
+def pca_project(
+    df: DataFrame,
+    n_components: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """PCA projection of an embedding column — the whitening/dim-reduction
+    hop in front of ANN indexing (reduce 64-d to 8-d, then IVF/LSH the
+    projected space).
+
+    Distributed-exact shape: vectors are fixed-point quantized
+    (×2^scale_bits — EXACT for float32 inputs: a power-of-two scale only
+    shifts the exponent), per-partition numpy accumulates the Gram matrix
+    and dim sums as int64 partials via mapInPandas, one groupBy-sum over
+    flattened (idx, partial) rows reduces them EXACTLY (integer addition is
+    associative — no float summation-order nondeterminism anywhere in the
+    fit), and only dim²+dim+1 scalars reach the driver (control-plane-
+    sized: 4 KB for dim=64, independent of corpus size — int64 headroom is
+    2^53/(2^40·dim²)≈half a billion rows at dim=64; swap the partials to
+    DECIMAL(38,0) beyond that).  The driver eigendecomposes the exact
+    covariance (numpy eigh — deterministic for identical input bits), fixes
+    each component's sign (largest-|loading| entry positive — the standard
+    sign convention), and the projection broadcasts back through one
+    Arrow-batched pandas UDF.
+
+    Returns (id_col, pca: array<double> rounded 6 dp). Not SQL-expressible
+    (eigendecomposition) → rows-only; pytest asserts orthonormality,
+    variance ordering, and exact reproducibility.
+    """
+    scale = float(1 << scale_bits)
+    n_out = dim * dim + dim + 1  # gram, sums, count
+
+    def partials(batches):
+        g = np.zeros((dim, dim), dtype=np.int64)
+        s = np.zeros(dim, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.rint(
+                np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                * scale
+            ).astype(np.int64)
+            g += m.T @ m
+            s += m.sum(axis=0)
+            n += len(pdf)
+        idx = np.arange(n_out, dtype=np.int64)
+        vals = np.concatenate([g.ravel(), s, np.array([n], dtype=np.int64)])
+        yield pd.DataFrame({"idx": idx, "partial": vals})
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partials, "idx long, partial long")
+        .groupBy("idx")
+        .agg(F.sum("partial").alias("s"))
+        .collect()  # dim²+dim+1 scalars — control-plane-sized by design
+    )
+    flat = np.zeros(n_out, dtype=np.int64)
+    for r in rows:
+        flat[r["idx"]] = r["s"]
+    g = flat[: dim * dim].reshape(dim, dim).astype(np.float64)
+    s = flat[dim * dim : dim * dim + dim].astype(np.float64)
+    n = float(flat[-1])
+    mean_q = s / n
+    cov = (g - np.outer(mean_q, s) / n) / (n - 1.0)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order]  # (dim, n_components)
+    for j in range(comps.shape[1]):
+        k = np.argmax(np.abs(comps[:, j]))
+        if comps[k, j] < 0:
+            comps[:, j] = -comps[:, j]
+    comps_b = comps.copy()
+    mean_b = (mean_q / scale).copy()
+
+    @F.pandas_udf("array<double>")
+    def _project(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = (m - mean_b) @ comps_b
+        return pd.Series(list(out))
+
+    return df.select(
+        F.col(id_col),
+        F.transform(_project(F.col(vec_col)), lambda x: F.round(x, 6)).alias("pca"),
+    )

@@ -164,6 +164,16 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(q, c, k=5).orderBy("q_id", "rk")
 
 
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection 64-d → 8-d over the embeddings table (llm/
+    similarity.py pca_project): exact integer Gram accumulation, driver
+    eigh on dim² scalars, Arrow-batched projection. rows-only (eigen-
+    decomposition is not SQL-expressible); pytest asserts orthonormality,
+    variance ordering and bit-reproducibility."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.pca_project(e, n_components=8, dim=64).orderBy("vec_id")
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequencies (tokenize → explode → count)."""
     d = load(spark, sf_dir, "documents")
@@ -544,6 +554,7 @@ QUERIES = {
     "q_sim_ann": q_sim_ann,
     "q_sim_ivf": q_sim_ivf,
     "q_sim_pq": q_sim_pq,
+    "q_embed_pca": q_embed_pca,
     "q_text_tokens": q_text_tokens,
     "q_text_bm25": q_text_bm25,
     "q_tfidf": q_tfidf,

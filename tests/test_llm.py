@@ -484,3 +484,22 @@ def test_bpe_train_handles_quotes(spark):
     # (o,')=3 ties (',o)=3; left-asc tie-break: "'" < "o"
     assert (out[0].left, out[0].right, out[0].pair_count) == ("'", "o", 3)
     assert (out[1].left, out[1].right, out[1].pair_count) == ("o", "'o", 3)
+
+
+def test_pca_project_properties(vecs):
+    """PCA: components orthonormal, projected variance non-increasing,
+    projection exactly reproducible run-to-run (exact integer Gram fit),
+    and centered: projected means ~ 0."""
+    import numpy as np
+
+    out = S.pca_project(vecs, n_components=8, dim=64).collect()
+    assert len(out) == vecs.count()
+    m = np.vstack([r.pca for r in out])
+    assert m.shape[1] == 8
+    var = m.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-6 for i in range(7)), var
+    assert np.abs(m.mean(axis=0)).max() < 1e-3
+    out2 = S.pca_project(vecs, n_components=8, dim=64).collect()
+    assert sorted(map(tuple, ((r.vec_id, *r.pca) for r in out))) == sorted(
+        map(tuple, ((r.vec_id, *r.pca) for r in out2))
+    )
