@@ -220,6 +220,28 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
     )
 
 
+def feature_hash(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Hashing-trick vectorizer (Weinberger et al. 2009): map each token to
+    one of 256 buckets by md5 prefix and count — the fixed-width sparse
+    feature encoding (sklearn HashingVectorizer / Spark ml HashingTF
+    shape) that needs NO fitted vocabulary, so it streams at corpus scale
+    with one explode + one groupBy.  md5 (not xxhash64) keeps the bucket
+    assignment engine-portable; output is the sparse (doc, bucket, tf)
+    triplet form downstream ML consumes.
+    """
+    toks = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    bucket = F.conv(F.substring(F.md5("token"), 1, 2), 16, 10).cast("long")
+    return (
+        toks.select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def bm25_topk(docs: DataFrame, terms: tuple[str, ...],
               k: int = 50, k1: float = 1.2, b: float = 0.75,
               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

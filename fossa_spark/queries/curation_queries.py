@@ -310,7 +310,70 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANGS = ("en", "de", "fr", "es", "zh")
+
+
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-diversity entropy per source — the mix-balance diagnostic
+    next to q_mix_weights: Shannon entropy of each source's language
+    distribution (0 = monolingual source, ln 5 = uniform over the 5
+    corpus languages).
+
+    Determinism: per-lang counts pivot to FIXED columns so the cross-lang
+    entropy sum is a fixed-order expression chain, never an order-
+    dependent SUM over doubles; each -p·ln p term is the same
+    division+log both engines evaluate on identical inputs, rounded 8 dp
+    at the end (transcendental contract). One groupBy — corpus-scale
+    cost is a single shuffle on source."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.when(F.col("lang") == L, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{L}")
+            for L in _LANGS
+        ],
+    )
+    ent = F.lit(0.0)
+    for L in _LANGS:
+        p = F.col(f"n_{L}").cast("double") / F.col("n_docs").cast("double")
+        ent = ent + F.when(
+            F.col(f"n_{L}") > 0, -(p * F.log(p))
+        ).otherwise(F.lit(0.0))
+    return counts.select(
+        "source",
+        "n_docs",
+        *[f"n_{L}" for L in _LANGS],
+        F.round(ent, 8).alias("entropy"),
+    ).orderBy("source")
+
+
+def _entropy_sql() -> str:
+    cols = ",\n                 ".join(
+        f"CAST(SUM(CASE WHEN lang = '{L}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{L}"
+        for L in _LANGS
+    )
+    ent = "0.0"
+    for L in _LANGS:
+        p = f"(CAST(n_{L} AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+        ent = (f"({ent} + CASE WHEN n_{L} > 0 THEN -({p} * ln({p})) "
+               f"ELSE 0.0 END)")
+    return f"""
+        WITH counts AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 {cols}
+          FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, {", ".join(f"n_{L}" for L in _LANGS)},
+               round({ent}, 8) AS entropy
+        FROM counts ORDER BY source
+    """
+
+
 QUERIES = {
+    "q_source_entropy": q_source_entropy,
     "q_pii_redact": q_pii_redact,
     "q_pii_scan": q_pii_scan,
     "q_vocab_coverage": q_vocab_coverage,
@@ -353,6 +416,7 @@ _PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
 _IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
 ORACLE = {
+    "q_source_entropy": _entropy_sql(),
     "q_vocab_coverage": """
         WITH tok AS (
           SELECT source, unnest(string_split(lower(text), ' ')) AS token

@@ -174,6 +174,14 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pca_project(e, n_components=8, dim=64).orderBy("vec_id")
 
 
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick sparse features (llm/text.py feature_hash) for the
+    first 100 docs: (doc, bucket, tf) triplets over 256 md5 buckets —
+    vocabulary-free vectorization, one explode + one groupBy."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return X.feature_hash(d).orderBy("doc_id", "bucket")
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequencies (tokenize → explode → count)."""
     d = load(spark, sf_dir, "documents")
@@ -557,6 +565,7 @@ QUERIES = {
     "q_embed_pca": q_embed_pca,
     "q_text_tokens": q_text_tokens,
     "q_text_bm25": q_text_bm25,
+    "q_feature_hash": q_feature_hash,
     "q_tfidf": q_tfidf,
     "q_lm_score": q_lm_score,
     "q_sketch_cms": q_sketch_cms,
@@ -655,6 +664,14 @@ _BM25_SQL = f"""
 
 ORACLE = {
     "q_text_bm25": _BM25_SQL,
+    "q_feature_hash": """
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(t.token), 1, 2)) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
+        WHERE doc_id < 100 AND t.token <> ''
+        GROUP BY 1, 2 ORDER BY doc_id, bucket
+    """,
     "q_text_langid": f"""
         WITH scored AS (
           SELECT lang,

@@ -194,9 +194,32 @@ def _ewma_sql() -> str:
     """
 
 
+def q_win_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median (7-row frame) of order value per customer —
+    the robust companion of q_win_frame's moving average (outlier-immune
+    smoothing). percentile(0.5) as a window aggregate over integer cents:
+    the frame holds ≤7 exact int64s, the p·(n-1) interpolation midpoint of
+    two ints is a dyadic-exact double (same definition as DuckDB's
+    quantile_cont), and the final /100.0 is one exact division — no
+    rounding anywhere. State is O(frame), not O(partition)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-6, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.percentile(cents("o_totalprice"), F.lit(0.5)).over(w) / 100.0)
+        .alias("rolling_median"),
+    )
+
+
 QUERIES = {
     "q_win_rank": q_win_rank,
     "q_win_ewma": q_win_ewma,
+    "q_win_median": q_win_median,
     "q_win_distribution": q_win_distribution,
     "q_win_range": q_win_range,
     "q_win_lag": q_win_lag,
@@ -206,6 +229,15 @@ QUERIES = {
 
 ORACLE = {
     "q_win_ewma": _ewma_sql(),
+    "q_win_median": f"""
+        SELECT o_custkey, o_orderkey,
+               quantile_cont({sql_cents("o_totalprice")}, 0.5) OVER w / 100.0
+                 AS rolling_median
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
     "q_win_distribution": """
         SELECT o_orderkey, o_orderpriority, o_totalprice,
                round(percent_rank() OVER w, 8) AS pct_rank,
