@@ -384,8 +384,71 @@ def q_stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_upsert_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming upsert (materialized-view maintenance) under the
+    oracle: the events feed arrives in two interleaved micro-batches
+    (event_id parity → each batch holds a time-mixed slice, so a later
+    batch must replace a user's row ONLY when its event is newer);
+    foreachBatch merges each batch into a latest-row-per-user table —
+    union → per-user window keep-newest, the exact algebra a Delta/Iceberg
+    MERGE executes — with an eager localCheckpoint per batch so the
+    maintained state's lineage stays O(1) across batches instead of
+    growing by one union per batch. The final table must equal the batch
+    answer (max-(ts, event_id) row per user) bit-for-bit: any lost update
+    or stale overwrite in the incremental path flips the hash."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    e = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    feed = tempfile.mkdtemp(prefix="fossa_upsert_feed_")
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    state: dict = {"df": None}
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        cur = batch_df
+        if state["df"] is not None:
+            cur = state["df"].unionByName(batch_df)
+        state["df"] = (
+            cur.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+            .localCheckpoint(eager=True)
+        )
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return state["df"].orderBy("user_id")
+
+
 QUERIES = {
     "q_stream_tumble": q_stream_tumble,
+    "q_stream_upsert_exec": q_stream_upsert_exec,
     "q_stream_exec": q_stream_exec,
     "q_stream_join_exec": q_stream_join_exec,
     "q_stream_outer_join_exec": q_stream_outer_join_exec,
@@ -398,6 +461,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_stream_upsert_exec": """
+        WITH e AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                 event_type, value
+          FROM events
+        ),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rk
+          FROM e
+        )
+        SELECT event_id, user_id, ts, event_type, value
+        FROM r WHERE rk = 1 ORDER BY user_id
+    """,
     # the duplicates are planted Spark-side only, so the oracle is simply
     # the original feed: any dup leaking through the state store breaks
     # n_events AND total_value; n_ids == n_events proves per-key uniqueness
