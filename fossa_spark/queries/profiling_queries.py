@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fossa_spark import profiling as P
-from fossa_spark.queries._util import load
+from fossa_spark.queries._util import cents, load, sql_cents
 
 
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,8 +162,47 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation-API metrics: piggyback row-count / exact-cents sum /
+    min / max / null-count metrics on a REAL job (noop write of the
+    filtered projection) via df.observe — the zero-extra-scan pipeline
+    telemetry hook (Deequ's analyzer runner shape). The observed values
+    must equal a from-scratch SQL aggregation: the oracle recomputes them,
+    so a metrics bug (double-count under retries, lost partition) flips
+    the hash. The returned 1-row frame is driver-built from the observed
+    map — control-plane-sized by construction."""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 25.0)
+    obs = Observation("fs_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents("l_extendedprice")).alias("_sum_cents"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum((F.col("l_discount") > 0.05).cast("long")).alias("n_discounted"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                float(m["_sum_cents"]) / 100.0,
+                float(m["min_qty"]),
+                float(m["max_qty"]),
+                int(m["n_discounted"]),
+            )
+        ],
+        "n_rows long, sum_price double, min_qty double, max_qty double, "
+        "n_discounted long",
+    )
+
+
 QUERIES = {
     "q_profile": q_profile,
+    "q_observe": q_observe,
     "q_quality_checks": q_quality_checks,
     "q_skew_report": q_skew_report,
     "q_histogram": q_histogram,
@@ -197,6 +236,16 @@ _STR_PROFILE = """
         FROM orders"""
 
 ORACLE = {
+    "q_observe": f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM({sql_cents("l_extendedprice")}) AS DOUBLE) / 100.0
+                 AS sum_price,
+               CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+               CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+               CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_discounted
+        FROM lineitem WHERE l_quantity >= 25.0
+    """,
     "q_histogram": """
         WITH b AS (
           SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
