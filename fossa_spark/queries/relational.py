@@ -99,6 +99,38 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(o).orderBy("custkey")
 
 
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — BAG semantics, the multiset variants
+    whose row multiplicities differ from the distinct forms (a key
+    appearing 3× left and 1× right survives EXCEPT ALL twice, EXCEPT
+    zero-or-once): per-nation customer keys minus supplier keys, both
+    with multiplicity. Spark plans these as a Generate over counted
+    groups (no distinct collapse); the oracle uses the same ANSI
+    operators. Multiplicity surfaces as a count per surviving key so the
+    hash check pins the exact bag, not just membership."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    ex = c.exceptAll(s).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_except_all")
+    )
+    ix = c.intersectAll(s).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_intersect_all")
+    )
+    return (
+        ex.join(ix, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+            F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt: wide per-part price+size columns to (metric, value)
     rows — Spark's unpivot API; oracle mirrors with UNION ALL."""
@@ -221,6 +253,7 @@ QUERIES = {
     "q_set_union": q_set_union,
     "q_set_intersect": q_set_intersect,
     "q_set_except": q_set_except,
+    "q_set_except_all": q_set_except_all,
 }
 
 ORACLE = {
@@ -340,5 +373,26 @@ ORACLE = {
         EXCEPT
         SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
         ORDER BY custkey
+    """,
+    "q_set_except_all": """
+        WITH ex AS (
+          SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n_except_all FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT ALL
+            SELECT s_nationkey FROM supplier
+          ) GROUP BY nationkey
+        ),
+        ix AS (
+          SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n_intersect_all FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT ALL
+            SELECT s_nationkey FROM supplier
+          ) GROUP BY nationkey
+        )
+        SELECT COALESCE(ex.nationkey, ix.nationkey) AS nationkey,
+               COALESCE(n_except_all, 0) AS n_except_all,
+               COALESCE(n_intersect_all, 0) AS n_intersect_all
+        FROM ex FULL OUTER JOIN ix ON ex.nationkey = ix.nationkey
+        ORDER BY nationkey
     """,
 }
