@@ -274,6 +274,45 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation under RETRACTIONS — the CDC-with-deletes
+    extension of q_agg_incremental: inserts and deletes flow as ±signed
+    partial states (count → Σ sign, sum → Σ sign·cents), and a merge is a
+    plain signed sum.  Only abelian-group measures (count/sum/avg) survive
+    retraction; min/max are monoid-only and need a rescan — the algebraic
+    boundary every streaming-materialized-view engine draws (Flink
+    retraction streams, Materialize).  Simulated: full lineitem inserted,
+    every l_orderkey % 7 == 0 row deleted, the % 14 == 0 half re-inserted;
+    the merged view must equal the oracle's direct aggregate of the
+    surviving rows exactly (integer cents — a single leaked or
+    double-counted retraction shifts the sum)."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def signed(batch: DataFrame, sign: int) -> DataFrame:
+        return batch.groupBy("l_returnflag", "l_linestatus").agg(
+            (F.count(F.lit(1)) * sign).alias("n"),
+            (F.sum(cents("l_quantity")) * sign).alias("sq"),
+        )
+
+    states = signed(li, 1)
+    states = states.unionByName(signed(li.filter(F.col("l_orderkey") % 7 == 0), -1))
+    states = states.unionByName(signed(li.filter(F.col("l_orderkey") % 14 == 0), 1))
+    return (
+        states.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("n").alias("count_order"), F.sum("sq").alias("_sq"))
+        .filter(F.col("count_order") > 0)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "count_order",
+            (F.col("_sq").cast("double") / 100.0).alias("sum_qty"),
+            (F.col("_sq").cast("double") / F.col("count_order").cast("double")
+             / 100.0).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized (clipped-at-percentile) aggregates — the robust
     preprocessing twin of q_agg_mad: per return flag, clip l_quantity to
@@ -569,6 +608,7 @@ QUERIES = {
     "q_agg_corr": q_agg_corr,
     "q_agg_sketch_merge": q_agg_sketch_merge,
     "q_agg_incremental": q_agg_incremental,
+    "q_agg_retract": q_agg_retract,
     "q_agg_winsorize": q_agg_winsorize,
     "q_agg_gini": q_agg_gini,
     "q_agg_stats": q_agg_stats,
@@ -659,6 +699,18 @@ ORACLE = {
         ORDER BY l_returnflag, l_linestatus
     """,
     "q_bin_quantile": _BIN_SQL,
+    "q_agg_retract": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS count_order,
+               CAST(SUM({sql_cents("l_quantity")}) AS DOUBLE) / 100.0
+                 AS sum_qty,
+               CAST(SUM({sql_cents("l_quantity")}) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_qty
+        FROM lineitem
+        WHERE NOT (l_orderkey % 7 = 0) OR l_orderkey % 14 = 0
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
     "q_agg_percentile": """
         SELECT l_returnflag,
                COUNT(*) AS n_lines,
