@@ -5,10 +5,10 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from fossa_spark.queries._util import load
+from fossa_spark.queries._util import cents, load
 
 
 def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,6 +128,36 @@ def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
         )
         .orderBy("nationkey")
+    )
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): orders not dominated on
+    (earlier-or-equal date, higher-or-equal price, one strict) — the
+    classic maximal-vector query.  The naive definition is an O(n²)
+    NOT-EXISTS self-join — exactly what the ORACLE runs — but the Spark
+    plan is the two-phase distributed sweep (operators.skyline_2d): a
+    range exchange on date, per-partition maxima folded into a broadcast
+    exclusive prefix, then one partition-local value-RANGE window. No
+    join and no corpus-wide single-partition window — the shape that
+    still works when the fact table is 10⁹ rows and the self-join is
+    10¹⁸ comparisons."""
+    from fossa_spark.operators import skyline_2d
+
+    o = load(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        cents("o_totalprice").alias("c"),
+    )
+    return (
+        skyline_2d(d, "epoch_s", "c", "o_orderkey")
+        .select(
+            "o_orderkey",
+            F.col("_x").alias("epoch_s"),
+            (F.col("_y").cast("double") / 100.0).alias("price"),
+        )
+        .orderBy("epoch_s", "o_orderkey")
     )
 
 
@@ -254,9 +284,27 @@ QUERIES = {
     "q_set_intersect": q_set_intersect,
     "q_set_except": q_set_except,
     "q_set_except_all": q_set_except_all,
+    "q_skyline": q_skyline,
 }
 
 ORACLE = {
+    # naive-definition oracle for the skyline: the O(n²) NOT EXISTS the
+    # window formulation must reproduce exactly
+    "q_skyline": """
+        WITH d AS (
+          SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders
+        )
+        SELECT a.o_orderkey, a.epoch_s, CAST(a.c AS DOUBLE) / 100.0 AS price
+        FROM d a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM d b
+          WHERE b.epoch_s <= a.epoch_s AND b.c >= a.c
+            AND (b.epoch_s < a.epoch_s OR b.c > a.c)
+        )
+        ORDER BY a.epoch_s, a.o_orderkey
+    """,
     # expected classification: %7==0 removed; surviving %5==0 changed;
     # %3==0 keys re-added under offset ids = added; rest unchanged
     "q_table_diff": """

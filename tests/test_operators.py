@@ -369,3 +369,23 @@ def test_k_core_known_graph(spark):
     assert core3.count() == 12  # K4 both directions
     core2 = k_core(arcs, k=2)
     assert core2.count() == len(und) * 2 - 2 * 2  # tail edge (10,11) peels, 11 then 10<2
+
+
+def test_skyline_2d_ties_and_prefix(spark):
+    """Distributed skyline: tie groups keep all co-maximal rows, strict
+    domination removes, and the cross-partition prefix max dominates rows
+    in later ranges (n_ranges > #rows forces multi-partition paths)."""
+    from fossa_spark.operators import skyline_2d
+
+    rows = [
+        (1, 10, 100),  # frontier (earliest x, max y)
+        (2, 10, 100),  # tie on BOTH dims -> also frontier
+        (3, 10, 90),   # dominated within same x
+        (4, 20, 100),  # dominated: earlier x with equal y
+        (5, 20, 101),  # frontier (y improves)
+        (6, 30, 101),  # dominated by id=5 (earlier x, equal y)
+        (7, 30, 150),  # frontier
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = {r.id for r in skyline_2d(df, "x", "y", "id", n_ranges=5).collect()}
+    assert out == {1, 2, 5, 7}, out
