@@ -122,6 +122,23 @@ def _make_handler(engine: Engine):
     return Handler
 
 
+def _make_server(addr, handler, reuse_port: bool = False) -> ThreadingHTTPServer:
+    """A ThreadingHTTPServer, optionally joining an SO_REUSEPORT group so
+    several acceptor loops can share one port (gunicorn-workers shape
+    without leaving the driver process)."""
+    if not reuse_port:
+        return ThreadingHTTPServer(addr, handler)
+
+    import socket
+
+    class ReuseportServer(ThreadingHTTPServer):
+        def server_bind(self) -> None:
+            self.socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+            super().server_bind()
+
+    return ReuseportServer(addr, handler)
+
+
 class StatusApi:
     """Serve the engine API on localhost; ``with StatusApi(engine) as api:``
     or ``api.start()`` / ``api.stop()``.
@@ -129,29 +146,43 @@ class StatusApi:
     Serving model (documented trade-off vs the reference): the reference
     fronts its API with gunicorn, workers=4 (reference lib/fossa/main.py:81)
     because each of its requests may fork task processes; here requests
-    only read the registry or enqueue to the engine, so a threaded stdlib
-    server on the Spark DRIVER is the right shape — the driver is
-    necessarily a single process, and a multi-process front-end would need
-    shared-state plumbing for zero win on an in-process registry. Behind a
-    real deployment, put any WSGI front (the handler logic is framework-
-    free) — the engine contract does not change."""
+    only read the registry or enqueue to the engine, so the registry must
+    stay in THIS process (the Spark driver) — a multi-PROCESS front-end
+    would need shared-state plumbing for zero win.  ``workers=N`` gives
+    the gunicorn-parity concurrency shape within that constraint: N
+    acceptor loops sharing one port via SO_REUSEPORT (the kernel
+    load-balances connections across them), each a ThreadingHTTPServer
+    spawning a thread per request.  Behind a real deployment, put any
+    WSGI front (the handler logic is framework-free) — the engine
+    contract does not change."""
 
-    def __init__(self, engine: Engine, port: int = 0):
-        self._server = ThreadingHTTPServer(("127.0.0.1", port), _make_handler(engine))
-        self._thread: threading.Thread | None = None
+    def __init__(self, engine: Engine, port: int = 0, workers: int = 1):
+        handler = _make_handler(engine)
+        first = _make_server(("127.0.0.1", port), handler, reuse_port=workers > 1)
+        self._servers = [first]
+        for _ in range(workers - 1):
+            self._servers.append(
+                _make_server(
+                    ("127.0.0.1", first.server_address[1]), handler, reuse_port=True
+                )
+            )
+        self._threads: list[threading.Thread] = []
 
     @property
     def port(self) -> int:
-        return self._server.server_address[1]
+        return self._servers[0].server_address[1]
 
     def start(self) -> "StatusApi":
-        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
-        self._thread.start()
+        for srv in self._servers:
+            t = threading.Thread(target=srv.serve_forever, daemon=True)
+            t.start()
+            self._threads.append(t)
         return self
 
     def stop(self) -> None:
-        self._server.shutdown()
-        self._server.server_close()
+        for srv in self._servers:
+            srv.shutdown()
+            srv.server_close()
 
     def __enter__(self) -> "StatusApi":
         return self.start()

@@ -129,3 +129,21 @@ def test_partition_initialise_kwargs_passed(spark):
     res = eng.wait(tid)
     assert res.value == ["hello-init"]
     eng.shutdown(wait=False)
+
+
+def test_multi_worker_serving(spark):
+    """workers=N (gunicorn-parity): N acceptor loops share one port via
+    SO_REUSEPORT; every request — wherever the kernel routes it — serves
+    the same registry, and shutdown closes every listener."""
+    eng = Engine(spark, max_concurrent_tasks=1)
+    eng.register_model(HelloApiModel)
+    with StatusApi(eng, workers=3) as a:
+        assert len(a._servers) == 3
+        port = a.port
+        assert all(s.server_address[1] == port for s in a._servers)
+        for _ in range(12):
+            code, doc = _get(port, f"{API_PREFIX}/node_info")
+            assert code == 200 and "max_concurrent_tasks" in doc
+    # all listeners closed
+    assert all(srv.socket.fileno() == -1 for srv in a._servers)
+    eng.shutdown(wait=False)
