@@ -410,7 +410,66 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GRID_EPS = 9000  # neighborhood radius in integer coordinate units
+
+
+def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial distance self-join via grid bucketing — the geohash/S2 cell
+    shape: points within radius ε of each other WITHOUT the O(n²) cross
+    product. Each point lands in one ⌈ε⌉-sized grid cell; a pair within ε
+    must fall in the same or an adjacent cell, so candidates come from a
+    9-cell neighbor equi-join (cell fan-in bounded by point density per
+    cell — the spatial analogue of the LSH band join) and the exact
+    integer distance² filter verifies. Coordinates are deterministic
+    int64 Knuth-hash projections of custkey so both engines derive the
+    identical point set; distance² stays in exact integer arithmetic —
+    no floats anywhere."""
+    c = load(spark, sf_dir, "customer")
+    eps = _GRID_EPS
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 2654435761) % 1000000).alias("x"),
+        ((F.col("c_custkey") * 2246822519) % 1000000).alias("y"),
+    )
+    cell = pts.select(
+        "c_custkey", "x", "y",
+        F.floor(F.col("x") / eps).cast("long").alias("cx"),
+        F.floor(F.col("y") / eps).cast("long").alias("cy"),
+    )
+    # probe side replicates into its 9-cell neighborhood; build side keeps
+    # one cell per point → candidate join is a plain equi-join on the cell
+    probe = cell.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.expr("flatten(transform(sequence(-1, 1), dx -> "
+                   "transform(sequence(-1, 1), dy -> "
+                   "struct(cx + dx AS cx, cy + dy AS cy))))")
+        ).alias("nc"),
+    ).select("id_a", "xa", "ya", F.col("nc.cx").alias("cx"), F.col("nc.cy").alias("cy"))
+    build = cell.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx", "cy",
+    )
+    d2 = (
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+    )
+    return (
+        probe.join(build, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", d2.alias("dist2"))
+        .filter(F.col("dist2") <= eps * eps)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
 QUERIES = {
+    "q_join_spatial": q_join_spatial,
     "q_join_bloom": q_join_bloom,
     "q_join_nullsafe": q_join_nullsafe,
     "q_join_sorted_neighborhood": q_join_sorted_neighborhood,
@@ -429,6 +488,35 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_join_spatial": f"""
+        WITH pts AS (
+          SELECT c_custkey, (c_custkey * 2654435761) % 1000000 AS x,
+                 (c_custkey * 2246822519) % 1000000 AS y
+          FROM customer
+        ),
+        cellt AS (
+          SELECT c_custkey, x, y,
+                 CAST(floor(x / {_GRID_EPS}) AS BIGINT) AS cx,
+                 CAST(floor(y / {_GRID_EPS}) AS BIGINT) AS cy
+          FROM pts
+        ),
+        probe AS (
+          SELECT c_custkey AS id_a, x AS xa, y AS ya,
+                 cx + dx AS cx, cy + dy AS cy
+          FROM cellt, generate_series(-1, 1) AS gx(dx),
+                      generate_series(-1, 1) AS gy(dy)
+        ),
+        build AS (
+          SELECT c_custkey AS id_b, x AS xb, y AS yb, cx, cy FROM cellt
+        )
+        SELECT DISTINCT id_a, id_b,
+               (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) AS dist2
+        FROM probe JOIN build USING (cx, cy)
+        WHERE id_a < id_b
+          AND (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+              <= {_GRID_EPS * _GRID_EPS}
+        ORDER BY id_a, id_b
+    """,
     "q_join_nullsafe": """
         WITH c AS (SELECT NULLIF(c_nationkey % 5, 4) AS nk FROM customer),
              s AS (SELECT NULLIF(s_nationkey % 5, 4) AS sk FROM supplier)
