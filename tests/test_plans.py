@@ -442,3 +442,15 @@ def test_ewma_single_shuffle_no_join(spark):
     hash_exchanges = len(re.findall(r"Arguments: hashpartitioning", a.formatted))
     assert hash_exchanges == 1, f"expected 1 shuffle, saw {hash_exchanges}"
     assert "unboundedfollowing" not in a.formatted.lower()
+
+
+def test_spatial_join_stays_equi(spark):
+    """Grid-bucketed spatial join: candidates come from a hash equi-join
+    on the cell key — no cartesian/nested-loop anywhere despite the
+    distance predicate."""
+    from fossa_spark.queries.joins import q_join_spatial
+
+    a = audit(q_join_spatial(spark, SF_DIR))
+    assert not any("Cartesian" in j or "NestedLoop" in j for j in a.join_nodes), (
+        a.join_nodes
+    )
