@@ -64,6 +64,10 @@ def main() -> None:
                 "unit": "sec",
                 "cold_total": total,
                 "warm_total": round(sum(warm.values()), 4),
+                # the suite GROWS round over round — normalize before
+                # comparing totals across BENCH_r{N} files
+                "n_queries": len(warm),
+                "warm_mean": round(sum(warm.values()) / len(warm), 4),
                 "queries": {k: round(v, 3) for k, v in warm.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
