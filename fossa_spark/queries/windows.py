@@ -216,10 +216,60 @@ def q_win_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_win_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation (30-row frame) between quantity and
+    price per return flag — the moving-beta shape of quant pipelines,
+    made hash-exact the q_agg_corr way: the five joint moments
+    (Σx, Σy, Σxy, Σx², Σy²) accumulate as WINDOW sums of exact int64
+    cents products (integer addition is associative — any frame
+    evaluation order gives the same sums), and the corr formula runs
+    once on the assembled moments (int64→double conversions are
+    round-to-nearest — identical in both engines even past 2^53), 8 dp.
+    Windowed corr() itself could never be hash-checked — float summation
+    order inside the frame is engine-defined."""
+    li = load(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_returnflag")
+        .orderBy(
+            F.col("l_shipdate").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .rowsBetween(-29, 0)
+    )
+    x = cents("l_quantity")
+    y = cents("l_extendedprice")
+    d = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(x).over(w).alias("sx"),
+        F.sum(y).over(w).alias("sy"),
+        F.sum(x * y).over(w).alias("sxy"),
+        F.sum(x * x).over(w).alias("sxx"),
+        F.sum(y * y).over(w).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return d.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (dx > 0.0) & (dy > 0.0),
+            F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 8),
+        ).alias("rolling_corr"),
+    )
+
+
 QUERIES = {
     "q_win_rank": q_win_rank,
     "q_win_ewma": q_win_ewma,
     "q_win_median": q_win_median,
+    "q_win_corr": q_win_corr,
     "q_win_distribution": q_win_distribution,
     "q_win_range": q_win_range,
     "q_win_lag": q_win_lag,
@@ -229,6 +279,37 @@ QUERIES = {
 
 ORACLE = {
     "q_win_ewma": _ewma_sql(),
+    "q_win_corr": f"""
+        WITH rows_c AS (
+          SELECT l_returnflag, l_orderkey, l_linenumber, l_shipdate,
+                 {sql_cents("l_quantity")} AS cx,
+                 {sql_cents("l_extendedprice")} AS cy
+          FROM lineitem
+        ),
+        m AS (
+          SELECT l_returnflag, l_orderkey, l_linenumber,
+                 CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                 SUM(cx) OVER w AS sx,
+                 SUM(cy) OVER w AS sy,
+                 SUM(cx * cy) OVER w AS sxy,
+                 SUM(cx * cx) OVER w AS sxx,
+                 SUM(cy * cy) OVER w AS syy
+          FROM rows_c
+          WINDOW w AS (PARTITION BY l_returnflag
+                       ORDER BY l_shipdate ASC, l_orderkey ASC,
+                                l_linenumber ASC
+                       ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+        )
+        SELECT l_returnflag, l_orderkey, l_linenumber, n,
+               CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+                     AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0
+                    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+                               8)
+               END AS rolling_corr
+        FROM m
+    """,
     "q_win_median": f"""
         SELECT o_custkey, o_orderkey,
                quantile_cont({sql_cents("o_totalprice")}, 0.5) OVER w / 100.0
