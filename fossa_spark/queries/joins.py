@@ -468,8 +468,63 @@ def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbors within radius ε (k=3) per point — the spatial
+    kNN companion of q_join_spatial: same 9-cell grid candidates (the
+    radius bound is what keeps the search structurally local; unbounded
+    kNN needs ring-expanding probes), then a per-point window keeps the
+    3 smallest exact integer distances, ties broken by neighbor id.
+    Directed pairs — a is the query point, so no id_a < id_b collapse."""
+    c = load(spark, sf_dir, "customer")
+    eps = _GRID_EPS
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 2654435761) % 1000000).alias("x"),
+        ((F.col("c_custkey") * 2246822519) % 1000000).alias("y"),
+    )
+    cell = pts.select(
+        "c_custkey", "x", "y",
+        F.floor(F.col("x") / eps).cast("long").alias("cx"),
+        F.floor(F.col("y") / eps).cast("long").alias("cy"),
+    )
+    probe = cell.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.expr("flatten(transform(sequence(-1, 1), dx -> "
+                   "transform(sequence(-1, 1), dy -> "
+                   "struct(cx + dx AS cx, cy + dy AS cy))))")
+        ).alias("nc"),
+    ).select("id_a", "xa", "ya", F.col("nc.cx").alias("cx"), F.col("nc.cy").alias("cy"))
+    build = cell.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx", "cy",
+    )
+    d2 = (
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+    )
+    cand = (
+        probe.join(build, ["cx", "cy"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", d2.alias("dist2"))
+        .filter(F.col("dist2") <= eps * eps)
+        .distinct()
+    )
+    w = W.partitionBy("id_a").orderBy(F.col("dist2").asc(), F.col("id_b").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("id_a", "rk")
+    )
+
+
 QUERIES = {
     "q_join_spatial": q_join_spatial,
+    "q_join_knn": q_join_knn,
     "q_join_bloom": q_join_bloom,
     "q_join_nullsafe": q_join_nullsafe,
     "q_join_sorted_neighborhood": q_join_sorted_neighborhood,
@@ -488,6 +543,41 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_join_knn": f"""
+        WITH pts AS (
+          SELECT c_custkey, (c_custkey * 2654435761) % 1000000 AS x,
+                 (c_custkey * 2246822519) % 1000000 AS y
+          FROM customer
+        ),
+        cellt AS (
+          SELECT c_custkey, x, y,
+                 CAST(floor(x / {_GRID_EPS}) AS BIGINT) AS cx,
+                 CAST(floor(y / {_GRID_EPS}) AS BIGINT) AS cy
+          FROM pts
+        ),
+        probe AS (
+          SELECT c_custkey AS id_a, x AS xa, y AS ya,
+                 cx + dx AS cx, cy + dy AS cy
+          FROM cellt, generate_series(-1, 1) AS gx(dx),
+                      generate_series(-1, 1) AS gy(dy)
+        ),
+        build AS (
+          SELECT c_custkey AS id_b, x AS xb, y AS yb, cx, cy FROM cellt
+        ),
+        cand AS (
+          SELECT DISTINCT id_a, id_b,
+                 (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) AS dist2
+          FROM probe JOIN build USING (cx, cy)
+          WHERE id_a <> id_b
+            AND (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+                <= {_GRID_EPS * _GRID_EPS}
+        )
+        SELECT id_a, id_b, dist2, rk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY id_a
+                           ORDER BY dist2 ASC, id_b ASC) AS BIGINT) AS rk
+          FROM cand
+        ) WHERE rk <= 3 ORDER BY id_a, rk
+    """,
     "q_join_spatial": f"""
         WITH pts AS (
           SELECT c_custkey, (c_custkey * 2654435761) % 1000000 AS x,
