@@ -246,7 +246,40 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe functions — the semantics that decide whether a
+    malformed row poisons a 100 TB job or degrades to NULL: try_divide
+    (÷0 → NULL), try_cast over a column seeded with genuinely unparseable
+    strings, try_to_number with a strict format, try_add at the int64
+    overflow boundary.  Every branch produces value-bearing rows AND
+    NULL rows, so the hash pins both sides of each behavior."""
+    o = load(spark, sf_dir, "orders")
+    # seed malformed input deterministically: every 3rd key gets a
+    # non-numeric suffix the cast must reject, not silently truncate
+    dirty = F.when(
+        F.col("o_orderkey") % 3 == 0,
+        F.concat(F.col("o_orderkey").cast("string"), F.lit("x")),
+    ).otherwise(F.col("o_orderkey").cast("string"))
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 5).cast("double")
+        ).alias("div_maybe"),
+        dirty.try_cast("bigint").alias("cast_maybe"),
+        F.try_to_number(
+            F.when(F.col("o_orderkey") % 4 == 0, F.lit("12,345"))
+            .otherwise(F.lit("oops")),
+            F.lit("99,999"),
+        ).cast("double").alias("num_maybe"),
+        F.try_add(
+            F.lit(9223372036854775807).cast("bigint"),
+            (F.col("o_orderkey") % 2).cast("bigint"),
+        ).alias("add_maybe"),
+    ).orderBy("o_orderkey")
+
+
 QUERIES = {
+    "q_fn_try": q_fn_try,
     "q_fn_strdist": q_fn_strdist,
     "q_fn_bitwise": q_fn_bitwise,
     "q_fn_variant": q_fn_variant,
@@ -262,6 +295,22 @@ QUERIES = {
 }
 
 ORACLE = {
+    # DuckDB lacks try_divide/try_add and x/0.0 yields inf, so the oracle
+    # spells out the NULL-on-error semantics the ANSI try_* family defines
+    "q_fn_try": """
+        SELECT o_orderkey,
+               CASE WHEN (o_orderkey % 5) = 0 THEN NULL
+                    ELSE o_totalprice / CAST(o_orderkey % 5 AS DOUBLE)
+               END AS div_maybe,
+               TRY_CAST(CASE WHEN o_orderkey % 3 = 0
+                             THEN CAST(o_orderkey AS VARCHAR) || 'x'
+                             ELSE CAST(o_orderkey AS VARCHAR) END
+                        AS BIGINT) AS cast_maybe,
+               CASE WHEN o_orderkey % 4 = 0 THEN 12345.0 END AS num_maybe,
+               CASE WHEN o_orderkey % 2 = 0 THEN 9223372036854775807 END
+                 AS add_maybe
+        FROM orders ORDER BY o_orderkey
+    """,
     # The map is BUILT and EXPLODED Spark-side (create_map → explode); the
     # oracle checks the exploded (k, v) relation, which plain SQL can
     # express — the map-typed intermediate never crosses engines.
