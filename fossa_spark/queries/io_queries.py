@@ -386,7 +386,52 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read resilience: a CSV feed with planted malformed rows
+    (every 10th price is unparseable) read in PERMISSIVE mode with
+    columnNameOfCorruptRecord — the semantics that decide whether one bad
+    row kills a 100 TB ingest (FAILFAST) or lands in a quarantine column.
+    The oracle recomputes the expected good/bad split and the exact sum
+    over surviving rows from the source table, so silent coercion (a bad
+    row parsed as something) or over-rejection both flip the hash."""
+    o = load(spark, sf_dir, "orders")
+    lines = o.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("xx")).otherwise(
+                cents("o_totalprice").cast("string")
+            ),
+        ).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="fossa_csv_dirty_")
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("price_cents", T.LongType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_corrupt").isNotNull().cast("long")).alias("n_bad"),
+        (
+            F.sum(F.when(F.col("_corrupt").isNull(), F.col("price_cents")))
+            .cast("double")
+            / 100.0
+        ).alias("good_total"),
+    )
+
+
 QUERIES = {
+    "q_csv_malformed": q_csv_malformed,
     "q_join_dpp": q_join_dpp,
     "q_csv_roundtrip": q_csv_roundtrip,
     "q_partitioned_write": q_partitioned_write,
@@ -401,6 +446,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_csv_malformed": f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bad,
+               CAST(SUM(CASE WHEN o_orderkey % 10 <> 0
+                             THEN {sql_cents("o_totalprice")} END)
+                    AS DOUBLE) / 100.0 AS good_total
+        FROM orders
+    """,
     # DPP is plan-level only — the result is the aggregate over orders
     # whose status is the rarest one (tie-break alphabetical)
     "q_join_dpp": f"""
