@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from fossa_spark.queries._util import cents, load, sql_cents
+from fossa_spark.queries._util import cents, load, load_events, sql_cents
 
 # Filter cutoff keeps a realistic predicate on the scan (pushed to parquet).
 _Q1_CUTOFF = "2000-09-02"
@@ -313,6 +313,44 @@ def q_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index exact distinct (the ClickHouse/Druid groupBitmap
+    technique): user ids OR into per-32-id bitmap words at the
+    (event_type, word) grain, then popcounts sum — COUNT(DISTINCT)
+    without carrying the distinct values through the shuffle. Two
+    map-side-combinable aggs whose intermediate state is |words| ≈
+    id-range/32 instead of |distinct ids|; the word grain (rows, not a
+    fixed column pivot) scales with the id space. 32-bit lanes inside
+    int64 words: shifts stay < 2^31, so both engines' signed BIGINT
+    shift semantics agree (DuckDB raises on 1<<63). The oracle ALSO
+    computes the same bitmap chain AND a plain COUNT(DISTINCT) — the
+    query emits both so the hash proves the bitmap path exactly equals
+    the naive one."""
+    e = load_events(spark, sf_dir)
+    words = (
+        e.select(
+            "event_type",
+            F.expr("user_id div 32").alias("w"),  # integer div: DuckDB's
+            # CAST(double AS BIGINT) ROUNDS where Spark truncates — never
+            # mirror a double-division floor across engines
+            # shiftleft's Python wrapper takes a literal int — the SQL
+            # form accepts a column shift amount
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+            .alias("bit"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    bitmap = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n_users_bitmap"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact")
+    )
+    return bitmap.join(exact, "event_type").orderBy("event_type")
+
+
 def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized (clipped-at-percentile) aggregates — the robust
     preprocessing twin of q_agg_mad: per return flag, clip l_quantity to
@@ -609,6 +647,7 @@ QUERIES = {
     "q_agg_sketch_merge": q_agg_sketch_merge,
     "q_agg_incremental": q_agg_incremental,
     "q_agg_retract": q_agg_retract,
+    "q_agg_bitmap": q_agg_bitmap,
     "q_agg_winsorize": q_agg_winsorize,
     "q_agg_gini": q_agg_gini,
     "q_agg_stats": q_agg_stats,
@@ -699,6 +738,27 @@ ORACLE = {
         ORDER BY l_returnflag, l_linestatus
     """,
     "q_bin_quantile": _BIN_SQL,
+    "q_agg_bitmap": """
+        WITH words AS (
+          SELECT event_type, user_id // 32 AS w,
+                 bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT))
+                   AS word
+          FROM events GROUP BY 1, 2
+        ),
+        bm AS (
+          SELECT event_type,
+                 CAST(SUM(bit_count(word)) AS BIGINT) AS n_users_bitmap,
+                 CAST(COUNT(*) AS BIGINT) AS n_words
+          FROM words GROUP BY 1
+        ),
+        ex AS (
+          SELECT event_type,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact
+          FROM events GROUP BY 1
+        )
+        SELECT bm.event_type, n_users_bitmap, n_words, n_users_exact
+        FROM bm JOIN ex USING (event_type) ORDER BY event_type
+    """,
     "q_agg_retract": f"""
         SELECT l_returnflag, l_linestatus,
                CAST(COUNT(*) AS BIGINT) AS count_order,

@@ -228,17 +228,23 @@ def q_win_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Windowed corr() itself could never be hash-checked — float summation
     order inside the frame is engine-defined."""
     li = load(spark, sf_dir, "lineitem")
+    x = cents("l_quantity")
+    y = cents("l_extendedprice")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture —
+    # the ORDER BY must include the measure columns to be a total order
+    # over value-distinct rows (fully identical rows are interchangeable
+    # in a sum frame, so the hash stays deterministic)
     w = (
         W.partitionBy("l_returnflag")
         .orderBy(
             F.col("l_shipdate").asc(),
             F.col("l_orderkey").asc(),
             F.col("l_linenumber").asc(),
+            x.asc(),
+            y.asc(),
         )
         .rowsBetween(-29, 0)
     )
-    x = cents("l_quantity")
-    y = cents("l_extendedprice")
     d = li.select(
         "l_returnflag",
         "l_orderkey",
@@ -297,7 +303,7 @@ ORACLE = {
           FROM rows_c
           WINDOW w AS (PARTITION BY l_returnflag
                        ORDER BY l_shipdate ASC, l_orderkey ASC,
-                                l_linenumber ASC
+                                l_linenumber ASC, cx ASC, cy ASC
                        ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
         )
         SELECT l_returnflag, l_orderkey, l_linenumber, n,
