@@ -234,7 +234,44 @@ def q_agg_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection — the calendar-aware upgrade of
+    q_anomaly_volume: per (event_type, day-of-week, hour) expected counts
+    from the feed's own history, then hours whose actual count deviates
+    from THEIR seasonal slot's mean (not the global mean — Friday 5 pm is
+    compared to Friday-5-pm history). Three hash aggregates + one
+    broadcast profile join; the profile table is |types|·7·24 rows at any
+    corpus size. Exact integer counts; ratio = one double division."""
+    e = load_events(spark, sf_dir)
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.dayofweek("ts").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    profile = hourly.groupBy("event_type", "dow", "hr").agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.sum("cnt").alias("s"),
+    )
+    expected = F.col("s").cast("double") / F.col("n_slots").cast("double")
+    ratio = F.col("cnt").cast("double") / expected
+    return (
+        hourly.join(F.broadcast(profile), ["event_type", "dow", "hr"])
+        .select(
+            "event_type", "day", "dow", "hr", "cnt",
+            expected.alias("expected"),
+            ratio.alias("ratio"),
+        )
+        .filter((F.col("ratio") >= 1.5) | (F.col("ratio") <= 0.5))
+        .orderBy("event_type", "day", "hr")
+    )
+
+
 QUERIES = {
+    "q_seasonal_profile": q_seasonal_profile,
     "q_agg_twap": q_agg_twap,
     "q_resample_interp": q_resample_interp,
     "q_anomaly_volume": q_anomaly_volume,
@@ -250,6 +287,32 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_seasonal_profile": """
+        WITH hourly AS (
+          SELECT event_type,
+                 strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+                 CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+                 CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2, 3, 4
+        ),
+        profile AS (
+          SELECT event_type, dow, hr,
+                 CAST(COUNT(*) AS BIGINT) AS n_slots,
+                 CAST(SUM(cnt) AS BIGINT) AS s
+          FROM hourly GROUP BY 1, 2, 3
+        )
+        SELECT h.event_type, h.day, h.dow, h.hr, h.cnt,
+               CAST(p.s AS DOUBLE) / CAST(p.n_slots AS DOUBLE) AS expected,
+               CAST(h.cnt AS DOUBLE)
+                 / (CAST(p.s AS DOUBLE) / CAST(p.n_slots AS DOUBLE)) AS ratio
+        FROM hourly h JOIN profile p USING (event_type, dow, hr)
+        WHERE CAST(h.cnt AS DOUBLE)
+                / (CAST(p.s AS DOUBLE) / CAST(p.n_slots AS DOUBLE)) >= 1.5
+           OR CAST(h.cnt AS DOUBLE)
+                / (CAST(p.s AS DOUBLE) / CAST(p.n_slots AS DOUBLE)) <= 0.5
+        ORDER BY h.event_type, h.day, h.hr
+    """,
     "q_agg_twap": """
         WITH obs AS (
           SELECT event_type,
