@@ -310,6 +310,91 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the normalization pass web-corpus dedup runs
+    BEFORE grouping by URL (CommonCrawl pipelines): lowercase the host,
+    strip the scheme, a leading www., the default port, utm_* / ref
+    tracking params (rebuilding the query string), fragments, and any
+    trailing slash. One codegen'd regexp chain, no shuffle except the
+    final per-canonical-URL count — which is the point: messy variants of
+    the same page collapse to one key. The corpus has no URLs, so each
+    doc plants a deterministically-messy variant; docs with doc_id % 4
+    ∈ {0..3} get 4 different dressings of the SAME logical URL family,
+    and the count per canonical key proves the collapse."""
+    d = load(spark, sf_dir, "documents")
+    base_id = (F.col("doc_id") % 50).cast("string")  # 50 logical pages
+    messy = F.element_at(
+        F.array(
+            F.concat(F.lit("http://WWW.Site.Example:80/page/"), base_id,
+                     F.lit("/?utm_source=feed&id=7#top")),
+            F.concat(F.lit("https://site.example/page/"), base_id,
+                     F.lit("/?id=7&utm_campaign=x")),
+            F.concat(F.lit("http://Site.Example/page/"), base_id,
+                     F.lit("?id=7")),
+            F.concat(F.lit("https://www.site.example:443/page/"), base_id,
+                     F.lit("/?ref=tw&id=7")),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    canon = messy
+    # scheme off, host lowercased (host stops at first / or ? or :)
+    canon = F.regexp_replace(canon, r"^https?://", "")
+    host = F.lower(F.regexp_extract(canon, r"^([^/:?]+)", 1))
+    rest = F.regexp_replace(canon, r"^[^/:?]+", "")
+    canon = F.concat(F.regexp_replace(host, r"^www\.", ""),
+                     F.regexp_replace(rest, r"^:\d+", ""))
+    canon = F.regexp_replace(canon, r"#.*$", "")          # fragment
+    canon = F.regexp_replace(canon, r"(utm_[a-z]+|ref)=[^&]*&?", "")  # trackers
+    canon = F.regexp_replace(canon, r"[?&]+$", "")        # empty query
+    canon = F.regexp_replace(canon, r"/+(\?|$)", "$1")    # trailing slash
+    return (
+        d.select(canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+        .orderBy("canonical_url")
+    )
+
+
+_URL_CANON_SQL = r"""
+    WITH messy AS (
+      SELECT CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN 'http://WWW.Site.Example:80/page/' ||
+                    CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&id=7#top'
+        WHEN 1 THEN 'https://site.example/page/' ||
+                    CAST(doc_id % 50 AS VARCHAR) || '/?id=7&utm_campaign=x'
+        WHEN 2 THEN 'http://Site.Example/page/' ||
+                    CAST(doc_id % 50 AS VARCHAR) || '?id=7'
+        ELSE 'https://www.site.example:443/page/' ||
+                    CAST(doc_id % 50 AS VARCHAR) || '/?ref=tw&id=7'
+      END AS u
+      FROM documents
+    ),
+    steps AS (
+      SELECT regexp_replace(u, '^https?://', '') AS u1 FROM messy
+    ),
+    hostsplit AS (
+      SELECT lower(regexp_extract(u1, '^([^/:?]+)', 1)) AS host,
+             regexp_replace(u1, '^[^/:?]+', '') AS rest
+      FROM steps
+    ),
+    canon AS (
+      SELECT regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(host, '^www\.', '')
+                       || regexp_replace(rest, '^:\d+', ''),
+                     '#.*$', ''),
+                   '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+                 '[?&]+$', ''),
+               '/+(\?|$)', '\1') AS canonical_url
+      FROM hostsplit
+    )
+    SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants
+    FROM canon GROUP BY 1 ORDER BY 1
+"""
+
+
 _LANGS = ("en", "de", "fr", "es", "zh")
 
 
@@ -374,6 +459,7 @@ def _entropy_sql() -> str:
 
 QUERIES = {
     "q_source_entropy": q_source_entropy,
+    "q_url_canonical": q_url_canonical,
     "q_pii_redact": q_pii_redact,
     "q_pii_scan": q_pii_scan,
     "q_vocab_coverage": q_vocab_coverage,
@@ -417,6 +503,7 @@ _IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
 ORACLE = {
     "q_source_entropy": _entropy_sql(),
+    "q_url_canonical": _URL_CANON_SQL,
     "q_vocab_coverage": """
         WITH tok AS (
           SELECT source, unnest(string_split(lower(text), ' ')) AS token
