@@ -270,8 +270,36 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most common 3-step behavioral paths (sequential pattern
+    mining lite — the step past q_event_transitions' pair matrix): two
+    lead() reads over each user's time-ordered stream form the
+    (t, t+1, t+2) trigram, one hash agg counts, top-20 by
+    (count desc, path asc) — orderBy+limit, no corpus window. The event
+    stream's (ts, event_id) order is total, so trigram formation is
+    deterministic."""
+    from pyspark.sql import Window as W
+
+    e = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tri = e.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).filter(F.col("s3").isNotNull())
+    return (
+        tri.groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "s1", "s2", "s3")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "q_seasonal_profile": q_seasonal_profile,
+    "q_event_paths": q_event_paths,
     "q_agg_twap": q_agg_twap,
     "q_resample_interp": q_resample_interp,
     "q_anomaly_volume": q_anomaly_volume,
@@ -287,6 +315,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_event_paths": """
+        WITH tri AS (
+          SELECT event_type AS s1,
+                 lead(event_type, 1) OVER w AS s2,
+                 lead(event_type, 2) OVER w AS s3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+        )
+        SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tri WHERE s3 IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY n DESC, s1, s2, s3
+        LIMIT 20
+    """,
     "q_seasonal_profile": """
         WITH hourly AS (
           SELECT event_type,
