@@ -178,6 +178,31 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() markers on a ROLLUP — the disambiguator super-aggregate
+    consumers need: a NULL group key can mean 'the NULL-valued group' or
+    'the rolled-up total', and only grouping(col) tells them apart.
+    Per-column grouping() flags (0/1 — engine-portable, unlike
+    grouping_id() whose bit order is engine-defined) plus a readable
+    level label derived from them."""
+    li = load(spark, sf_dir, "lineitem")
+    g1 = F.grouping("l_returnflag").cast("long")
+    g2 = F.grouping("l_linestatus").cast("long")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            g1.alias("g_flag"),
+            g2.alias("g_status"),
+            F.when(g1 + g2 == 2, F.lit("grand_total"))
+            .when(g2 == 1, F.lit("per_flag"))
+            .otherwise(F.lit("detail"))
+            .alias("level"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over two keys (all 4 grouping sets)."""
     o = load(spark, sf_dir, "orders")
@@ -648,6 +673,7 @@ QUERIES = {
     "q_agg_incremental": q_agg_incremental,
     "q_agg_retract": q_agg_retract,
     "q_agg_bitmap": q_agg_bitmap,
+    "q_agg_grouping": q_agg_grouping,
     "q_agg_winsorize": q_agg_winsorize,
     "q_agg_gini": q_agg_gini,
     "q_agg_stats": q_agg_stats,
@@ -738,6 +764,19 @@ ORACLE = {
         ORDER BY l_returnflag, l_linestatus
     """,
     "q_bin_quantile": _BIN_SQL,
+    "q_agg_grouping": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               CASE WHEN GROUPING(l_returnflag) + GROUPING(l_linestatus) = 2
+                      THEN 'grand_total'
+                    WHEN GROUPING(l_linestatus) = 1 THEN 'per_flag'
+                    ELSE 'detail' END AS level
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
     "q_agg_bitmap": """
         WITH words AS (
           SELECT event_type, user_id // 32 AS w,
