@@ -271,8 +271,41 @@ def q_win_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_win_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each order's share of its customer's lifetime
+    spend and of the global total — the whole-partition window aggregate
+    (unbounded frame ≡ one value per partition; Spark evaluates it as a
+    single-pass WindowExec, no self-join back to a grouped total).
+    Exact-cents sums, two single divisions; the global share uses a
+    1-row broadcast total instead of an empty-partition window (a
+    no-PARTITION-BY window is a single-task corpus sort — the banned
+    shape; the broadcast scalar is the 100 TB form)."""
+    o = load(spark, sf_dir, "orders")
+    w_cust = W.partitionBy("o_custkey")
+    c = cents("o_totalprice")
+    total = o.agg(F.sum(c).alias("_g"))
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            c.alias("_c"),
+            F.sum(c).over(w_cust).alias("_cust_total"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("_c").cast("double") / F.col("_cust_total").cast("double"))
+            .alias("share_of_customer"),
+            (F.col("_c").cast("double") / F.col("_g").cast("double"))
+            .alias("share_of_total"),
+        )
+    )
+
+
 QUERIES = {
     "q_win_rank": q_win_rank,
+    "q_win_ratio": q_win_ratio,
     "q_win_ewma": q_win_ewma,
     "q_win_median": q_win_median,
     "q_win_corr": q_win_corr,
@@ -285,6 +318,17 @@ QUERIES = {
 
 ORACLE = {
     "q_win_ewma": _ewma_sql(),
+    "q_win_ratio": f"""
+        WITH t AS (SELECT SUM({sql_cents("o_totalprice")}) AS g FROM orders)
+        SELECT o_orderkey, o_custkey,
+               CAST({sql_cents("o_totalprice")} AS DOUBLE)
+                 / CAST(SUM({sql_cents("o_totalprice")})
+                        OVER (PARTITION BY o_custkey) AS DOUBLE)
+                 AS share_of_customer,
+               CAST({sql_cents("o_totalprice")} AS DOUBLE)
+                 / CAST(t.g AS DOUBLE) AS share_of_total
+        FROM orders CROSS JOIN t
+    """,
     "q_win_corr": f"""
         WITH rows_c AS (
           SELECT l_returnflag, l_orderkey, l_linenumber, l_shipdate,
