@@ -131,6 +131,9 @@ def _make_server(addr, handler, reuse_port: bool = False) -> ThreadingHTTPServer
 
     import socket
 
+    if not hasattr(socket, "SO_REUSEPORT"):  # pragma: no cover - non-Linux
+        raise OSError("SO_REUSEPORT not supported on this platform")
+
     class ReuseportServer(ThreadingHTTPServer):
         def server_bind(self) -> None:
             self.socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
@@ -157,15 +160,37 @@ class StatusApi:
     contract does not change."""
 
     def __init__(self, engine: Engine, port: int = 0, workers: int = 1):
+        import socket
+        import warnings
+
         handler = _make_handler(engine)
+        # SO_REUSEPORT is Linux-specific (absent on Windows; macOS binds
+        # but does not kernel-load-balance) — degrade to a single acceptor
+        # rather than crash (round-3 advisor finding).
+        if workers > 1 and not hasattr(socket, "SO_REUSEPORT"):
+            warnings.warn(
+                "SO_REUSEPORT unavailable on this platform; "
+                "falling back to workers=1",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            workers = 1
         first = _make_server(("127.0.0.1", port), handler, reuse_port=workers > 1)
         self._servers = [first]
-        for _ in range(workers - 1):
-            self._servers.append(
-                _make_server(
-                    ("127.0.0.1", first.server_address[1]), handler, reuse_port=True
+        try:
+            for _ in range(workers - 1):
+                self._servers.append(
+                    _make_server(
+                        ("127.0.0.1", first.server_address[1]),
+                        handler,
+                        reuse_port=True,
+                    )
                 )
-            )
+        except OSError:
+            # partial construction must not leak bound listeners
+            for srv in self._servers:
+                srv.server_close()
+            raise
         self._threads: list[threading.Thread] = []
 
     @property

@@ -1060,6 +1060,18 @@ def setsim_join(
     all qualifying pairs, verification is exact — which is why this query
     can be hash-checked against a brute-force SQL oracle.
 
+    PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2, batch formulation
+    after Vernica et al. SIGMOD'10): a match on prefix token at 1-based
+    positions (i, j) of the rarity-sorted arrays bounds the achievable
+    overlap — shared tokens globally-before the match number at most
+    min(i-1, j-1), globally-after at most min(na-i, nb-j), so
+    O <= 1 + min(i-1, j-1) + min(na-i, nb-j).  Every observed match gives
+    a valid bound, so min-over-matches is one too; pairs whose bound
+    cannot reach the required overlap t/(1+t)·(na+nb) are pruned BEFORE
+    the exact-verify join ever sees them.  Replaces the bare
+    ``.distinct()`` candidate dedup with a same-shuffle-shape groupBy
+    min(ub) — strictly more pruning for the same exchange topology.
+
     ``set_col`` overrides the set definition (default: distinct whitespace
     tokens); pass e.g. ``word_shingles(text_col, 3)`` for shingle-set
     Jaccard — on corpora whose unigram vocabularies overlap heavily,
@@ -1097,9 +1109,16 @@ def setsim_join(
     prefix_len = F.col("n") - F.ceil(F.col("n") * t).cast("int") + 1
     prefix = ranked.select(
         "doc_id", "n",
-        F.explode(F.slice("toks", 1, prefix_len)).alias("tok"),
-    )
+        F.posexplode(F.slice("toks", 1, prefix_len)).alias("pos0", "tok"),
+    ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # per-match overlap upper bound (see docstring); min over a pair's
+    # matches is the pair's bound
+    ub = (
+        F.lit(1)
+        + F.least(F.col("a.pos") - 1, F.col("b.pos") - 1)
+        + F.least(F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos"))
+    )
     cand = (
         a.join(b, (F.col("a.tok") == F.col("b.tok"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1110,8 +1129,17 @@ def setsim_join(
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
             F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+            ub.alias("ub"),
         )
-        .distinct()
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.min("ub").alias("ub"))
+        # required overlap for J >= t: O >= t/(1+t)·(na+nb); integer ub,
+        # tiny epsilon keeps the boundary recall-safe under float t
+        .filter(
+            F.col("ub").cast("double") * (1.0 + t) + 1e-9
+            >= t * (F.col("na") + F.col("nb"))
+        )
+        .drop("ub")
     )
     # verify sides re-derive (doc, element) by exploding the ALREADY-
     # AGGREGATED per-doc arrays instead of re-scanning the exploded tok

@@ -240,7 +240,19 @@ def skyline_2d(
 
     Work is O(n log n) total, the only corpus-wide ops are the range
     exchange and a partition-grain aggregate — no join, no global window.
+
+    ``x_col`` must be an INTEGRAL type: the strictly-earlier-x sweep is a
+    value-RANGE frame ``(unboundedPreceding, -1)``, and "-1" equals
+    "x' < x" only at unit granularity.  A fractional x (e.g. a double
+    price) would silently exclude dominators with x' in (x-1, x), so we
+    reject it loudly (round-3 advisor finding).
     """
+    x_type = dict(df.dtypes).get(x_col)
+    if x_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"skyline_2d requires an integral x_col; {x_col!r} is {x_type}. "
+            "Scale/cast fractional x to integer units first."
+        )
     ranged = (
         df.select(F.col(id_col), F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
         .repartitionByRange(n_ranges, F.col("_x"))

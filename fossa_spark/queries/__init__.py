@@ -127,13 +127,20 @@ def all_queries() -> dict[str, QueryFn]:
     # new queries the round's VERDICT explicitly asked to see verified
     # (r02 item 7: Q21/Q13 green rows in r03).
     changed = {
-        "q_dedup_embed", "q_subquery_scalar", "q_embed_quantize", "q_sql_q5",
-        "q_sql_q21", "q_sql_q13",
-        # month_start normalized to an ISO string after the fixture
-        # regeneration turned o_orderdate into TIMESTAMP_MICROS (DuckDB
-        # date_trunc('month') yields DATE, Spark yields TIMESTAMP).
-        "q_fn_date",
+        # round 4: q_fn_try's slice widened to % 5 < 2 (advisor: the old
+        # 1-in-5 slice left try_divide's divisor 0 on every row, so
+        # div_maybe was constant-NULL); q_dedup_setsim gained the PPJoin
+        # positional filter (same oracle, new candidate pruning).
+        "q_fn_try",
+        "q_dedup_setsim",
     }
+    # Rows-only queries normally sort AFTER all 193 oracle-backed ones,
+    # which the driver's 50-row cap never reaches — so a rows-only query
+    # whose only driver record is an error could never retire it.
+    # q_agg_approx is exactly that (r01 err, fixed in r02, green locally
+    # ever since): pin it into the first-50 window once so the artifact
+    # history closes.  Costs one backlog slot, ends the last err ghost.
+    retire_errs = ("q_agg_approx",)
     expensive_tail = ("q_dedup_near", "q_pipeline")
     backed = [n for n in merged if n in oracles]
     # Stable sort (registration order breaks ties):
@@ -144,9 +151,16 @@ def all_queries() -> dict[str, QueryFn]:
     #   must win the slots (new queries have full pytest parity locally and
     #   rotate to the front next round), so no row goes >1 round stale.
     backed.sort(key=lambda n: 0 if n in changed else last.get(n, 1.5))
-    out = {n: merged[n] for n in backed}
+    out = {n: merged[n] for n in retire_errs if n in merged}
+    out.update({n: merged[n] for n in backed})
     out.update(
-        {n: f for n, f in merged.items() if n not in oracles and n not in expensive_tail}
+        {
+            n: f
+            for n, f in merged.items()
+            if n not in oracles
+            and n not in expensive_tail
+            and n not in retire_errs
+        }
     )
     out.update({n: merged[n] for n in expensive_tail if n in merged})
     return out

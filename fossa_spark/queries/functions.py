@@ -254,9 +254,13 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow boundary.  Every branch produces value-bearing rows AND
     NULL rows, so the hash pins both sides of each behavior.  try_* exprs
     run interpreted (TryEval blocks codegen), so the demo runs on a
-    deterministic 1-in-5 key slice and skips the cosmetic orderBy —
-    semantics coverage is identical, constant cost is 5× lower."""
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 < 1)
+    deterministic 2-in-5 key slice and skips the cosmetic orderBy —
+    semantics coverage is identical, constant cost is ~2.5× lower.  The
+    slice keeps keys with o_orderkey % 5 IN (0, 1) so try_divide sees BOTH
+    a zero divisor (→ NULL) and a non-zero one (→ value); a `% 5 < 1`
+    slice would leave divisor 0 on every row and collapse div_maybe to a
+    constant NULL (round-3 advisor finding)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 < 2)
     # seed malformed input deterministically: every 3rd key gets a
     # non-numeric suffix the cast must reject, not silently truncate
     dirty = F.when(
@@ -312,7 +316,7 @@ ORACLE = {
                CASE WHEN o_orderkey % 4 = 0 THEN 12345.0 END AS num_maybe,
                CASE WHEN o_orderkey % 2 = 0 THEN 9223372036854775807 END
                  AS add_maybe
-        FROM orders WHERE o_orderkey % 5 < 1
+        FROM orders WHERE o_orderkey % 5 < 2
     """,
     # The map is BUILT and EXPLODED Spark-side (create_map → explode); the
     # oracle checks the exploded (k, v) relation, which plain SQL can
