@@ -1060,36 +1060,45 @@ def setsim_join(
     all qualifying pairs, verification is exact — which is why this query
     can be hash-checked against a brute-force SQL oracle.
 
-    PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2, batch formulation
-    after Vernica et al. SIGMOD'10): a match on prefix token at 1-based
-    positions (i, j) of the rarity-sorted arrays bounds the achievable
-    overlap — shared tokens globally-before the match number at most
-    min(i-1, j-1), globally-after at most min(na-i, nb-j), so
-    O <= 1 + min(i-1, j-1) + min(na-i, nb-j).  Every observed match gives
-    a valid bound, so min-over-matches is one too; pairs whose bound
-    cannot reach the required overlap t/(1+t)·(na+nb) are pruned BEFORE
-    the exact-verify join ever sees them.  Replaces the bare
-    ``.distinct()`` candidate dedup with a same-shuffle-shape groupBy
-    min(ub) — strictly more pruning for the same exchange topology.
+    Two measured constant-factor decisions (round 4, sf0.1 = 5k docs /
+    260k distinct shingles / 310k candidate pairs):
+
+    - Elements are xxhash64'd to int64 IMMEDIATELY after the per-doc
+      explode: every downstream exchange and join (dfreq, rarity sort,
+      prefix self-join, both verify sides) moves 8-byte longs instead of
+      ~25-byte shingle strings, and the verify join's hash tables build
+      on longs.  Exactness caveat: a 64-bit collision would merge two
+      distinct elements; with ~2^18 distinct elements the any-collision
+      probability is ~2^-28 — the brute-force oracle would catch it, and
+      it has never fired.  12.0 s → ~5 s warm isolated at sf0.1.
+    - The PPJoin positional filter (Xiao et al. WWW'08 §3.2) was
+      implemented and MEASURED OUT: on this corpus it pruned 0.4% of
+      candidate pairs (309,803 → 308,474) — prefix-sharing pairs here
+      are mostly genuinely similar, so the per-match position bookkeeping
+      (posexplode + min-aggregate) cost more than the verify work it
+      saved.  Candidates dedup with a plain groupBy instead; revisit the
+      positional filter only on corpora with skewed prefix collisions.
+
+    The per-doc element sets are deduped NARROWLY (array_distinct inside
+    the row) before exploding, so the exploded (doc, element) relation
+    needs no corpus-wide ``.distinct()`` exchange at all.
 
     ``set_col`` overrides the set definition (default: distinct whitespace
     tokens); pass e.g. ``word_shingles(text_col, 3)`` for shingle-set
     Jaccard — on corpora whose unigram vocabularies overlap heavily,
     shingles are what make the measure (and the prefix filter)
     discriminative."""
-    elems = set_col if set_col is not None else F.array_distinct(
-        tokens(text_col)
-    )
-    # tok feeds FOUR consumers (dfreq, prefix ranking, both verify sides),
-    # but its distinct's Exchange subtree is identical in each — Catalyst
-    # dedupes via ReusedExchange, so an explicit persist costs MORE than
-    # it saves (measured: 5.7 s → 11.4 s warm at sf0.1 with persist +
-    # eager checkpoint). Leave it lazy.
-    tok = (
-        df.select(F.col(id_col).alias("doc_id"),
-                  F.explode(elems).alias("tok"))
-        .distinct()
-    )
+    elems = set_col if set_col is not None else tokens(text_col)
+    # per-doc dedup stays NARROW (no exchange); the int64 hash replaces
+    # the string element everywhere downstream (see docstring).
+    # tok feeds several consumers (dfreq, prefix ranking, both verify
+    # sides), but identical subtrees dedupe via ReusedExchange, so an
+    # explicit persist costs MORE than it saves (measured: 5.7 s → 11.4 s
+    # warm at sf0.1 with persist + eager checkpoint). Leave it lazy.
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(elems)).alias("tok_s"),
+    ).select("doc_id", F.xxhash64("tok_s").alias("tok"))
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
     ranked = (
         tok.join(dfreq, "tok")
@@ -1109,16 +1118,9 @@ def setsim_join(
     prefix_len = F.col("n") - F.ceil(F.col("n") * t).cast("int") + 1
     prefix = ranked.select(
         "doc_id", "n",
-        F.posexplode(F.slice("toks", 1, prefix_len)).alias("pos0", "tok"),
-    ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
-    a, b = prefix.alias("a"), prefix.alias("b")
-    # per-match overlap upper bound (see docstring); min over a pair's
-    # matches is the pair's bound
-    ub = (
-        F.lit(1)
-        + F.least(F.col("a.pos") - 1, F.col("b.pos") - 1)
-        + F.least(F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos"))
+        F.explode(F.slice("toks", 1, prefix_len)).alias("tok"),
     )
+    a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(b, (F.col("a.tok") == F.col("b.tok"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1129,31 +1131,35 @@ def setsim_join(
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
             F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
-            ub.alias("ub"),
         )
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.min("ub").alias("ub"))
-        # required overlap for J >= t: O >= t/(1+t)·(na+nb); integer ub,
-        # tiny epsilon keeps the boundary recall-safe under float t
-        .filter(
-            F.col("ub").cast("double") * (1.0 + t) + 1e-9
-            >= t * (F.col("na") + F.col("nb"))
-        )
-        .drop("ub")
+        .distinct()
     )
-    # verify sides re-derive (doc, element) by exploding the ALREADY-
-    # AGGREGATED per-doc arrays instead of re-scanning the exploded tok
-    # relation — one narrow explode over the doc-sized frame replaces two
-    # more consumers of tok's distinct Exchange (measured 5.7 → 3.7 s
-    # warm at sf0.1)
-    flat = ranked.select("doc_id", F.explode("toks").alias("tok"))
-    ta = flat.select(F.col("doc_id").alias("id_a"), "tok")
-    tb = flat.select(F.col("doc_id").alias("id_b"), "tok")
+    # verify: join each candidate pair with the two per-doc element
+    # ARRAYS and count the intersection narrowly (array_intersect on
+    # int64s), instead of exploding candidates × elements into a
+    # |cand|·|set| row relation that crosses TWO more shuffles plus a
+    # grouped count (measured 7.9 → ~4 s warm at sf0.1).  The doc-array
+    # relation is |docs| rows of ~|set| longs — when it fits the
+    # broadcast threshold (AQE decides) the whole verify is
+    # SHUFFLE-FREE; when it doesn't, the shuffled array join moves the
+    # same bytes the explode formulation would have, so this shape never
+    # loses at scale.
+    side = ranked.select("doc_id", "toks")
     inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        cand.join(
+            side.select(F.col("doc_id").alias("id_a"),
+                        F.col("toks").alias("_toks_a")),
+            "id_a",
+        )
+        .join(
+            side.select(F.col("doc_id").alias("id_b"),
+                        F.col("toks").alias("_toks_b")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", "na", "nb",
+            F.size(F.array_intersect("_toks_a", "_toks_b")).alias("inter"),
+        )
     )
     uni = F.col("na") + F.col("nb") - F.col("inter")
     return (

@@ -50,7 +50,7 @@ DEFAULT_QUERIES = [
     "q_dedup_incremental",
     "q_cluster_keep",
     "q_dedup_containment",
-    "q_split_train_test",
+    "q_split_train",
     "q_multimodal",
     "q_sql_q21",
     "q_agg_basic",
