@@ -454,3 +454,19 @@ def test_spatial_join_stays_equi(spark):
     assert not any("Cartesian" in j or "NestedLoop" in j for j in a.join_nodes), (
         a.join_nodes
     )
+
+
+def test_setsim_verify_is_narrow_array_intersect(spark):
+    """setsim_join's exact-verify must stay the round-4 shape: candidate
+    pairs join the per-doc int64 element ARRAYS and count intersections
+    narrowly — no explode of candidates x elements (the 16M-row double
+    shuffle it replaced), no corpus-wide distinct on the exploded token
+    relation, and no cartesian/nested-loop anywhere."""
+    from fossa_spark.queries.llm_queries import q_dedup_setsim
+
+    a = audit(q_dedup_setsim(spark, SF_DIR))
+    assert "array_intersect" in a.formatted
+    assert "xxhash64" in a.formatted
+    assert not any(
+        "Cartesian" in j or "NestedLoop" in j for j in a.join_nodes
+    ), a.join_nodes
