@@ -82,13 +82,21 @@ def ngram_jaccard_pairs(
     :func:`hot_shingles` to inspect what was dropped.
 
     Returns (id_a, id_b, n_a, n_b, n_inter, jaccard).
+
+    Shingles are xxhash64'd to int64 right after the per-doc explode
+    (round 4, same rationale as setsim_join): every downstream exchange
+    (df-cap groupBy, the self-join, sizes) moves 8-byte longs instead of
+    ~40-byte 5-gram strings.  word_shingles is already per-doc distinct,
+    so no corpus-wide ``.distinct()`` is needed at all.  All outputs are
+    COUNTS, so results are identical up to a ~2^-28 any-collision
+    probability the brute-force oracle would catch.
     """
     sh = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, k)).alias("shingle"),
-    ).distinct()
+        F.explode(word_shingles(text_col, k)).alias("sh_s"),
+    ).select("doc_id", F.xxhash64("sh_s").alias("shingle"))
     # the capped shingle relation feeds FOUR consumers (sizes + both join
-    # sides); persist it once instead of recomputing the explode+distinct
+    # sides); persist it once instead of recomputing the explode
     # +df-filter per consumer, checkpoint the (small) verified pair set
     # eagerly so the cache can be released before returning — the same
     # staging pattern minhash_lsh_dedup uses
@@ -145,11 +153,15 @@ def containment_pairs(
     int/int double division — bit-identical across engines, no rounding.
 
     Returns (id_a, id_b, n_a, n_b, n_inter, overlap).
+
+    Shingles int64-hashed at the explode, per-doc distinct already done
+    by word_shingles — see :func:`ngram_jaccard_pairs` for the measured
+    rationale; outputs are counts, so results are hash-collision-exact.
     """
     sh = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, k)).alias("shingle"),
-    ).distinct()
+        F.explode(word_shingles(text_col, k)).alias("sh_s"),
+    ).select("doc_id", F.xxhash64("sh_s").alias("shingle"))
     # same staging as ngram_jaccard_pairs, but the overlap filter lands
     # BEFORE the eager checkpoint — materializing the unfiltered pair set
     # (via ngram_jaccard_pairs(min_jaccard=0)) measured 2× the runtime
