@@ -330,7 +330,10 @@ def minhash_lsh_dedup(
     # (small pair set) is checkpointed eagerly so sh_rows can be
     # unpersisted before returning — no cached-block leak across calls.
     sh_rows = (
-        with_sh.select(id_col, F.explode("shingles").alias("_sh"))
+        with_sh.select(id_col, F.explode("shingles").alias("_sh_s"))
+        # int64-hash once: signatures hash longs (not 40-byte strings),
+        # and the persisted relation + verify sort-merge joins slim ~5×
+        .select(id_col, F.xxhash64("_sh_s").alias("_sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sigs = _signatures_from_rows(sh_rows, id_col, num_hashes)
@@ -371,7 +374,13 @@ def build_minhash_index(
 
     with_sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
     sh_rows = with_sh.select(
-        id_col, F.explode("shingles").alias("_sh")
+        id_col, F.explode("shingles").alias("_sh_s")
+    ).select(
+        # int64-hash the shingle once here: signatures, band keys, the
+        # persisted index tables and the exact-Jaccard verify all move
+        # 8-byte longs instead of ~40-byte 5-gram strings (collision-
+        # exact for counts; LSH bucketing is hash-based either way)
+        id_col, F.xxhash64("_sh_s").alias("_sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = _signatures_from_rows(sh_rows, id_col, num_hashes)
     brows = band_rows(sigs, id_col, "minhash", bands, num_hashes // bands).select(
@@ -407,7 +416,13 @@ def append_to_minhash_index(
     """
     with_sh = new_docs.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
     sh_rows = with_sh.select(
-        id_col, F.explode("shingles").alias("_sh")
+        id_col, F.explode("shingles").alias("_sh_s")
+    ).select(
+        # int64-hash the shingle once here: signatures, band keys, the
+        # persisted index tables and the exact-Jaccard verify all move
+        # 8-byte longs instead of ~40-byte 5-gram strings (collision-
+        # exact for counts; LSH bucketing is hash-based either way)
+        id_col, F.xxhash64("_sh_s").alias("_sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = _signatures_from_rows(sh_rows, id_col, num_hashes)
     brows = band_rows(sigs, id_col, "minhash", bands, num_hashes // bands).select(
@@ -446,7 +461,13 @@ def incremental_dedup(
     """
     with_sh = new_docs.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
     sh_new = with_sh.select(
-        id_col, F.explode("shingles").alias("_sh")
+        id_col, F.explode("shingles").alias("_sh_s")
+    ).select(
+        # int64-hash the shingle once here: signatures, band keys, the
+        # persisted index tables and the exact-Jaccard verify all move
+        # 8-byte longs instead of ~40-byte 5-gram strings (collision-
+        # exact for counts; LSH bucketing is hash-based either way)
+        id_col, F.xxhash64("_sh_s").alias("_sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = _signatures_from_rows(sh_new, id_col, num_hashes)
     brows_new = band_rows(sigs, id_col, "minhash", bands, num_hashes // bands)
@@ -509,10 +530,15 @@ def incremental_dedup(
 
 
 def _signatures_from_rows(sh_rows: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    # seed via an extra hashed column, not a string concat: xxhash64 folds
+    # its arguments sequentially, so (lit(i), _sh) is a distinct hash
+    # function per i at integer-fold cost — the old concat built a fresh
+    # string per (row × hash) before hashing it (measured slower at 16
+    # hashes × corpus-size rows)
     hashed = sh_rows.select(
         id_col,
         *[
-            F.xxhash64(F.concat(F.lit(f"mh{i}|"), F.col("_sh"))).alias(f"_h{i}")
+            F.xxhash64(F.lit(i), F.col("_sh")).alias(f"_h{i}")
             for i in range(num_hashes)
         ],
     )
