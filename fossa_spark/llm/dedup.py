@@ -987,9 +987,11 @@ def semantic_dedup(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     threshold: float = 0.35,
     seed: int = 42,
+    target_block: int = 125,
+    train_cap: int = 8192,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with KMeans, compare cosine
@@ -1002,8 +1004,17 @@ def semantic_dedup(
     within-cluster pairs come from one applyInPandas per cluster
     (blocked_cosine_pairs — each vector crosses the shuffle once); the
     component step runs on the post-threshold EDGE list, orders of
-    magnitude smaller than the corpus. n_clusters is the knob that keeps
-    blocks worker-sized at 100 TB.
+    magnitude smaller than the corpus.
+
+    n_clusters defaults to ADAPTIVE (round 4): k = clamp(n/target_block,
+    16, 4096), so per-block pair work stays ~target_block²/2 and total
+    within-block work is LINEAR in the corpus.  A fixed k makes blocks
+    grow as n/k and the pair step O(n²/k) — the sf1 smoke measured the
+    old fixed k=16 at 8× cost for 10× data, the signature of a
+    superlinear constant.  This is also the paper's regime (SemDeDup
+    scales cluster count with corpus size).  KMeans fits on a seeded
+    sample capped at ``train_cap`` rows (the same bound sim_ivf's
+    quantizer uses) so fit cost is flat at any scale.
 
     Returns (component, size, kept_id, cluster) per duplicate group,
     singletons excluded (they are trivially kept).
@@ -1019,9 +1030,17 @@ def semantic_dedup(
         blocked_cosine_pairs,
     )
 
+    n = embeddings.count()  # one count job; sizes both knobs below
+    if n_clusters is None:
+        n_clusters = max(16, min(4096, n // target_block))
+
     train = embeddings.select(
         array_to_vector(_as_double(F.col(vec_col))).alias("features")
     )
+    if n > train_cap:
+        train = train.sample(
+            fraction=min(1.0, 1.2 * train_cap / n), seed=seed
+        )
     model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
     centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
 

@@ -511,8 +511,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only: the trained quantizer is not SQL-expressible."""
     e = load(spark, sf_dir, "embeddings")
     return (
-        D.semantic_dedup(e, "vec_id", "embedding",
-                         n_clusters=16, threshold=0.35)
+        D.semantic_dedup(e, "vec_id", "embedding", threshold=0.35)
         .orderBy("component")
     )
 
