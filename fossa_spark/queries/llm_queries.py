@@ -76,17 +76,42 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup, blocked by label (IVF-style blocking:
-    compare only within a coarse partition — the trick that makes
-    pairwise similarity feasible at scale).  One applyInPandas per block
-    ships each vector across the shuffle once instead of once per pair
-    (blocked_cosine_pairs).  Threshold 0.35 sits at the fixture's near-dup
-    knee (26 pairs at sf0.01, 391 at sf0.1; nothing reaches 0.5), so the
-    check exercises real values, not an empty set."""
+    """Embedding-cosine near-dup, blocked by (label, bounded sub-block)
+    (IVF-style blocking: compare only within a coarse partition — the
+    trick that makes pairwise similarity feasible at scale).  One
+    applyInPandas per block ships each vector across the shuffle once
+    instead of once per pair (blocked_cosine_pairs).  Threshold 0.35 sits
+    at the fixture's near-dup knee (26 pairs at sf0.01, 391 at sf0.1;
+    nothing reaches 0.5), so the check exercises real values, not empty.
+
+    Sub-blocking (round 4, caught by the sf1 audit): blocking on the
+    ~10 coarse labels alone makes block size grow as n/10 and pair work
+    O(n²) — 53× cost at 10× data.  Each label now splits into
+    ceil(n_label/256) md5-bucketed sub-blocks, so blocks stay ≤~256
+    vectors and pair work is linear.  The split is DETERMINISTIC AND
+    SQL-EXPRESSIBLE (md5 of the id, per-label count), so the oracle
+    replicates it bit-for-bit; at sf ≤ 0.1 every label is under 256
+    vectors, subs == 1, and results are byte-identical to the unsplit
+    form — the scale guard costs nothing at verify scale."""
     e = load(spark, sf_dir, "embeddings")
+    h16 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    # per-label counts via broadcast join, NOT a window: a window
+    # partitioned by label would shuffle the full vector column once more
+    # before the block shuffle; the count relation is label-grain tiny
+    counts = e.groupBy("label").agg(
+        F.ceil(F.count(F.lit(1)) / 256.0).cast("long").alias("_subs")
+    )
+    e2 = e.join(F.broadcast(counts), "label").withColumn(
+        "blk", F.col("label").cast("long") * 65536 + (h16 % F.col("_subs"))
+    )
     return (
-        S.blocked_cosine_pairs(e, "label", "vec_id", "embedding", threshold=0.35)
-        .select("label", "id_a", "id_b", "cos")
+        S.blocked_cosine_pairs(e2, "blk", "vec_id", "embedding", threshold=0.35)
+        .select(
+            F.shiftright("blk", 16).cast("int").alias("label"),
+            "id_a", "id_b", "cos",
+        )
         .orderBy("label", "id_a", "id_b")
     )
 
@@ -835,11 +860,23 @@ ORACLE = {
                  / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.6
         ORDER BY id_a, id_b
     """,
+    # sub-block mirrors the Spark side exactly: per-label count, md5-hex
+    # bucket of vec_id mod ceil(n_label/256) — at verify scale every
+    # label has < 256 vectors so sub == 0 everywhere and this reduces to
+    # the plain within-label join
     "q_dedup_embed": f"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))
+                      AS BIGINT)
+                   % CAST(CEIL(COUNT(*) OVER (PARTITION BY label) / 256.0)
+                          AS BIGINT) AS sub
+          FROM embeddings
+        )
         SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
                {_DOT.format(a="a.embedding", b="b.embedding")} AS cos
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
         WHERE {_DOT.format(a="a.embedding", b="b.embedding")} >= 0.35
         ORDER BY label, id_a, id_b
     """,
