@@ -8,7 +8,7 @@ MinHash/SimHash/SRP signatures use Spark's xxhash64, which DuckDB lacks).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fossa_spark.llm import dedup as D
