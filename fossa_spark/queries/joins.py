@@ -394,18 +394,30 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically (NULLIF on a residue class) on both sides; the
     aggregate counts pairs per key INCLUDING the null×null block, which
     a plain inner join would silently drop. Catalyst still plans <=> as
-    a hash join (the null bucket is just another key), so the shape
-    scales like any equi-join."""
-    c = load(spark, sf_dir, "customer").select(
-        F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("nk")
+    a hash join (the null bucket is just another key).
+
+    Aggregation is pushed BELOW the join (round 4, caught by the sf1
+    audit): counting pairs per key needs |C_k|·|S_k|, not the pairs
+    themselves — the unaggregated form materialized a 100×-grown pair
+    stream at 10× data (19× runtime).  Each side pre-counts per key, the
+    <=> join runs on two key-grain relations, n_pairs = cn·sn.  Output
+    is identical; the null-safe hash-join semantics are still exercised
+    (the null bucket matches itself through the real join)."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .select(F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("nk"))
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("cn"))
     )
-    s = load(spark, sf_dir, "supplier").select(
-        F.nullif(F.col("s_nationkey") % 5, F.lit(4)).alias("sk")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .select(F.nullif(F.col("s_nationkey") % 5, F.lit(4)).alias("sk"))
+        .groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("sn"))
     )
     j = c.join(F.broadcast(s), c.nk.eqNullSafe(s.sk))
     return (
-        j.groupBy("nk")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        j.select("nk", (F.col("cn") * F.col("sn")).alias("n_pairs"))
         .orderBy(F.coalesce(F.col("nk"), F.lit(-1)))
     )
 
