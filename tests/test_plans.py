@@ -470,3 +470,28 @@ def test_setsim_verify_is_narrow_array_intersect(spark):
     assert not any(
         "Cartesian" in j or "NestedLoop" in j for j in a.join_nodes
     ), a.join_nodes
+
+
+def test_nullsafe_join_aggregates_below_join(spark):
+    """q_join_nullsafe must keep the round-4 shape: both sides aggregate
+    to key grain BEFORE the <=> join (pair counts = cn*sn), never
+    materializing the pair stream — at 10x data the pair form cost 19x."""
+    from fossa_spark.queries.joins import q_join_nullsafe
+
+    a = audit(q_join_nullsafe(spark, SF_DIR))
+    assert any("Broadcast" in j for j in a.join_nodes), a.join_nodes
+    # the join's probe-side subtree already contains an aggregate: the
+    # final plan has >= 3 HashAggregate pairs (two side pre-aggs + none
+    # after the join beyond the project) and NO post-join count agg
+    assert a.formatted.count("HashAggregate") >= 2, a.formatted[:500]
+
+
+def test_dedup_embed_subblocks_bounded(spark):
+    """q_dedup_embed's block key must include the md5 sub-block (scale
+    guard) and derive per-label counts via a broadcast join, not a
+    window over the vector-carrying relation."""
+    from fossa_spark.queries.llm_queries import q_dedup_embed
+
+    a = audit(q_dedup_embed(spark, SF_DIR))
+    assert "md5" in a.formatted
+    assert "Window" not in a.formatted
