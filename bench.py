@@ -1,7 +1,13 @@
 """Benchmark harness: runs the full declared query inventory at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (one JSON object per line):
+  - {"detail_cold": {q: sec, ...}}                 cold per-query map
+  - {"detail_warm_part": i, "queries": {...}}      warm map, 60-query chunks
+  - FINAL line, totals only (~150 bytes — the driver tail-captures ~2 KB
+    of stdout, so the last line must never carry the per-query map):
+    {"metric", "value", "unit", "cold_total", "warm_total", "n_queries",
+     "warm_mean", "sf"}
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver-side collect — what a cluster run would do). JVM/codegen warmup is a

@@ -1038,9 +1038,11 @@ def semantic_dedup(
         array_to_vector(_as_double(F.col(vec_col))).alias("features")
     )
     if n > train_cap:
+        # Bernoulli sample has no hard upper bound — oversample 1.2× then
+        # limit() so the fit cost is genuinely capped at train_cap rows
         train = train.sample(
             fraction=min(1.0, 1.2 * train_cap / n), seed=seed
-        )
+        ).limit(train_cap)
     model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
     centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
 

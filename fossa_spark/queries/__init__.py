@@ -106,6 +106,27 @@ def _last_verified_round() -> dict[str, int]:
     return seen
 
 
+def _has_clean_row_since(name: str, min_round: int) -> bool:
+    """True if any CORRECTNESS_r{N}.json with N >= min_round records a
+    non-error row for ``name`` (rows-only queries never get hash_match
+    True, so 'err is None' is their green)."""
+    import json
+    import re
+
+    root = Path(__file__).resolve().parent.parent.parent
+    try:
+        for p in sorted(root.glob("CORRECTNESS_r*.json")):
+            m = re.search(r"r(\d+)", p.name)
+            if not m or int(m.group(1)) < min_round:
+                continue
+            row = json.loads(p.read_text()).get(name)
+            if isinstance(row, dict) and row.get("err") is None:
+                return True
+    except (OSError, ValueError):
+        return False
+    return False
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Merged inventory — oracle-backed queries first, least-recently-
     driver-verified first within them (see _MODULES note)."""
@@ -129,8 +150,10 @@ def all_queries() -> dict[str, QueryFn]:
     changed = {
         # round 4: q_fn_try's slice widened to % 5 < 2 (advisor: the old
         # 1-in-5 slice left try_divide's divisor 0 on every row, so
-        # div_maybe was constant-NULL); q_dedup_setsim gained the PPJoin
-        # positional filter (same oracle, new candidate pruning).
+        # div_maybe was constant-NULL); q_dedup_setsim's elements are now
+        # int64-hashed and its exact verify joins per-doc arrays with
+        # array_intersect (the PPJoin positional filter was tried and
+        # measured out — see setsim_join's docstring). Oracles unchanged.
         "q_fn_try",
         "q_dedup_setsim",
     }
@@ -138,9 +161,14 @@ def all_queries() -> dict[str, QueryFn]:
     # which the driver's 50-row cap never reaches — so a rows-only query
     # whose only driver record is an error could never retire it.
     # q_agg_approx is exactly that (r01 err, fixed in r02, green locally
-    # ever since): pin it into the first-50 window once so the artifact
+    # ever since): pin it into the first-50 window so the artifact
     # history closes.  Costs one backlog slot, ends the last err ghost.
-    retire_errs = ("q_agg_approx",)
+    # SELF-RETIRING: the pin drops automatically once any round >= 4
+    # artifact records a non-error row for it, so it cannot leak slots
+    # in later rounds.
+    retire_errs = tuple(
+        n for n in ("q_agg_approx",) if not _has_clean_row_since(n, 4)
+    )
     expensive_tail = ("q_dedup_near", "q_pipeline")
     backed = [n for n in merged if n in oracles]
     # Stable sort (registration order breaks ties):

@@ -41,9 +41,14 @@ def test_registration_order_oracle_backed_first():
     the retire_errs pin (q_agg_approx — rows-only, whose only driver
     record is an r01 err) deliberately leads so one 50-row window can
     close the artifact history."""
+    from fossa_spark.queries import _has_clean_row_since
+
     names = list(_QUERIES)
-    assert names[0] == "q_agg_approx"  # retire_errs pin (round 4)
-    rest = names[1:]
+    if not _has_clean_row_since("q_agg_approx", 4):
+        assert names[0] == "q_agg_approx"  # retire_errs pin (round 4)
+        rest = names[1:]
+    else:  # pin self-retired once a clean driver row landed
+        rest = names
     first_rows_only = next(i for i, n in enumerate(rest) if n not in _ORACLES)
     assert first_rows_only == len(_ORACLES), (
         f"rows-only query at position {first_rows_only} precedes an "

@@ -480,10 +480,16 @@ def test_nullsafe_join_aggregates_below_join(spark):
 
     a = audit(q_join_nullsafe(spark, SF_DIR))
     assert any("Broadcast" in j for j in a.join_nodes), a.join_nodes
-    # the join's probe-side subtree already contains an aggregate: the
-    # final plan has >= 3 HashAggregate pairs (two side pre-aggs + none
-    # after the join beyond the project) and NO post-join count agg
-    assert a.formatted.count("HashAggregate") >= 2, a.formatted[:500]
+    # formatted explain prints the tree top-down, so "aggregates BELOW
+    # the join" means the join's line precedes every HashAggregate line.
+    # The old (regressing) shape had the count agg ABOVE the join and
+    # fails this: its final HashAggregate prints before the join.
+    lines = a.formatted.splitlines()
+    join_idx = min(
+        i for i, ln in enumerate(lines) if "Join" in ln and "Reused" not in ln
+    )
+    agg_idxs = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    assert agg_idxs and min(agg_idxs) > join_idx, (join_idx, agg_idxs)
 
 
 def test_dedup_embed_subblocks_bounded(spark):

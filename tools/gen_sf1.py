@@ -95,7 +95,6 @@ def main() -> None:
                 col_shift.setdefault(table, {})[c] = strides[domain]
 
     for small in ("nation", "region"):
-        pq.read_table(SRC / f"{small}.parquet").combine_chunks()
         # byte-identical copy keeps dictionary encodings
         (DST / f"{small}.parquet").write_bytes(
             (SRC / f"{small}.parquet").read_bytes()
