@@ -50,6 +50,9 @@ DEFAULT_QUERIES = [
     "q_dedup_incremental",
     "q_cluster_keep",
     "q_dedup_containment",
+    "q_dedup_ngram",
+    "q_dedup_embed",
+    "q_join_range",
     "q_split_train",
     "q_multimodal",
     "q_sql_q21",
