@@ -142,21 +142,26 @@ def all_queries() -> dict[str, QueryFn]:
             merged[name] = _wrap(fn)
     oracles = all_oracles()
     last = _last_verified_round()
-    # Priority queries sort ahead of everything (maintained by hand each
-    # round): queries whose semantics/implementation changed this round
-    # (their old green rows no longer attest to the current code) plus
-    # new queries the round's VERDICT explicitly asked to see verified
-    # (r02 item 7: Q21/Q13 green rows in r03).
-    changed = {
+    # Priority queries sort ahead of everything: queries whose semantics/
+    # implementation changed (their old green rows no longer attest to
+    # the current code) plus queries a round's VERDICT explicitly asked
+    # to see verified (r02 item 7: Q21/Q13 green rows in r03).
+    # Entries are (name, round_changed): the priority expires on its own
+    # once a driver round >= round_changed re-verifies the query, so a
+    # stale `changed` set cannot quietly eat window slots in later
+    # rounds. Add (name, CURRENT_ROUND + 1-ish) whenever a query's
+    # behavior changes; prune retired lines opportunistically.
+    changed_in = {
         # round 4: q_fn_try's slice widened to % 5 < 2 (advisor: the old
         # 1-in-5 slice left try_divide's divisor 0 on every row, so
         # div_maybe was constant-NULL); q_dedup_setsim's elements are now
         # int64-hashed and its exact verify joins per-doc arrays with
         # array_intersect (the PPJoin positional filter was tried and
         # measured out — see setsim_join's docstring). Oracles unchanged.
-        "q_fn_try",
-        "q_dedup_setsim",
+        "q_fn_try": 4,
+        "q_dedup_setsim": 4,
     }
+    changed = {n for n, rnd in changed_in.items() if last.get(n, 0) < rnd}
     # Rows-only queries normally sort AFTER all 193 oracle-backed ones,
     # which the driver's 50-row cap never reaches — so a rows-only query
     # whose only driver record is an error could never retire it.
