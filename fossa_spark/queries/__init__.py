@@ -98,10 +98,12 @@ def _last_verified_round() -> dict[str, int]:
                 continue
             rnd = int(m.group(1))
             rows = json.loads(p.read_text())
+            if not isinstance(rows, dict):
+                continue  # malformed artifact: skip, don't break the registry
             for name, row in rows.items():
                 if isinstance(row, dict) and row.get("hash_match"):
                     seen[name] = max(seen.get(name, 0), rnd)
-    except (OSError, ValueError):
+    except (OSError, ValueError, AttributeError, TypeError):
         return {}
     return seen
 
@@ -119,10 +121,13 @@ def _has_clean_row_since(name: str, min_round: int) -> bool:
             m = re.search(r"r(\d+)", p.name)
             if not m or int(m.group(1)) < min_round:
                 continue
-            row = json.loads(p.read_text()).get(name)
+            doc = json.loads(p.read_text())
+            if not isinstance(doc, dict):
+                continue  # malformed artifact: skip, don't break the registry
+            row = doc.get(name)
             if isinstance(row, dict) and row.get("err") is None:
                 return True
-    except (OSError, ValueError):
+    except (OSError, ValueError, AttributeError, TypeError):
         return False
     return False
 
@@ -162,18 +167,14 @@ def all_queries() -> dict[str, QueryFn]:
         "q_dedup_setsim": 4,
     }
     changed = {n for n, rnd in changed_in.items() if last.get(n, 0) < rnd}
-    # Rows-only queries normally sort AFTER all 193 oracle-backed ones,
-    # which the driver's 50-row cap never reaches — so a rows-only query
-    # whose only driver record is an error could never retire it.
-    # q_agg_approx is exactly that (r01 err, fixed in r02, green locally
-    # ever since): pin it into the first-50 window so the artifact
-    # history closes.  Costs one backlog slot, ends the last err ghost.
-    # SELF-RETIRING: the pin drops automatically once any round >= 4
-    # artifact records a non-error row for it, so it cannot leak slots
-    # in later rounds.
-    retire_errs = tuple(
-        n for n in ("q_agg_approx",) if not _has_clean_row_since(n, 4)
-    )
+    # q_agg_approx pin RETIRED (round 5): r04 pinned it first and it ran
+    # (3 rows) — but the driver records every rows-only run as
+    # err="no_oracle", so the artifact format can never show a "clean"
+    # row for it and the r04 self-retire check (_has_clean_row_since)
+    # could never fire.  Per the r04 verdict, stop spending window slots
+    # on it: the r04 row (spark_rows=3, no crash) is the best retirement
+    # the format allows.
+    retire_errs: tuple[str, ...] = ()
     expensive_tail = ("q_dedup_near", "q_pipeline")
     backed = [n for n in merged if n in oracles]
     # Stable sort (registration order breaks ties):
