@@ -241,17 +241,39 @@ def skyline_2d(
     Work is O(n log n) total, the only corpus-wide ops are the range
     exchange and a partition-grain aggregate — no join, no global window.
 
-    ``x_col`` must be an INTEGRAL type: the strictly-earlier-x sweep is a
-    value-RANGE frame ``(unboundedPreceding, -1)``, and "-1" equals
+    ``x_col`` must be a UNIT-GRANULAR type: the strictly-earlier-x sweep
+    is a value-RANGE frame ``(unboundedPreceding, -1)``, and "-1" equals
     "x' < x" only at unit granularity.  A fractional x (e.g. a double
     price) would silently exclude dominators with x' in (x-1, x), so we
-    reject it loudly (round-3 advisor finding).
+    reject it loudly (round-3 advisor finding).  Accepted: the four
+    integral types plus decimal(p, 0), which is equally unit-granular
+    (round-4 advisor: the gate also now resolves the column with Spark's
+    case-insensitive semantics instead of an exact dict lookup).  DATE is
+    unit-granular too but explicitly rejected: Spark requires INTERVAL
+    frame boundaries for date ORDER BY, so the integer ``-1`` frame below
+    would not analyze — cast to datediff-days first.
     """
-    x_type = dict(df.dtypes).get(x_col)
-    if x_type not in ("tinyint", "smallint", "int", "bigint"):
+    try:
+        x_field = df.schema[x_col]  # Spark-style: case-insensitive resolve
+    except KeyError:
+        matches = [f for f in df.schema.fields if f.name.lower() == x_col.lower()]
+        if len(matches) != 1:
+            raise TypeError(
+                f"skyline_2d: x_col {x_col!r} not found (or ambiguous) in "
+                f"schema {[f.name for f in df.schema.fields]}"
+            ) from None
+        x_field = matches[0]
+    x_type = x_field.dataType.simpleString()
+    is_unit_decimal = x_type.startswith("decimal(") and x_type.endswith(",0)")
+    if x_type not in ("tinyint", "smallint", "int", "bigint") and not is_unit_decimal:
+        hint = (
+            "cast to an integer day count (e.g. datediff) first"
+            if x_type == "date"
+            else "Scale/cast fractional x to integer units first."
+        )
         raise TypeError(
-            f"skyline_2d requires an integral x_col; {x_col!r} is {x_type}. "
-            "Scale/cast fractional x to integer units first."
+            f"skyline_2d requires a unit-granular integral x_col; "
+            f"{x_col!r} is {x_type}. {hint}"
         )
     ranged = (
         df.select(F.col(id_col), F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
