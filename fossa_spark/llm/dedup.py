@@ -62,6 +62,105 @@ def word_shingles(col: Column | str, k: int = 5) -> Column:
     )
 
 
+def shingle_hash_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exploded per-doc DISTINCT word-k-shingle hashes as (id, _sh bigint)
+    — the Arrow fast path for every COUNT-based shingle consumer.
+
+    Semantically equal to
+    ``explode(word_shingles(text, k)) → xxhash64(shingle_string)`` up to
+    the hash family: same tokenization (lowercase, split on single
+    space — empties kept, exactly ``F.split(F.lower(c), ' ')``), same
+    shorter-than-k rule (one shingle of all tokens), same per-doc
+    distinct, null text yields no rows.  Every consumer compares hashes
+    only against hashes from this same family (intersection counts, df
+    caps, LSH band keys), so the family swap is output-invariant for
+    count/Jaccard results modulo 64-bit collisions (~2^-28 any-collision
+    at the fixture's ~2^18-shingle universe; the brute-force oracles
+    would catch one).
+
+    Why not the HOF form: word_shingles builds each shingle as a STRING
+    via interpreted higher-order functions (k slices + arrays_zip +
+    transform + concat_ws ≈ 25M element ops at sf1 — NOTES r04), then
+    hashes and discards the string.  Here one mapInPandas hashes each
+    token ONCE per doc (vectorized siphash via pd.util.hash_array, fixed
+    key — deterministic across workers/sessions) and combines windows of
+    k token hashes with a positional polynomial in uint64 + a splitmix64
+    finisher — no string is ever materialized.  The batch loop is
+    numpy-vectorized per doc; the one per-batch object-array hash call
+    covers all docs' tokens flattened.
+
+    Scale shape: narrow map (no shuffle), Arrow-batched, output is the
+    same 8-byte-hash relation downstream plans already consume.
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
+    kk = int(k)
+
+    def gen(batches):
+        from itertools import chain
+
+        import numpy as np
+        import pandas as pd
+
+        M = np.uint64(0x9E3779B97F4A7C15)
+        # P[j] = M**(kk-1-j); the last n entries are M**(n-1..0), which is
+        # exactly the short-doc (n <= k) single-shingle weighting
+        P = M ** np.arange(kk - 1, -1, -1, dtype=np.uint64)
+
+        def mix(z):  # splitmix64 finisher: breaks the polynomial's linearity
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
+        for pdf in batches:
+            toks = [
+                t.lower().split(" ") if isinstance(t, str) else None
+                for t in pdf[text_col]
+            ]
+            lens = [len(t) for t in toks if t is not None]
+            flat = np.fromiter(
+                chain.from_iterable(t for t in toks if t is not None),
+                dtype=object,
+                count=sum(lens),
+            )
+            h = pd.util.hash_array(flat)  # uint64 siphash, fixed key
+            ids_out, sh_out, pos, li = [], [], 0, 0
+            id_vals = pdf[id_col].to_numpy()
+            for i, t in enumerate(toks):
+                if t is None:  # null text: explode(null) drops the row
+                    continue
+                n = lens[li]
+                li += 1
+                hh = h[pos : pos + n]
+                pos += n
+                if n <= kk:
+                    s = np.array(
+                        [(hh * P[kk - n :]).sum(dtype=np.uint64)],
+                        dtype=np.uint64,
+                    )
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(hh, kk)
+                    s = (win * P).sum(axis=1, dtype=np.uint64)
+                u = np.unique(mix(s))
+                ids_out.append(np.full(len(u), id_vals[i]))
+                sh_out.append(u.view(np.int64))
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids_out),
+                        "_sh": np.concatenate(sh_out),
+                    }
+                )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"`{id_col}` {id_type}, `_sh` bigint"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -83,18 +182,18 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, n_a, n_b, n_inter, jaccard).
 
-    Shingles are xxhash64'd to int64 right after the per-doc explode
-    (round 4, same rationale as setsim_join): every downstream exchange
-    (df-cap groupBy, the self-join, sizes) moves 8-byte longs instead of
-    ~40-byte 5-gram strings.  word_shingles is already per-doc distinct,
-    so no corpus-wide ``.distinct()`` is needed at all.  All outputs are
+    Shingles arrive as int64 hashes straight from the Arrow fast path
+    (round 5, :func:`shingle_hash_rows` — no shingle string is ever
+    built; round 4 had already hashed right after the explode so every
+    downstream exchange moves 8-byte longs instead of ~40-byte 5-gram
+    strings).  The relation is per-doc distinct by construction, so no
+    corpus-wide ``.distinct()`` is needed at all.  All outputs are
     COUNTS, so results are identical up to a ~2^-28 any-collision
     probability the brute-force oracle would catch.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, k)).alias("sh_s"),
-    ).select("doc_id", F.xxhash64("sh_s").alias("shingle"))
+    sh = shingle_hash_rows(df, text_col, id_col, k).select(
+        F.col(id_col).alias("doc_id"), F.col("_sh").alias("shingle")
+    )
     # the capped shingle relation feeds FOUR consumers (sizes + both join
     # sides); persist it once instead of recomputing the explode
     # +df-filter per consumer, checkpoint the (small) verified pair set
@@ -154,14 +253,14 @@ def containment_pairs(
 
     Returns (id_a, id_b, n_a, n_b, n_inter, overlap).
 
-    Shingles int64-hashed at the explode, per-doc distinct already done
-    by word_shingles — see :func:`ngram_jaccard_pairs` for the measured
-    rationale; outputs are counts, so results are hash-collision-exact.
+    Shingles arrive int64-hashed from the Arrow fast path, per-doc
+    distinct by construction — see :func:`ngram_jaccard_pairs` /
+    :func:`shingle_hash_rows` for the measured rationale; outputs are
+    counts, so results are hash-collision-exact.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, k)).alias("sh_s"),
-    ).select("doc_id", F.xxhash64("sh_s").alias("shingle"))
+    sh = shingle_hash_rows(df, text_col, id_col, k).select(
+        F.col(id_col).alias("doc_id"), F.col("_sh").alias("shingle")
+    )
     # same staging as ngram_jaccard_pairs, but the overlap filter lands
     # BEFORE the eager checkpoint — materializing the unfiltered pair set
     # (via ngram_jaccard_pairs(min_jaccard=0)) measured 2× the runtime
@@ -322,19 +421,17 @@ def minhash_lsh_dedup(
     (knee ≈ 0.59) while signature codegen and shuffle bytes halve; the
     exact-Jaccard verify step keeps precision unchanged. Extra candidates
     are bounded by max_bucket in lsh_candidates."""
-    with_sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
-    # exploded (id, shingle) rows drive signature computation AND both
-    # sides of the verify join (3 consumers) — persist instead of
+    # exploded (id, shingle-hash) rows drive signature computation AND
+    # both sides of the verify join (3 consumers) — persist instead of
     # recomputing the upstream plan per consumer. At corpus scale this is
     # the staging relation you'd materialize to storage once. The result
     # (small pair set) is checkpointed eagerly so sh_rows can be
     # unpersisted before returning — no cached-block leak across calls.
-    sh_rows = (
-        with_sh.select(id_col, F.explode("shingles").alias("_sh_s"))
-        # int64-hash once: signatures hash longs (not 40-byte strings),
-        # and the persisted relation + verify sort-merge joins slim ~5×
-        .select(id_col, F.xxhash64("_sh_s").alias("_sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # Round 5: shingle_hash_rows (Arrow path — no shingle strings built;
+    # signatures hash longs, the persisted relation + verify joins stay
+    # 8 bytes/element).
+    sh_rows = shingle_hash_rows(df, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     sigs = _signatures_from_rows(sh_rows, id_col, num_hashes)
     cands = lsh_candidates(sigs, id_col=id_col, bands=bands,
@@ -372,16 +469,12 @@ def build_minhash_index(
     """
     from fossa_spark.sources import write_bucketed
 
-    with_sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
-    sh_rows = with_sh.select(
-        id_col, F.explode("shingles").alias("_sh_s")
-    ).select(
-        # int64-hash the shingle once here: signatures, band keys, the
-        # persisted index tables and the exact-Jaccard verify all move
-        # 8-byte longs instead of ~40-byte 5-gram strings (collision-
-        # exact for counts; LSH bucketing is hash-based either way)
-        id_col, F.xxhash64("_sh_s").alias("_sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Arrow shingle path (round 5): signatures, band keys, the persisted
+    # index tables and the exact-Jaccard verify all move 8-byte longs;
+    # no shingle string is ever materialized (shingle_hash_rows).
+    sh_rows = shingle_hash_rows(df, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = _signatures_from_rows(sh_rows, id_col, num_hashes)
     brows = band_rows(sigs, id_col, "minhash", bands, num_hashes // bands).select(
         F.col("band"), F.col("bucket"), F.col("_id").alias(id_col)
@@ -393,7 +486,51 @@ def build_minhash_index(
                    path=f"{path}/shingles", sort_by=id_col)
     write_bucketed(sizes, f"{table_prefix}_sizes", id_col, buckets=buckets,
                    path=f"{path}/sizes", sort_by=id_col)
+    # format marker: probe/append assert this exact version before
+    # touching the index (advisor r04 — a silently-incompatible hash
+    # family or _sh dtype must fail loudly, not return empty matches)
+    df.sparkSession.createDataFrame(
+        [(INDEX_FORMAT_VERSION,)], "format_version int"
+    ).write.mode("overwrite").option("path", f"{path}/meta").saveAsTable(
+        f"{table_prefix}_meta"
+    )
     sh_rows.unpersist()
+
+
+# On-disk minhash-index format lineage:
+#   1 (r03): _sh string shingles, signatures xxhash64(concat('mh{i}|', s))
+#   2 (r04): _sh bigint = xxhash64(shingle string), signatures
+#            xxhash64(lit(i), _sh)
+#   3 (r05): _sh bigint from shingle_hash_rows (siphash-polynomial Arrow
+#            path) — same dtype as v2, DIFFERENT hash family
+INDEX_FORMAT_VERSION = 3
+
+
+def _check_index_format(spark, table_prefix: str) -> None:
+    """Fail fast on a stale persisted index (advisor r04, medium).
+
+    Rounds 4 and 5 each changed the index's on-disk format (see the
+    version lineage above).  An index written by older code would not
+    error against a newer probe — the ``_sh`` equi-join type-coerces
+    (v1) or simply hashes in a different family (v2 vs v3), silently
+    producing empty/garbage matches, and ``insertInto`` would
+    positionally cast across the v1/v2 column-type change.  The dtype
+    alone cannot distinguish v2 from v3, so the index carries an
+    explicit ``{prefix}_meta.format_version`` marker; assert both it and
+    the ``_sh`` dtype before any probe/append and demand a rebuild
+    otherwise."""
+    ver = None
+    if spark.catalog.tableExists(f"{table_prefix}_meta"):
+        row = spark.table(f"{table_prefix}_meta").first()
+        ver = row["format_version"] if row is not None else None
+    dtypes = dict(spark.table(f"{table_prefix}_shingles").dtypes)
+    if ver != INDEX_FORMAT_VERSION or dtypes.get("_sh") != "bigint":
+        raise ValueError(
+            f"minhash index '{table_prefix}' is format version {ver!r} "
+            f"(_sh type {dtypes.get('_sh')!r}); this code reads/writes "
+            f"version {INDEX_FORMAT_VERSION} (_sh bigint). Rebuild it "
+            "with build_minhash_index before probing/appending."
+        )
 
 
 def append_to_minhash_index(
@@ -414,16 +551,10 @@ def append_to_minhash_index(
     tables' existing bucket layout (Spark hash-repartitions the insert by
     the bucket spec), so the zero-shuffle probe property survives appends.
     """
-    with_sh = new_docs.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
-    sh_rows = with_sh.select(
-        id_col, F.explode("shingles").alias("_sh_s")
-    ).select(
-        # int64-hash the shingle once here: signatures, band keys, the
-        # persisted index tables and the exact-Jaccard verify all move
-        # 8-byte longs instead of ~40-byte 5-gram strings (collision-
-        # exact for counts; LSH bucketing is hash-based either way)
-        id_col, F.xxhash64("_sh_s").alias("_sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _check_index_format(spark, table_prefix)
+    sh_rows = shingle_hash_rows(new_docs, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = _signatures_from_rows(sh_rows, id_col, num_hashes)
     brows = band_rows(sigs, id_col, "minhash", bands, num_hashes // bands).select(
         F.col("band"), F.col("bucket"), F.col("_id").alias(id_col)
@@ -459,16 +590,10 @@ def incremental_dedup(
     tiebreak) or NULL and keep = dup_of IS NULL.  Within-batch dups are
     the existing minhash_lsh_dedup's job — run it on the batch first.
     """
-    with_sh = new_docs.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
-    sh_new = with_sh.select(
-        id_col, F.explode("shingles").alias("_sh_s")
-    ).select(
-        # int64-hash the shingle once here: signatures, band keys, the
-        # persisted index tables and the exact-Jaccard verify all move
-        # 8-byte longs instead of ~40-byte 5-gram strings (collision-
-        # exact for counts; LSH bucketing is hash-based either way)
-        id_col, F.xxhash64("_sh_s").alias("_sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _check_index_format(spark, table_prefix)
+    sh_new = shingle_hash_rows(new_docs, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = _signatures_from_rows(sh_new, id_col, num_hashes)
     brows_new = band_rows(sigs, id_col, "minhash", bands, num_hashes // bands)
 

@@ -57,6 +57,68 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
     assert not missed, f"LSH missed high-similarity pairs: {sorted(missed)[:5]}"
 
 
+def test_shingle_hash_rows_matches_hof_path(spark, docs):
+    """The Arrow shingle fast path (shingle_hash_rows) must be
+    set-isomorphic to explode(word_shingles)+xxhash64: same per-doc
+    distinct-shingle counts AND same pairwise intersection counts (the
+    two quantities every count-based consumer derives), on the fixture
+    corpus plus edge cases (short doc, empty text, null text,
+    repeated-spaces tokenization)."""
+    edge = spark.createDataFrame(
+        [
+            (9001, "one two"),              # shorter than k → 1 shingle
+            (9002, ""),                     # empty → 1 shingle ("")
+            (9003, None),                   # null → no rows
+            (9004, "a  b   a  b a"),        # empty tokens kept by split(' ')
+            (9005, "a a a a a a a a"),      # one distinct shingle, n > k
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.select("doc_id", "text").unionByName(edge)
+    old = corpus.select(
+        "doc_id", F.explode(D.word_shingles("text", 5)).alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("_sh"))
+    new = D.shingle_hash_rows(corpus, "text", "doc_id", 5)
+    oc = {r.doc_id: r.n for r in old.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    nc = {r.doc_id: r.n for r in new.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert oc == nc
+    assert 9003 not in nc and nc[9001] == 1 and nc[9002] == 1 and nc[9005] == 1
+
+    def inter_counts(rows):
+        a = rows.select(F.col("doc_id").alias("id_a"), "_sh")
+        b = rows.select(F.col("doc_id").alias("id_b"), "_sh")
+        got = (
+            a.join(b, "_sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n"))
+        )
+        return {(r.id_a, r.id_b): r.n for r in got.collect()}
+
+    assert inter_counts(old) == inter_counts(new)
+
+
+def test_index_format_guard_rejects_stale_index(spark, docs, tmp_path):
+    """A persisted index whose meta version (or _sh dtype) doesn't match
+    the current format must fail loudly on probe/append — never return
+    silently-empty matches (advisor r04, medium)."""
+    D.build_minhash_index(docs.limit(50), "t_fmt", str(tmp_path / "idx"))
+    # sanity: a fresh index passes
+    D._check_index_format(spark, "t_fmt")
+    # simulate an older-format index: wrong meta version
+    spark.createDataFrame([(2,)], "format_version int").write.mode(
+        "overwrite"
+    ).option("path", str(tmp_path / "meta2")).saveAsTable("t_fmt_meta")
+    with pytest.raises(ValueError, match="Rebuild"):
+        D.incremental_dedup(docs.limit(5), spark, "t_fmt")
+    # and a missing meta table entirely (pre-r05 index)
+    spark.sql("DROP TABLE t_fmt_meta")
+    with pytest.raises(ValueError, match="Rebuild"):
+        D.append_to_minhash_index(docs.limit(5), spark, "t_fmt")
+    for t in ("t_fmt_bands", "t_fmt_shingles", "t_fmt_sizes"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_minhash_deterministic(docs):
     one = {(r.id_a, r.id_b, r.jaccard) for r in D.minhash_lsh_dedup(docs).collect()}
     two = {(r.id_a, r.id_b, r.jaccard) for r in D.minhash_lsh_dedup(docs).collect()}
