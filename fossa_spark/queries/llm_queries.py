@@ -84,27 +84,22 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the fixture's near-dup knee (26 pairs at sf0.01, 391 at sf0.1;
     nothing reaches 0.5), so the check exercises real values, not empty.
 
-    Sub-blocking (round 4, caught by the sf1 audit): blocking on the
-    ~10 coarse labels alone makes block size grow as n/10 and pair work
-    O(n²) — 53× cost at 10× data.  Each label now splits into
-    ceil(n_label/256) md5-bucketed sub-blocks, so blocks stay ≤~256
-    vectors and pair work is linear.  The split is DETERMINISTIC AND
-    SQL-EXPRESSIBLE (md5 of the id, per-label count), so the oracle
-    replicates it bit-for-bit; at sf ≤ 0.1 every label is under 256
-    vectors, subs == 1, and results are byte-identical to the unsplit
-    form — the scale guard costs nothing at verify scale."""
+    Sub-blocking: blocking on the ~10 coarse labels alone makes block
+    size grow as n/10 and pair work O(n²) — 53× cost at 10× data (round
+    4's sf1 audit).  Round 4 split oversized labels on md5(vec_id) — a
+    RANDOM partition that silently trades recall at scale (a near-dup
+    pair can straddle two sub-blocks of its label).  Round 5 replaces it
+    with LOCALITY-BASED sub-blocks (similarity.locality_subblocked):
+    within-corpus adaptive KMeans, block = (label, nearest centroid), so
+    near neighbors co-locate by construction.  The branch is explicit:
+    while every label holds ≤ 256 vectors (true at sf ≤ 0.1) blk is the
+    label itself — byte-identical to the unsplit form and exactly what
+    the SQL oracle states; the KMeans path engages only at scale, where
+    the sf1 recall harness (tests/test_scale_evidence.py) checks pairs
+    found ≥ the r04 md5-split baseline on the same fixture."""
     e = load(spark, sf_dir, "embeddings")
-    h16 = F.conv(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
-    ).cast("long")
-    # per-label counts via broadcast join, NOT a window: a window
-    # partitioned by label would shuffle the full vector column once more
-    # before the block shuffle; the count relation is label-grain tiny
-    counts = e.groupBy("label").agg(
-        F.ceil(F.count(F.lit(1)) / 256.0).cast("long").alias("_subs")
-    )
-    e2 = e.join(F.broadcast(counts), "label").withColumn(
-        "blk", F.col("label").cast("long") * 65536 + (h16 % F.col("_subs"))
+    e2 = S.locality_subblocked(
+        e, "label", "vec_id", "embedding", cap=256, target_block=125
     )
     return (
         S.blocked_cosine_pairs(e2, "blk", "vec_id", "embedding", threshold=0.35)
@@ -134,7 +129,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 4 != 0)
     batch = d.filter(F.col("doc_id") % 4 == 0)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    prefix = f"fs_dedup_idx_{tag}"
+    # vN in the prefix: a warehouse from an older session may still hold
+    # a previous-format index under the old name; versioned naming makes
+    # the rebuild automatic instead of tripping _check_index_format
+    prefix = f"fs_dedup_idx_v{D.INDEX_FORMAT_VERSION}_{tag}"
     if not spark.catalog.tableExists(f"{prefix}_bands"):
         path = tempfile.mkdtemp(prefix="fossa_dedup_idx_")
         D.build_minhash_index(corpus, prefix, path)
@@ -860,23 +858,16 @@ ORACLE = {
                  / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.6
         ORDER BY id_a, id_b
     """,
-    # sub-block mirrors the Spark side exactly: per-label count, md5-hex
-    # bucket of vec_id mod ceil(n_label/256) — at verify scale every
-    # label has < 256 vectors so sub == 0 everywhere and this reduces to
-    # the plain within-label join
+    # plain within-label pairs: at verify scale every label holds ≤ 256
+    # vectors, so the Spark side's locality_subblocked takes its
+    # blk = label branch and this IS the exact semantics (the KMeans
+    # sub-block branch engages only at sf ≥ 1, covered by the sf1 recall
+    # harness in tests/test_scale_evidence.py)
     "q_dedup_embed": f"""
-        WITH e AS (
-          SELECT vec_id, label, embedding,
-                 CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))
-                      AS BIGINT)
-                   % CAST(CEIL(COUNT(*) OVER (PARTITION BY label) / 256.0)
-                          AS BIGINT) AS sub
-          FROM embeddings
-        )
         SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
                {_DOT.format(a="a.embedding", b="b.embedding")} AS cos
-        FROM e a JOIN e b
-          ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE {_DOT.format(a="a.embedding", b="b.embedding")} >= 0.35
         ORDER BY label, id_a, id_b
     """,

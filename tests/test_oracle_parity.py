@@ -37,18 +37,12 @@ def test_oracles_have_queries():
 def test_registration_order_oracle_backed_first():
     """Driver contract: a count- or time-capped driver run must hash-verify
     the full oracle-backed inventory before reaching any rows-only query
-    (round 1's CORRECTNESS file cut off at exactly 50 rows).  Exception:
-    the retire_errs pin (q_agg_approx — rows-only, whose only driver
-    record is an r01 err) deliberately leads so one 50-row window can
-    close the artifact history."""
-    from fossa_spark.queries import _has_clean_row_since
-
+    (round 1's CORRECTNESS file cut off at exactly 50 rows).  The r04
+    q_agg_approx pin is retired (round 5): the driver records rows-only
+    runs as err='no_oracle' forever, so it can never 'go clean' — it ran
+    in r04, which is the best the artifact format allows."""
     names = list(_QUERIES)
-    if not _has_clean_row_since("q_agg_approx", 4):
-        assert names[0] == "q_agg_approx"  # retire_errs pin (round 4)
-        rest = names[1:]
-    else:  # pin self-retired once a clean driver row landed
-        rest = names
+    rest = names
     first_rows_only = next(i for i, n in enumerate(rest) if n not in _ORACLES)
     assert first_rows_only == len(_ORACLES), (
         f"rows-only query at position {first_rows_only} precedes an "

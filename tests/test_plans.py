@@ -493,11 +493,37 @@ def test_nullsafe_join_aggregates_below_join(spark):
 
 
 def test_dedup_embed_subblocks_bounded(spark):
-    """q_dedup_embed's block key must include the md5 sub-block (scale
-    guard) and derive per-label counts via a broadcast join, not a
-    window over the vector-carrying relation."""
+    """q_dedup_embed blocks on the label alone at small scale (the
+    locality_subblocked small branch: blk = label·65536, no md5 random
+    split — r05 replaced it with KMeans locality sub-blocks) and must
+    not shuffle the vector-carrying relation through a window."""
     from fossa_spark.queries.llm_queries import q_dedup_embed
 
     a = audit(q_dedup_embed(spark, SF_DIR))
-    assert "md5" in a.formatted
+    assert "md5" not in a.formatted  # the r04 random split must stay gone
     assert "Window" not in a.formatted
+    assert "65536" in a.formatted  # blk = label * 65536 (small branch)
+
+
+def test_join_range_banded_is_equi_hash_join(spark):
+    """The banded range join's pairwise stage must be a real equi join on
+    (nation, band) — never a cartesian/non-broadcast nested loop; the
+    only nested-loop node allowed is the broadcast theta join against
+    the fixed-size band-count relation."""
+    from fossa_spark.queries.joins import q_join_range_banded
+
+    a = audit(q_join_range_banded(spark, SF_DIR))
+    assert "CartesianProduct" not in a.formatted
+    equi = [
+        j
+        for j in a.join_nodes
+        if ("HashJoin" in j or "SortMergeJoin" in j) and "Reused" not in j
+    ]
+    assert equi, a.join_nodes
+    # the theta stage is allowed only as a BROADCAST nested loop
+    # (bare "Join" tokens are simple-mode header words, not nodes)
+    assert all(
+        "Broadcast" in j or "Hash" in j or "SortMerge" in j
+        for j in a.join_nodes
+        if j != "Join" and "Reused" not in j
+    ), a.join_nodes

@@ -332,3 +332,44 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+SF1_EMB = "/root/repo/testdata_sf1/embeddings.parquet"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(SF1_EMB), reason="sf1 fixture absent"
+)
+def test_locality_subblock_recall_vs_random_split_sf1(spark):
+    """r04 verdict item 2: at sf1 (the first scale where labels overflow
+    the 256 cap and sub-blocking actually engages), the KMeans locality
+    split must recover AT LEAST the near-dup pairs the r04 md5 random
+    split found on the same fixture — recall by construction, not luck.
+    (At verify scales both reduce to plain label blocking.)"""
+    from fossa_spark.llm import similarity as S
+
+    e = spark.read.parquet(SF1_EMB)
+    max_label = (
+        e.groupBy("label").count().agg(F.max("count")).first()[0]
+    )
+    assert max_label > 256, "fixture too small for the sub-block branch"
+
+    loc = S.locality_subblocked(e, "label", "vec_id", "embedding", cap=256)
+    n_loc = S.blocked_cosine_pairs(
+        loc, "blk", "vec_id", "embedding", threshold=0.35
+    ).count()
+
+    # the r04 baseline: md5(vec_id) % ceil(n_label/256) random sub-split
+    h16 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    counts = e.groupBy("label").agg(
+        F.ceil(F.count(F.lit(1)) / 256.0).cast("long").alias("_subs")
+    )
+    rnd = e.join(F.broadcast(counts), "label").withColumn(
+        "blk", F.col("label").cast("long") * 65536 + (h16 % F.col("_subs"))
+    )
+    n_rnd = S.blocked_cosine_pairs(
+        rnd, "blk", "vec_id", "embedding", threshold=0.35
+    ).count()
+    assert n_loc >= n_rnd, (n_loc, n_rnd)
