@@ -1146,30 +1146,25 @@ def semantic_dedup(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     from fossa_spark.llm.similarity import (
-        _as_double,
         _nearest_centroids_udf,
         blocked_cosine_pairs,
+        fit_centroids_capped,
     )
 
     n = embeddings.count()  # one count job; sizes both knobs below
     if n_clusters is None:
         n_clusters = max(16, min(4096, n // target_block))
 
-    train = embeddings.select(
-        array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    # round 5: capped-sample driver-side Lloyd (fit_centroids_capped)
+    # replaces the MLlib k-means|| fit — same adaptive-k regime, same
+    # train cap, ~5 s less fixed cost at sf1 (BENCHLOG); cluster ids
+    # change (different init), which rows-only output tolerates and the
+    # planted-group recall test checks semantically
+    centroids = fit_centroids_capped(
+        embeddings, vec_col, n_clusters, n=n, train_cap=train_cap, seed=seed
     )
-    if n > train_cap:
-        # Bernoulli sample has no hard upper bound — oversample 1.2× then
-        # limit() so the fit cost is genuinely capped at train_cap rows
-        train = train.sample(
-            fraction=min(1.0, 1.2 * train_cap / n), seed=seed
-        ).limit(train_cap)
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
-    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
 
     assigned = embeddings.withColumn(
         "cluster", _nearest_centroids_udf(centroids, 1)(F.col(vec_col))[0]
@@ -1299,7 +1294,27 @@ def setsim_join(
         )
     )
     t = float(threshold)
-    prefix_len = F.col("n") - F.ceil(F.col("n") * t).cast("int") + 1
+    # ℓ-PREFIX COUNT FILTER (AdaptJoin, Wang et al. SIGMOD'12 — the
+    # ℓ-prefix scheme; round 5): extend each prefix by ℓ−1 tokens beyond
+    # the classic n − ⌈t·n⌉ + 1, then require candidates to share ≥ ℓ
+    # prefix tokens.  Soundness (global token order = (dfreq, tok), the
+    # same total order every doc sorts by): for a matching pair the ℓ
+    # smallest SHARED tokens each have ≥ O−i shared tokens after them,
+    # so their positions in A are ≤ n_a − O + ℓ ≤ n_a − ⌈t·n_a⌉ + ℓ =
+    # |extended prefix| (O ≥ ⌈t·n_a⌉ and, under the symmetric length
+    # filter, O ≥ ⌈t·n_b⌉) — all ℓ lie in BOTH extended prefixes.  For
+    # degenerate tiny docs where the pair's required overlap m =
+    # ⌈t·max(n)⌉ < ℓ, only m shared tokens are guaranteed — hence the
+    # least().  Effect: the r04 .distinct() becomes a same-shuffle
+    # groupBy COUNT, and the verify stage only sees pairs sharing ≥ ℓ
+    # rare tokens.  On the sf1 corpus the prefix join emits 36.7M rows
+    # across 22.9M distinct pairs (mostly 1–2 shared tokens) for 3,019
+    # true pairs — the count filter kills the verify mass the positional
+    # filter could not touch (rare shared tokens sit at FRONT positions,
+    # so PPJoin's bound degenerates to ~n; that filter was measured out
+    # in r04).  Prefix rows grow by only ℓ−1 per doc.
+    L = 4
+    prefix_len = F.col("n") - F.ceil(F.col("n") * t).cast("int") + L
     prefix = ranked.select(
         "doc_id", "n",
         F.explode(F.slice("toks", 1, prefix_len)).alias("tok"),
@@ -1316,7 +1331,16 @@ def setsim_join(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
             F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
         )
-        .distinct()
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("_cpf"))
+        .filter(
+            F.col("_cpf")
+            >= F.least(
+                F.lit(L),
+                F.ceil(t * F.greatest("na", "nb")).cast("long"),
+            )
+        )
+        .drop("_cpf")
     )
     # verify: join each candidate pair with the two per-doc element
     # ARRAYS and count the intersection narrowly (array_intersect on

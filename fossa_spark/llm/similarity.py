@@ -441,6 +441,64 @@ def blocked_cosine_pairs(
     )
 
 
+def fit_centroids_capped(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    n: int | None = None,
+    train_cap: int = 8192,
+    seed: int = 42,
+    iters: int = 10,
+) -> "np.ndarray":
+    """Driver-side seeded Lloyd k-means on a CAPPED sample → (k × d)
+    centroids — the _train_pq_codebooks precedent generalized (FAISS
+    trains its quantizers on a bounded sample regardless of corpus size;
+    the collect is ≤ train_cap × dim doubles, ~4 MB at the defaults).
+
+    For BLOCKING/clustering-as-partitioning, centroids only need to
+    induce locality, not converge: sample-init + ``iters`` matmul
+    iterations.  MLlib's k-means|| fit measured 4.8 s at k=400 on the
+    same sample where this runs in ~0.13 s; assignment stays fully
+    distributed (_nearest_centroids_udf).  Deterministic for a given
+    (seed, sample)."""
+    import numpy as np
+
+    if n is None:
+        n = df.count()
+    train = df.select(vec_col)
+    if n > train_cap:
+        # Bernoulli sample has no hard upper bound — oversample 1.2× then
+        # limit() so the fit cost is genuinely capped at train_cap rows
+        train = train.sample(fraction=min(1.0, 1.2 * train_cap / n), seed=seed).limit(
+            train_cap
+        )
+    sample = np.vstack([np.asarray(r[0], dtype=np.float64) for r in train.collect()])
+    rng = np.random.default_rng(seed)
+    k = min(k, len(sample))
+    # seeded D² (k-means++) init: plain random init leaves dead centroids
+    # and fat clusters at k ≈ 400, and the downstream pair stage pays
+    # quadratically for every fat block (measured: semantic_dedup sf1
+    # warm 9.7 → 13.3 s with random init).  One incremental min-dist
+    # array keeps this O(k·n·d) total — ~0.2 s at the defaults.
+    cent = np.empty((k, sample.shape[1]), dtype=np.float64)
+    cent[0] = sample[rng.integers(len(sample))]
+    d2 = ((sample - cent[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        cent[i] = sample[rng.choice(len(sample), p=probs)]
+        d2 = np.minimum(d2, ((sample - cent[i]) ** 2).sum(axis=1))
+    for _ in range(iters):
+        # ||x-c||² ranking: ||x||² is constant per row, so -2x·c + ||c||²
+        d = -2.0 * (sample @ cent.T) + (cent * cent).sum(axis=1)
+        assign = d.argmin(axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, sample)
+        cnts = np.bincount(assign, minlength=k).astype(np.float64)
+        nonempty = cnts > 0
+        cent[nonempty] = sums[nonempty] / cnts[nonempty, None]
+    return cent
+
+
 def locality_subblocked(
     df: DataFrame,
     label_col: str = "label",
@@ -492,34 +550,9 @@ def locality_subblocked(
         return df.withColumn("blk", base)
     n = int(row["n"])
     k = max(16, min(4096, n // target_block))
-    # cheap driver-side seeded Lloyd on the CAPPED sample — the
-    # _train_pq_codebooks precedent (FAISS trains its quantizers on a
-    # bounded sample regardless of corpus size; the collect is ≤
-    # train_cap × dim doubles, ~4 MB).  For BLOCKING, centroids only
-    # need to induce locality, not converge: sample-init + 5 matmul
-    # iterations.  MLlib's k-means|| fit measured 4.8 s at k=400 where
-    # this runs in well under a second; assignment stays distributed.
-    train = df.select(vec_col)
-    if n > train_cap:
-        train = train.sample(fraction=min(1.0, 1.2 * train_cap / n), seed=seed).limit(
-            train_cap
-        )
-    sample = np.vstack(
-        [np.asarray(r[0], dtype=np.float64) for r in train.collect()]
+    centroids = fit_centroids_capped(
+        df, vec_col, k, n=n, train_cap=train_cap, seed=seed
     )
-    rng = np.random.default_rng(seed)
-    k = min(k, len(sample))
-    cent = sample[rng.choice(len(sample), size=k, replace=False)].copy()
-    for _ in range(5):
-        # ||x-c||² ranking: ||x||² is constant per row, so -2x·c + ||c||²
-        d = -2.0 * (sample @ cent.T) + (cent * cent).sum(axis=1)
-        assign = d.argmin(axis=1)
-        sums = np.zeros_like(cent)
-        np.add.at(sums, assign, sample)
-        cnts = np.bincount(assign, minlength=k).astype(np.float64)
-        nonempty = cnts > 0
-        cent[nonempty] = sums[nonempty] / cnts[nonempty, None]
-    centroids = cent
     return df.withColumn(
         "blk",
         base + _nearest_centroids_udf(centroids, 1)(F.col(vec_col))[0].cast("long"),
