@@ -206,27 +206,31 @@ def ngram_jaccard_pairs(
         .select("shingle"),
         "shingle",
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = kept.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = kept.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # round 5: intersections via the prefix-filtered setsim engine
+    # instead of the all-intersections self-join — on the capped
+    # universe the plain join still materializes Σ df² rows (~150M at
+    # sf1 for 2,560 output pairs); _setsim_core only pays for pairs
+    # sharing ≥ ℓ of their rarest shingles.  Same exact (na, nb, inter)
+    # per surviving pair, and the superset guarantee covers every
+    # jaccard ≥ min_jaccard pair, so the output is value-identical.
+    inter = _setsim_core(
+        kept.select("doc_id", F.col("shingle").alias("tok")),
+        float(min_jaccard),
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     pairs = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "n_a", "n_b", "n_inter", "jaccard")
+        .select(
+            "id_a", "id_b",
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.col("inter").cast("long").alias("n_inter"),
+            "jaccard",
+        )
         .localCheckpoint(eager=True)
     )
     kept.unpersist()
@@ -1218,6 +1222,7 @@ def setsim_join(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     set_col: Column | None = None,
+    tok_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact set-similarity self-join via prefix filtering (the AllPairs /
     PPJoin family, Bayardo et al. WWW'07 / Xiao et al. WWW'08): token-SET
@@ -1267,17 +1272,52 @@ def setsim_join(
     Jaccard — on corpora whose unigram vocabularies overlap heavily,
     shingles are what make the measure (and the prefix filter)
     discriminative."""
-    elems = set_col if set_col is not None else tokens(text_col)
-    # per-doc dedup stays NARROW (no exchange); the int64 hash replaces
-    # the string element everywhere downstream (see docstring).
-    # tok feeds several consumers (dfreq, prefix ranking, both verify
-    # sides), but identical subtrees dedupe via ReusedExchange, so an
-    # explicit persist costs MORE than it saves (measured: 5.7 s → 11.4 s
-    # warm at sf0.1 with persist + eager checkpoint). Leave it lazy.
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(elems)).alias("tok_s"),
-    ).select("doc_id", F.xxhash64("tok_s").alias("tok"))
+    if tok_rows is not None:
+        # prebuilt per-doc DISTINCT (doc_id, tok int64) relation — e.g.
+        # shingle_hash_rows' Arrow output (round 5), skipping the
+        # interpreted-HOF set_col path entirely
+        tok = tok_rows.select(F.col(id_col).alias("doc_id"), "tok")
+    else:
+        elems = set_col if set_col is not None else tokens(text_col)
+        # per-doc dedup stays NARROW (no exchange); the int64 hash
+        # replaces the string element everywhere downstream (see
+        # docstring).  tok feeds several consumers (dfreq, prefix
+        # ranking, both verify sides), but identical subtrees dedupe via
+        # ReusedExchange, so an explicit persist costs MORE than it
+        # saves (measured: 5.7 s → 11.4 s warm at sf0.1 with persist +
+        # eager checkpoint). Leave it lazy.
+        tok = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(elems)).alias("tok_s"),
+        ).select("doc_id", F.xxhash64("tok_s").alias("tok"))
+    t = float(threshold)
+    inter = _setsim_core(tok, t)
+    uni = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        inter.withColumn("uni", uni.cast("long"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter").cast("double") / F.col("uni"), 6),
+        )
+        .filter(F.col("jaccard") >= t)
+        .select("id_a", "id_b",
+                F.col("inter").cast("long").alias("inter"), "uni", "jaccard")
+    )
+
+
+def _setsim_core(tok: DataFrame, t: float, l: int = 4) -> DataFrame:
+    """Prefix-filtered exact set-intersection pairs from a per-doc
+    DISTINCT (doc_id, tok int64) relation: every pair whose token-set
+    Jaccard is ≥ ``t`` appears with its EXACT intersection count
+    (callers apply their own measure/filter on (na, nb, inter) — a
+    SUPERSET of qualifying pairs may appear, never a subset).
+
+    This is setsim_join's engine, split out (round 5) so
+    ngram_jaccard_pairs can reuse it: the plain all-intersections join
+    materializes Σ df² rows (~150M at sf1 on the df-capped shingle
+    universe) where the prefix + ℓ-count path only pays for pairs
+    sharing ≥ ℓ of their rarest tokens.  See setsim_join's docstring
+    for the filter lineage and the ℓ-prefix soundness argument."""
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
     ranked = (
         tok.join(dfreq, "tok")
@@ -1293,7 +1333,6 @@ def setsim_join(
             F.size("sorted_toks").alias("n"),
         )
     )
-    t = float(threshold)
     # ℓ-PREFIX COUNT FILTER (AdaptJoin, Wang et al. SIGMOD'12 — the
     # ℓ-prefix scheme; round 5): extend each prefix by ℓ−1 tokens beyond
     # the classic n − ⌈t·n⌉ + 1, then require candidates to share ≥ ℓ
@@ -1313,8 +1352,7 @@ def setsim_join(
     # filter could not touch (rare shared tokens sit at FRONT positions,
     # so PPJoin's bound degenerates to ~n; that filter was measured out
     # in r04).  Prefix rows grow by only ℓ−1 per doc.
-    L = 4
-    prefix_len = F.col("n") - F.ceil(F.col("n") * t).cast("int") + L
+    prefix_len = F.col("n") - F.ceil(F.col("n") * t).cast("int") + l
     prefix = ranked.select(
         "doc_id", "n",
         F.explode(F.slice("toks", 1, prefix_len)).alias("tok"),
@@ -1336,7 +1374,7 @@ def setsim_join(
         .filter(
             F.col("_cpf")
             >= F.least(
-                F.lit(L),
+                F.lit(l),
                 F.ceil(t * F.greatest("na", "nb")).cast("long"),
             )
         )
@@ -1369,14 +1407,4 @@ def setsim_join(
             F.size(F.array_intersect("_toks_a", "_toks_b")).alias("inter"),
         )
     )
-    uni = F.col("na") + F.col("nb") - F.col("inter")
-    return (
-        inter.withColumn("uni", uni.cast("long"))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter").cast("double") / F.col("uni"), 6),
-        )
-        .filter(F.col("jaccard") >= t)
-        .select("id_a", "id_b",
-                F.col("inter").cast("long").alias("inter"), "uni", "jaccard")
-    )
+    return inter

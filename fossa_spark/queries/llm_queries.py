@@ -549,11 +549,19 @@ def q_dedup_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram vocabularies overlap so heavily that token-set Jaccard is
     non-discriminative (92k of 125k possible pairs pass 0.5 at sf0.01).
     The oracle brute-forces the same Jaccard in SQL; results are
-    identical because prefix filtering has no false negatives."""
+    identical because prefix filtering has no false negatives.
+
+    Round 5: the trigram sets come from shingle_hash_rows (the Arrow
+    path — no shingle strings), finishing the dedup family's HOF
+    retirement; outputs are counts, so the hash-family swap is
+    value-invariant (hash-parity re-checked at sf0.01 + sf0.1)."""
     d = load(spark, sf_dir, "documents")
-    return D.setsim_join(
-        d, threshold=0.5, set_col=D.word_shingles("text", 3)
-    ).orderBy("id_a", "id_b")
+    rows = D.shingle_hash_rows(d, "text", "doc_id", k=3).select(
+        "doc_id", F.col("_sh").alias("tok")
+    )
+    return D.setsim_join(d, threshold=0.5, tok_rows=rows).orderBy(
+        "id_a", "id_b"
+    )
 
 
 _BPE_MERGE_CACHE: dict = {}

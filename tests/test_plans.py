@@ -466,7 +466,9 @@ def test_setsim_verify_is_narrow_array_intersect(spark):
 
     a = audit(q_dedup_setsim(spark, SF_DIR))
     assert "array_intersect" in a.formatted
-    assert "xxhash64" in a.formatted
+    # r05: elements arrive as int64 from the Arrow shingle path (one
+    # MapInPandas), not a per-string xxhash64 projection
+    assert "MapInPandas" in a.formatted
     assert not any(
         "Cartesian" in j or "NestedLoop" in j for j in a.join_nodes
     ), a.join_nodes
