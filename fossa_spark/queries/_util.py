@@ -68,6 +68,25 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e
 
 
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Guarantee a COMPUTE-HEAVY narrow pipeline at least one task per
+    core — adaptively, so it costs nothing at real scale.
+
+    Parquet splits at row-group granularity: the test fixtures are
+    single-row-group files, so a scan yields 1 partition and a per-doc
+    CPU-bound stage (rolling hashes, regex scans, sketch updates) runs
+    on 1 of 32 cores — measured 27 s for q_dedup_substring at sf1 with
+    31 cores idle.  At corpus scale the scan produces thousands of
+    splits and this helper is a NO-OP (partitions ≥ parallelism ⇒ no
+    shuffle), so the one-pass text shuffle is only ever paid when it
+    buys idle cores.  Only for expensive per-row compute — cheap narrow
+    queries keep their 0-Exchange plans."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def cents(col: Column | str, scale: int = 2) -> Column:
     """Exact integer representation of a fixed-decimal double column."""
     c = F.col(col) if isinstance(col, str) else col

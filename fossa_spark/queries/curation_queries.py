@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from fossa_spark.llm import curation as C
 from fossa_spark.llm import dedup as D
-from fossa_spark.queries._util import load
+from fossa_spark.queries._util import load, spread
 
 
 def _augmented_pii(d: DataFrame) -> DataFrame:
@@ -38,7 +38,7 @@ def _augmented_pii(d: DataFrame) -> DataFrame:
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex PII redaction (email/phone/IPv4 → typed tags) with per-category
     counts. Narrow codegen'd pass — no shuffle, no Python."""
-    d = _augmented_pii(load(spark, sf_dir, "documents"))
+    d = _augmented_pii(spread(load(spark, sf_dir, "documents"), spark))
     return (
         C.redact_pii(d)
         .select("doc_id", "n_email", "n_phone", "n_ipv4", "redacted")
@@ -53,7 +53,7 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fossa_spark.llm.curation import PII_PATTERNS
 
     pats = {name: pat for name, pat, _ in PII_PATTERNS}
-    d = _augmented_pii(load(spark, sf_dir, "documents"))
+    d = _augmented_pii(spread(load(spark, sf_dir, "documents"), spark))
     # matched spans emitted as a '|'-joined sorted string, not an array —
     # array cells round-trip as numpy arrays whose dtype (object vs <U)
     # differs between the two engines' pandas bridges and can flip the
@@ -154,8 +154,9 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition features: duplicate-token / duplicate-bigram
-    fractions per document. Pure array expressions — narrow pass."""
-    d = load(spark, sf_dir, "documents")
+    fractions per document. Pure array expressions — narrow pass
+    (spread: per-doc array work must see every core, see _util)."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
     return (
         C.repetition_stats(d)
         .select(

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from fossa_spark.queries._util import cents, load, load_events, sql_cents
+from fossa_spark.queries._util import cents, load, load_events, spread, sql_cents
 
 
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,7 +499,7 @@ def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 Knuth-hash projections of custkey so both engines derive the
     identical point set; distance² stays in exact integer arithmetic —
     no floats anywhere."""
-    c = load(spark, sf_dir, "customer")
+    c = spread(load(spark, sf_dir, "customer"), spark)
     eps = _GRID_EPS
     pts = c.select(
         "c_custkey",
@@ -550,7 +550,7 @@ def q_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     kNN needs ring-expanding probes), then a per-point window keeps the
     3 smallest exact integer distances, ties broken by neighbor id.
     Directed pairs — a is the query point, so no id_a < id_b collapse."""
-    c = load(spark, sf_dir, "customer")
+    c = spread(load(spark, sf_dir, "customer"), spark)
     eps = _GRID_EPS
     pts = c.select(
         "c_custkey",

@@ -15,7 +15,7 @@ from fossa_spark.llm import dedup as D
 from fossa_spark.llm import multimodal as M
 from fossa_spark.llm import similarity as S
 from fossa_spark.llm import text as X
-from fossa_spark.queries._util import load
+from fossa_spark.queries._util import load, spread
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,7 +260,7 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     min over rows of their bucket counts; CMS guarantees est ≥ exact,
     surfaced as overcount = est - exact (≥ 0 always, and the driver hash
     locks the exact collision pattern)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), spark)
     toks = d.select(F.explode(X.tokens("text")).alias("token")).filter(
         F.col("token") != ""
     )
@@ -309,8 +309,9 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture corpus has no natural 8-gram self-repeats, so docs with
     doc_id % 3 == 0 get their first 16 tokens re-appended (the
     _augmented_pii planting pattern): removal provably fires for exactly
-    those docs and the cleaned-text md5 locks the surviving content."""
-    d = load(spark, sf_dir, "documents")
+    those docs and the cleaned-text md5 locks the surviving content.
+    spread: the rolling-hash scan is per-doc CPU-bound (see _util)."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
     first16 = F.concat_ws(
         " ", F.slice(F.split(F.lower(F.col("text")), " "), 1, 16)
     )
@@ -446,7 +447,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features (ratios of exact ints)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), spark)
     feats = X.quality_features(d)
     return feats.select(
         "doc_id",

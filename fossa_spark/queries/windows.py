@@ -234,28 +234,117 @@ def q_win_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ORDER BY must include the measure columns to be a total order
     # over value-distinct rows (fully identical rows are interchangeable
     # in a sum frame, so the hash stays deterministic)
-    w = (
-        W.partitionBy("l_returnflag")
-        .orderBy(
-            F.col("l_shipdate").asc(),
-            F.col("l_orderkey").asc(),
-            F.col("l_linenumber").asc(),
-            x.asc(),
-            y.asc(),
+    order = [
+        F.col("l_shipdate").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+        x.asc(),
+        y.asc(),
+    ]
+    # BUCKET-CARRY decomposition (round 5): PARTITION BY l_returnflag
+    # alone caps the window at 3 tasks forever — at 100 TB one task must
+    # sort a third of the corpus (the corpus-wide-window smell this repo
+    # bans; it measured 8× cost at 10× data purely from the parallelism
+    # ceiling).  A ROWS -29..0 frame only ever reaches 29 rows back, so
+    # split each flag partition into shipdate-month buckets, DUPLICATE
+    # each bucket's last 29 rows into the next occupied bucket
+    # (is_carry=1), evaluate the same exact-int64 window per
+    # (flag, bucket), and drop the carry rows: every kept row sees
+    # exactly the 29 globally-preceding rows (carried rows sort first —
+    # they come from strictly earlier months).  Value-identical by
+    # construction (integer sums; same frame contents), ~250-way
+    # parallel instead of 3.
+    #
+    # The bucket-occupancy map is control-plane-sized (flag × month) and
+    # driver-checked: the carry of 29 rows spans AT MOST one bucket
+    # boundary, so every occupied bucket must hold ≥ 29 rows — if any
+    # does not (arbitrary input data, not this fixture), fall back to
+    # the plain single-window form, which is always correct.
+    bucket = (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("_bkt")
+    d0 = li.select(
+        "l_returnflag", "l_orderkey", "l_linenumber",
+        "l_shipdate", x.alias("_x"), y.alias("_y"), bucket,
+    )
+    occ = (
+        d0.groupBy("l_returnflag", "_bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    use_buckets = bool(occ) and min(r["_n"] for r in occ) >= 29
+    if use_buckets:
+        # driver-side successor map: next OCCUPIED bucket per flag
+        succ: dict[tuple, int] = {}
+        by_flag: dict[str, list[int]] = {}
+        for r in occ:
+            by_flag.setdefault(r["l_returnflag"], []).append(r["_bkt"])
+        for flag, bkts in by_flag.items():
+            bkts.sort()
+            for prev, nxt in zip(bkts, bkts[1:]):
+                succ[(flag, prev)] = nxt
+        succ_entries = [
+            F.lit(v)
+            for fb, nxt in succ.items()
+            for v in (F.concat_ws("|", F.lit(fb[0]), F.lit(str(fb[1]))), nxt)
+        ]
+        succ_expr = (
+            F.create_map(*succ_entries).getItem(
+                F.concat_ws("|", F.col("l_returnflag"), F.col("_bkt").cast("string"))
+            )
+            if succ_entries
+            else F.lit(None).cast("int")
         )
-        .rowsBetween(-29, 0)
-    )
-    d = li.select(
-        "l_returnflag",
-        "l_orderkey",
-        "l_linenumber",
-        F.count(F.lit(1)).over(w).alias("n"),
-        F.sum(x).over(w).alias("sx"),
-        F.sum(y).over(w).alias("sy"),
-        F.sum(x * y).over(w).alias("sxy"),
-        F.sum(x * x).over(w).alias("sxx"),
-        F.sum(y * y).over(w).alias("syy"),
-    )
+        w_tail = W.partitionBy("l_returnflag", "_bkt").orderBy(
+            F.col("l_shipdate").desc(),
+            F.col("l_orderkey").desc(),
+            F.col("l_linenumber").desc(),
+            F.col("_x").desc(),
+            F.col("_y").desc(),
+        )
+        carries = (
+            d0.withColumn("_rk", F.row_number().over(w_tail))
+            .filter(F.col("_rk") <= 29)
+            .withColumn("_nxt", succ_expr)
+            .filter(F.col("_nxt").isNotNull())
+            .select(
+                "l_returnflag", "l_orderkey", "l_linenumber", "l_shipdate",
+                "_x", "_y", F.col("_nxt").alias("_bkt"),
+                F.lit(1).alias("_carry"),
+            )
+        )
+        unioned = d0.withColumn("_carry", F.lit(0)).unionByName(carries)
+        w = (
+            W.partitionBy("l_returnflag", "_bkt")
+            .orderBy(
+                F.col("l_shipdate").asc(),
+                F.col("l_orderkey").asc(),
+                F.col("l_linenumber").asc(),
+                F.col("_x").asc(),
+                F.col("_y").asc(),
+            )
+            .rowsBetween(-29, 0)
+        )
+        d = unioned.select(
+            "l_returnflag", "l_orderkey", "l_linenumber", "_carry",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum("_x").over(w).alias("sx"),
+            F.sum("_y").over(w).alias("sy"),
+            F.sum(F.col("_x") * F.col("_y")).over(w).alias("sxy"),
+            F.sum(F.col("_x") * F.col("_x")).over(w).alias("sxx"),
+            F.sum(F.col("_y") * F.col("_y")).over(w).alias("syy"),
+        ).filter(F.col("_carry") == 0)
+    else:
+        w = W.partitionBy("l_returnflag").orderBy(*order).rowsBetween(-29, 0)
+        d = li.select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum(x).over(w).alias("sx"),
+            F.sum(y).over(w).alias("sy"),
+            F.sum(x * y).over(w).alias("sxy"),
+            F.sum(x * x).over(w).alias("sxx"),
+            F.sum(y * y).over(w).alias("syy"),
+        )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
