@@ -156,9 +156,15 @@ def shingle_hash_rows(
                     }
                 )
 
-    return df.select(id_col, text_col).mapInPandas(
-        gen, f"`{id_col}` {id_type}, `_sh` bigint"
-    )
+    src = df.select(id_col, text_col)
+    # adaptive parallelism guard (same rationale as queries._util.spread):
+    # the fixtures are single-row-group parquet, so without this the
+    # Arrow shingle computation runs on 1 of N cores; at corpus scale
+    # the scan yields ≥ N splits and no shuffle happens
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < n:
+        src = src.repartition(n)
+    return src.mapInPandas(gen, f"`{id_col}` {id_type}, `_sh` bigint")
 
 
 def ngram_jaccard_pairs(
@@ -1286,7 +1292,13 @@ def setsim_join(
         # ReusedExchange, so an explicit persist costs MORE than it
         # saves (measured: 5.7 s → 11.4 s warm at sf0.1 with persist +
         # eager checkpoint). Leave it lazy.
-        tok = df.select(
+        src = df
+        # adaptive parallelism guard (see shingle_hash_rows): the HOF
+        # set_col evaluation is per-doc CPU-bound and must see every core
+        n = df.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < n:
+            src = src.repartition(n)
+        tok = src.select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.array_distinct(elems)).alias("tok_s"),
         ).select("doc_id", F.xxhash64("tok_s").alias("tok"))

@@ -75,8 +75,9 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination scan: training docs sharing any word 3-gram
     with the held-out benchmark slice (doc_id % 97 == 0). The benchmark
-    gram set is broadcast — the corpus never shuffles."""
-    d = load(spark, sf_dir, "documents")
+    gram set is broadcast — the corpus never shuffles (spread: the
+    per-doc gram explode must see every core, see _util)."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
     bench = d.filter(F.col("doc_id") % 97 == 0)
     train = d.filter(F.col("doc_id") % 97 != 0)
     return C.contamination_check(train, bench, k=3).orderBy("doc_id")

@@ -63,7 +63,7 @@ def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrubbed and the text reassembled in position order — the C4/
     RefinedWeb shared-line filter with k-word chunks standing in for
     lines. Exact counts + exact rebuilt strings under the oracle."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), spark)
     return D.remove_shared_chunks(d, k=8, max_df=1).orderBy("doc_id")
 
 
@@ -341,7 +341,7 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the auditable one."""
     from fossa_spark.llm import dedup as D
 
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), spark)
     sh_rows = d.select(
         "doc_id", F.explode(D.word_shingles("text", k=5)).alias("_sh")
     )
@@ -464,7 +464,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID confusion matrix vs the labeled lang column —
     oracle-backed: the DuckDB argmax SQL is GENERATED from the same
     LANG_PROFILES constant, so the two sides cannot drift."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), spark)
     scored = X.language_scores(d)
     return (
         scored.groupBy("lang", "pred_lang")
