@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fossa_spark.queries._util import load, load_events
+from fossa_spark.queries._util import load, load_events, spread
 
 
 def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,8 +158,10 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON functions on events.props: get_json_object / from_json path."""
-    e = load_events(spark, sf_dir)
+    """JSON functions on events.props: get_json_object / from_json path
+    (spread: per-row JSON parsing is CPU-bound and the events fixture has
+    only 5 row groups — see _util)."""
+    e = spread(load_events(spark, sf_dir), spark)
     parsed = F.from_json(F.col("props"), "k BIGINT")
     return (
         e.select(

@@ -71,7 +71,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs, Hamming ≤ 3 (rows-only: xxhash64). The
     tight radius matters on a small-vocabulary corpus where token-multiset
     profiles are globally similar."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), spark)
     return D.simhash_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
 
 
@@ -97,7 +97,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL oracle states; the KMeans path engages only at scale, where
     the sf1 recall harness (tests/test_scale_evidence.py) checks pairs
     found ≥ the r04 md5-split baseline on the same fixture."""
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
     e2 = S.locality_subblocked(
         e, "label", "vec_id", "embedding", cap=256, target_block=125
     )
@@ -143,7 +143,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors (vec_id < 5) — broadcast
     queries, one narrow pass over candidates."""
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -166,7 +166,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: KMeans coarse quantizer + nprobe bucket search +
     exact re-rank (the FAISS-IVF shape; rows-only — KMeans is not
     SQL-expressible)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )

@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fossa_spark.queries._util import load
+from fossa_spark.queries._util import load, spread
 
 
 def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,7 +176,7 @@ def q_udtf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield i, t
 
     spark.udtf.register("fossa_split_terms", SplitTerms)
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), spark)
     d.createOrReplaceTempView("_udtf_docs")
     return spark.sql(
         """

@@ -389,3 +389,42 @@ def test_skyline_2d_ties_and_prefix(spark):
     df = spark.createDataFrame(rows, "id long, x long, y long")
     out = {r.id for r in skyline_2d(df, "x", "y", "id", n_ranges=5).collect()}
     assert out == {1, 2, 5, 7}, out
+
+
+def test_spread_is_noop_when_already_parallel(spark):
+    """spread() must not add a shuffle when the scan already yields at
+    least one partition per core — the corpus-scale case."""
+    from fossa_spark.queries._util import spread
+
+    n = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1000, 1, n + 2)
+    assert spread(df, spark) is df
+
+
+def test_spread_repartitions_single_split(spark):
+    """A single-partition frame (the single-row-group fixture shape) must
+    come out with one partition per core."""
+    from fossa_spark.queries._util import spread
+
+    df = spark.range(0, 1000, 1, 1)
+    out = spread(df, spark)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == 1000
+
+
+def test_fit_centroids_capped_deterministic(spark):
+    """Same (data, seed) → bit-identical centroids; k caps at the sample
+    size; shape is (k, dim)."""
+    import numpy as np
+
+    from fossa_spark.llm.similarity import fit_centroids_capped
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 37 + j * 11) % 101) for j in range(4)]) for i in range(60)],
+        "id long, vec array<double>",
+    )
+    a = fit_centroids_capped(df, "vec", 8, seed=7)
+    b = fit_centroids_capped(df, "vec", 8, seed=7)
+    assert a.shape == (8, 4) and np.array_equal(a, b)
+    c = fit_centroids_capped(df, "vec", 500, seed=7)
+    assert c.shape[0] <= 60
