@@ -206,10 +206,12 @@ def ngram_jaccard_pairs(
     # eagerly so the cache can be released before returning — the same
     # staging pattern minhash_lsh_dedup uses
     kept = sh.join(
+        # keep the count from the cap step: it IS the document frequency
+        # over the capped universe, so _setsim_core skips its own dfreq
+        # aggregate + join (one fewer full shuffle of the relation)
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_df)
-        .select("shingle"),
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") <= max_df),
         "shingle",
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # round 5: intersections via the prefix-filtered setsim engine
@@ -220,7 +222,7 @@ def ngram_jaccard_pairs(
     # per surviving pair, and the superset guarantee covers every
     # jaccard ≥ min_jaccard pair, so the output is value-identical.
     inter = _setsim_core(
-        kept.select("doc_id", F.col("shingle").alias("tok")),
+        kept.select("doc_id", F.col("shingle").alias("tok"), "dfreq"),
         float(min_jaccard),
     )
     pairs = (
@@ -1329,10 +1331,17 @@ def _setsim_core(tok: DataFrame, t: float, l: int = 4) -> DataFrame:
     materializes Σ df² rows (~150M at sf1 on the df-capped shingle
     universe) where the prefix + ℓ-count path only pays for pairs
     sharing ≥ ℓ of their rarest tokens.  See setsim_join's docstring
-    for the filter lineage and the ℓ-prefix soundness argument."""
-    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    for the filter lineage and the ℓ-prefix soundness argument.
+
+    If ``tok`` already carries a ``dfreq`` column (ngram_jaccard_pairs'
+    df-cap step counts every shingle anyway), the per-token frequency
+    aggregate + join back are skipped — one fewer full shuffle of the
+    element relation."""
+    if "dfreq" not in tok.columns:
+        dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+        tok = tok.join(dfreq, "tok")
     ranked = (
-        tok.join(dfreq, "tok")
+        tok
         .groupBy("doc_id")
         .agg(
             F.sort_array(
