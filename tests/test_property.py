@@ -144,3 +144,51 @@ def test_quantize_error_bound_pure(vals):
     err = np.abs(mn + codes * scale - m)
     assert codes.min() >= 0 and codes.max() <= 255
     assert (err <= scale / 2.0 + 1e-9 * np.maximum(np.abs(m), 1.0)).all()
+
+
+# -- the ℓ-prefix count filter's recall lemma (llm/dedup._setsim_core)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 30), min_size=1, max_size=25),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.3, 0.5, 0.7, 0.8]),
+)
+@settings(max_examples=300, deadline=None)
+def test_l_prefix_count_filter_has_no_false_negatives(raw_docs, t):
+    """Pure-Python mirror of _setsim_core's candidate rule (AdaptJoin
+    ℓ-prefix scheme, round 5): every pair with true set-Jaccard ≥ t must
+    share at least min(ℓ, ceil(t·max(na, nb))) tokens between their
+    EXTENDED (n − ⌈t·n⌉ + ℓ) rarity-ordered prefixes AND pass the
+    symmetric length filter — the lemma that lets the Spark plan replace
+    the all-intersections join with a prefix join + count filter without
+    recall loss.  Brute-force checked over random small set families."""
+    L = 4
+    docs = [sorted(set(d)) for d in raw_docs]
+    df: dict[int, int] = {}
+    for d in docs:
+        for tok in d:
+            df[tok] = df.get(tok, 0) + 1
+    order = lambda tok: (df[tok], tok)  # noqa: E731 — the global total order
+
+    def ext_prefix(d):
+        ranked = sorted(d, key=order)
+        plen = len(d) - math.ceil(len(d) * t) + L
+        return set(ranked[: max(plen, 0)])
+
+    prefixes = [ext_prefix(d) for d in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = set(docs[i]), set(docs[j])
+            inter = len(a & b)
+            if not inter or inter / len(a | b) < t:
+                continue  # not a true pair — no recall obligation
+            na, nb = len(a), len(b)
+            # the Spark side's symmetric length filter must keep it
+            assert nb >= t * na and na >= t * nb
+            shared = len(prefixes[i] & prefixes[j])
+            need = min(L, math.ceil(t * max(na, nb)))
+            assert shared >= need, (docs[i], docs[j], t, shared, need)
