@@ -108,6 +108,25 @@ def _last_verified_round() -> dict[str, int]:
     return seen
 
 
+def _ever_seen_names() -> set[str]:
+    """Names with ANY row (green, rows-only, or error) in any driver
+    CORRECTNESS artifact — i.e. the driver has executed them at least
+    once.  Used to self-retire the rows-only front-of-window pin.
+    Best-effort: parse failures degrade to the empty set."""
+    import json
+
+    seen: set[str] = set()
+    root = Path(__file__).resolve().parent.parent.parent
+    try:
+        for p in sorted(root.glob("CORRECTNESS_r*.json")):
+            doc = json.loads(p.read_text())
+            if isinstance(doc, dict):
+                seen |= {k for k, v in doc.items() if isinstance(v, dict)}
+    except (OSError, ValueError, AttributeError, TypeError):
+        return set()
+    return seen
+
+
 def _has_clean_row_since(name: str, min_round: int) -> bool:
     """True if any CORRECTNESS_r{N}.json with N >= min_round records a
     non-error row for ``name`` (rows-only queries never get hash_match
@@ -176,6 +195,20 @@ def all_queries() -> dict[str, QueryFn]:
     # the format allows.
     retire_errs: tuple[str, ...] = ()
     expensive_tail = ("q_dedup_near", "q_pipeline")
+    # Round-6 pin (VERDICT-r5 item 1): 14 rows-only queries have NEVER had
+    # a driver slot — they can't hash-match (seeded LSH/ANN/sketches/BPE/
+    # multimodal), but a "ran" row (like q_agg_approx's r04 row) is still
+    # driver evidence they execute.  Pin any rows-only query with NO row
+    # in ANY CORRECTNESS artifact to the very front of the window; the pin
+    # self-retires the moment an artifact records its first row.  Cheap
+    # ones first; the two expensive plans last within the pin so a
+    # time-boxed run drops them, not the other 12.
+    ever_seen = _ever_seen_names()
+    pin_rows_only = [
+        n
+        for n in merged
+        if n not in oracles and n not in ever_seen and n not in expensive_tail
+    ] + [n for n in expensive_tail if n in merged and n not in ever_seen]
     backed = [n for n in merged if n in oracles]
     # Stable sort (registration order breaks ties):
     #   changed-this-round (0) → oldest verified round first (1, 2, ...)
@@ -185,7 +218,8 @@ def all_queries() -> dict[str, QueryFn]:
     #   must win the slots (new queries have full pytest parity locally and
     #   rotate to the front next round), so no row goes >1 round stale.
     backed.sort(key=lambda n: 0 if n in changed else last.get(n, 1.5))
-    out = {n: merged[n] for n in retire_errs if n in merged}
+    out = {n: merged[n] for n in pin_rows_only}
+    out.update({n: merged[n] for n in retire_errs if n in merged})
     out.update({n: merged[n] for n in backed})
     out.update(
         {
@@ -194,6 +228,7 @@ def all_queries() -> dict[str, QueryFn]:
             if n not in oracles
             and n not in expensive_tail
             and n not in retire_errs
+            and n not in out
         }
     )
     out.update({n: merged[n] for n in expensive_tail if n in merged})
