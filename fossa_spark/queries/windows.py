@@ -131,6 +131,13 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EWMA_DEPTH = 8  # weights 1, 1/2, … 1/128 — all dyadic, so sums are exact
 
+# q_win_corr engages the bucket-carry decomposition only above this row
+# count (below it the plain 3-task window is faster than the extra pass +
+# union).  Module-level so tests can force the bucketed branch on small
+# fixtures and assert value-identity against the plain window — the
+# decomposition's correctness must not rest on prose + one sf1 benchmark.
+_CORR_BUCKET_MIN_ROWS = 2_000_000
+
 
 def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated exponentially-weighted moving average (α = 1/2, depth 8)
@@ -277,7 +284,7 @@ def q_win_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6M).  The gate is driver-side and deterministic (exact counts).
     total = sum(r["_n"] for r in occ)
     use_buckets = (
-        total >= 2_000_000
+        total >= _CORR_BUCKET_MIN_ROWS
         and bool(occ)
         and min(r["_n"] for r in occ) >= 29
     )

@@ -428,3 +428,76 @@ def test_fit_centroids_capped_deterministic(spark):
     assert a.shape == (8, 4) and np.array_equal(a, b)
     c = fit_centroids_capped(df, "vec", 500, seed=7)
     assert c.shape[0] <= 60
+
+
+def test_win_corr_bucket_carry_parity(spark, tmp_path, monkeypatch):
+    """The q_win_corr bucket-carry decomposition must be value-identical
+    to the plain single-window form on a frame that actually exercises
+    carries across month boundaries (ADVICE r5: the 2M-row gate meant no
+    test ever ran the bucketed branch).  Synthetic multi-month lineitem:
+    occupancy per (flag, month) bucket straddles the 29-row carry depth,
+    includes duplicate (orderkey, linenumber) pairs (the fixture's
+    non-unique key), and a month gap (occupied-bucket successor must skip
+    the hole).  Gate monkeypatched to 0 → bucketed; default → plain."""
+    import datetime
+    import random
+
+    from fossa_spark.queries import windows as wmod
+    from tests.conftest import rows_canon
+
+    rng = random.Random(7)
+    rows = []
+    # months jan, feb, apr (gap at mar), two flags, 35 rows per bucket
+    for flag in ("A", "N"):
+        for month in (1, 2, 4):
+            for i in range(35):
+                rows.append(
+                    (
+                        flag,
+                        rng.randrange(1, 40),        # duplicate orderkeys
+                        rng.randrange(1, 4),         # duplicate linenumbers
+                        datetime.datetime(1995, month, 1 + rng.randrange(28)),
+                        float(rng.randrange(1, 50)),
+                        round(rng.uniform(900.0, 90000.0), 2),
+                    )
+                )
+    df = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_orderkey long, l_linenumber int, "
+        "l_shipdate timestamp, l_quantity double, l_extendedprice double",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    plain = wmod.q_win_corr(spark, str(tmp_path)).collect()
+    monkeypatch.setattr(wmod, "_CORR_BUCKET_MIN_ROWS", 0)
+    bucketed_df = wmod.q_win_corr(spark, str(tmp_path))
+    bucketed = bucketed_df.collect()
+
+    cols = bucketed_df.columns
+    assert len(plain) == len(rows) == len(bucketed)
+    assert rows_canon(plain, cols) == rows_canon(bucketed, cols)
+
+
+def test_win_corr_bucket_gate_falls_back_on_thin_bucket(spark, tmp_path, monkeypatch):
+    """A bucket with < 29 rows (carry would span >1 boundary) must force
+    the plain-window fallback even when the row-count gate passes — the
+    decomposition is only valid when every occupied bucket holds >= 29."""
+    import datetime
+
+    from fossa_spark.queries import windows as wmod
+
+    rows = [
+        ("A", i, 1, datetime.datetime(1995, m, 5), float(i % 9 + 1), 100.0 + i)
+        for m in (1, 2)
+        for i in range(30 if m == 1 else 5)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_orderkey long, l_linenumber int, "
+        "l_shipdate timestamp, l_quantity double, l_extendedprice double",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    monkeypatch.setattr(wmod, "_CORR_BUCKET_MIN_ROWS", 0)
+    out = wmod.q_win_corr(spark, str(tmp_path))
+    # plain branch has no _bkt machinery; either way output must be complete
+    assert out.count() == len(rows)
