@@ -1387,7 +1387,23 @@ def _setsim_core(tok: DataFrame, t: float, l: int = 4) -> DataFrame:
     # filter could not touch (rare shared tokens sit at FRONT positions,
     # so PPJoin's bound degenerates to ~n; that filter was measured out
     # in r04).  Prefix rows grow by only ℓ−1 per doc.
-    prefix_len = F.col("n") - F.ceil(F.col("n") * t).cast("int") + l
+    # FP-ROBUST CEILINGS (ADVICE r5): when t·n is mathematically an
+    # integer but the double product rounds UP (100·0.07 →
+    # 7.000000000000001 → ceil 8), the prefix shortens AND the count
+    # threshold rises at once, dropping an exact-boundary qualifying
+    # pair — a recall bug.  Every bound below therefore subtracts a tiny
+    # epsilon before ceil / compare.  Direction matters: an epsilon too
+    # LARGE only lengthens the prefix / lowers the threshold / relaxes
+    # the length filter — a superset of candidates that the exact
+    # array_intersect verify prunes anyway — so the filter can only err
+    # toward extra work, never toward false negatives.  1e-9 absolute
+    # dominates the double rounding error for any n < 10^6 tokens per
+    # doc (err ≤ n·t·2^-52 ≈ 2e-10); docs beyond that are no longer
+    # "sets of shingles" and the callers cap the universe well below it.
+    _EPS = 1e-9
+    prefix_len = (
+        F.col("n") - F.ceil(F.col("n") * t - _EPS).cast("int") + l
+    )
     prefix = ranked.select(
         "doc_id", "n",
         F.explode(F.slice("toks", 1, prefix_len)).alias("tok"),
@@ -1397,8 +1413,8 @@ def _setsim_core(tok: DataFrame, t: float, l: int = 4) -> DataFrame:
         a.join(b, (F.col("a.tok") == F.col("b.tok"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .filter(
-            (F.col("b.n").cast("double") >= t * F.col("a.n"))
-            & (F.col("a.n").cast("double") >= t * F.col("b.n"))
+            (F.col("b.n").cast("double") >= t * F.col("a.n") - _EPS)
+            & (F.col("a.n").cast("double") >= t * F.col("b.n") - _EPS)
         )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
@@ -1410,7 +1426,7 @@ def _setsim_core(tok: DataFrame, t: float, l: int = 4) -> DataFrame:
             F.col("_cpf")
             >= F.least(
                 F.lit(l),
-                F.ceil(t * F.greatest("na", "nb")).cast("long"),
+                F.ceil(t * F.greatest("na", "nb") - _EPS).cast("long"),
             )
         )
         .drop("_cpf")

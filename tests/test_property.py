@@ -155,7 +155,7 @@ def test_quantize_error_bound_pure(vals):
         min_size=2,
         max_size=12,
     ),
-    st.sampled_from([0.3, 0.5, 0.7, 0.8]),
+    st.sampled_from([0.07, 0.1, 0.3, 0.5, 0.7, 0.8]),
 )
 @settings(max_examples=300, deadline=None)
 def test_l_prefix_count_filter_has_no_false_negatives(raw_docs, t):
@@ -165,8 +165,21 @@ def test_l_prefix_count_filter_has_no_false_negatives(raw_docs, t):
     EXTENDED (n − ⌈t·n⌉ + ℓ) rarity-ordered prefixes AND pass the
     symmetric length filter — the lemma that lets the Spark plan replace
     the all-intersections join with a prefix join + count filter without
-    recall loss.  Brute-force checked over random small set families."""
+    recall loss.  Brute-force checked over random small set families.
+
+    ADVICE r5: the mirror previously used math.ceil(len(d)*t) — the SAME
+    fp-contaminated product as the old Spark expression, so an
+    exact-boundary false negative (100·0.07 → ceil 8, not 7) reproduced
+    in both and the test could never catch it.  The mirror now copies
+    the FP-ROBUST epsilon formulas Spark actually executes, while the
+    recall obligation ("is this a true pair?") is decided in EXACT
+    rational arithmetic (Fraction) — any over-estimated ceiling now
+    fails the lemma instead of hiding in matching fp error."""
+    from fractions import Fraction
+
     L = 4
+    EPS = 1e-9  # must match _setsim_core._EPS
+    t_exact = Fraction(t)  # exact binary value of the double threshold
     docs = [sorted(set(d)) for d in raw_docs]
     df: dict[int, int] = {}
     for d in docs:
@@ -175,8 +188,9 @@ def test_l_prefix_count_filter_has_no_false_negatives(raw_docs, t):
     order = lambda tok: (df[tok], tok)  # noqa: E731 — the global total order
 
     def ext_prefix(d):
+        # the Spark side: n - ceil(n*t - eps) + L
         ranked = sorted(d, key=order)
-        plen = len(d) - math.ceil(len(d) * t) + L
+        plen = len(d) - math.ceil(len(d) * t - EPS) + L
         return set(ranked[: max(plen, 0)])
 
     prefixes = [ext_prefix(d) for d in docs]
@@ -184,11 +198,41 @@ def test_l_prefix_count_filter_has_no_false_negatives(raw_docs, t):
         for j in range(i + 1, len(docs)):
             a, b = set(docs[i]), set(docs[j])
             inter = len(a & b)
-            if not inter or inter / len(a | b) < t:
+            # recall obligation decided EXACTLY: J(a,b) >= t as rationals
+            if not inter or Fraction(inter, len(a | b)) < t_exact:
                 continue  # not a true pair — no recall obligation
             na, nb = len(a), len(b)
             # the Spark side's symmetric length filter must keep it
-            assert nb >= t * na and na >= t * nb
+            assert nb >= t * na - EPS and na >= t * nb - EPS
             shared = len(prefixes[i] & prefixes[j])
-            need = min(L, math.ceil(t * max(na, nb)))
+            need = min(L, math.ceil(t * max(na, nb) - EPS))
             assert shared >= need, (docs[i], docs[j], t, shared, need)
+
+
+def test_l_prefix_ceil_is_fp_robust():
+    """Deterministic regression for the ADVICE-r5 fp-ceil bug
+    (100·0.07 → 7.000000000000001 → ceil 8 instead of 7): sweep
+    (n, t) densely and assert the epsilon formula ceil(n·t − 1e-9) used
+    by _setsim_core never EXCEEDS the decimal-exact ceiling (exceeding
+    shortens the prefix / raises the count threshold → recall loss) and
+    never undershoots it by more than the one step that only admits
+    extra candidates.  Also proves the old formula ceil(n·t) really was
+    wrong somewhere in the sweep."""
+    import math as m
+    from fractions import Fraction
+
+    EPS = 1e-9
+    diffs_old = 0
+    for n in range(1, 301):
+        for t in (0.07, 0.1, 0.14, 0.3, 0.39, 0.5, 0.7, 0.8, 0.9):
+            exact = m.ceil(Fraction(n) * Fraction(str(t)))  # decimal-exact
+            robust = m.ceil(n * t - EPS)
+            old = m.ceil(n * t)
+            assert robust <= exact, (n, t, robust, exact)
+            # robust never exceeds the decimal-exact ceiling (recall-safe)
+            # and never undershoots by a whole step either:
+            assert robust >= exact - 1, (n, t, robust, exact)
+            if old > exact:
+                diffs_old += 1
+    # the bug was real: the old formula over-estimates somewhere in range
+    assert diffs_old > 0
