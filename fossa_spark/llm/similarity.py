@@ -523,7 +523,9 @@ def locality_subblocked(
     centroid by construction (SemDeDup's co-location argument,
     arXiv:2303.09540), so recall survives the split instead of decaying
     with block count.  Expected block size stays ~``target_block`` —
-    pair work remains linear in the corpus.
+    pair work remains linear in the corpus — and a deterministic hash
+    re-split of any block that still exceeds ``8·target_block`` turns
+    that expectation into a HARD worst-case bound (see inline note).
 
     The small-scale gate is driver-side and explicit: one scalar
     aggregate (max per-label count — label-grain, control-plane) decides
@@ -553,9 +555,62 @@ def locality_subblocked(
     centroids = fit_centroids_capped(
         df, vec_col, k, n=n, train_cap=train_cap, seed=seed
     )
-    return df.withColumn(
+    assigned = df.withColumn(
         "blk",
         base + _nearest_centroids_udf(centroids, 1)(F.col(vec_col))[0].cast("long"),
+    )
+    # HARD OCCUPANCY BOUND (ADVICE r5): KMeans gives locality but no
+    # occupancy guarantee — a clumped label (many near-identical
+    # vectors) can land mostly in ONE (label, centroid) block, restoring
+    # the O(block²) pair-work blowup sub-blocking exists to prevent.
+    # Re-split any block exceeding ``hard_cap`` with a deterministic
+    # hash shard (the r04 md5-style fallback, now confined to
+    # pathological clumps): inside a clump of near-identical vectors any
+    # shard is still saturated with near-dups, so recall barely moves,
+    # while worst-case pair work returns to O(n · hard_cap).  The
+    # oversized-block list is control-plane-sized by construction
+    # (each entry represents > hard_cap rows).  Shard ids live in the
+    # 4096..65535 sub-space centroid indices (< 4096) never touch, so
+    # ``shiftright(blk, 16)`` still decodes the label.
+    hard_cap = 8 * target_block
+    over = (
+        assigned.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > hard_cap)
+        .collect()
+    )
+    if not over:
+        return assigned
+    start_of: dict[int, int] = {}
+    shards_of: dict[int, int] = {}
+    next_free: dict[int, int] = {}
+    for r in sorted(over, key=lambda r: r["blk"]):
+        lbl = r["blk"] >> 16
+        want = max(2, -(-int(r["_c"]) // target_block))
+        begin = next_free.get(lbl, 4096)
+        room = 65536 - begin
+        if room <= 0:
+            continue  # > ~7.6M vectors in one label: leave residue as-is
+        s = min(want, room)
+        start_of[r["blk"]] = begin
+        shards_of[r["blk"]] = s
+        next_free[lbl] = begin + s
+    if not start_of:
+        return assigned
+    start_map = F.create_map(
+        *[F.lit(v) for b, st in start_of.items() for v in (b, st)]
+    )
+    shard_map = F.create_map(
+        *[F.lit(v) for b, s in shards_of.items() for v in (b, s)]
+    )
+    label_base = F.shiftleft(F.shiftright("blk", 16), 16)
+    shard = F.pmod(F.xxhash64(F.col(id_col)), shard_map[F.col("blk")])
+    return assigned.withColumn(
+        "blk",
+        F.when(
+            start_map[F.col("blk")].isNotNull(),
+            label_base + start_map[F.col("blk")] + shard,
+        ).otherwise(F.col("blk")),
     )
 
 

@@ -501,3 +501,24 @@ def test_win_corr_bucket_gate_falls_back_on_thin_bucket(spark, tmp_path, monkeyp
     out = wmod.q_win_corr(spark, str(tmp_path))
     # plain branch has no _bkt machinery; either way output must be complete
     assert out.count() == len(rows)
+
+
+def test_locality_subblocked_hard_occupancy_bound(spark):
+    """ADVICE r5: a clumped label (600 identical vectors → one KMeans
+    centroid) must not yield one giant (label, centroid) block — the
+    hash re-split bounds every block at 8·target_block, and the
+    shiftright(blk, 16) label decode survives the shard encoding."""
+    from fossa_spark.llm import similarity as S
+
+    rows = [(i, 7, [1.0, 0.0, 0.0, 0.0]) for i in range(600)]
+    rows += [(1000 + i, 3, [float(i), 1.0, 0.0, 0.0]) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = S.locality_subblocked(
+        df, "label", "vec_id", "embedding", cap=64, target_block=16
+    )
+    occ = out.groupBy("blk").count().collect()
+    assert max(r["count"] for r in occ) <= 8 * 16, occ
+    assert out.filter(F.shiftright("blk", 16) != F.col("label")).count() == 0
+    assert out.count() == len(rows)
