@@ -75,6 +75,13 @@ def shingle_hash_rows(
     ``explode(word_shingles(text, k)) → xxhash64(shingle_string)`` up to
     the hash family: same tokenization (lowercase, split on single
     space — empties kept, exactly ``F.split(F.lower(c), ' ')``), same
+    case mapping — Python ``str.lower()`` matched the JVM's ``lower()``
+    on every special-casing hard case probed (İ → i+combining-dot,
+    Greek final sigma, titlecase ǅ, ligatures ﬀ/ĳ; pinned in
+    test_shingle_hash_rows_matches_hof_path).  NB the DuckDB ORACLE is
+    the odd one out (its ``lower()`` skips İ/final-sigma special
+    casing), so oracle-checked queries assume effectively-ASCII text —
+    a Spark↔DuckDB boundary, not a fast-path↔HOF one — same
     shorter-than-k rule (one shingle of all tokens), same per-doc
     distinct, null text yields no rows.  Every consumer compares hashes
     only against hashes from this same family (intersection counts, df
@@ -968,6 +975,13 @@ def remove_repeated_ngrams(
     lower().split(' '), same non-first-start coverage rule, same md5 of
     the space-joined survivors — the oracle replicates all three in
     SQL).  Embarrassingly parallel; no shuffle at all now.
+
+    Case-mapping boundary (ADVICE r5): Python ``str.lower()`` equals the
+    JVM's ``lower()`` on Unicode special cases (probed İ/final-sigma/ǅ;
+    pinned in test_shingle_hash_rows_matches_hof_path), but the DuckDB
+    ORACLE's ``lower()`` does not special-case İ or final sigma — the
+    byte-identical-md5 oracle parity therefore assumes effectively-ASCII
+    text (which the fixtures are).
 
     Returns (id_col, n_before, n_removed, cleaned_md5) where cleaned_md5
     fingerprints the space-joined surviving tokens in position order.

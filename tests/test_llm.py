@@ -71,6 +71,13 @@ def test_shingle_hash_rows_matches_hof_path(spark, docs):
             (9003, None),                   # null → no rows
             (9004, "a  b   a  b a"),        # empty tokens kept by split(' ')
             (9005, "a a a a a a a a"),      # one distinct shingle, n > k
+            # ADVICE r5: pin the Python str.lower() ↔ JVM lower() parity
+            # boundary on Unicode special-casing hard cases — İ (i +
+            # combining dot), Greek FINAL SIGMA (context-dependent),
+            # titlecase ǅ, ligatures, Cyrillic.  Probed equal on this
+            # JVM/Python pair; this test keeps that from rotting.
+            (9006, "İstanbul ΒΑΣΙΛΕΙΑΣ ΤΕΛΟΣ ΣΊΣΥΦΟΣ words pad pad"),
+            (9007, "ǅungla ﬀ ĲSBERG МОСКВА ПРИВЕТ ÅÄÖ éèç pad"),
         ],
         "doc_id long, text string",
     )
