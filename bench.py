@@ -46,6 +46,24 @@ def main() -> None:
 
     run("q_agg_basic")  # warmup: JVM, codegen, parquet footer cache
 
+    # HOST CALIBRATION (VERDICT r5 item 5): a fixed, fixture-independent
+    # codegen-only aggregate (10^7-row range → hash agg), run 3x after
+    # warmup, median reported as calib_s on the contract line.  Rounds
+    # 4→5 needed prose ("host ~25-30% slower this round") to explain
+    # regressions on untouched code; BENCH_rN/BENCH_rM totals are now
+    # mechanically comparable via (warm_total / calib_s) ratios.
+    def _calib_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(10_000_000).selectExpr(
+            "id % 97 AS k", "xxhash64(id) % 1000003 AS v"
+        ).groupBy("k").agg({"v": "sum"}).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    calib_runs = sorted(_calib_once() for _ in range(3))
+    calib_s = round(calib_runs[1], 4)
+
     # cold = first run (codegen + plan compile + execute); warm = second run
     # (execute only). Warm is the round-over-round comparable number — cold
     # is dominated by per-plan codegen noise at this tiny per-query scale.
@@ -86,6 +104,7 @@ def main() -> None:
                 # comparing totals across BENCH_r{N} files
                 "n_queries": len(warm),
                 "warm_mean": round(sum(warm.values()) / len(warm), 4),
+                "calib_s": calib_s,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
             separators=(",", ":"),

@@ -24,10 +24,22 @@ Scaling rules:
   +0.01*replica so replicas are near- but not exact-duplicates.
 
 Usage: python tools/gen_sf1.py   (writes ./testdata_sf1/*.parquet)
+
+sf10 (VERDICT r5 item 2 — push the scale proof one more decade):
+    python tools/gen_sf1.py --src ./testdata_sf1 --dst ./testdata_sf10 \
+        --tag-prefix s
+replicates the sf1 fixture 10x.  ``--tag-prefix`` gives the second
+replication level its own tag namespace ("s{r}tag" instead of
+"r{r}tag"): with the SAME prefix, inject(base, r3) would be produced
+both by (sf1-replica 3, sf10-replica 0) and (sf1-replica 0,
+sf10-replica 3) — byte-identical texts, i.e. ~9 planted exact-dup pairs
+per base doc that the real corpus growth model has no business
+containing.  Distinct prefixes keep every (i, j) composition unique.
 """
 
 from __future__ import annotations
 
+import argparse
 import sys
 from pathlib import Path
 
@@ -39,6 +51,7 @@ import pyarrow.parquet as pq
 SRC = Path("/root/testdata/sf0.1")
 DST = Path(__file__).resolve().parent.parent / "testdata_sf1"
 REPLICAS = 10
+TAG_PREFIX = "r"
 
 # key domain -> columns carrying it, per table (nation/region keys excluded
 # on purpose: those dims are not replicated)
@@ -67,7 +80,7 @@ def _strides() -> dict[str, int]:
 
 
 def _tag_text(texts: list[str | None], replica: int) -> list[str | None]:
-    tag = f"r{replica}tag"
+    tag = f"{TAG_PREFIX}{replica}tag"
     out = []
     for s in texts:
         if s is None:
@@ -86,6 +99,15 @@ def _tag_text(texts: list[str | None], replica: int) -> list[str | None]:
 
 
 def main() -> None:
+    global SRC, DST, REPLICAS, TAG_PREFIX
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default=str(SRC))
+    ap.add_argument("--dst", default=str(DST))
+    ap.add_argument("--replicas", type=int, default=REPLICAS)
+    ap.add_argument("--tag-prefix", default=TAG_PREFIX)
+    args = ap.parse_args()
+    SRC, DST = Path(args.src), Path(args.dst)
+    REPLICAS, TAG_PREFIX = args.replicas, args.tag_prefix
     DST.mkdir(exist_ok=True)
     strides = _strides()
     col_shift: dict[str, dict[str, int]] = {}
