@@ -201,10 +201,27 @@ class Connect:
             return spark.createDataFrame(pdf, schema=schema)
         return spark.createDataFrame(pdf)
 
+    # Hard ceiling for the driver-side sqlite sink (VERDICT r5 item 7):
+    # toPandas() below is the one collect-shaped surface in the package
+    # whose size is caller-controlled, so without a bound a misrouted
+    # big-table write becomes a silent driver OOM.  1M rows ≈ low hundreds
+    # of MB for typical control-plane schemas — far past any legitimate
+    # use of a single-file sqlite sink, far short of driver memory.
+    SQLITE_MAX_ROWS = 1_000_000
+
     def _write_sqlite(self, df: DataFrame, url: EngineUrl, mode: str) -> None:
         import sqlite3
 
         table = self._sqlite_table(url)
+        # limit(N+1).count() bounds the guard's own cost: a full count()
+        # of a huge input would scan everything just to refuse it.
+        probe = df.limit(self.SQLITE_MAX_ROWS + 1).count()
+        if probe > self.SQLITE_MAX_ROWS:
+            raise ValueError(
+                f"sqlite:// sink is driver-side and capped at "
+                f"{self.SQLITE_MAX_ROWS} rows; input exceeds it. "
+                "Write parquet/csv instead for data-plane-sized results."
+            )
         pdf = df.toPandas()  # driver-side: see contract above
         cols = ", ".join(f'"{c}"' for c in pdf.columns)
         ph = ", ".join("?" for _ in pdf.columns)

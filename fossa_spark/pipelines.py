@@ -52,6 +52,14 @@ class TrainingDataPipeline(Model):
 
     def transform(self, docs: DataFrame) -> DataFrame:
         """The full lazy plan, write excluded (unit-testable)."""
+        # adaptive parallelism guard (queries._util.spread rationale):
+        # quality_features' stopword HOF is interpreted per-row CPU — on
+        # a few-row-group parquet scan it would run on 1-3 of 32 cores
+        # (sf10 smoke caught exactly this); at corpus scale the scan has
+        # ≥ cores splits and this is a no-op
+        n = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < n:
+            docs = docs.repartition(n)
         feats = X.quality_features(docs)
         gated = feats.filter(
             (F.col("n_chars_m") >= self.min_chars)

@@ -244,7 +244,7 @@ def q_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (recursive-CTE transitive closure on the DuckDB side) — the one
     piece of the dedup path that is otherwise only pytest-verified."""
     d = load(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(d, k=5, min_jaccard=0.5, max_df=100).select(
+    pairs = D.staged_ngram_pairs(d, k=5, min_jaccard=0.5, max_df=100).select(
         "id_a", "id_b"
     )
     comp = D.connected_components(pairs)
@@ -261,7 +261,7 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     auditable/deterministic as q_split_train's. Per-fold audit row:
     docs, distinct groups, id range."""
     d = load(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(d, k=5, min_jaccard=0.5, max_df=100).select(
+    pairs = D.staged_ngram_pairs(d, k=5, min_jaccard=0.5, max_df=100).select(
         "id_a", "id_b"
     )
     comp = D.connected_components(pairs)

@@ -39,7 +39,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 100) bounding the self-join's per-shingle fan-in at corpus scale;
     the oracle applies the identical cap."""
     d = load(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(d, k=5, min_jaccard=0.5, max_df=100).orderBy(
+    return D.staged_ngram_pairs(d, k=5, min_jaccard=0.5, max_df=100).orderBy(
         "id_a", "id_b"
     )
 

@@ -592,3 +592,74 @@ def test_bpe_apply_roundtrip(spark):
     # no merges -> every char is a piece
     out0 = {r.doc_id: r for r in X.bpe_apply(df, []).collect()}
     assert out0[1].n_pieces == len("ababababcd")
+
+
+def test_staged_ngram_pairs_identity_and_cache(spark, docs, tmp_path):
+    """staged_ngram_pairs must be value-identical to ngram_jaccard_pairs,
+    hit its parquet cache on the second call, and key the cache on
+    parameters (different min_jaccard → different staging dir)."""
+    import os
+
+    root = str(tmp_path / "stage")
+    direct = {
+        (r.id_a, r.id_b, r.n_a, r.n_b, r.n_inter, round(r.jaccard, 9))
+        for r in D.ngram_jaccard_pairs(docs, k=5, min_jaccard=0.5).collect()
+    }
+    staged1 = {
+        (r.id_a, r.id_b, r.n_a, r.n_b, r.n_inter, round(r.jaccard, 9))
+        for r in D.staged_ngram_pairs(
+            docs, k=5, min_jaccard=0.5, cache_root=root
+        ).collect()
+    }
+    assert staged1 == direct and direct
+    dirs = [d for d in os.listdir(root) if d.startswith("ngram_pairs_")]
+    assert len(dirs) == 1
+    # second call must READ (no new dirs, same rows)
+    staged2 = {
+        (r.id_a, r.id_b, r.n_a, r.n_b, r.n_inter, round(r.jaccard, 9))
+        for r in D.staged_ngram_pairs(
+            docs, k=5, min_jaccard=0.5, cache_root=root
+        ).collect()
+    }
+    assert staged2 == direct
+    assert len([d for d in os.listdir(root) if d.startswith("ngram_pairs_")]) == 1
+    # parameter change → new key, not a stale read
+    D.staged_ngram_pairs(docs, k=5, min_jaccard=0.7, cache_root=root).collect()
+    assert len([d for d in os.listdir(root) if d.startswith("ngram_pairs_")]) == 2
+    # non-file-backed input: staging skipped, still correct
+    mem = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    out = D.staged_ngram_pairs(mem, k=5, min_jaccard=0.1, cache_root=root)
+    assert out.count() == 1
+
+
+def test_setsim_candidate_mass_matches_join(spark, docs):
+    """The one-aggregate mass estimate must equal the EXACT prefix-join
+    row count the setsim engine would generate (same prefix formula)."""
+    rows = D.shingle_hash_rows(docs.limit(200), "text", "doc_id", k=3).select(
+        "doc_id", F.col("_sh").alias("tok")
+    )
+    est = D.setsim_candidate_mass(rows, 0.5)
+    # brute-force the same prefix join and count its rows
+    dfreq = rows.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    ranked = (
+        rows.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("dfreq", "tok"))).alias("st"))
+        .select("doc_id", F.col("st.tok").alias("toks"), F.size("st").alias("n"))
+    )
+    plen = F.col("n") - F.ceil(F.col("n") * 0.5 - 1e-9).cast("int") + 4
+    prefix = ranked.select(
+        "doc_id", F.explode(F.slice("toks", 1, plen)).alias("tok")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    n_join = a.join(
+        b,
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).count()
+    assert est["candidate_rows"] == n_join
+    assert est["n_docs"] == 200
+    assert est["max_prefix_df"] >= 1 and est["n_prefix_tokens"] >= 1

@@ -236,3 +236,106 @@ def test_l_prefix_ceil_is_fp_robust():
                 diffs_old += 1
     # the bug was real: the old formula over-estimates somewhere in range
     assert diffs_old > 0
+
+
+# -- connected_components: distributed path ≡ reference union-find
+#    (VERDICT r5 item 4: the one iterative algorithm whose correctness
+#    rested on a convergence argument rather than an oracle)
+
+
+def _uf_components(edges):
+    """Reference union-find (independent of the implementation under
+    test): component = min reachable id, for every node that appears."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in edges:
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            if rs < rd:
+                parent[rd] = rs
+            else:
+                parent[rs] = rd
+    return {x: find(x) for x in parent}
+
+
+def _random_graph_batch(seed, n_graphs=80):
+    """n_graphs small graphs, ids namespaced per graph (graph g's node v
+    → g·1000 + v) so ONE distributed CC run checks the whole batch —
+    components cannot cross namespaces.  Mix: sparse random graphs,
+    CHAIN topologies (A≈B≈C but A̸≈C — the shape that kills min-pair
+    dropping and exercises pointer jumping over multiple rounds), stars,
+    and self-loop/duplicate-edge noise."""
+    import random
+
+    rng = random.Random(seed)
+    edges = []
+    for g in range(n_graphs):
+        base = g * 1000
+        kind = rng.randrange(4)
+        if kind == 0:  # sparse random
+            n = rng.randrange(2, 13)
+            for _ in range(rng.randrange(1, 19)):
+                edges.append(
+                    (base + rng.randrange(n), base + rng.randrange(n))
+                )
+        elif kind == 1:  # chain — diameter up to 30
+            n = rng.randrange(2, 31)
+            edges += [(base + i, base + i + 1) for i in range(n - 1)]
+        elif kind == 2:  # star
+            n = rng.randrange(2, 15)
+            hub = base + rng.randrange(n)
+            edges += [(hub, base + i) for i in range(n)]
+        else:  # two chains bridged at one point + duplicate edges
+            n = rng.randrange(3, 12)
+            edges += [(base + i, base + i + 1) for i in range(n - 1)]
+            edges += [(base + 100 + i, base + 100 + i + 1) for i in range(n - 1)]
+            edges.append((base + n // 2, base + 100 + n // 2))
+            edges.append(edges[-1])  # duplicate
+    return edges
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=3, deadline=None)
+def test_connected_components_distributed_equals_union_find(seed):
+    """Force the DISTRIBUTED min-label + pointer-jumping path
+    (small_graph_edges=0) on ~80 namespaced graphs per example and
+    assert node-exact equality with the reference union-find.  3
+    examples × 80 graphs = 240 random graphs per run, chains included."""
+    from pyspark.sql import SparkSession
+
+    from fossa_spark.llm.dedup import connected_components
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from fossa_spark.session import get_spark
+
+        spark = get_spark(app_name="fossa_spark_tests", shuffle_partitions=8)
+    edges = _random_graph_batch(seed)
+    expect = _uf_components(edges)
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got_df = connected_components(pairs, small_graph_edges=0)
+    got = {r["doc_id"]: r["component"] for r in got_df.collect()}
+    assert got == expect
+
+
+def test_connected_components_small_path_equals_union_find(spark):
+    """The driver union-find fast path must agree with the reference on
+    the same batch (both paths behind one contract)."""
+    from fossa_spark.llm.dedup import connected_components
+
+    edges = _random_graph_batch(7, n_graphs=40)
+    expect = _uf_components(edges)
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got_df = connected_components(pairs)  # default gate → driver path
+    got = {r["doc_id"]: r["component"] for r in got_df.collect()}
+    assert got == expect
