@@ -1501,6 +1501,57 @@ def setsim_candidate_mass(
     }
 
 
+def dedup_pairs_auto(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 3,
+    mass_per_doc_cap: int = 2000,
+) -> DataFrame:
+    """ADAPTIVE near-dup pair detection: measure, then pick the algorithm
+    — the AQE idea applied to the dedup family's documented scale
+    boundary (setsim_join's SCALE BOUNDARY note).
+
+    The decision is the one-aggregate pre-flight
+    :func:`setsim_candidate_mass`: the exact prefix join will emit
+    exactly Σ_tok C(df_prefix(tok), 2) candidate rows.  While that mass
+    stays ≤ ``mass_per_doc_cap`` per document (the corpus is in the
+    LINEAR regime — measured: sf1's 818 rows/doc ran 7.4 s), run the
+    EXACT prefix-filtered join (zero false negatives, oracle-checkable).
+    Past the cap (duplication-SATURATED corpora — sf10's 6640 rows/doc
+    would have cost ~750 s), fall back to MinHash/LSH with exact-Jaccard
+    verification: bucket-capped candidate generation, perfect precision
+    (every emitted pair is exactly verified ≥ threshold), recall bounded
+    by the S-curve instead of 1.
+
+    The estimator costs one groupBy over the shingle relation — ~2 % of
+    the exact join it gates — and the choice is DETERMINISTIC for a
+    given corpus, so at verification scale the oracle covers the exact
+    branch.  Returns (id_a, id_b, jaccard, strategy) where strategy ∈
+    {'exact_prefix', 'lsh_verified'} records which engine produced the
+    pair — the operator's plan choice is part of its output, not a
+    silent log line."""
+    rows = shingle_hash_rows(df, text_col, id_col, k=k).select(
+        F.col(id_col).alias("doc_id"), F.col("_sh").alias("tok")
+    )
+    stats = setsim_candidate_mass(rows, threshold)
+    if stats["candidate_rows"] <= mass_per_doc_cap * max(stats["n_docs"], 1):
+        out = setsim_join(df, id_col=id_col, threshold=threshold, tok_rows=rows)
+        strategy = "exact_prefix"
+    else:
+        out = minhash_lsh_dedup(
+            df, text_col=text_col, id_col=id_col, k=k, threshold=threshold
+        )
+        strategy = "lsh_verified"
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.lit(strategy).alias("strategy"),
+    )
+
+
 def _setsim_core(tok: DataFrame, t: float, l: int = 4) -> DataFrame:
     """Prefix-filtered exact set-intersection pairs from a per-doc
     DISTINCT (doc_id, tok int64) relation: every pair whose token-set

@@ -94,6 +94,58 @@ def brute_force_topk(
     )
 
 
+def rrf_fuse(
+    rankings: "list[tuple[DataFrame, str]]",
+    id_col: str = "doc_id",
+    k0: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) of
+    any number of ranked retrieval lists — the standard way a hybrid
+    search stack combines a dense (embedding-cosine) ranking with a
+    sparse (BM25) ranking without score calibration: each list
+    contributes ``1/(k0 + rank)`` for the items it ranked, items missing
+    from a list contribute 0 from it, and the fused order is the summed
+    score descending.
+
+    ``rankings`` is a list of ``(df, rank_col)``; each df must carry
+    ``(id_col, rank_col)`` with rank 1-based.  Scale shape: each input
+    is an already-top-N list (control-plane-sized — N items per query,
+    not the corpus), so the outer-join chain broadcasts every side and
+    never shuffles the corpus; the fusion itself is O(Σ N).
+
+    Determinism: each ``1/(k0+rank)`` is one IEEE division on integers
+    and the terms are summed in the fixed left-to-right order of
+    ``rankings``, so any engine computes bit-identical doubles; rounded
+    to 8 dp, ties broken on id — hash-checkable against a SQL oracle.
+
+    Returns ``(id_col, <rank cols...>, rrf, rk)`` for the fused top-k;
+    absent ranks stay NULL so the caller can see which list found what.
+    """
+    fused: DataFrame | None = None
+    for df, rank_col in rankings:
+        side = df.select(id_col, rank_col)
+        fused = (
+            side
+            if fused is None
+            else fused.join(F.broadcast(side), id_col, "full_outer")
+        )
+    score = None
+    for _, rank_col in rankings:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k0) + F.col(rank_col)), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    # unpartitioned window is safe HERE ONLY: the fused relation is the
+    # union of top-N lists (≤ Σ N rows), never the corpus
+    w = W.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("rrf", F.round(score, 8))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def srp_signature(vec: Column, bits: int = 8, table: int = 0, dim: int = 64) -> Column:
     """Sign-random-projection signature: bit b = sign(v · h_b) where h_b is
     a deterministic ±1 hyperplane from xxhash64(table, b, dim index)."""
@@ -168,13 +220,16 @@ def ivf_topk(
     candidate bucketing is one ML transform pass; the probe join is an
     equi-join on the bucket id. Recall/latency tuned by
     n_centroids/nprobe exactly as in a FAISS IVF index. Deterministic for
-    a fixed seed."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    a fixed seed.
 
-    train = candidates.select(array_to_vector(_as_double(F.col(vec_c))).alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
-    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    Round 6: the coarse quantizer is :func:`fit_centroids_capped` (the
+    capped-sample driver-side Lloyd that semantic_dedup and
+    locality_subblocked already use) — FAISS likewise trains IVF
+    quantizers on a bounded sample.  The MLlib k-means|| fit it replaces
+    measured ~2.5 s of fixed cost per call at sf0.1 where the Lloyd fit
+    runs in ~0.15 s; recall is unchanged (same test bar: ≥ 0.6 at
+    nprobe=4/16 centroids) and assignment stays fully distributed."""
+    centroids = fit_centroids_capped(candidates, vec_c, n_centroids, seed=seed)
 
     # assign buckets with the same numpy math used for query probes —
     # keeps both sides' distance computation identical (no ML transform

@@ -238,6 +238,34 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bm25_topk(d, _BM25_TERMS, k=50).orderBy("rk")
 
 
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (llm/similarity.py
+    rrf_fuse; Cormack et al. SIGIR'09): fuse the DENSE ranking (cosine
+    top-50 for the vec_id=0 embedding — vec_id aligns 1:1 with doc_id in
+    the fixture) with the SPARSE ranking (BM25 top-50 for the fixed
+    3-term keyword query) into one top-20.  The fusion itself joins two
+    50-row lists — control-plane-sized, both sides broadcast; the corpus
+    is touched only by the two underlying retrievals, each already
+    scale-shaped (broadcast-query cosine pass, prefiltered BM25
+    postings).  1/(k0+rank) terms are single IEEE divisions summed in
+    fixed order, so the oracle hash-matches exactly."""
+    d = load(spark, sf_dir, "documents")
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    dense = S.brute_force_topk(q, c, k=50).select(
+        F.col("c_id").alias("doc_id"), F.col("rk").alias("rk_dense")
+    )
+    sparse = X.bm25_topk(d, _BM25_TERMS, k=50).select(
+        "doc_id", F.col("rk").alias("rk_sparse")
+    )
+    return S.rrf_fuse(
+        [(dense, "rk_dense"), (sparse, "rk_sparse")], k0=60, k=20
+    ).orderBy("rk")
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model quality score per document (the CCNet-style
     perplexity ranking signal, with a SQL-expressible unigram LM): add-one
@@ -565,6 +593,18 @@ def q_dedup_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive near-dup detection (llm/dedup.py dedup_pairs_auto): the
+    one-aggregate candidate-mass pre-flight picks the EXACT prefix join
+    in the linear regime and the LSH-verified path on duplication-
+    saturated corpora (setsim_join's measured sf10 boundary, made into
+    an operator).  At every verification scale the fixture is linear, so
+    the choice is deterministically 'exact_prefix' and the brute-force
+    SQL oracle covers the whole output including the strategy column."""
+    d = load(spark, sf_dir, "documents")
+    return D.dedup_pairs_auto(d, threshold=0.5, k=3).orderBy("id_a", "id_b")
+
+
 _BPE_MERGE_CACHE: dict = {}
 
 
@@ -604,6 +644,7 @@ QUERIES = {
     "q_pipeline": q_pipeline,
     "q_dedup_semantic": q_dedup_semantic,
     "q_dedup_setsim": q_dedup_setsim,
+    "q_dedup_auto": q_dedup_auto,
     "q_bpe_train": q_bpe_train,
     "q_bpe_tokenize": q_bpe_tokenize,
     "q_dedup_exact": q_dedup_exact,
@@ -621,6 +662,7 @@ QUERIES = {
     "q_embed_pca": q_embed_pca,
     "q_text_tokens": q_text_tokens,
     "q_text_bm25": q_text_bm25,
+    "q_rank_fusion": q_rank_fusion,
     "q_feature_hash": q_feature_hash,
     "q_tfidf": q_tfidf,
     "q_lm_score": q_lm_score,
@@ -718,8 +760,84 @@ _BM25_SQL = f"""
     FROM top ORDER BY rk
 """
 
+# RRF oracle: the BM25 CTE chain is textually the _BM25_SQL body (same
+# repr()-embedded constants), the dense chain is the q_sim_topk cosine
+# restricted to q=0; fusion terms are summed dense-first to mirror
+# rrf_fuse's rankings order.
+_RANK_FUSION_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    scal AS (
+      SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+             CAST((SELECT COUNT(*) FROM toks) AS DOUBLE)
+               / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM toks GROUP BY 1),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+           WHERE term IN ({", ".join(repr(t) for t in _BM25_TERMS)})
+           GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    bscored AS (
+      SELECT tf.doc_id, tf.term,
+             round((ln(1.0 + ((scal.n - dfreq.df) + 0.5) / (dfreq.df + 0.5))
+                    * (tf.tf * {1.2 + 1.0!r}))
+                   / (tf.tf + (1.2 * ({1.0 - 0.75!r}
+                        + ((0.75 * dl.dl) / scal.avgdl)))), 8) AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN scal
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN term = {t!r} THEN s END) AS s_{t}"
+                        for t in _BM25_TERMS)}
+      FROM bscored GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT doc_id,
+             round({"".join("(" for _ in _BM25_TERMS)}0.0
+                   {" ".join(f"+ COALESCE(s_{t}, 0.0))" for t in _BM25_TERMS)},
+                   8) AS score
+      FROM per_doc
+    ),
+    sparse AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+               AS BIGINT) AS rk_sparse
+      FROM (SELECT * FROM tot ORDER BY score DESC, doc_id ASC LIMIT 50)
+    ),
+    dscored AS (
+      SELECT c.vec_id AS doc_id,
+             {_DOT.format(a="q.embedding", b="c.embedding")} AS score
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id = 0
+    ),
+    dense AS (
+      SELECT doc_id, rk_dense FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                 AS BIGINT) AS rk_dense
+        FROM dscored
+      ) WHERE rk_dense <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id, d.rk_dense, s.rk_sparse,
+             round(COALESCE(1.0 / (60 + d.rk_dense), 0.0)
+                   + COALESCE(1.0 / (60 + s.rk_sparse), 0.0), 8) AS rrf
+      FROM dense d FULL JOIN sparse s ON d.doc_id = s.doc_id
+    )
+    SELECT doc_id, rk_dense, rk_sparse, rrf,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT)
+             AS rk
+    FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20)
+    ORDER BY rk
+"""
+
 ORACLE = {
     "q_text_bm25": _BM25_SQL,
+    "q_rank_fusion": _RANK_FUSION_SQL,
     "q_feature_hash": """
         SELECT doc_id,
                CAST(('0x' || substr(md5(t.token), 1, 2)) AS BIGINT) AS bucket,
@@ -767,6 +885,36 @@ ORACLE = {
                CAST(sa.n + sb.n - inter AS BIGINT) AS uni,
                ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6)
                  AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    # identical trigram-Jaccard brute force; the adaptive operator's
+    # pre-flight deterministically picks the exact branch at this scale,
+    # so the strategy column is a checkable constant
+    "q_dedup_auto": """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ),
+        tok AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(t[gs : gs + 2], ' ') AS tok
+          FROM toks JOIN generate_series(1, 100000) AS g(gs)
+            ON gs <= greatest(len(t) - 2, 1)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6)
+                 AS jaccard,
+               'exact_prefix' AS strategy
         FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
