@@ -526,6 +526,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    sh_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dedup pipeline: shingle → MinHash → banded LSH → exact
     Jaccard verification. Returns verified near-duplicate pairs.
@@ -544,10 +545,12 @@ def minhash_lsh_dedup(
     # unpersisted before returning — no cached-block leak across calls.
     # Round 5: shingle_hash_rows (Arrow path — no shingle strings built;
     # signatures hash longs, the persisted relation + verify joins stay
-    # 8 bytes/element).
-    sh_rows = shingle_hash_rows(df, text_col, id_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # 8 bytes/element).  Round 6: a caller that already built the
+    # (id, _sh) relation (dedup_pairs_auto's mass estimator) passes it
+    # via ``sh_rows`` so the corpus-wide Arrow pass runs once, not twice.
+    if sh_rows is None:
+        sh_rows = shingle_hash_rows(df, text_col, id_col, k)
+    sh_rows = sh_rows.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = _signatures_from_rows(sh_rows, id_col, num_hashes)
     cands = lsh_candidates(sigs, id_col=id_col, bands=bands,
                            rows_per_band=num_hashes // bands)
@@ -1532,7 +1535,8 @@ def dedup_pairs_auto(
     {'exact_prefix', 'lsh_verified'} records which engine produced the
     pair — the operator's plan choice is part of its output, not a
     silent log line."""
-    rows = shingle_hash_rows(df, text_col, id_col, k=k).select(
+    base = shingle_hash_rows(df, text_col, id_col, k=k)
+    rows = base.select(
         F.col(id_col).alias("doc_id"), F.col("_sh").alias("tok")
     )
     stats = setsim_candidate_mass(rows, threshold)
@@ -1541,7 +1545,8 @@ def dedup_pairs_auto(
         strategy = "exact_prefix"
     else:
         out = minhash_lsh_dedup(
-            df, text_col=text_col, id_col=id_col, k=k, threshold=threshold
+            df, text_col=text_col, id_col=id_col, k=k, threshold=threshold,
+            sh_rows=base,
         )
         strategy = "lsh_verified"
     return out.select(

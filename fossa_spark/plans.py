@@ -68,3 +68,58 @@ def assert_filters_pushed(df: DataFrame, *fragments: str) -> PlanAudit:
             f"filter fragment {frag!r} not pushed; pushed={a.pushed_filters}"
         )
     return a
+
+
+def scale_smells(df: DataFrame) -> list[str]:
+    """Lint a plan for the anti-patterns that are invisible at test scale
+    and fatal at 100 TB — the checklist tests/test_plans.py asserts
+    query-by-query, packaged as a reusable pre-flight: run it on any
+    DataFrame before pointing the plan at a big cluster.
+
+    Returns a list of human-readable findings (empty = no smells):
+
+    - ``cartesian``: CartesianProduct or BroadcastNestedLoopJoin — pair
+      work grows as |A|×|B|; usually a missing/non-equi join condition.
+    - ``corpus-window``: a Window whose partition spec is empty — every
+      row flows through ONE task no matter how many executors exist
+      (the q_win_corr bucket-carry decomposition exists because of this).
+    - ``single-partition-exchange``: Exchange SinglePartition feeding
+      anything but a final result collect — a corpus-wide serialization
+      point.
+
+    A finding is a WARNING, not an error: a single-partition window over
+    a provably tiny relation (e.g. rrf_fuse's union of top-N lists) is
+    legitimate — the caller, who knows the cardinality, decides.  The
+    value is that the decision becomes explicit instead of discovered in
+    a 3-task stage on the cluster."""
+    a = audit(df)
+    text = a.formatted
+    smells: list[str] = []
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if re.search(rf"\b{node}\b", text):
+            smells.append(
+                f"cartesian: {node} in plan — |A|x|B| pair work; "
+                "check the join condition is an equi-join"
+            )
+            break
+    # formatted Window details: "Arguments: [exprs], [partition], [order]"
+    # with the partition list OMITTED entirely when empty — so a Window
+    # whose Arguments carries only two top-level lists is unpartitioned
+    # and funnels the corpus into one task
+    for m in re.finditer(r"\(\d+\) Window\b", text):
+        tail = text[m.end(): m.end() + 1000]
+        arg = re.search(r"Arguments: (\[.*?)\n", tail, re.S)
+        if arg is not None and arg.group(1).count("], [") < 2:
+            smells.append(
+                "corpus-window: Window with empty PARTITION BY — "
+                "single-task evaluation at any cluster size"
+            )
+            break
+    n_single = len(re.findall(r"Arguments: SinglePartition", text))
+    if n_single:
+        smells.append(
+            f"single-partition-exchange: {n_single} Exchange(SinglePartition) "
+            "node(s) — corpus serializes through one task; fine only for "
+            "provably small relations"
+        )
+    return smells

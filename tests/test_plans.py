@@ -529,3 +529,31 @@ def test_join_range_banded_is_equi_hash_join(spark):
         for j in a.join_nodes
         if j != "Join" and "Reused" not in j
     ), a.join_nodes
+
+
+def test_scale_smells_linter(spark):
+    """The plan linter must flag the three banned shapes and stay silent
+    on a well-partitioned aggregate and a partitioned window."""
+    from pyspark.sql import Window as W
+
+    from fossa_spark.plans import scale_smells
+
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    clean = df.groupBy((F.col("id") % 10).alias("g")).agg(F.sum("v"))
+    assert scale_smells(clean) == []
+
+    part_win = df.withColumn(
+        "rk", F.row_number().over(W.partitionBy(F.col("id") % 10).orderBy("id"))
+    )
+    assert scale_smells(part_win) == []
+
+    cart = df.crossJoin(spark.range(10))
+    assert any(s.startswith("cartesian") for s in scale_smells(cart))
+
+    corpus_win = df.withColumn("rk", F.row_number().over(W.orderBy("id")))
+    found = scale_smells(corpus_win)
+    assert any(s.startswith("corpus-window") for s in found)
+    assert any(s.startswith("single-partition-exchange") for s in found)
+
+    # the flagship aggregate must stay lint-clean end to end
+    assert scale_smells(q_agg_basic(spark, SF_DIR)) == []
