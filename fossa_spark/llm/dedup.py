@@ -291,6 +291,64 @@ def staged_ngram_pairs(
     optimization, never a correctness dependency.  Non-file-backed
     inputs (no ``inputFiles()``) skip staging entirely.
     """
+    return _staged_parquet(
+        df,
+        lambda: ngram_jaccard_pairs(df, text_col, id_col, k, min_jaccard, max_df),
+        prefix="ngram_pairs",
+        params=[_PAIR_ALGO_VERSION, k, min_jaccard, max_df, text_col, id_col],
+        cache_root=cache_root,
+    )
+
+
+def staged_shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    cache_root: str | None = None,
+) -> DataFrame:
+    """:func:`shingle_hash_rows`, staged to parquet once per corpus
+    fingerprint — the :func:`staged_ngram_pairs` pattern one level
+    further upstream (round 6).
+
+    The (id, _sh int64) relation is the shared input of the whole
+    MinHash family (signatures, LSH buckets, exact-Jaccard verify); the
+    q_dedup_near / q_dedup_minhash_exact / q_dedup_containment queries
+    each recomputed the corpus-wide Arrow pass.  Per-corpus-snapshot
+    state belongs in storage, computed once — at 100 TB this relation IS
+    the staged tokenization table a production dedup pipeline
+    materializes before any signature work.
+
+    ONLY sound for a df read directly from files: the fingerprint is
+    (algo version, k, cols, input file path+size+mtime), so a FILTERED
+    or otherwise derived frame would collide with its base corpus —
+    callers with derived inputs (e.g. the pipeline's post-exact-dedup
+    stage) must keep calling :func:`shingle_hash_rows` directly.
+    _staged_parquet already skips frames whose lineage has non-file
+    sources, but it cannot detect a filter over the same files; the
+    caller contract does."""
+    return _staged_parquet(
+        df,
+        lambda: shingle_hash_rows(df, text_col, id_col, k),
+        prefix=f"shingle_rows_k{k}",
+        params=["shingle_rows_v1", k, text_col, id_col],
+        cache_root=cache_root,
+    )
+
+
+def _staged_parquet(
+    df: DataFrame,
+    compute,
+    prefix: str,
+    params: list,
+    cache_root: str | None = None,
+) -> DataFrame:
+    """Stage ``compute()``'s result to parquet keyed by (params + the
+    input files' path/size/mtime fingerprint); serve later calls from
+    the staged copy.  Falls back to computing directly on any cache or
+    fingerprint failure — staging is an optimization, never a
+    correctness dependency.  See staged_ngram_pairs' docstring for the
+    key-soundness argument."""
     import hashlib
     import json
     import os
@@ -302,7 +360,7 @@ def staged_ngram_pairs(
     except Exception:
         files = []
     if not files:
-        return ngram_jaccard_pairs(df, text_col, id_col, k, min_jaccard, max_df)
+        return compute()
     try:
         stats = []
         for f in files:
@@ -310,33 +368,29 @@ def staged_ngram_pairs(
             st = os.stat(p)
             stats.append((p, st.st_size, st.st_mtime_ns))
     except OSError:
-        return ngram_jaccard_pairs(df, text_col, id_col, k, min_jaccard, max_df)
-    key = hashlib.sha256(
-        json.dumps(
-            [_PAIR_ALGO_VERSION, k, min_jaccard, max_df, text_col, id_col, stats]
-        ).encode()
-    ).hexdigest()[:24]
+        return compute()
+    key = hashlib.sha256(json.dumps(params + [stats]).encode()).hexdigest()[:24]
     root = cache_root or str(
         Path(__file__).resolve().parent.parent.parent / ".stage_cache"
     )
-    final = os.path.join(root, f"ngram_pairs_{key}")
+    final = os.path.join(root, f"{prefix}_{key}")
     spark = df.sparkSession
     if os.path.exists(os.path.join(final, "_SUCCESS")):
         return spark.read.parquet(final)
-    pairs = ngram_jaccard_pairs(df, text_col, id_col, k, min_jaccard, max_df)
+    out = compute()
     try:
         os.makedirs(root, exist_ok=True)
         # prune: fixture regeneration changes mtimes → new keys every
-        # round; keep the newest 16 entries so the cache can't grow
-        # unboundedly across rounds
+        # round; keep the newest entries per prefix so the cache can't
+        # grow unboundedly across rounds
         entries = sorted(
-            (e for e in os.listdir(root) if e.startswith("ngram_pairs_")),
+            (e for e in os.listdir(root) if e.startswith(f"{prefix}_")),
             key=lambda e: os.path.getmtime(os.path.join(root, e)),
         )
         for stale in entries[:-15]:
             shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
         tmp = os.path.join(root, f"_tmp_{key}_{uuid.uuid4().hex}")
-        pairs.write.mode("overwrite").parquet(tmp)
+        out.write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, final)  # atomic: losers of the race fall through
         except OSError:
@@ -345,7 +399,7 @@ def staged_ngram_pairs(
             return spark.read.parquet(final)
     except Exception:
         pass  # staging failed — the computed relation is still correct
-    return pairs
+    return out
 
 
 def containment_pairs(
@@ -355,6 +409,7 @@ def containment_pairs(
     k: int = 5,
     min_overlap: float = 0.6,
     max_df: int = 100,
+    sh_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Near-subset pairs by the overlap coefficient |A∩B| / min(|A|, |B|).
 
@@ -373,7 +428,9 @@ def containment_pairs(
     :func:`shingle_hash_rows` for the measured rationale; outputs are
     counts, so results are hash-collision-exact.
     """
-    sh = shingle_hash_rows(df, text_col, id_col, k).select(
+    if sh_rows is None:
+        sh_rows = shingle_hash_rows(df, text_col, id_col, k)
+    sh = sh_rows.select(
         F.col(id_col).alias("doc_id"), F.col("_sh").alias("shingle")
     )
     # same staging as ngram_jaccard_pairs, but the overlap filter lands

@@ -27,7 +27,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(8 bands × 2) + exact-Jaccard verify ≥ 0.5.
     Seeded hashing → stable rows-only check."""
     d = load(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_dedup(d, threshold=0.5)
+    pairs = D.minhash_lsh_dedup(
+        d, threshold=0.5, sh_rows=D.staged_shingle_rows(d, k=5)
+    )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     ).orderBy("id_a", "id_b")
@@ -52,7 +54,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     df ≤ 100 fan-in bound as q_dedup_ngram; the ratio is one int/int
     division, bit-identical in both engines."""
     d = load(spark, sf_dir, "documents")
-    return D.containment_pairs(d, k=5, min_overlap=0.6, max_df=100).orderBy(
+    return D.containment_pairs(
+        d, k=5, min_overlap=0.6, max_df=100,
+        sh_rows=D.staged_shingle_rows(d, k=5),
+    ).orderBy(
         "id_a", "id_b"
     )
 

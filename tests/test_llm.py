@@ -715,3 +715,22 @@ def test_rrf_fuse_hand_example(spark):
     assert abs(out[2].rrf - round(1 / 62 + 1 / 61, 8)) < 1e-12
     assert out[1].rk_sparse is None and out[3].rk_dense is None
     assert abs(out[1].rrf - round(1 / 61, 8)) < 1e-12
+
+
+def test_staged_shingle_rows_identical(spark, docs, tmp_path):
+    """staged_shingle_rows must be row-identical to shingle_hash_rows on
+    first call (compute+write) AND on cache hit (read), and the staged
+    directory must exist after the first call."""
+    import os
+
+    direct = {(r.doc_id, r._sh)
+              for r in D.shingle_hash_rows(docs, "text", "doc_id", 5).collect()}
+    root = str(tmp_path / "stage")
+    first = {(r.doc_id, r._sh)
+             for r in D.staged_shingle_rows(docs, k=5, cache_root=root).collect()}
+    assert first == direct
+    staged_dirs = [e for e in os.listdir(root) if e.startswith("shingle_rows_k5_")]
+    assert len(staged_dirs) == 1
+    hit = {(r.doc_id, r._sh)
+           for r in D.staged_shingle_rows(docs, k=5, cache_root=root).collect()}
+    assert hit == direct
