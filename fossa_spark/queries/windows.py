@@ -272,22 +272,29 @@ def q_win_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_orderkey", "l_linenumber",
         "l_shipdate", x.alias("_x"), y.alias("_y"), bucket,
     )
-    occ = (
-        d0.groupBy("l_returnflag", "_bkt")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .collect()
-    )
     # engage the decomposition only when the 3-task ceiling actually
     # binds: below ~2M rows the plain window finishes faster than the
     # carry machinery's extra pass + union cost (measured 1.9 s plain vs
     # 4.0 s bucketed at 600k rows; 21.2 s plain vs 6.4 s bucketed at
     # 6M).  The gate is driver-side and deterministic (exact counts).
-    total = sum(r["_n"] for r in occ)
-    use_buckets = (
-        total >= _CORR_BUCKET_MIN_ROWS
-        and bool(occ)
-        and min(r["_n"] for r in occ) >= 29
-    )
+    # Two-step gate (round 6): the size check is a bare count() — on an
+    # unfiltered parquet scan that's footer metadata, no shuffle — so
+    # the below-gate path (every sf ≤ 0.1 run, i.e. the whole bench
+    # suite) never pays the flag×month occupancy aggregate at all; the
+    # occupancy map is only built once the decomposition is actually in
+    # play.
+    total = li.count()
+    use_buckets = total >= _CORR_BUCKET_MIN_ROWS
+    if use_buckets:
+        occ = (
+            d0.groupBy("l_returnflag", "_bkt")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        # the 29-row carry spans AT MOST one bucket boundary, so every
+        # occupied bucket must hold ≥ 29 rows — arbitrary input data that
+        # violates this falls back to the always-correct plain window
+        use_buckets = bool(occ) and min(r["_n"] for r in occ) >= 29
     if use_buckets:
         # driver-side successor map: next OCCUPIED bucket per flag
         succ: dict[tuple, int] = {}
