@@ -1568,6 +1568,7 @@ def dedup_pairs_auto(
     threshold: float = 0.5,
     k: int = 3,
     mass_per_doc_cap: int = 2000,
+    sh_rows: DataFrame | None = None,
 ) -> DataFrame:
     """ADAPTIVE near-dup pair detection: measure, then pick the algorithm
     — the AQE idea applied to the dedup family's documented scale
@@ -1591,8 +1592,18 @@ def dedup_pairs_auto(
     branch.  Returns (id_a, id_b, jaccard, strategy) where strategy ∈
     {'exact_prefix', 'lsh_verified'} records which engine produced the
     pair — the operator's plan choice is part of its output, not a
-    silent log line."""
-    base = shingle_hash_rows(df, text_col, id_col, k=k)
+    silent log line.
+
+    ``sh_rows`` optionally supplies the (id, _sh) shingle relation (e.g.
+    :func:`staged_shingle_rows` when ``df`` is file-backed) — the
+    estimator, the exact join, and the LSH fallback all consume the same
+    relation, so staging it removes the corpus-wide Arrow pass from
+    every branch of the decision."""
+    base = (
+        sh_rows
+        if sh_rows is not None
+        else shingle_hash_rows(df, text_col, id_col, k=k)
+    )
     rows = base.select(
         F.col(id_col).alias("doc_id"), F.col("_sh").alias("tok")
     )
