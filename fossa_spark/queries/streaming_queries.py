@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fossa_spark.queries._util import cents, load_events, sql_cents
+from fossa_spark.queries._util import cents, load, load_events, sql_cents
 
 
 def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,6 +384,96 @@ def q_stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming NEAR-dedup against a persisted bucketed MinHash
+    index — the online half of the dedup family: documents arrive in
+    micro-batches, each batch probes the index built from the existing
+    corpus (llm/dedup.py incremental_dedup — batch-side-only shuffle,
+    index read in place via its bucketed layout), novel docs are folded
+    back into the index (append_to_minhash_index, insertInto preserves
+    the bucket clustering), and the next batch dedups against them.
+
+    Cross-batch novelty is exercised structurally: batch 2 re-emits five
+    batch-1 texts under fresh ids — they can only be attributed if the
+    between-batch index APPEND actually landed (their best match is a
+    batch-1 id or that doc's own corpus duplicate, never nothing).
+    Probe results are eagerly checkpointed inside incremental_dedup
+    BEFORE the append mutates the index tables, so the read-then-write
+    cycle per batch is race-free.  rows-only (seeded xxhash64 signature
+    family has no SQL oracle); tests/test_streaming.py asserts the
+    planted re-emissions all come back keep=false with jaccard 1.0.
+
+    Scale shape: identical to the daily-batch incremental loop — state
+    lives in bucketed storage, not executor memory; per-batch cost is
+    O(batch × bands) probe + O(kept batch) append, independent of corpus
+    size."""
+    import tempfile
+    import uuid
+
+    from fossa_spark.llm import dedup as D
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    arriving = d.filter(F.col("doc_id") % 4 == 0)
+    prefix = f"fs_stream_near_{uuid.uuid4().hex[:8]}"
+    D.build_minhash_index(
+        corpus, prefix, tempfile.mkdtemp(prefix="fossa_snear_idx_")
+    )
+
+    feed = tempfile.mkdtemp(prefix="fossa_snear_feed_")
+    out_dir = tempfile.mkdtemp(prefix="fossa_snear_out_")
+    b1 = arriving.filter(F.col("doc_id") % 8 == 0)
+    b2 = arriving.filter(F.col("doc_id") % 8 != 0)
+    planted = (
+        b1.orderBy("doc_id")
+        .limit(5)
+        .select((F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text")
+    )
+    # one file per micro-batch, mtime order (the house pattern of
+    # q_stream_dedup_exec): batch 1 must be fully processed — probed AND
+    # appended — before batch 2's planted re-emissions arrive
+    b1.coalesce(1).write.mode("append").parquet(feed)
+    b2.unionByName(planted).coalesce(1).write.mode("append").parquet(feed)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch hands a frame bound to the micro-batch CLONE of
+        # the session; its cloned state can hold a pre-append snapshot
+        # of the index tables' file listing, so batch N+1 would probe a
+        # stale index and silently miss batch-N appends (observed: the
+        # planted exact copy came back keep=true).  Resolve the tables
+        # through the batch's own session and refresh them first.
+        spark_b = batch_df.sparkSession
+        for t in ("bands", "shingles", "sizes"):
+            spark_b.catalog.refreshTable(f"{prefix}_{t}")
+        res = D.incremental_dedup(batch_df, spark_b, prefix, threshold=0.5)
+        # res is already eagerly checkpointed (incremental_dedup's
+        # contract) — safe to mutate the index it was probed against
+        kept = batch_df.join(
+            res.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+        )
+        D.append_to_minhash_index(kept, spark_b, prefix)
+        res.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .select("batch_id", "doc_id", "dup_of", "jaccard", "keep")
+        .orderBy("doc_id")
+    )
+
+
 def q_stream_upsert_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming upsert (materialized-view maintenance) under the
     oracle: the events feed arrives in two interleaved micro-batches
@@ -456,6 +546,7 @@ QUERIES = {
     "q_stream_static_join": q_stream_static_join,
     "q_stream_stateful_exec": q_stream_stateful_exec,
     "q_stream_dedup_exec": q_stream_dedup_exec,
+    "q_stream_dedup_near": q_stream_dedup_near,
     "q_stream_slide": q_stream_slide,
     "q_stream_session": q_stream_session,
 }

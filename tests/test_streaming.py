@@ -329,3 +329,31 @@ def test_transform_with_state(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_dedup_near_cross_batch(spark):
+    """q_stream_dedup_near: every batch-2 planted re-emission of a batch-1
+    text must be attributed (keep=false, jaccard 1.0) — possible only if
+    the between-batch index append landed; novel docs carry no dup_of."""
+    from fossa_spark.queries.streaming_queries import q_stream_dedup_near
+
+    out = q_stream_dedup_near(spark, SF_DIR).collect()
+    assert len(out) > 0
+    planted = [r for r in out if r.doc_id >= 10_000_000]
+    assert len(planted) == 5
+    for r in planted:
+        # every re-emission is attributed: to its batch-1 original at
+        # jaccard 1.0 if that doc was novel (kept → appended), else to
+        # the original's own corpus duplicate — never kept as new
+        assert r.keep is False and r.dup_of is not None
+        assert r.batch_id == 1  # arrived in the second micro-batch
+    # at least one attribution must point at a batch-1 id (dup_of % 8 == 0
+    # and % 4 == 0 → arrived in batch 1, not the corpus): the exact-copy
+    # match at 1.0 that only the between-batch index append can produce
+    assert any(
+        r.dup_of % 8 == 0 and r.jaccard == 1.0 for r in planted
+    ), planted
+    # batch-1 rows exist and every kept row has no attribution
+    assert any(r.batch_id == 0 for r in out)
+    for r in out:
+        assert r.keep == (r.dup_of is None)
