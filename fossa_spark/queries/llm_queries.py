@@ -589,10 +589,13 @@ def q_dedup_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     path — no shingle strings), finishing the dedup family's HOF
     retirement; outputs are counts, so the hash-family swap is
     value-invariant (hash-parity re-checked at sf0.01 + sf0.1).
-    Round 6: the k=3 relation is staged per corpus fingerprint
-    (staged_shingle_rows) — q_dedup_auto reads the same staged copy."""
+    Round 6 NEGATIVE RESULT: staging this k=3 relation (the k=5
+    staged_shingle_rows pattern) was tried and MEASURED OUT — setsim's
+    engine reads the token relation through ~5 subtrees that
+    ReusedExchange collapses when inline, but a staged-parquet input is
+    rescanned per subtree (sf1 warm 5.6 → 13.2 s).  Keep it inline."""
     d = load(spark, sf_dir, "documents")
-    rows = D.staged_shingle_rows(d, k=3).select(
+    rows = D.shingle_hash_rows(d, "text", "doc_id", k=3).select(
         "doc_id", F.col("_sh").alias("tok")
     )
     return D.setsim_join(d, threshold=0.5, tok_rows=rows).orderBy(
@@ -609,9 +612,7 @@ def q_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     the choice is deterministically 'exact_prefix' and the brute-force
     SQL oracle covers the whole output including the strategy column."""
     d = load(spark, sf_dir, "documents")
-    return D.dedup_pairs_auto(
-        d, threshold=0.5, k=3, sh_rows=D.staged_shingle_rows(d, k=3)
-    ).orderBy("id_a", "id_b")
+    return D.dedup_pairs_auto(d, threshold=0.5, k=3).orderBy("id_a", "id_b")
 
 
 _BPE_MERGE_CACHE: dict = {}
