@@ -48,6 +48,7 @@ DEFAULT_QUERIES = [
     "q_stream_join_exec",
     "q_stream_outer_join_exec",
     "q_dedup_incremental",
+    "q_stream_dedup_near",
     "q_cluster_keep",
     "q_dedup_containment",
     "q_dedup_ngram",
