@@ -197,9 +197,20 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.py pca_project): exact integer Gram accumulation, driver
     eigh on dim² scalars, Arrow-batched projection. rows-only (eigen-
     decomposition is not SQL-expressible); pytest asserts orthonormality,
-    variance ordering and bit-reproducibility."""
+    variance ordering and bit-reproducibility.
+
+    Round 7: the query-level output is posexploded to flat scalars
+    (vec_id, component, value) — the library API (pca_project) still
+    returns the array<double> column, but the driver's materialization
+    canonicalizes via a pandas hash table that cannot factorize
+    list-valued cells (r06: TypeError unhashable type 'list'), so every
+    REGISTERED query emits only scalar columns (guard:
+    tests/test_oracle_parity.py)."""
     e = load(spark, sf_dir, "embeddings")
-    return S.pca_project(e, n_components=8, dim=64).orderBy("vec_id")
+    p = S.pca_project(e, n_components=8, dim=64)
+    return p.select(
+        "vec_id", F.posexplode("pca").alias("component", "value")
+    ).orderBy("vec_id", "component")
 
 
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pytest
 
-from fossa_spark.queries import all_oracles, all_queries
+from fossa_spark.queries import all_oracles, all_queries, complex_typed_columns
 from tests.conftest import SF_DIR, assert_parity
 
 _QUERIES = all_queries()
@@ -21,6 +21,15 @@ _ORACLES = all_oracles()
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_parity(name, spark, oracle):
     df = _QUERIES[name](spark, SF_DIR)
+    # Contract-boundary guard (r06's only red row): the driver's
+    # materialization hashes cells through pandas factorize, which raises
+    # on list-valued cells — every registered query must emit only scalar
+    # columns (library APIs may return arrays; the query layer reshapes).
+    bad = complex_typed_columns(df.schema)
+    assert not bad, (
+        f"{name}: complex-typed output columns {bad} — the driver cannot "
+        "hash these; posexplode/flatten at the query layer"
+    )
     if name in _ORACLES:
         assert_parity(df, oracle, _ORACLES[name], name=name)
     else:
@@ -29,31 +38,42 @@ def test_query_parity(name, spark, oracle):
         assert len(rows) >= 0  # materializes without error
 
 
+def test_complex_type_guard_rejects_arrays(spark):
+    """The guard itself must catch the r06 failure shape (array column)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select("id", F.array(F.lit(1.0), F.lit(2.0)).alias("v"))
+    assert complex_typed_columns(df.schema) == ["v"]
+    assert complex_typed_columns(df.select("id").schema) == []
+
+
 def test_oracles_have_queries():
     missing = set(_ORACLES) - set(_QUERIES)
     assert not missing, f"oracle entries without a query: {missing}"
 
 
 def test_registration_order_contract():
-    """Driver contract (round 6 shape): rows-only queries that have NEVER
-    had a driver slot are pinned to the very front (they can't
+    """Driver contract (round 7 shape): rows-only queries that have NEVER
+    had a driver slot — or whose output changed since their last driver
+    run (CHANGED_IN pending) — are pinned to the very front (they can't
     hash-match, but an err='no_oracle' 'ran' row is still driver
-    evidence — VERDICT r5 item 1); the pin SELF-RETIRES once any
-    CORRECTNESS artifact records a row for them.  After the pin, every
-    oracle-backed query precedes every remaining rows-only query
-    (rounds 1-5 contract: a count-capped run verifies oracle signal
-    first), and the two most expensive rows-only plans run dead last
-    within their block so a time-boxed run loses them, not signal."""
-    from fossa_spark.queries import _ever_seen_names
+    evidence — VERDICT r5 item 1 / r6 item 1); the pin SELF-RETIRES once
+    a CORRECTNESS artifact records a (post-change) ran row.  After the
+    pin, every oracle-backed query precedes every remaining rows-only
+    query (rounds 1-5 contract: a count-capped run verifies oracle
+    signal first), and the two most expensive rows-only plans run dead
+    last within their block so a time-boxed run loses them, not signal."""
+    from fossa_spark.queries import _changed_pending_rows_only, _ever_seen_names
 
     names = list(_QUERIES)
     seen = _ever_seen_names()
+    pending = _changed_pending_rows_only(dict(_QUERIES), _ORACLES)
     # the pin prefix: everything before the first oracle-backed name
     first_backed = next(i for i, n in enumerate(names) if n in _ORACLES)
     pin = names[:first_backed]
-    assert all(n not in _ORACLES and n not in seen for n in pin), (
-        f"pin prefix must be never-driver-seen rows-only: {pin}"
-    )
+    assert all(
+        n not in _ORACLES and (n not in seen or n in pending) for n in pin
+    ), f"pin prefix must be never-seen or changed-pending rows-only: {pin}"
     # after the pin: the full oracle-backed inventory, uninterrupted
     backed_block = names[first_backed : first_backed + len(_ORACLES)]
     assert all(n in _ORACLES for n in backed_block), (

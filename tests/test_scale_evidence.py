@@ -260,6 +260,100 @@ def test_incremental_index_append_roundtrip(spark, skewed_docs, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS t_app_{t}")
 
 
+def test_staged_minhash_index_equivalence(spark, skewed_docs, tmp_path):
+    """staged_minhash_index (round 7): the staged copy must (a) probe
+    IDENTICALLY to a fresh build, (b) keep the staged cache IMMUTABLE
+    under per-run appends (each run mutates its own copy), (c) keep the
+    bucketed zero-shuffle probe property on the copied tables, and
+    (d) fingerprint derived (filtered) corpora apart from their base."""
+    import os
+    from pathlib import Path
+
+    prefixes = ("t_fresh2", "t_st1", "t_st2", "t_stf")
+    for p in prefixes:
+        for t in ("bands", "shingles", "sizes", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
+    # staging engages only for file-backed corpora — write-read the fixture
+    skewed_docs.filter(F.col("doc_id") < 2000).write.mode("overwrite").parquet(
+        str(tmp_path / "corpus")
+    )
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    cache = str(tmp_path / "cache")
+
+    D.build_minhash_index(corpus, "t_fresh2", str(tmp_path / "fresh"))
+    D.staged_minhash_index(
+        corpus, spark, "t_st1", str(tmp_path / "run1"), cache_root=cache
+    )
+    batch = spark.createDataFrame(
+        [
+            (9001, "quick brown fox jumps over the lazy dog near the quiet "
+                   "river bank today beta"),
+            (9002, "completely novel content about quantum chromodynamics "
+                   "lattice simulations and gluon field configurations"),
+        ],
+        "doc_id long, text string",
+    )
+    fresh = sorted(map(tuple, D.incremental_dedup(batch, spark, "t_fresh2").collect()))
+    staged = sorted(map(tuple, D.incremental_dedup(batch, spark, "t_st1").collect()))
+    assert fresh == staged, f"staged probe diverged:\n{fresh}\nvs\n{staged}"
+
+    entries = [e for e in os.listdir(cache) if e.startswith("minhash_idx_")]
+    assert len(entries) == 1, entries
+
+    def snap(d):
+        return sorted(
+            (str(p.relative_to(d)), p.stat().st_size)
+            for p in Path(d).rglob("*")
+            if p.is_file()
+        )
+
+    before = snap(cache)
+    # second run: cache hit into its own prefix/work_dir, then append —
+    # the cache bytes must not move
+    D.staged_minhash_index(
+        corpus, spark, "t_st2", str(tmp_path / "run2"), cache_root=cache
+    )
+    novel = batch.filter(F.col("doc_id") == 9002)
+    D.append_to_minhash_index(novel, spark, "t_st2")
+    assert snap(cache) == before, "per-run append leaked into the staged cache"
+    # run 2 now sees the appended doc; run 1's independent copy does not
+    day2 = spark.createDataFrame(
+        [(9200, "completely novel content about quantum chromodynamics "
+                "lattice simulations and gluon field configuration")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r for r in
+            D.incremental_dedup(day2, spark, "t_st2").collect()}
+    assert out2[9200].keep is False and out2[9200].dup_of == 9002
+    out1 = {r.doc_id: r for r in
+            D.incremental_dedup(day2, spark, "t_st1").collect()}
+    assert out1[9200].keep is True
+
+    # copied tables keep the bucketed-scan property (no index-side shuffle)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sh = batch.select("doc_id", D.word_shingles("text", 5).alias("shingles"))
+        sigs = D.minhash_signatures(sh, num_hashes=16)
+        brows = D.band_rows(sigs, "doc_id", "minhash", 8, 2)
+        a = audit(brows.join(spark.table("t_st1_bands"), "bucket"))
+        assert "Bucketed: true" in a.formatted
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+
+    # a FILTERED variant of the same files fingerprints separately (the
+    # analyzed-plan component): staging it adds a second cache entry
+    D.staged_minhash_index(
+        corpus.filter(F.col("doc_id") % 2 == 0), spark, "t_stf",
+        str(tmp_path / "runf"), cache_root=cache,
+    )
+    entries = [e for e in os.listdir(cache) if e.startswith("minhash_idx_")]
+    assert len(entries) == 2, entries
+    for p in prefixes:
+        for t in ("bands", "shingles", "sizes", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
+
+
 def test_bloom_join_prunes_fact_before_shuffle(spark):
     """q_join_bloom's pre-filter must (a) keep EVERY true-match fact row
     (no false negatives — correctness), (b) prune a large share of
