@@ -1783,7 +1783,10 @@ def dedup_pairs_auto(
     :func:`staged_shingle_rows` when ``df`` is file-backed) — the
     estimator, the exact join, and the LSH fallback all consume the same
     relation, so staging it removes the corpus-wide Arrow pass from
-    every branch of the decision."""
+    every branch of the decision.  When given it OVERRIDES ``k``
+    entirely (advisor r6): the caller owns shingle semantics, and a
+    relation staged with a different k silently changes the Jaccard
+    space — pass the k the relation was built with, or omit sh_rows."""
     base = (
         sh_rows
         if sh_rows is not None

@@ -256,6 +256,145 @@ def ivf_topk(
     )
 
 
+# On-disk IVF-index format lineage:
+#   1 (r07): cells (cell int, c_id long, c_vec) bucketBy(cell);
+#            centroids (cell int, centroid array<double>); meta carries
+#            (format_version, n_centroids, seed)
+IVF_INDEX_FORMAT_VERSION = 1
+
+
+def build_ivf_index(
+    candidates: DataFrame,
+    spark,
+    table_prefix: str,
+    path: str,
+    id_col: str = "c_id",
+    vec_col: str = "c_vec",
+    n_centroids: int = 16,
+    buckets: int = 16,
+    seed: int = 42,
+) -> None:
+    """Persist an IVF (inverted-file) ANN index as BUCKETED parquet
+    tables — :func:`ivf_topk`'s train+assign phase made durable, the
+    retrieval twin of llm/dedup.py's ``build_minhash_index``: embed a
+    corpus once, then serve query batches (``ivf_index_topk``) and fold
+    in new vectors (``append_to_ivf_index``) without refitting or
+    reshuffling the corpus side.  This is the FAISS train→add→search
+    lifecycle expressed in Spark tables.
+
+    Three tables under ``table_prefix``:
+      - ``{prefix}_cells``     (cell, c_id, c_vec)  bucketBy(cell) — the
+        inverted lists; a query batch's nprobe cell ids equi-join it
+        with NO shuffle on the index side.
+      - ``{prefix}_centroids`` (cell, centroid array<double>) — the
+        coarse quantizer, n_centroids × dim doubles: control-plane-sized
+        by construction, collected by every probe/append.
+      - ``{prefix}_meta``      format marker + params (probe/append
+        assert the version before touching the index — the
+        _check_index_format convention).
+    """
+    from fossa_spark.sources import write_bucketed
+
+    centroids = fit_centroids_capped(candidates, vec_col, n_centroids, seed=seed)
+    cells = candidates.withColumn(
+        "cell", _nearest_centroids_udf(centroids, 1)(F.col(vec_col))[0]
+    ).select("cell", F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    write_bucketed(
+        cells, f"{table_prefix}_cells", "cell", buckets=buckets,
+        path=f"{path}/cells", sort_by="cell",
+    )
+    cent_rows = [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).write.mode("overwrite").option("path", f"{path}/centroids").saveAsTable(
+        f"{table_prefix}_centroids"
+    )
+    spark.createDataFrame(
+        [(IVF_INDEX_FORMAT_VERSION, int(centroids.shape[0]), int(seed))],
+        "format_version int, n_centroids int, seed int",
+    ).write.mode("overwrite").option("path", f"{path}/meta").saveAsTable(
+        f"{table_prefix}_meta"
+    )
+
+
+def _load_ivf_centroids(spark, table_prefix: str) -> "np.ndarray":
+    """Collect the coarse quantizer (n_centroids × dim — bounded by
+    construction) after asserting the on-disk format version."""
+    ver = None
+    if spark.catalog.tableExists(f"{table_prefix}_meta"):
+        row = spark.table(f"{table_prefix}_meta").first()
+        ver = row["format_version"] if row is not None else None
+    if ver != IVF_INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"ivf index '{table_prefix}' is format version {ver!r}; this "
+            f"code reads/writes version {IVF_INDEX_FORMAT_VERSION}. "
+            "Rebuild it with build_ivf_index before probing/appending."
+        )
+    rows = spark.table(f"{table_prefix}_centroids").orderBy("cell").collect()
+    return np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+
+
+def ivf_index_topk(
+    queries: DataFrame,
+    spark,
+    table_prefix: str,
+    k: int = 5,
+    nprobe: int = 4,
+    id_q: str = "q_id",
+    vec_q: str = "q_vec",
+) -> DataFrame:
+    """Top-k cosine search against a persisted IVF index
+    (:func:`build_ivf_index`) — identical semantics (and, for the same
+    seed/params/corpus, identical output) to :func:`ivf_topk`, but the
+    corpus side is never recomputed: the query batch fans out to its
+    ``nprobe`` nearest cells and equi-joins the bucketed inverted lists
+    in place (only the query side shuffles), then the exact cosine
+    re-rank runs on the matched cells only."""
+    centroids = _load_ivf_centroids(spark, table_prefix)
+    q_b = queries.withColumn(
+        "_probes", _nearest_centroids_udf(centroids, nprobe)(F.col(vec_q))
+    ).select(id_q, vec_q, F.explode("_probes").alias("cell"))
+    cells = spark.table(f"{table_prefix}_cells")
+    pairs = (
+        q_b.join(cells, "cell")
+        .filter(F.col(id_q) != F.col("c_id"))
+        .select(id_q, "c_id", vec_q, "c_vec")
+        .distinct()
+    )
+    scored = pairs.withColumn(
+        "score", F.round(cosine_batch(F.col(vec_q), F.col("c_vec")), 6)
+    )
+    w = W.partitionBy(id_q).orderBy(F.col("score").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(id_q, "c_id", "score", "rk")
+    )
+
+
+def append_to_ivf_index(
+    new_vecs: DataFrame,
+    spark,
+    table_prefix: str,
+    id_col: str = "c_id",
+    vec_col: str = "c_vec",
+) -> None:
+    """Fold new vectors into an existing IVF index (FAISS ``add`` after
+    ``train``): assign each vector to its cell with the STORED quantizer
+    — never refit, or every previously-assigned vector would shift cells
+    — and ``insertInto`` the bucketed inverted lists (Spark re-clusters
+    the insert into the bucket spec, so the zero-shuffle probe property
+    survives).  Like FAISS, a corpus that drifts far from the training
+    distribution eventually wants a rebuild; the quantizer fit is
+    capped-sample cheap (fit_centroids_capped), so rebuilds are
+    centroid-cost, not corpus-cost."""
+    centroids = _load_ivf_centroids(spark, table_prefix)
+    cells = new_vecs.withColumn(
+        "cell", _nearest_centroids_udf(centroids, 1)(F.col(vec_col))[0]
+    ).select("cell", F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    cells.write.insertInto(f"{table_prefix}_cells")
+
+
 def _nearest_centroids_udf(centroids: "np.ndarray", n: int):
     """Pandas UDF: indices of the n nearest centroids (euclidean) per
     vector, as array<int> — centroids captured in the closure (broadcast

@@ -71,22 +71,34 @@ def assert_filters_pushed(df: DataFrame, *fragments: str) -> PlanAudit:
 
 
 def _parse_tree(formatted: str) -> list[tuple[int, str, int]]:
-    """The formatted explain's tree section as (depth, node_name, node_id)
-    in preorder.  Depth comes from the 3-char-per-level indentation Spark
-    prints (``+- `` / ``:- `` / ``:  `` / three spaces)."""
+    """Every tree section of the formatted explain — the main plan AND
+    each scalar-subquery plan (``Subquery:N Hosting operator ...``) — as
+    (depth, node_name, node_id) in preorder.  Depth comes from the
+    3-char-per-level indentation Spark prints (``+- `` / ``:- `` /
+    ``:  `` / three spaces).  Node ids are globally unique across the
+    sections, and a subquery root restarts at depth 0, so parent/child
+    adjacency checks never link across section boundaries.  Round 7:
+    subquery trees were previously unparsed, which made every
+    scalar-subquery Exchange/Aggregate invisible to scale_smells (TPC-H
+    Q11/Q15/Q22's partial→final global aggs false-flagged as raw
+    single-partition exchanges)."""
     lines = formatted.splitlines()
-    try:
-        start = next(i for i, ln in enumerate(lines) if "== Physical Plan ==" in ln)
-    except StopIteration:
-        return []
+    starts = [
+        i
+        for i, ln in enumerate(lines)
+        if "== Physical Plan ==" in ln or re.match(r"^Subquery:\d+ Hosting", ln)
+    ]
+    # the simple-mode explain audit() appends repeats "== Physical Plan =="
+    # with id-less tree lines — those simply match nothing below
     out: list[tuple[int, str, int]] = []
-    for ln in lines[start + 1:]:
-        if not ln.strip():
-            break
-        m = re.match(r"^([ :+|-]*)\*?\s*(\w[\w]*)\b.*\((\d+)\)\s*$", ln)
-        if m is None:
-            continue
-        out.append((len(m.group(1)) // 3, m.group(2), int(m.group(3))))
+    for start in starts:
+        for ln in lines[start + 1:]:
+            if not ln.strip():
+                break
+            m = re.match(r"^([ :+|-]*)\*?\s*(\w[\w]*)\b.*\((\d+)\)\s*$", ln)
+            if m is None:
+                continue
+            out.append((len(m.group(1)) // 3, m.group(2), int(m.group(3))))
     return out
 
 
@@ -111,24 +123,155 @@ def _subtree(tree: list[tuple[int, str, int]], idx: int) -> list[tuple[int, str,
 _AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
 
 
+# nodes that never INCREASE row count — walking down through them
+# preserves any row bound found below (Filter/WindowGroupLimit reduce,
+# the rest preserve exactly; Window adds columns, not rows)
 _ROW_PRESERVING = (
     "BroadcastExchange", "ReusedExchange", "Exchange", "AQEShuffleRead",
     "Sort", "Project", "Filter", "WholeStageCodegen", "InputAdapter",
-    "ColumnarToRow",
+    "ColumnarToRow", "Window", "WindowGroupLimit",
 )
 
 
-def _is_scalar_subtree(tree_part, formatted: str) -> bool:
-    """True if the subtree provably produces O(1) rows: walking down
-    through row-count-preserving wrappers, the first real operator is a
-    zero-grouping-key aggregate (``Keys: []``) — the global-scalar
-    shape."""
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at paren depth 0 (expression lists nest freely)."""
+    parts, cur, depth = [], [], 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def _window_spec_unpartitioned(detail: str) -> bool:
+    """True if any windowspecdefinition in a Window node's detail has an
+    EMPTY partition list.  The Arguments line prints
+    ``windowspecdefinition(part..., order... ASC NULLS FIRST,
+    specifiedwindowframe(...))`` with empty sublists OMITTED, so bracket
+    counting cannot distinguish "partitioned, unordered" from
+    "unpartitioned, ordered" (round 7: q_agg_mad's percentile window is
+    partitioned by l_returnflag with no ORDER BY and was false-flagged).
+    Here the args are split top-level: the trailing frame arg is dropped,
+    ORDER keys are recognized by their ASC/DESC NULLS suffix, and
+    whatever remains is the partition list."""
+    for m in re.finditer(r"windowspecdefinition\(", detail):
+        depth, j = 1, m.end()
+        while j < len(detail) and depth:
+            if detail[j] == "(":
+                depth += 1
+            elif detail[j] == ")":
+                depth -= 1
+            j += 1
+        args = _split_top_level(detail[m.end() : j - 1])
+        args = [
+            a
+            for a in args
+            if not a.startswith("specifiedwindowframe(")
+            and not re.search(r"\b(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?\s*$", a)
+        ]
+        if not args:
+            return True
+    return False
+
+
+_LIMIT_NODES = ("TakeOrderedAndProject", "CollectLimit", "GlobalLimit")
+
+
+def _is_bounded_subtree(tree_part, formatted: str) -> bool:
+    """True if the subtree provably produces O(1) rows AT ANY DATA SCALE:
+    walking down through row-count-preserving wrappers, the first real
+    operator is either a zero-grouping-key aggregate (``Keys: []`` — the
+    global-scalar shape) or an explicit limit (TakeOrderedAndProject /
+    GlobalLimit / CollectLimit — a plan-constant row bound).  Round 7
+    widened this from scalar-agg-only: a Window or BNLJ build fed by a
+    global top-N is N rows by plan structure, the same boundedness
+    guarantee (q_profile's modal-value limit-1 relations, q_text_bm25's
+    rank window over its own top-50)."""
     for depth, name, nid in tree_part:
         if name in _AGG_NODES and "Keys: []" in _detail(formatted, nid):
+            return True
+        if name in _LIMIT_NODES:
             return True
         if name not in _ROW_PRESERVING:
             return False
     return False
+
+
+# back-compat alias (tests/test_plans.py exercises the scalar case)
+_is_scalar_subtree = _is_bounded_subtree
+
+
+# Query-inventory findings scale_smells is EXPECTED to report — each entry
+# maps a registered query name to {smell prefix -> justification}.  Every
+# justification must argue the flagged relation is BOUNDED (control-plane-
+# sized) BY CONSTRUCTION — "small at test scale" does not qualify.  Both
+# tools/lint_plans.py (the PLANLINT.md artifact) and the full-registry
+# sweep in tests/test_oracle_parity.py consume this map; an unaccepted
+# finding fails both.
+ACCEPTED_SMELLS: dict[str, dict[str, str]] = {
+    # Every cartesian entry below is a BNLJ whose build side is bounded by
+    # construction but not plan-provable (a literal-predicate slice or a
+    # categorical-domain aggregate — the detector only proves scalar aggs
+    # and explicit limits).
+    "q_join_cross": {
+        "cartesian": "deliberate guarded demo: both inputs are hard-"
+        "limited slices (5 regions x 25 nations) and the query exists to "
+        "exhibit the guard (queries/joins.py) — the product is <=125 rows",
+    },
+    "q_join_fuzzy": {
+        "cartesian": "build side is a <=5-row literal-key slice "
+        "(n_nationkey < 5) of the 25-row nation dim; edit-distance "
+        "predicates are non-equi by nature — the documented scale path "
+        "blocks on length/prefix before any pairwise Levenshtein",
+    },
+    "q_join_interval": {
+        "cartesian": "build side is one row per calendar MONTH of the "
+        "data's date span (distinct month-start aggregate) — bounded by "
+        "elapsed time, not by row count; the banded variant "
+        "(q_join_range_banded) is the corpus x corpus shape",
+    },
+    "q_sim_topk": {
+        "cartesian": "the brute-force ANN baseline by design: the build "
+        "side is the fixed query-vector set (vec_id < 5, broadcast); "
+        "|corpus| x |queries| with constant queries is row-linear — the "
+        "corpus-scale paths are q_sim_ann/q_sim_ivf/q_sim_pq",
+    },
+    "q_rank_fusion": {
+        "cartesian": "same fixed query-vector build side as q_sim_topk "
+        "inside the dense-retrieval leg; the fusion join itself is "
+        "top-k x top-k (control-plane-sized)",
+    },
+    "q_mix_weights": {
+        "corpus-window": "runs over one row per corpus DOMAIN (the "
+        "categorical mixture components), never per document",
+        "single-partition-exchange": "same domain-level relation — "
+        "mixture weights are control-plane output by definition",
+    },
+    "q_join_dpp": {
+        "corpus-window": "the rarest-status pick ranks one row per "
+        "o_orderstatus value (a 3-value categorical domain)",
+        "single-partition-exchange": "same per-status relation feeding "
+        "the dynamic-pruning subquery",
+    },
+}
+
+
+def unaccepted_smells(name: str, df: DataFrame) -> list[str]:
+    """scale_smells findings for a registered query MINUS the justified
+    ACCEPTED_SMELLS entries — the machine form of "no scale-killer in
+    any plan": empty for every query or the sweep fails."""
+    acc = ACCEPTED_SMELLS.get(name, {})
+    return [
+        s for s in scale_smells(df) if not any(s.startswith(k) for k in acc)
+    ]
 
 
 def scale_smells(df: DataFrame) -> list[str]:
@@ -174,12 +317,24 @@ def scale_smells(df: DataFrame) -> list[str]:
     for i, (depth, name, nid) in enumerate(tree):
         if name != "BroadcastNestedLoopJoin":
             continue
-        kids = [j for j, row in enumerate(tree[i + 1:], i + 1)
+        sub = _subtree(tree, i)  # bound the scan: never cross into a
+        # sibling branch or a later subquery section's tree
+        kids = [j for j, row in enumerate(tree[i + 1 : i + len(sub)], i + 1)
                 if row[0] == depth + 1][:2]
         # build side from the tree line's BuildLeft/BuildRight marker
         line = re.search(rf"^.*BroadcastNestedLoopJoin\b.*\({nid}\)\s*$",
                          text, re.M)
         build_right = "BuildLeft" not in (line.group(0) if line else "")
+        if not kids:
+            # explain-format drift left the children unparsed (advisor
+            # r6): emit the smell conservatively instead of crashing —
+            # a BNLJ we cannot prove scalar-build is reported as one
+            smells.append(
+                "cartesian: BroadcastNestedLoopJoin with unparseable "
+                "children — assuming non-scalar build side; |A|x|B| "
+                "pair work; check the join condition is an equi-join"
+            )
+            break
         build_idx = kids[1] if (build_right and len(kids) > 1) else kids[0]
         if not _is_scalar_subtree(_subtree(tree, build_idx), text):
             smells.append(
@@ -189,19 +344,27 @@ def scale_smells(df: DataFrame) -> list[str]:
             )
             break
 
-    # formatted Window details: "Arguments: [exprs], [partition], [order]"
-    # with the partition list OMITTED entirely when empty — so a Window
-    # whose Arguments carries only two top-level lists is unpartitioned
-    # and funnels the corpus into one task
-    for m in re.finditer(r"\(\d+\) Window\b", text):
-        tail = text[m.end(): m.end() + 1000]
-        arg = re.search(r"Arguments: (\[.*?)\n", tail, re.S)
-        if arg is not None and arg.group(1).count("], [") < 2:
-            smells.append(
-                "corpus-window: Window with empty PARTITION BY — "
-                "single-task evaluation at any cluster size"
-            )
-            break
+    # a Window with an empty PARTITION BY funnels every row through one
+    # task — detected from the windowspecdefinition args, the only place
+    # the formatted explain states the partition list unambiguously.
+    # Exemption: a window whose input is provably bounded (global top-N /
+    # scalar agg below it) is single-task over O(1) rows — fine.
+    for m in re.finditer(r"^\((\d+)\) Window\b", text, re.M):
+        nid = int(m.group(1))
+        if not _window_spec_unpartitioned(_detail(text, nid)):
+            continue
+        i = by_id.get(nid)
+        if (
+            i is not None
+            and i + 1 < len(tree)
+            and _is_bounded_subtree(_subtree(tree, i + 1), text)
+        ):
+            continue
+        smells.append(
+            "corpus-window: Window with empty PARTITION BY — "
+            "single-task evaluation at any cluster size"
+        )
+        break
 
     n_single = 0
     for m in re.finditer(r"^\((\d+)\) Exchange\b", text, re.M):
@@ -209,9 +372,10 @@ def scale_smells(df: DataFrame) -> list[str]:
         if "SinglePartition" not in _detail(text, nid):
             continue
         i = by_id.get(nid)
-        child = tree[i + 1] if i is not None and i + 1 < len(tree) else None
-        if child is not None and child[1] in _AGG_NODES and (
-            "Keys: []" in _detail(text, child[2])
+        if (
+            i is not None
+            and i + 1 < len(tree)
+            and _is_scalar_subtree(_subtree(tree, i + 1), text)
         ):
             continue  # partial→final global agg: one row per partition
         n_single += 1

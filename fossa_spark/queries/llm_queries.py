@@ -192,6 +192,53 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(q, c, k=5).orderBy("q_id", "rk")
 
 
+def q_sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF ANN index lifecycle (llm/similarity.py
+    build_ivf_index / ivf_index_topk / append_to_ivf_index) — the FAISS
+    train→add→search loop as bucketed Spark tables, the retrieval twin
+    of the minhash dedup index: (1) build the index from the embeddings
+    corpus, (2) probe 5 query vectors (phase='corpus'), (3) APPEND exact
+    copies of those query vectors under ids +10_000_000 — assigned by
+    the STORED quantizer, no refit — and (4) re-probe: every planted
+    copy must now surface at rank 1 with cosine 1.0
+    (phase='after_append'), which is only possible if the append landed
+    in the right inverted lists.  rows-only (KMeans quantizer is not
+    SQL-expressible); recall vs brute force and the zero-shuffle probe
+    plan are pinned in tests."""
+    import tempfile
+    import uuid
+
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    prefix = f"fs_ivf_idx_{uuid.uuid4().hex[:8]}"
+    S.build_ivf_index(
+        c, spark, prefix, tempfile.mkdtemp(prefix="fossa_ivf_idx_"),
+        n_centroids=16,
+    )
+    before = S.ivf_index_topk(queries=q, spark=spark, table_prefix=prefix, k=5)
+    # checkpoint the pre-append answer before mutating the index it reads
+    before = before.localCheckpoint(eager=True)
+    planted = q.select(
+        (F.col("q_id") + F.lit(10_000_000)).alias("c_id"),
+        F.col("q_vec").alias("c_vec"),
+    )
+    S.append_to_ivf_index(planted, spark, prefix)
+    spark.catalog.refreshTable(f"{prefix}_cells")
+    after = S.ivf_index_topk(queries=q, spark=spark, table_prefix=prefix, k=5)
+    return (
+        before.select(F.lit("corpus").alias("phase"), "q_id", "c_id", "score", "rk")
+        .unionByName(
+            after.select(
+                F.lit("after_append").alias("phase"), "q_id", "c_id", "score", "rk"
+            )
+        )
+        .orderBy("phase", "q_id", "rk")
+    )
+
+
 def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection 64-d → 8-d over the embeddings table (llm/
     similarity.py pca_project): exact integer Gram accumulation, driver
@@ -679,6 +726,7 @@ QUERIES = {
     "q_sim_topk": q_sim_topk,
     "q_sim_ann": q_sim_ann,
     "q_sim_ivf": q_sim_ivf,
+    "q_sim_ivf_index": q_sim_ivf_index,
     "q_sim_pq": q_sim_pq,
     "q_embed_pca": q_embed_pca,
     "q_text_tokens": q_text_tokens,

@@ -30,6 +30,18 @@ def test_query_parity(name, spark, oracle):
         f"{name}: complex-typed output columns {bad} — the driver cannot "
         "hash these; posexplode/flatten at the query layer"
     )
+    # Full-registry scale-smell sweep (VERDICT r6 item 7): every
+    # registered plan is linted for 100 TB anti-patterns; a finding must
+    # be justified in plans.ACCEPTED_SMELLS (boundedness BY CONSTRUCTION)
+    # or it fails here and in tools/lint_plans.py.  Two explains per
+    # query — no execution cost beyond the parity run itself.
+    from fossa_spark.plans import unaccepted_smells
+
+    smells = unaccepted_smells(name, df)
+    assert not smells, (
+        f"{name}: unaccepted scale smells {smells} — fix the plan or "
+        "justify it in fossa_spark.plans.ACCEPTED_SMELLS"
+    )
     if name in _ORACLES:
         assert_parity(df, oracle, _ORACLES[name], name=name)
     else:

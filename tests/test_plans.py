@@ -557,3 +557,44 @@ def test_scale_smells_linter(spark):
 
     # the flagship aggregate must stay lint-clean end to end
     assert scale_smells(q_agg_basic(spark, SF_DIR)) == []
+
+
+def test_scale_smells_bounded_exemptions(spark):
+    """Round-7 detector refinements (each was a false positive in the
+    first full-registry sweep):
+
+    1. PARTITIONED-but-UNORDERED window (percentile over partitionBy with
+       no orderBy) — the explain omits empty sublists, so bracket
+       counting misread it as unpartitioned (q_agg_mad).
+    2. Unpartitioned window over a GLOBAL TOP-N — bounded to the limit by
+       plan structure (q_text_bm25's rank over its own top-50).
+    3. SinglePartition exchange inside a SCALAR SUBQUERY's partial→final
+       global agg — subquery trees were previously unparsed (TPC-H Q11).
+    """
+    from pyspark.sql import Window as W
+
+    from fossa_spark.plans import scale_smells
+
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+
+    part_unordered = df.withColumn(
+        "med", F.expr("percentile(v, 0.5)").over(W.partitionBy(F.col("id") % 10))
+    )
+    assert scale_smells(part_unordered) == [], "partitioned window false-flag"
+
+    topn_win = (
+        df.orderBy(F.col("v").desc())
+        .limit(50)
+        .withColumn("rk", F.row_number().over(W.orderBy(F.col("v").desc())))
+    )
+    assert scale_smells(topn_win) == [], "limit-bounded window false-flag"
+
+    df.createOrReplaceTempView("t_smell")
+    scalar_sub = spark.sql(
+        "SELECT id, v FROM t_smell WHERE v > (SELECT avg(v) FROM t_smell)"
+    )
+    assert scale_smells(scalar_sub) == [], "scalar-subquery agg false-flag"
+
+    # and the genuine shapes still fire through the same paths
+    raw_win = df.withColumn("rk", F.row_number().over(W.orderBy("id")))
+    assert any(s.startswith("corpus-window") for s in scale_smells(raw_win))

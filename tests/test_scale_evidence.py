@@ -354,6 +354,65 @@ def test_staged_minhash_index_equivalence(spark, skewed_docs, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
 
 
+def test_ivf_index_lifecycle(spark, tmp_path):
+    """build_ivf_index / ivf_index_topk / append_to_ivf_index (round 7):
+    (a) a probe against the persisted index returns EXACTLY what the
+    in-memory ivf_topk returns for the same seed/params/corpus (same
+    capped-sample fit → same centroids → same cells), (b) the probe
+    join reads the inverted lists bucketed with no index-side Exchange,
+    (c) append assigns with the STORED quantizer and the appended vector
+    is immediately findable at cosine 1.0."""
+    from fossa_spark.llm import similarity as S
+    from fossa_spark.queries._util import load
+    from tests.conftest import SF_DIR
+
+    for t in ("cells", "centroids", "meta"):
+        spark.sql(f"DROP TABLE IF EXISTS t_ivf_{t}")
+    e = load(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    S.build_ivf_index(c, spark, "t_ivf", str(tmp_path / "ivf"), n_centroids=16)
+
+    memory = sorted(
+        map(tuple, S.ivf_topk(q, c, k=5, n_centroids=16, nprobe=4).collect())
+    )
+    persisted = sorted(
+        map(tuple, S.ivf_index_topk(q, spark, "t_ivf", k=5, nprobe=4).collect())
+    )
+    assert memory == persisted, f"persisted probe diverged\n{memory}\n{persisted}"
+
+    # plan property: inverted lists scan bucketed, no Exchange above it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        centroids = S._load_ivf_centroids(spark, "t_ivf")
+        q_b = q.withColumn(
+            "_p", S._nearest_centroids_udf(centroids, 4)(F.col("q_vec"))
+        ).select("q_id", F.explode("_p").alias("cell"))
+        a = audit(q_b.join(spark.table("t_ivf_cells"), "cell"))
+        assert "Bucketed: true" in a.formatted, a.formatted[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+
+    # append-after-train: planted copy of q_id=3's vector surfaces at 1.0
+    planted = q.filter(F.col("q_id") == 3).select(
+        F.lit(99_003).cast("long").alias("c_id"), F.col("q_vec").alias("c_vec")
+    )
+    S.append_to_ivf_index(planted, spark, "t_ivf")
+    spark.catalog.refreshTable("t_ivf_cells")
+    res = {
+        r.rk: r
+        for r in S.ivf_index_topk(
+            q.filter(F.col("q_id") == 3), spark, "t_ivf", k=3
+        ).collect()
+    }
+    assert res[1].c_id == 99_003 and res[1].score == 1.0, res
+    for t in ("cells", "centroids", "meta"):
+        spark.sql(f"DROP TABLE IF EXISTS t_ivf_{t}")
+
+
 def test_bloom_join_prunes_fact_before_shuffle(spark):
     """q_join_bloom's pre-filter must (a) keep EVERY true-match fact row
     (no false negatives — correctness), (b) prune a large share of
