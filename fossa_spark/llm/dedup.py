@@ -739,121 +739,41 @@ def staged_minhash_index(
     verbatim (prototype-verified: copied table plans `Bucketed: true`,
     no index-side Exchange; insertInto grows the copy, never the cache).
 
-    Key soundness: the fingerprint is (index format version, k,
-    num_hashes, bands, buckets, cols, every input file's
-    path+size+mtime_ns, and the corpus's ANALYZED PLAN string with
-    expression ids normalized out).  The plan component is what
-    _staged_parquet lacks: it distinguishes FILTERED/derived variants of
-    the same files (the streaming query's corpus is a doc_id % filter
-    over documents.parquet), so derived frames are safe here.  Plan
-    strings are stable for identical queries within a Spark version; a
-    cross-version format change just misses the cache — it can never
-    serve a wrong index.  Any staging failure falls back to a direct
-    build.
+    Key soundness and the copy/DDL mechanics live in
+    :func:`fossa_spark.sources.stage_bucketed_tables` (round 7 factored
+    the machinery out so the IVF index could stage the same way): the
+    fingerprint includes the corpus's normalized ANALYZED-PLAN string,
+    so FILTERED/derived variants of the same files (the streaming
+    query's corpus is a doc_id % filter over documents.parquet) are
+    safe.  Any staging failure falls back to a direct build.
     """
-    import hashlib
-    import json
-    import os
-    import re
-    import shutil
-    import uuid
+    from fossa_spark.sources import stage_bucketed_tables
 
-    def _direct() -> None:
+    def build(prefix: str, path: str) -> None:
         build_minhash_index(
-            corpus, table_prefix, work_dir, text_col, id_col,
-            k, num_hashes, bands, buckets,
+            corpus, prefix, path, text_col, id_col, k, num_hashes, bands,
+            buckets,
         )
 
-    if not re.fullmatch(r"[A-Za-z0-9_]+", table_prefix):
-        raise ValueError(f"table_prefix must be an identifier: {table_prefix!r}")
-    try:
-        files = sorted(corpus.inputFiles())
-        stats = []
-        for f in files:
-            p = f.removeprefix("file:")
-            st = os.stat(p)
-            stats.append((p, st.st_size, st.st_mtime_ns))
-    except Exception:
-        files, stats = [], []
-    if not files:
-        return _direct()
-    # normalize auto-generated expression ids out of the plan string so
-    # logically-identical corpora fingerprint identically across sessions
-    plan = re.sub(r"#\d+", "#", corpus._jdf.queryExecution().analyzed().toString())
-    params = [
-        "minhash_idx_v1", INDEX_FORMAT_VERSION, k, num_hashes, bands,
-        buckets, text_col, id_col, plan,
-    ]
-    key = hashlib.sha256(json.dumps(params + [stats]).encode()).hexdigest()[:24]
-    root = cache_root or str(
-        Path(__file__).resolve().parent.parent.parent / ".stage_cache"
-    )
-    staged = os.path.join(root, f"minhash_idx_{key}")
-    subdirs = ("bands", "shingles", "sizes", "meta")
-    try:
-        if not os.path.exists(os.path.join(staged, "meta", "_SUCCESS")):
-            # prune stale corpus generations (fixture mtimes change per
-            # round) — keep the newest few, same policy as _staged_parquet
-            os.makedirs(root, exist_ok=True)
-            entries = sorted(
-                (e for e in os.listdir(root) if e.startswith("minhash_idx_")),
-                key=lambda e: os.path.getmtime(os.path.join(root, e)),
-            )
-            for stale in entries[:-5]:
-                shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
-            tmp = os.path.join(root, f"_tmp_idx_{key}_{uuid.uuid4().hex}")
-            tmp_prefix = f"_stage_idx_{uuid.uuid4().hex[:12]}"
-            build_minhash_index(
-                corpus, tmp_prefix, tmp, text_col, id_col,
-                k, num_hashes, bands, buckets,
-            )
-            for t in subdirs:
-                spark.sql(f"DROP TABLE IF EXISTS {tmp_prefix}_{t}")
-            try:
-                os.rename(tmp, staged)  # atomic: race losers fall through
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(os.path.join(staged, "meta", "_SUCCESS")):
-                return _direct()
-        # copy the immutable staged files into this run's mutable index
-        for sub in subdirs:
-            shutil.copytree(
-                os.path.join(staged, sub),
-                os.path.join(work_dir, sub),
-                dirs_exist_ok=True,
-            )
-        specs = {
+    stage_bucketed_tables(
+        corpus,
+        spark,
+        table_prefix,
+        work_dir,
+        cache_prefix="minhash_idx",
+        params=["minhash_idx_v1", INDEX_FORMAT_VERSION, k, num_hashes,
+                bands, buckets, text_col, id_col],
+        tables={
             "bands": ("bucket", "bucket"),
             "shingles": (id_col, id_col),
             "sizes": (id_col, id_col),
-        }
-        for sub in subdirs:
-            loc = os.path.join(work_dir, sub)
-            cols = ", ".join(
-                f"`{f.name}` {f.dataType.simpleString()}"
-                for f in spark.read.parquet(loc).schema.fields
-            )
-            spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{sub}")
-            cluster = (
-                f"CLUSTERED BY (`{specs[sub][0]}`) SORTED BY (`{specs[sub][1]}`) "
-                f"INTO {buckets} BUCKETS "
-                if sub in specs
-                else ""
-            )
-            spark.sql(
-                f"CREATE TABLE {table_prefix}_{sub} ({cols}) USING PARQUET "
-                f"{cluster}LOCATION '{loc}'"
-            )
-        _check_index_format(spark, table_prefix)
-    except Exception:
-        # staging/registration failed mid-way: rebuild directly (work_dir
-        # may hold partial copies — build_minhash_index overwrites)
-        for t in subdirs:
-            try:
-                spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{t}")
-            except Exception:
-                pass
-        return _direct()
+            "meta": None,
+        },
+        buckets=buckets,
+        build=build,
+        cache_root=cache_root,
+    )
+    _check_index_format(spark, table_prefix)
 
 
 def append_to_minhash_index(

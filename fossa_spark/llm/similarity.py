@@ -317,6 +317,49 @@ def build_ivf_index(
     )
 
 
+def staged_ivf_index(
+    candidates: DataFrame,
+    spark,
+    table_prefix: str,
+    work_dir: str,
+    id_col: str = "c_id",
+    vec_col: str = "c_vec",
+    n_centroids: int = 16,
+    buckets: int = 16,
+    seed: int = 42,
+    cache_root: str | None = None,
+) -> None:
+    """:func:`build_ivf_index`, staged per corpus fingerprint — the
+    stage_bucketed_tables pattern (llm/dedup.py staged_minhash_index) on
+    the retrieval index: the quantizer fit + corpus assignment happen
+    once per corpus snapshot; each run gets an immutable-cache COPY it
+    may append to freely.  Falls back to a direct build on any staging
+    failure (see fossa_spark.sources.stage_bucketed_tables for the
+    fingerprint-soundness argument)."""
+    from fossa_spark.sources import stage_bucketed_tables
+
+    def build(prefix: str, path: str) -> None:
+        build_ivf_index(
+            candidates, spark, prefix, path, id_col, vec_col, n_centroids,
+            buckets, seed,
+        )
+
+    stage_bucketed_tables(
+        candidates,
+        spark,
+        table_prefix,
+        work_dir,
+        cache_prefix="ivf_idx",
+        params=["ivf_idx_v1", IVF_INDEX_FORMAT_VERSION, n_centroids,
+                buckets, seed, id_col, vec_col],
+        tables={"cells": ("cell", "cell"), "centroids": None, "meta": None},
+        buckets=buckets,
+        build=build,
+        cache_root=cache_root,
+    )
+    _load_ivf_centroids(spark, table_prefix)  # format assertion
+
+
 def _load_ivf_centroids(spark, table_prefix: str) -> "np.ndarray":
     """Collect the coarse quantizer (n_centroids × dim — bounded by
     construction) after asserting the on-disk format version."""

@@ -214,7 +214,7 @@ def q_sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     prefix = f"fs_ivf_idx_{uuid.uuid4().hex[:8]}"
-    S.build_ivf_index(
+    S.staged_ivf_index(
         c, spark, prefix, tempfile.mkdtemp(prefix="fossa_ivf_idx_"),
         n_centroids=16,
     )

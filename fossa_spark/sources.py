@@ -9,6 +9,8 @@ dominant cost of fact-fact joins at 100 TB, paid once instead of per query.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -28,6 +30,127 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def stage_bucketed_tables(
+    corpus: DataFrame,
+    spark: SparkSession,
+    table_prefix: str,
+    work_dir: str,
+    *,
+    cache_prefix: str,
+    params: list,
+    tables: dict[str, tuple[str, str] | None],
+    buckets: int,
+    build,
+    cache_root: str | None = None,
+) -> None:
+    """Generic per-corpus-fingerprint staging for a GROUP of persisted
+    tables (round 7) — the machinery behind llm/dedup.py's
+    staged_minhash_index and llm/similarity.py's staged_ivf_index.
+
+    ``build(tmp_prefix, tmp_dir)`` must write the table group under
+    ``tmp_dir`` registering catalog tables ``{tmp_prefix}_{sub}`` for
+    every key of ``tables`` (value = (cluster_col, sort_col) for a
+    bucketed table, None for a plain one; a ``meta`` subdir must exist —
+    its _SUCCESS is the completion marker).  The first call per corpus
+    fingerprint builds into the stage cache; every call then COPIES the
+    immutable cached files into ``work_dir`` (an OS-level copy preserves
+    bucket layout — Spark derives the bucket id from the file name) and
+    re-registers fresh catalog tables under ``table_prefix`` with the
+    same CLUSTERED BY spec, so zero-shuffle probes and insertInto
+    re-clustering survive verbatim while per-run appends can never
+    pollute the cache.
+
+    Key soundness: sha256 over (params, every input file's
+    path+size+mtime_ns, the corpus's ANALYZED-PLAN string with
+    expression ids normalized — distinguishing FILTERED variants of the
+    same files).  A plan-format change across Spark versions just
+    misses the cache, never serves a wrong group.  Any staging failure
+    falls back to ``build(table_prefix, work_dir)`` directly.
+    """
+    import hashlib
+    import json
+    import os
+    import re
+    import shutil
+    import uuid
+
+    if not re.fullmatch(r"[A-Za-z0-9_]+", table_prefix):
+        raise ValueError(f"table_prefix must be an identifier: {table_prefix!r}")
+    subdirs = list(tables)
+    try:
+        files = sorted(corpus.inputFiles())
+        stats = []
+        for f in files:
+            p = f.removeprefix("file:")
+            st = os.stat(p)
+            stats.append((p, st.st_size, st.st_mtime_ns))
+    except Exception:
+        files, stats = [], []
+    if not files:
+        return build(table_prefix, work_dir)
+    plan = re.sub(r"#\d+", "#", corpus._jdf.queryExecution().analyzed().toString())
+    key = hashlib.sha256(
+        json.dumps(params + [plan, stats]).encode()
+    ).hexdigest()[:24]
+    root = cache_root or str(Path(__file__).resolve().parent.parent / ".stage_cache")
+    staged = os.path.join(root, f"{cache_prefix}_{key}")
+    try:
+        if not os.path.exists(os.path.join(staged, "meta", "_SUCCESS")):
+            os.makedirs(root, exist_ok=True)
+            # prune stale corpus generations (fixture mtimes change per
+            # round; keep the newest few per cache_prefix)
+            entries = sorted(
+                (e for e in os.listdir(root) if e.startswith(f"{cache_prefix}_")),
+                key=lambda e: os.path.getmtime(os.path.join(root, e)),
+            )
+            for stale in entries[:-5]:
+                shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+            tmp = os.path.join(root, f"_tmp_{cache_prefix}_{uuid.uuid4().hex}")
+            tmp_prefix = f"_stage_{uuid.uuid4().hex[:12]}"
+            build(tmp_prefix, tmp)
+            for t in subdirs:
+                spark.sql(f"DROP TABLE IF EXISTS {tmp_prefix}_{t}")
+            try:
+                os.rename(tmp, staged)  # atomic: race losers fall through
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(staged, "meta", "_SUCCESS")):
+                return build(table_prefix, work_dir)
+        for sub in subdirs:
+            shutil.copytree(
+                os.path.join(staged, sub),
+                os.path.join(work_dir, sub),
+                dirs_exist_ok=True,
+            )
+        for sub in subdirs:
+            loc = os.path.join(work_dir, sub)
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in spark.read.parquet(loc).schema.fields
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{sub}")
+            spec = tables[sub]
+            cluster = (
+                f"CLUSTERED BY (`{spec[0]}`) SORTED BY (`{spec[1]}`) "
+                f"INTO {buckets} BUCKETS "
+                if spec is not None
+                else ""
+            )
+            spark.sql(
+                f"CREATE TABLE {table_prefix}_{sub} ({cols}) USING PARQUET "
+                f"{cluster}LOCATION '{loc}'"
+            )
+    except Exception:
+        # staging/registration failed mid-way: rebuild directly (the
+        # builder overwrites any partial copies in work_dir)
+        for t in subdirs:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_{t}")
+            except Exception:
+                pass
+        return build(table_prefix, work_dir)
 
 
 def colocated_join(

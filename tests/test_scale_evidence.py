@@ -383,6 +383,20 @@ def test_ivf_index_lifecycle(spark, tmp_path):
     )
     assert memory == persisted, f"persisted probe diverged\n{memory}\n{persisted}"
 
+    # the STAGED copy probes identically too (stage → cache-hit → copy)
+    for t in ("cells", "centroids", "meta"):
+        spark.sql(f"DROP TABLE IF EXISTS t_ivfs_{t}")
+    S.staged_ivf_index(
+        c, spark, "t_ivfs", str(tmp_path / "ivfs"), n_centroids=16,
+        cache_root=str(tmp_path / "ivf_cache"),
+    )
+    staged = sorted(
+        map(tuple, S.ivf_index_topk(q, spark, "t_ivfs", k=5, nprobe=4).collect())
+    )
+    assert staged == memory, f"staged probe diverged\n{staged}\n{memory}"
+    for t in ("cells", "centroids", "meta"):
+        spark.sql(f"DROP TABLE IF EXISTS t_ivfs_{t}")
+
     # plan property: inverted lists scan bucketed, no Exchange above it
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
