@@ -256,6 +256,66 @@ def ivf_topk(
     )
 
 
+def pca_ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_components: int = 16,
+    dim: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    shortlist: int = 50,
+    id_q: str = "q_id",
+    id_c: str = "c_id",
+    vec_q: str = "q_vec",
+    vec_c: str = "c_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """FUNNEL retrieval: exact distributed PCA reduces the corpus
+    64-d → ``n_components``-d, IVF ANN searches the projected space for a
+    ``shortlist`` per query, and an exact FULL-dimension cosine re-rank
+    scores only the shortlist — the standard production ANN funnel
+    (coarse recall in a cheap space, precision where it is paid for).
+
+    Scale shape: the PCA fit collects dim²+dim+1 int64 scalars
+    (control-plane-sized, see fit_pca); both projections are narrow
+    Arrow passes; the IVF leg inherits ivf_topk's broadcast-centroid /
+    bucket-equi-join shape over vectors 8× smaller than the originals;
+    the re-rank touches |queries| × shortlist rows joined back to the
+    full-dim vectors by id — never the corpus.  Deterministic for a
+    fixed seed (exact fit, seeded quantizer).
+
+    Caveat worth stating: mean-centering + truncation do not preserve
+    cosine exactly, so the projected-space ranking is a RECALL device
+    only — correctness of the final order comes from the full-dim
+    re-rank, and pytest pins recall@k against brute force."""
+    mean, comps = fit_pca(candidates, n_components, dim, vec_col=vec_c)
+    cp = apply_pca(candidates, mean, comps, id_col=id_c, vec_col=vec_c,
+                   out_col="_v8")
+    qp = apply_pca(queries, mean, comps, id_col=id_q, vec_col=vec_q,
+                   out_col="_v8")
+    short = ivf_topk(
+        qp.select(id_q, F.col("_v8").alias("_qv8")),
+        cp.select(id_c, F.col("_v8").alias("_cv8")),
+        k=shortlist, n_centroids=n_centroids, nprobe=nprobe,
+        id_q=id_q, id_c=id_c, vec_q="_qv8", vec_c="_cv8", seed=seed,
+    )
+    pairs = (
+        short.select(id_q, id_c)
+        .join(queries.select(id_q, vec_q), id_q)
+        .join(candidates.select(id_c, vec_c), id_c)
+    )
+    scored = pairs.withColumn(
+        "score", F.round(cosine_batch(F.col(vec_q), F.col(vec_c)), 6)
+    )
+    w = W.partitionBy(id_q).orderBy(F.col("score").desc(), F.col(id_c).asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(id_q, id_c, "score", "rk")
+    )
+
+
 # On-disk IVF-index format lineage:
 #   1 (r07): cells (cell int, c_id long, c_vec) bucketBy(cell);
 #            centroids (cell int, centroid array<double>); meta carries
@@ -931,7 +991,27 @@ def pca_project(
     Returns (id_col, pca: array<double> rounded 6 dp). Not SQL-expressible
     (eigendecomposition) → rows-only; pytest asserts orthonormality,
     variance ordering, and exact reproducibility.
+
+    Round 7: split into :func:`fit_pca` (fit on one corpus) +
+    :func:`apply_pca` (project ANY frame with that basis) so composites
+    can project queries and candidates into the SAME space
+    (:func:`pca_ivf_topk`); this function keeps its fit-and-project API.
     """
+    mean_b, comps_b = fit_pca(df, n_components, dim, vec_col, scale_bits)
+    return apply_pca(df, mean_b, comps_b, id_col=id_col, vec_col=vec_col)
+
+
+def fit_pca(
+    df: DataFrame,
+    n_components: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """The distributed-exact PCA FIT of :func:`pca_project` (see its
+    docstring for the int64-Gram exactness argument): returns
+    ``(mean, components)`` — shapes (dim,) and (dim, n_components) —
+    deterministic for identical input bits."""
     scale = float(1 << scale_bits)
     n_out = dim * dim + dim + 1  # gram, sums, count
 
@@ -975,8 +1055,23 @@ def pca_project(
         k = np.argmax(np.abs(comps[:, j]))
         if comps[k, j] < 0:
             comps[:, j] = -comps[:, j]
-    comps_b = comps.copy()
-    mean_b = (mean_q / scale).copy()
+    return (mean_q / scale).copy(), comps.copy()
+
+
+def apply_pca(
+    df: DataFrame,
+    mean: "np.ndarray",
+    comps: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project ``vec_col`` with a basis from :func:`fit_pca` — one
+    Arrow-batched pass, basis broadcast in the task closure (dim ×
+    n_components doubles).  Returns (id_col, out_col array<double>
+    rounded 6 dp)."""
+    mean_b = np.asarray(mean, dtype=np.float64)
+    comps_b = np.asarray(comps, dtype=np.float64)
 
     @F.pandas_udf("array<double>")
     def _project(vecs: pd.Series) -> pd.Series:
@@ -986,5 +1081,7 @@ def pca_project(
 
     return df.select(
         F.col(id_col),
-        F.transform(_project(F.col(vec_col)), lambda x: F.round(x, 6)).alias("pca"),
+        F.transform(_project(F.col(vec_col)), lambda x: F.round(x, 6)).alias(
+            out_col
+        ),
     )

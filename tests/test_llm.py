@@ -480,6 +480,29 @@ def test_ivf_topk_recall(vecs):
     assert ivf == ivf2
 
 
+def test_pca_ivf_topk_recall_and_rerank_exactness(vecs):
+    """Funnel ANN (round 7): PCA 64d→8d shortlist + exact full-dim
+    re-rank.  Recall vs brute force must hold, the same seed must
+    reproduce bit-identically, and — the re-rank contract — any returned
+    pair that brute force also returns must carry the IDENTICAL full-dim
+    cosine (the funnel may lose recall, never precision)."""
+    q = vecs.filter("vec_id < 10").selectExpr("vec_id q_id", "embedding q_vec")
+    c = vecs.selectExpr("vec_id c_id", "embedding c_vec")
+    exact = {(r.q_id, r.c_id) for r in S.brute_force_topk(q, c, k=5).collect()}
+    fun = {(r.q_id, r.c_id)
+           for r in S.pca_ivf_topk(q, c, k=5, shortlist=20).collect()}
+    recall = len(exact & fun) / len(exact)
+    assert recall >= 0.4, f"funnel recall collapsed: {recall:.2f}"
+    fun2 = {(r.q_id, r.c_id)
+            for r in S.pca_ivf_topk(q, c, k=5, shortlist=20).collect()}
+    assert fun == fun2
+    bf = {(r.q_id, r.c_id): r.score
+          for r in S.brute_force_topk(q, c, k=5).collect()}
+    for r in S.pca_ivf_topk(q, c, k=5, shortlist=20).collect():
+        if (r.q_id, r.c_id) in bf:
+            assert r.score == bf[(r.q_id, r.c_id)]
+
+
 def test_pq_topk_recall_and_determinism(vecs):
     """PQ (m=8, ksub=16, shortlist=50) recall vs exact brute force — the
     compressed-scan scale path; with exact re-rank on a 50-deep shortlist
