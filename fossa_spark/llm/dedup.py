@@ -708,6 +708,60 @@ def _check_index_format(spark, table_prefix: str) -> None:
         )
 
 
+def build_exact_index(
+    df: DataFrame,
+    spark,
+    table: str,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 16,
+) -> None:
+    """Persist a corpus's EXACT-dedup state as ONE bucketed table
+    ``(text_hash, doc_id)`` bucketBy(text_hash) — the exact-match twin
+    of ``build_minhash_index``: a daily batch dedups against the
+    existing corpus by equi-joining the digest with NO shuffle on the
+    index side.  Unlike the LSH index this needs no verification stage
+    (the md5-of-normalized-text equality IS the match), so the whole
+    incremental loop is SQL-expressible and oracle-checkable."""
+    from fossa_spark.sources import write_bucketed
+
+    rows = df.select(
+        F.md5(normalize(text_col)).alias("text_hash"), F.col(id_col)
+    )
+    write_bucketed(rows, table, "text_hash", buckets=buckets, path=path,
+                   sort_by="text_hash")
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    spark,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against a persisted exact-hash index
+    (:func:`build_exact_index`): hash the batch, LEFT-join the bucketed
+    digest table on ``text_hash`` (only the batch side shuffles — into
+    the index's bucket layout), attribute each batch doc to the MINIMUM
+    matching corpus id.  Returns (id_col, dup_of, keep) with keep =
+    no exact corpus copy exists.  Appending novel docs back is one
+    ``insertInto`` of their (hash, id) rows — same re-clustering
+    guarantee as the minhash index."""
+    b = batch.select(
+        F.col(id_col), F.md5(normalize(text_col)).alias("text_hash")
+    )
+    idx = spark.table(table).select(
+        "text_hash", F.col(id_col).alias("_corpus_id")
+    )
+    return (
+        b.join(idx.hint("merge"), "text_hash", "left")
+        .groupBy(id_col)
+        .agg(F.min("_corpus_id").alias("dup_of"))
+        .withColumn("keep", F.col("dup_of").isNull())
+    )
+
+
 def staged_minhash_index(
     corpus: DataFrame,
     spark,

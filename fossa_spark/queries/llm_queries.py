@@ -148,6 +148,38 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def q_dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup against a persisted hash index (llm/
+    dedup.py build_exact_index / incremental_exact_dedup) — the
+    SQL-expressible twin of q_dedup_incremental: the corpus (doc_id %
+    4 != 0) persists one bucketed (md5-of-normalized-text, doc_id)
+    table; the arriving batch (doc_id % 4 == 0, PLUS planted exact
+    copies of every corpus doc with doc_id % 16 == 1 under ids
+    +10_000_000) probes it with a digest equi-join — no index-side
+    shuffle — and every planted copy must attribute to its corpus
+    source (the fixture plants no natural exact dups, so dup_of is the
+    source id exactly).  Oracle: the same hash join brute-forced in
+    SQL; md5(regexp_replace(trim(lower(text)))) is the q_dedup_exact
+    expression-parity convention, hash-checked since r02."""
+    import hashlib
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    planted = corpus.filter(F.col("doc_id") % 16 == 1).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"fs_exact_idx_{tag}"
+    if not spark.catalog.tableExists(table):
+        D.build_exact_index(
+            corpus, spark, table, tempfile.mkdtemp(prefix="fossa_exact_idx_")
+        )
+    out = D.incremental_exact_dedup(batch.unionByName(planted), spark, table)
+    return out.orderBy("doc_id")
+
+
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors (vec_id < 5) — broadcast
     queries, one narrow pass over candidates."""
@@ -741,6 +773,7 @@ QUERIES = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embed": q_dedup_embed,
     "q_dedup_incremental": q_dedup_incremental,
+    "q_dedup_incremental_exact": q_dedup_incremental_exact,
     "q_sim_topk": q_sim_topk,
     "q_sim_ann": q_sim_ann,
     "q_sim_ivf": q_sim_ivf,
@@ -949,6 +982,28 @@ ORACLE = {
         SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
                MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY text_hash
+    """,
+    # the persisted-index incremental loop brute-forced: same normalized
+    # md5 on both sides, LEFT join corpus digests, min-id attribution
+    "q_dedup_incremental_exact": """
+        WITH corpus AS (
+          SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 4 <> 0
+        ),
+        batch AS (
+          SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT doc_id + 10000000,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+          FROM documents WHERE doc_id % 4 <> 0 AND doc_id % 16 = 1
+        )
+        SELECT b.doc_id AS doc_id, MIN(c.doc_id) AS dup_of,
+               MIN(c.doc_id) IS NULL AS keep
+        FROM batch b LEFT JOIN corpus c ON b.h = c.h
+        GROUP BY b.doc_id ORDER BY doc_id
     """,
     # brute-force 3-shingle-set Jaccard: prefix filtering is exact, so the
     # candidate-pruned Spark plan and this all-pairs SQL agree bit-for-bit

@@ -354,6 +354,53 @@ def test_staged_minhash_index_equivalence(spark, skewed_docs, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
 
 
+def test_exact_index_probe_shape_and_roundtrip(spark, skewed_docs, tmp_path):
+    """build_exact_index / incremental_exact_dedup (round 7): the digest
+    probe must read the index bucketed with no index-side Exchange, an
+    exact copy must attribute to its corpus source, a novel doc must
+    keep, and appending (plain insertInto of (hash, id) rows) makes the
+    appended doc findable by the next batch."""
+    from pyspark.sql import functions as FF
+
+    spark.sql("DROP TABLE IF EXISTS t_exact_idx")
+    corpus = skewed_docs.filter(F.col("doc_id") < 2000)
+    D.build_exact_index(corpus, spark, "t_exact_idx", str(tmp_path / "eidx"))
+
+    copy_text = corpus.filter(F.col("doc_id") == 1000).first().text
+    batch = spark.createDataFrame(
+        [(9001, copy_text), (9002, "entirely novel sentence nothing shares")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           D.incremental_exact_dedup(batch, spark, "t_exact_idx").collect()}
+    assert out[9001].keep is False and out[9001].dup_of == 1000
+    assert out[9002].keep is True and out[9002].dup_of is None
+
+    # plan: bucketed index scan, no Exchange above it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b = batch.select("doc_id", FF.md5(D.normalize("text")).alias("text_hash"))
+        a = audit(b.join(spark.table("t_exact_idx"), "text_hash"))
+        assert "Bucketed: true" in a.formatted, a.formatted[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+
+    # append the kept novel doc; the next batch sees it as a duplicate
+    novel = batch.filter(F.col("doc_id") == 9002)
+    novel.select(
+        FF.md5(D.normalize("text")).alias("text_hash"), "doc_id"
+    ).write.insertInto("t_exact_idx")
+    day2 = spark.createDataFrame(
+        [(9100, "entirely novel sentence nothing shares")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r for r in
+            D.incremental_exact_dedup(day2, spark, "t_exact_idx").collect()}
+    assert out2[9100].keep is False and out2[9100].dup_of == 9002
+    spark.sql("DROP TABLE IF EXISTS t_exact_idx")
+
+
 def test_ivf_index_lifecycle(spark, tmp_path):
     """build_ivf_index / ivf_index_topk / append_to_ivf_index (round 7):
     (a) a probe against the persisted index returns EXACTLY what the
