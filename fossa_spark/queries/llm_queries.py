@@ -268,16 +268,25 @@ def q_sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, spark, prefix, tempfile.mkdtemp(prefix="fossa_ivf_idx_"),
         n_centroids=16,
     )
-    before = S.ivf_index_topk(queries=q, spark=spark, table_prefix=prefix, k=5)
-    # checkpoint the pre-append answer before mutating the index it reads
-    before = before.localCheckpoint(eager=True)
-    planted = q.select(
-        (F.col("q_id") + F.lit(10_000_000)).alias("c_id"),
-        F.col("q_vec").alias("c_vec"),
-    )
-    S.append_to_ivf_index(planted, spark, prefix)
-    spark.catalog.refreshTable(f"{prefix}_cells")
-    after = S.ivf_index_topk(queries=q, spark=spark, table_prefix=prefix, k=5)
+    # 5-query probes against a 16-bucket index under corpus-scale shuffle
+    # width is pure task overhead — the q_stream_dedup_exec house pattern
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        before = S.ivf_index_topk(queries=q, spark=spark, table_prefix=prefix, k=5)
+        # checkpoint the pre-append answer before mutating the index it reads
+        before = before.localCheckpoint(eager=True)
+        planted = q.select(
+            (F.col("q_id") + F.lit(10_000_000)).alias("c_id"),
+            F.col("q_vec").alias("c_vec"),
+        )
+        S.append_to_ivf_index(planted, spark, prefix)
+        spark.catalog.refreshTable(f"{prefix}_cells")
+        after = S.ivf_index_topk(
+            queries=q, spark=spark, table_prefix=prefix, k=5
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         before.select(F.lit("corpus").alias("phase"), "q_id", "c_id", "score", "rk")
         .unionByName(
