@@ -46,6 +46,35 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup audit: every verified LEXICAL near-dup pair
+    (word-5-gram Jaccard ≥ 0.5 — the same staged pair relation
+    q_dedup_ngram / q_cluster_keep consume) annotated with the pair's
+    EXACT embedding cosine and a semantic_agree flag (cosine ≥ 0.5) —
+    the curation decision table for "which lexical dups does the
+    semantic signal confirm".  Scale shape: the pair relation is
+    post-threshold (orders of magnitude smaller than the corpus), so
+    the two embedding joins broadcast the pair side and the corpus
+    never self-joins.  Fully SQL-expressible: the ngram CTE is
+    q_dedup_ngram's oracle, cosine is the q_sim_topk _DOT convention
+    (fold-order identical, rounded 6 dp)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    pairs = D.staged_ngram_pairs(d, k=5, min_jaccard=0.5, max_df=100).select(
+        "id_a", "id_b", "jaccard"
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cosine", F.round(S.cosine(F.col("_va"), F.col("_vb")), 6))
+        .withColumn("semantic_agree", F.col("cosine") >= 0.5)
+        .select("id_a", "id_b", "jaccard", "cosine", "semantic_agree")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-subset pairs by word-5-gram overlap coefficient
     |A∩B|/min(|A|,|B|) ≥ 0.6 — the asymmetric-duplicate detector (short
@@ -777,6 +806,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
     "q_dedup_ngram": q_dedup_ngram,
+    "q_dedup_consensus": q_dedup_consensus,
     "q_dedup_containment": q_dedup_containment,
     "q_dedup_boilerplate": q_dedup_boilerplate,
     "q_dedup_simhash": q_dedup_simhash,
@@ -1102,6 +1132,50 @@ ORACLE = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(n_inter AS DOUBLE)
                  / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    # q_dedup_ngram's CTE chain + per-pair exact cosine via the q_sim_topk
+    # _DOT convention — the lexical pair relation is identical, so the
+    # jaccard column re-proves staged_ngram_pairs and the cosine column
+    # proves the embedding annotation join
+    "q_dedup_consensus": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ),
+        sh0 AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(t[gs : gs + 4], ' ') AS shingle
+          FROM toks JOIN generate_series(1, 100000) AS g(gs)
+            ON gs <= greatest(len(t) - 4, 1)
+        ),
+        sh AS (
+          SELECT sh0.* FROM sh0
+          JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100)
+            USING (shingle)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b,
+                 CAST(n_inter AS DOUBLE)
+                   / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(n_inter AS DOUBLE)
+                   / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+        )
+        SELECT p.id_a AS id_a, p.id_b AS id_b, p.jaccard AS jaccard,
+               {_DOT.format(a="ea.embedding", b="eb.embedding")} AS cosine,
+               {_DOT.format(a="ea.embedding", b="eb.embedding")} >= 0.5
+                 AS semantic_agree
+        FROM pairs p
+        JOIN embeddings ea ON ea.vec_id = p.id_a
+        JOIN embeddings eb ON eb.vec_id = p.id_b
         ORDER BY id_a, id_b
     """,
     "q_dedup_boilerplate": """
