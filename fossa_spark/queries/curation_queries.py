@@ -459,8 +459,84 @@ def _entropy_sql() -> str:
     """
 
 
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste analysis for fixed-size training batches: each doc
+    lands in the smallest power-of-two length bucket (16..512; longer
+    docs truncate into 1024), padding = bucket − min(tokens, bucket).
+    Per bucket: docs, used tokens, padded tokens, waste% — the table a
+    batching/bucketing strategy is tuned against before committing a
+    packing layout.  One aggregation pass over the exact whitespace
+    token count (llm/text.py token_count_ws — SQL-mirrorable); sums are
+    exact integers, the waste ratio is one rounded division."""
+    from fossa_spark.llm.text import token_count_ws
+
+    d = load(spark, sf_dir, "documents")
+    ntok = token_count_ws("text")
+    bucket = (
+        F.when(ntok <= 16, 16)
+        .when(ntok <= 32, 32)
+        .when(ntok <= 64, 64)
+        .when(ntok <= 128, 128)
+        .when(ntok <= 256, 256)
+        .when(ntok <= 512, 512)
+        .otherwise(1024)
+        .cast("long")
+    )
+    used = F.least(ntok, F.lit(1024).cast("long"))
+    return (
+        d.select(bucket.alias("bucket"), used.alias("_used"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_used").cast("long").alias("used_tokens"),
+            F.sum(F.col("bucket") - F.col("_used")).cast("long").alias(
+                "padded_tokens"
+            ),
+        )
+        .withColumn(
+            "waste_pct",
+            F.round(
+                F.col("padded_tokens").cast("double") * 100.0
+                / (F.col("padded_tokens") + F.col("used_tokens")).cast("double"),
+                8,
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: the verified near-dup pair
+    relation (staged word-5-gram Jaccard ≥ 0.5 — the q_dedup_ngram /
+    q_cluster_keep input) grouped by the UNORDERED source pair of its
+    endpoints — "which sources duplicate each other", the provenance
+    table that decides whether to dedup within or across crawls.
+    Scale shape: the pair relation is post-threshold (tiny vs corpus);
+    two broadcast id-joins attach sources; least/greatest normalizes
+    the pair so the matrix is upper-triangular."""
+    d = load(spark, sf_dir, "documents")
+    pairs = D.staged_ngram_pairs(d, k=5, min_jaccard=0.5, max_df=100).select(
+        "id_a", "id_b"
+    )
+    sa = d.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    sb = d.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("src_lo"),
+            F.greatest("_sa", "_sb").alias("src_hi"),
+        )
+        .groupBy("src_lo", "src_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("src_lo", "src_hi")
+    )
+
+
 QUERIES = {
     "q_source_entropy": q_source_entropy,
+    "q_pack_efficiency": q_pack_efficiency,
+    "q_dedup_source_matrix": q_dedup_source_matrix,
     "q_url_canonical": q_url_canonical,
     "q_pii_redact": q_pii_redact,
     "q_pii_scan": q_pii_scan,
@@ -505,6 +581,54 @@ _IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
 ORACLE = {
     "q_source_entropy": _entropy_sql(),
+    "q_pack_efficiency": """
+        WITH t AS (
+          SELECT CASE WHEN ntok <= 16 THEN 16 WHEN ntok <= 32 THEN 32
+                      WHEN ntok <= 64 THEN 64 WHEN ntok <= 128 THEN 128
+                      WHEN ntok <= 256 THEN 256 WHEN ntok <= 512 THEN 512
+                      ELSE 1024 END AS bucket,
+                 least(ntok, 1024) AS used
+          FROM (SELECT length(text) - length(replace(text, ' ', '')) + 1
+                         AS ntok
+                FROM documents)
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(used) AS BIGINT) AS used_tokens,
+               CAST(SUM(bucket - used) AS BIGINT) AS padded_tokens,
+               round(CAST(SUM(bucket - used) AS DOUBLE) * 100.0
+                       / CAST(SUM(bucket - used) + SUM(used) AS DOUBLE), 8)
+                 AS waste_pct
+        FROM t GROUP BY bucket ORDER BY bucket
+    """,
+    "q_dedup_source_matrix": f"""
+        WITH {_GRAMS.format(km1=4).replace("gram", "shingle")},
+        sh AS (
+          SELECT sh0.* FROM sh0
+          JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100)
+            USING (shingle)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(n_inter AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+        )
+        SELECT least(da.source, db.source) AS src_lo,
+               greatest(da.source, db.source) AS src_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs
+        JOIN documents da ON da.doc_id = id_a
+        JOIN documents db ON db.doc_id = id_b
+        GROUP BY 1, 2 ORDER BY src_lo, src_hi
+    """,
     "q_url_canonical": _URL_CANON_SQL,
     "q_vocab_coverage": """
         WITH tok AS (
