@@ -69,6 +69,7 @@ def shingle_hash_rows(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Exploded per-doc DISTINCT word-k-shingle hashes as (id, _sh bigint)
     — the Arrow fast path for every COUNT-based shingle consumer.
@@ -169,8 +170,12 @@ def shingle_hash_rows(
     # adaptive parallelism guard (same rationale as queries._util.spread):
     # the fixtures are single-row-group parquet, so without this the
     # Arrow shingle computation runs on 1 of N cores; at corpus scale
-    # the scan yields ≥ N splits and no shuffle happens
-    n = df.sparkSession.sparkContext.defaultParallelism
+    # the scan yields ≥ N splits and no shuffle happens.  ``parallelism``
+    # overrides the corpus default for BATCH-sized inputs (round 8: the
+    # streaming probe inherited the 32-way spread for a few-thousand-row
+    # micro-batch, paying 32 Arrow worker round trips per batch — a
+    # micro-batch wants the batch's shuffle width, not the corpus's).
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < n:
         src = src.repartition(n)
     return src.mapInPandas(gen, f"`{id_col}` {id_type}, `_sh` bigint")
@@ -693,7 +698,18 @@ def _check_index_format(spark, table_prefix: str) -> None:
     alone cannot distinguish v2 from v3, so the index carries an
     explicit ``{prefix}_meta.format_version`` marker; assert both it and
     the ``_sh`` dtype before any probe/append and demand a rebuild
-    otherwise."""
+    otherwise.
+
+    Memoized per (application, prefix): the check is a catalog lookup +
+    a one-row job + a schema fetch (~0.3 s of driver latency), and a
+    table that passed once cannot regress within an application — every
+    writer in this module writes the CURRENT format (round 8: the
+    streaming loop paid the check 6× per run).  Keyed by applicationId,
+    not session id, because session CLONES (foreachBatch) share the
+    parent's catalog — same tables, same verdict."""
+    key = (spark.sparkContext.applicationId, table_prefix)
+    if key in _FORMAT_OK:
+        return
     ver = None
     if spark.catalog.tableExists(f"{table_prefix}_meta"):
         row = spark.table(f"{table_prefix}_meta").first()
@@ -706,6 +722,12 @@ def _check_index_format(spark, table_prefix: str) -> None:
             f"version {INDEX_FORMAT_VERSION} (_sh bigint). Rebuild it "
             "with build_minhash_index before probing/appending."
         )
+    _FORMAT_OK.add(key)
+
+
+# (applicationId, prefix) pairs whose format check already passed — see
+# _check_index_format.  Bounded: a handful of prefixes per application.
+_FORMAT_OK: set[tuple[str, str]] = set()
 
 
 def build_exact_index(
@@ -860,9 +882,16 @@ def append_to_minhash_index(
     _check_index_format(spark, table_prefix)
     owns = sh_rows is None
     if owns:
-        sh_rows = shingle_hash_rows(new_docs, text_col, id_col, k).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        sh_rows = shingle_hash_rows(new_docs, text_col, id_col, k)
+    # The three concurrent insertInto jobs below each read sh_rows (or a
+    # derivation of it): an unpersisted CALLER-supplied relation — e.g.
+    # the streaming path's sh.join(kept_ids) — would be recomputed per
+    # job, paying the pass three times and, were the source
+    # nondeterministic, writing INCONSISTENT bands/shingles/sizes
+    # (advisor r7).  Persist here unless the caller already did.
+    we_persist = not sh_rows.is_cached
+    if we_persist:
+        sh_rows = sh_rows.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = _signatures_from_rows(sh_rows, id_col, num_hashes)
     brows = band_rows(sigs, id_col, "minhash", bands, num_hashes // bands).select(
         F.col("band"), F.col("bucket"), F.col("_id").alias(id_col)
@@ -887,7 +916,7 @@ def append_to_minhash_index(
         ]
         for f in futs:
             f.result()  # re-raise any write failure
-    if owns:
+    if we_persist:
         sh_rows.unpersist()
 
 
@@ -932,21 +961,41 @@ def incremental_dedup(
 
     idx_bands = spark.table(f"{table_prefix}_bands")
     # cap degenerate buckets on the INDEX side (same boilerplate guard as
-    # lsh_candidates) — the count agg reuses the bucketed layout (no
-    # shuffle: grouping key == bucketing key), as does the probe join
-    counts = idx_bands.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
-    bounded = idx_bands.join(counts.filter(F.col("_n") <= max_bucket), "bucket")
+    # lsh_candidates) — as a WINDOW count over the bucketed+sorted table:
+    # the table's layout satisfies both the window's partitioning and its
+    # sort, so this is ONE zero-shuffle scan (round 8; the former
+    # count-then-self-join read the bands table twice per micro-batch)
+    bounded = idx_bands.withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy("bucket"))
+    ).filter(F.col("_n") <= max_bucket)
     cands = (
         brows_new.join(bounded, "bucket")
         .select(F.col("_id").alias("id_new"), F.col(id_col).alias("id_old"))
         .distinct()
+        # eager cut-point (round 8): the candidate pair set is
+        # batch-bounded (≤ batch × max_bucket, in practice ~|batch|), and
+        # everything downstream re-reads it — materialize once so (a) the
+        # signature/band subtree runs exactly once per batch and (b) the
+        # verify joins below see a SMALL known relation to broadcast
+        # instead of planning corpus-scale sort-merge joins.
+        .localCheckpoint(eager=True)
     )
 
-    # exact-Jaccard verify: batch shingles vs index shingles
-    idx_sh = spark.table(f"{table_prefix}_shingles")
-    idx_sizes = spark.table(f"{table_prefix}_sizes")
+    # exact-Jaccard verify: batch shingles vs index shingles.  The index
+    # side is pruned FIRST to candidate docs via a broadcast semi-join —
+    # a hash-probe SCAN of the shingle/size tables (O(index) read, O(hits)
+    # output, no index-side sort or shuffle) instead of the corpus-wide
+    # sort-merge join this ran until round 8: per-batch work is bounded
+    # by the batch's candidate fan-out, not by re-sorting the corpus.
+    cand_old = cands.select(F.col("id_old").alias(id_col)).distinct()
+    idx_sh = spark.table(f"{table_prefix}_shingles").join(
+        F.broadcast(cand_old), id_col, "left_semi"
+    )
+    idx_sizes = spark.table(f"{table_prefix}_sizes").join(
+        F.broadcast(cand_old), id_col, "left_semi"
+    )
     a = sh_new.select(F.col(id_col).alias("id_new"), "_sh")
-    b = idx_sh.select(F.col(id_col).alias("id_old"), "_sh").hint("merge")
+    b = idx_sh.select(F.col(id_col).alias("id_old"), "_sh")
     inter = (
         cands.join(a, "id_new")
         .join(b, ["id_old", "_sh"])
@@ -959,7 +1008,7 @@ def incremental_dedup(
     sz_old = idx_sizes.select(F.col(id_col).alias("id_old"), F.col("_n").alias("_nb"))
     verified = (
         inter.join(sz_new, "id_new")
-        .join(sz_old.hint("merge"), "id_old")
+        .join(sz_old, "id_old")
         .withColumn(
             "jaccard",
             F.col("_inter").cast("double")

@@ -280,7 +280,8 @@ def pca_ivf_topk(
     Scale shape: the PCA fit collects dim²+dim+1 int64 scalars
     (control-plane-sized, see fit_pca); both projections are narrow
     Arrow passes; the IVF leg inherits ivf_topk's broadcast-centroid /
-    bucket-equi-join shape over vectors 8× smaller than the originals;
+    bucket-equi-join shape over vectors dim/n_components× smaller than
+    the originals (4× at the 64-d → 16-d default);
     the re-rank touches |queries| × shortlist rows joined back to the
     full-dim vectors by id — never the corpus.  Deterministic for a
     fixed seed (exact fit, seeded quantizer).
@@ -355,6 +356,7 @@ def build_ivf_index(
     """
     from fossa_spark.sources import write_bucketed
 
+    _IVF_CENTROIDS.pop((id(spark), table_prefix), None)  # rebuild = new fit
     centroids = fit_centroids_capped(candidates, vec_col, n_centroids, seed=seed)
     cells = candidates.withColumn(
         "cell", _nearest_centroids_udf(centroids, 1)(F.col(vec_col))[0]
@@ -422,7 +424,16 @@ def staged_ivf_index(
 
 def _load_ivf_centroids(spark, table_prefix: str) -> "np.ndarray":
     """Collect the coarse quantizer (n_centroids × dim — bounded by
-    construction) after asserting the on-disk format version."""
+    construction) after asserting the on-disk format version.
+
+    Memoized per (session, prefix): probes and appends both load it and
+    appends never refit (that's the operator's core invariant), so one
+    collect per session is sound — build_ivf_index invalidates its own
+    prefix when a rebuild lands under the same name."""
+    key = (id(spark), table_prefix)
+    hit = _IVF_CENTROIDS.get(key)
+    if hit is not None:
+        return hit
     ver = None
     if spark.catalog.tableExists(f"{table_prefix}_meta"):
         row = spark.table(f"{table_prefix}_meta").first()
@@ -434,7 +445,13 @@ def _load_ivf_centroids(spark, table_prefix: str) -> "np.ndarray":
             "Rebuild it with build_ivf_index before probing/appending."
         )
     rows = spark.table(f"{table_prefix}_centroids").orderBy("cell").collect()
-    return np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+    out = np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+    _IVF_CENTROIDS[key] = out
+    return out
+
+
+# (session id, prefix) -> quantizer; see _load_ivf_centroids
+_IVF_CENTROIDS: dict[tuple[int, str], "np.ndarray"] = {}
 
 
 def ivf_index_topk(
@@ -596,6 +613,7 @@ def pq_topk(
     vec_c: str = "c_vec",
     seed: int = 42,
     train_cap: int = 4096,
+    query_cap: int = 10_000,
 ) -> DataFrame:
     """Product-quantization ANN (the FAISS-PQ shape): codebooks trained per
     subspace, candidates encoded to ``m`` byte codes (32× smaller than
@@ -606,7 +624,15 @@ def pq_topk(
     encoding is one narrow Arrow pass; the scan reads CODES only (the
     compressed representation is what makes a 100 TB-corpus scan feasible);
     only ``shortlist`` rows per query carry full vectors into the exact
-    re-rank, whose math/rounding matches brute_force_topk exactly."""
+    re-rank, whose math/rounding matches brute_force_topk exactly.
+
+    Driver contract: the QUERY side is collected to build the per-query
+    lookup tables (n_q × m × ksub doubles on the driver) — right for a
+    serving batch, wrong for a corpus-sized caller, so like the sqlite
+    sink it is capped: a bounded ``limit(query_cap + 1)`` probe raises
+    before collecting anything larger than ``query_cap`` vectors.  Point
+    a corpus at the candidates side; for corpus × corpus semantics use
+    the blocked/LSH family instead."""
     sample = np.vstack(
         [
             np.asarray(r[0], dtype=np.float64)
@@ -626,7 +652,14 @@ def pq_topk(
             codes[:, j] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 
-    q_rows = queries.select(id_q, vec_q).collect()
+    q_rows = queries.select(id_q, vec_q).limit(query_cap + 1).collect()
+    if len(q_rows) > query_cap:
+        raise ValueError(
+            f"pq_topk collects the query side for its LUTs; got more than "
+            f"query_cap={query_cap} query vectors — raise query_cap for a "
+            "known-bounded serving batch, or use the blocked/LSH family "
+            "for corpus-sized query sets."
+        )
     q_ids = [r[0] for r in q_rows]
     q_mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     # per-query LUT: lut[q][j][code] = q_sub_j · centroid — approx dot

@@ -267,11 +267,24 @@ ACCEPTED_SMELLS: dict[str, dict[str, str]] = {
 def unaccepted_smells(name: str, df: DataFrame) -> list[str]:
     """scale_smells findings for a registered query MINUS the justified
     ACCEPTED_SMELLS entries — the machine form of "no scale-killer in
-    any plan": empty for every query or the sweep fails."""
+    any plan": empty for every query or the sweep fails.
+
+    Each justification absorbs exactly ONE finding of its class
+    (advisor r7: a blanket prefix-suppression would let an accepted
+    'cartesian' entry swallow a FUTURE second cartesian-class finding
+    on the same query), and the conservative 'unparseable children'
+    finding — which signals explain-format drift, not a reviewed plan
+    shape — is never absorbable."""
     acc = ACCEPTED_SMELLS.get(name, {})
-    return [
-        s for s in scale_smells(df) if not any(s.startswith(k) for k in acc)
-    ]
+    remaining = dict.fromkeys(acc, 1)
+    out: list[str] = []
+    for s in scale_smells(df):
+        k = next((k for k in acc if s.startswith(k)), None)
+        if k is not None and remaining[k] > 0 and "unparseable" not in s:
+            remaining[k] -= 1
+        else:
+            out.append(s)
+    return out
 
 
 def scale_smells(df: DataFrame) -> list[str]:

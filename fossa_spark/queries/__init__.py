@@ -197,15 +197,8 @@ CHANGED_IN = {
     # measured out — see setsim_join's docstring). Oracles unchanged.
     "q_fn_try": 4,
     "q_dedup_setsim": 4,
-    # round 7 (VERDICT r6 items 1+4): q_embed_pca's OUTPUT reshaped
-    # (posexplode of the array<double> column to flat scalars — its
-    # r06 row is a materialization TypeError, and since that err row
-    # makes it "ever seen" the never-seen pin cannot re-front it);
-    # q_dedup_containment is the only oracle-backed query never
-    # sampled by a driver window (registered just before the r5
-    # snapshot, missed twice by chance).
-    "q_embed_pca": 7,
-    "q_dedup_containment": 7,
+    # (round-7 pins q_embed_pca/q_dedup_containment retired by their
+    # CORRECTNESS_r07 rows and pruned in r8.)
 }
 
 

@@ -258,8 +258,8 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sim_pca_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel ANN (llm/similarity.py pca_ivf_topk): exact distributed PCA
-    64-d → 8-d, IVF shortlist in the projected space, exact full-dim
-    cosine re-rank of the shortlist only — coarse recall in a space 8×
+    64-d → 16-d, IVF shortlist in the projected space, exact full-dim
+    cosine re-rank of the shortlist only — coarse recall in a space 4×
     cheaper, precision paid only on |queries| × shortlist rows.
     rows-only (eigendecomposition + seeded quantizer); recall@5 vs the
     brute-force q_sim_topk is pinned in tests."""
@@ -284,6 +284,7 @@ def q_sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the right inverted lists.  rows-only (KMeans quantizer is not
     SQL-expressible); recall vs brute force and the zero-shuffle probe
     plan are pinned in tests."""
+    import shutil
     import tempfile
     import uuid
 
@@ -293,10 +294,8 @@ def q_sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     prefix = f"fs_ivf_idx_{uuid.uuid4().hex[:8]}"
-    S.staged_ivf_index(
-        c, spark, prefix, tempfile.mkdtemp(prefix="fossa_ivf_idx_"),
-        n_centroids=16,
-    )
+    work_dir = tempfile.mkdtemp(prefix="fossa_ivf_idx_")
+    S.staged_ivf_index(c, spark, prefix, work_dir, n_centroids=16)
     # 5-query probes against a 16-bucket index under corpus-scale shuffle
     # width is pure task overhead — the q_stream_dedup_exec house pattern
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -316,6 +315,15 @@ def q_sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # both probe legs are eagerly checkpointed, so the per-run index
+        # copy is dead weight from here: drop the uuid-prefixed catalog
+        # entries and the work_dir copy (advisor r7 — repeated runs were
+        # leaking three tables + a temp dir each; the demo MUTATES its
+        # index, so unlike q_dedup_incremental's tag-keyed reuse a fresh
+        # per-run copy is correct, it just must not outlive the run).
+        for sub in ("cells", "centroids", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{sub}")
+        shutil.rmtree(work_dir, ignore_errors=True)
     return (
         before.select(F.lit("corpus").alias("phase"), "q_id", "c_id", "score", "rk")
         .unionByName(

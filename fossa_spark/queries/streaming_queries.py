@@ -441,20 +441,37 @@ def q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     registration, its actual steady-state being probe+append only), and
     _process is replay-safe (advisor r6): each batch's result lands in
     its own overwrite-mode subdirectory and the index append is guarded
-    by a processed-batch marker, so a micro-batch RETRY can neither
-    double-append the index nor double-count output rows."""
+    by a processed-batch marker, so a micro-batch RETRY never
+    double-counts output rows and never re-appends a FULLY-committed
+    batch.  (The three index inserts are not transactional: a crash
+    BETWEEN them followed by a replay re-appends the tables that had
+    already committed — the marker bounds the blast radius to one
+    partial batch, it is not exactly-once; a production loop would
+    anti-join the append against already-indexed doc_ids or write the
+    three tables under a single commit protocol.)"""
+    import hashlib
     import os
     import tempfile
-    import uuid
 
     from fossa_spark.llm import dedup as D
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.filter(F.col("doc_id") % 4 != 0)
     arriving = d.filter(F.col("doc_id") % 4 == 0)
-    prefix = f"fs_stream_near_{uuid.uuid4().hex[:8]}"
+    # STABLE prefix per (format, sf): staged tables are re-registered at
+    # a fresh work_dir every run (appends stay run-local), so a uuid
+    # prefix only leaked 3 catalog tables per run and defeated the
+    # format-check memo (round 8; the q_sim_ivf_index advisor item,
+    # same cause)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    prefix = f"fs_stream_near_v{D.INDEX_FORMAT_VERSION}_{tag}"
+    # buckets=8: per-probe index scans cost one task per bucket; at this
+    # corpus (~45 k docs) 8 buckets keeps ~5 k docs/bucket — bucket count
+    # is a sizing knob that should track corpus volume, and 16 was paying
+    # double the per-task overhead for no parallelism gain (round 8)
     D.staged_minhash_index(
-        corpus, spark, prefix, tempfile.mkdtemp(prefix="fossa_snear_idx_")
+        corpus, spark, prefix, tempfile.mkdtemp(prefix="fossa_snear_idx_"),
+        buckets=8,
     )
 
     feed = tempfile.mkdtemp(prefix="fossa_snear_feed_")
@@ -467,12 +484,40 @@ def q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select((F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text")
     )
+
     # one file per micro-batch, explicit mtime order (_feed_writer):
     # batch 1 must be fully processed — probed AND appended — before
-    # batch 2's planted re-emissions arrive
-    _write = _feed_writer(feed)
-    _write(b1, 1)
-    _write(b2.unionByName(planted), 2)
+    # batch 2's planted re-emissions arrive.  The feed bytes are
+    # deterministic per corpus snapshot, so they're served from the
+    # stage cache (round 8: the two read-documents-and-write jobs were
+    # ~2 s of every run); copied, not linked, because the mtime stamps
+    # below must not reach back into the cached inodes.
+    def _build_feed(into: str) -> None:
+        w = _feed_writer(into)
+        w(b1, 1)
+        w(b2.unionByName(planted), 2)
+
+    from fossa_spark.sources import stage_files
+
+    stage_files(
+        d, feed,
+        cache_prefix="snear_feed",
+        params=["snear_feed_v1"],
+        build=_build_feed,
+        link=False,
+    )
+    # re-stamp (staging preserves relative build order, but re-assert it
+    # explicitly: ordering is this query's correctness premise)
+    import time as _time
+
+    t0 = _time.time() - 1000
+    for name in sorted(
+        os.listdir(feed),
+        key=lambda n: os.path.getmtime(os.path.join(feed, n)),
+    ):
+        if name.endswith(".parquet"):
+            t0 += 10.0
+            os.utime(os.path.join(feed, name), (t0, t0))
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch hands a frame bound to the micro-batch CLONE of
@@ -485,8 +530,12 @@ def q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ("bands", "shingles", "sizes"):
             spark_b.catalog.refreshTable(f"{prefix}_{t}")
         # one Arrow shingle pass per batch, shared by probe AND append
-        # (sh_rows built with the index's k — the override contract)
-        sh = D.shingle_hash_rows(batch_df, "text", "doc_id", 5).persist()
+        # (sh_rows built with the index's k — the override contract).
+        # parallelism=4: a few-thousand-row micro-batch wants a handful
+        # of Arrow tasks, not the corpus-width 32-way spread (round 8 —
+        # the default was costing ~8 s of worker round trips per batch)
+        sh = D.shingle_hash_rows(batch_df, "text", "doc_id", 5,
+                                 parallelism=4).persist()
         res = D.incremental_dedup(
             batch_df, spark_b, prefix, threshold=0.5, sh_rows=sh
         )

@@ -110,6 +110,20 @@ def stage_bucketed_tables(
             tmp = os.path.join(root, f"_tmp_{cache_prefix}_{uuid.uuid4().hex}")
             tmp_prefix = f"_stage_{uuid.uuid4().hex[:12]}"
             build(tmp_prefix, tmp)
+            # schema SIDECAR (round 8): registration used to re-infer each
+            # table's schema from its parquet footers on EVERY serve
+            # (~0.15 s × tables of driver latency per run); the schemas
+            # are fixed at build time, so record them once.  Serves from
+            # pre-sidecar cache entries fall back to footer inference.
+            schemas = {
+                t: ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in spark.table(f"{tmp_prefix}_{t}").schema.fields
+                )
+                for t in subdirs
+            }
+            with open(os.path.join(tmp, "_fossa_schemas.json"), "w") as fh:
+                json.dump(schemas, fh)
             for t in subdirs:
                 spark.sql(f"DROP TABLE IF EXISTS {tmp_prefix}_{t}")
             try:
@@ -118,15 +132,37 @@ def stage_bucketed_tables(
                 shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.exists(os.path.join(staged, "meta", "_SUCCESS")):
                 return build(table_prefix, work_dir)
+        # Per-run "copy" = HARD LINKS (round 8, VERDICT r7 item 1): parquet
+        # files are immutable once written — Spark appends create NEW
+        # files and overwrites unlink old ones, neither touches an
+        # existing inode — so linking the cached files into work_dir gives
+        # the same mutable-table isolation as a byte copy at metadata
+        # cost (the copy was the whole staging bill: ~1 s of file I/O per
+        # run at sf0.1).  Deleting a linked file (or pruning the cache
+        # generation itself) never affects the other side.  Cross-device
+        # or exotic-FS failures fall back to a real copy per file.
+        def _link_or_copy(src: str, dst: str) -> None:
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+
         for sub in subdirs:
             shutil.copytree(
                 os.path.join(staged, sub),
                 os.path.join(work_dir, sub),
                 dirs_exist_ok=True,
+                copy_function=_link_or_copy,
             )
+        sidecar = {}
+        try:
+            with open(os.path.join(staged, "_fossa_schemas.json")) as fh:
+                sidecar = json.load(fh)
+        except (OSError, ValueError):
+            pass  # pre-sidecar cache entry: infer from footers below
         for sub in subdirs:
             loc = os.path.join(work_dir, sub)
-            cols = ", ".join(
+            cols = sidecar.get(sub) or ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}"
                 for f in spark.read.parquet(loc).schema.fields
             )
@@ -151,6 +187,94 @@ def stage_bucketed_tables(
             except Exception:
                 pass
         return build(table_prefix, work_dir)
+
+
+def stage_files(
+    corpus: DataFrame,
+    work_dir: str,
+    *,
+    cache_prefix: str,
+    params: list,
+    build,
+    cache_root: str | None = None,
+    link: bool = True,
+) -> None:
+    """Generic per-corpus-fingerprint staging for a plain FILE artifact
+    (round 8) — the stage_bucketed_tables idea without catalog tables,
+    for deterministic derived files a query rebuilds identically every
+    run (e.g. a streaming query's micro-batch feed: reading the corpus
+    and writing the batch files was ~2 s of every run, for bytes that
+    never change per corpus snapshot).
+
+    ``build(tmp_dir)`` must write the artifact's files under
+    ``tmp_dir``.  First call per fingerprint builds into the stage
+    cache; every call then HARD-LINKS the cached files into
+    ``work_dir`` (falling back to a byte copy cross-device).  Callers
+    that care about file mtimes (the file stream source orders by
+    modification time) should pass ``link=False`` and re-stamp after
+    staging — links share the inode, so an utime would reach back into
+    the cache.  Same fingerprint soundness as stage_bucketed_tables;
+    any failure falls back to a direct ``build(work_dir)``.
+    """
+    import hashlib
+    import json
+    import os
+    import re
+    import shutil
+    import uuid
+
+    try:
+        files = sorted(corpus.inputFiles())
+        stats = []
+        for f in files:
+            p = f.removeprefix("file:")
+            st = os.stat(p)
+            stats.append((p, st.st_size, st.st_mtime_ns))
+    except Exception:
+        files, stats = [], []
+    if not files:
+        return build(work_dir)
+    plan = re.sub(r"#\d+", "#", corpus._jdf.queryExecution().analyzed().toString())
+    key = hashlib.sha256(
+        json.dumps(params + [plan, stats]).encode()
+    ).hexdigest()[:24]
+    root = cache_root or str(Path(__file__).resolve().parent.parent / ".stage_cache")
+    staged = os.path.join(root, f"{cache_prefix}_{key}")
+    marker = os.path.join(staged, "_FOSSA_STAGED")
+    try:
+        if not os.path.exists(marker):
+            os.makedirs(root, exist_ok=True)
+            entries = sorted(
+                (e for e in os.listdir(root) if e.startswith(f"{cache_prefix}_")),
+                key=lambda e: os.path.getmtime(os.path.join(root, e)),
+            )
+            for stale in entries[:-5]:
+                shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+            tmp = os.path.join(root, f"_tmp_{cache_prefix}_{uuid.uuid4().hex}")
+            build(tmp)
+            open(os.path.join(tmp, "_FOSSA_STAGED"), "w").close()
+            try:
+                os.rename(tmp, staged)  # atomic: race losers fall through
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(marker):
+                return build(work_dir)
+
+        def _link_or_copy(src: str, dst: str) -> None:
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+
+        shutil.copytree(
+            staged,
+            work_dir,
+            dirs_exist_ok=True,
+            copy_function=_link_or_copy if link else shutil.copy2,
+        )
+        os.unlink(os.path.join(work_dir, "_FOSSA_STAGED"))
+    except Exception:
+        return build(work_dir)
 
 
 def colocated_join(

@@ -112,14 +112,20 @@ def test_index_format_guard_rejects_stale_index(spark, docs, tmp_path):
     D.build_minhash_index(docs.limit(50), "t_fmt", str(tmp_path / "idx"))
     # sanity: a fresh index passes
     D._check_index_format(spark, "t_fmt")
-    # simulate an older-format index: wrong meta version
+    # simulate an older-format index: wrong meta version.  The passing
+    # check above memoized (session, prefix) — discard it, as this
+    # simulates a DIFFERENT session probing an index left by old code
+    # (within one session the module's own writers can't regress the
+    # format; see _check_index_format).
     spark.createDataFrame([(2,)], "format_version int").write.mode(
         "overwrite"
     ).option("path", str(tmp_path / "meta2")).saveAsTable("t_fmt_meta")
+    D._FORMAT_OK.clear()
     with pytest.raises(ValueError, match="Rebuild"):
         D.incremental_dedup(docs.limit(5), spark, "t_fmt")
     # and a missing meta table entirely (pre-r05 index)
     spark.sql("DROP TABLE t_fmt_meta")
+    D._FORMAT_OK.clear()
     with pytest.raises(ValueError, match="Rebuild"):
         D.append_to_minhash_index(docs.limit(5), spark, "t_fmt")
     for t in ("t_fmt_bands", "t_fmt_shingles", "t_fmt_sizes"):
