@@ -308,6 +308,101 @@ def keep_best_per_cluster(
     )
 
 
+def write_training_shards(
+    docs: DataFrame,
+    components: DataFrame,
+    out_dir: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Global dedup-aware SHARD WRITER (round 8) — the step after
+    split/pack/mix: materialize the curated corpus as the deterministic,
+    size-balanced shard files a training run actually consumes, plus an
+    oracle-checkable manifest.
+
+    Layout contract:
+    - dedup-cluster-EXCLUSIVE: ``components`` is the near-dup graph's
+      (id, component) labeling (dedup.connected_components); only the
+      best doc per cluster (argmax ``quality_col``, ties → lowest id —
+      keep_best_per_cluster) is written, singletons pass through.
+    - hash-bucketed: shard = int(md5('shard:'||id)[:2], 16) % n_shards —
+      pure function of the doc id, so re-runs, engines, and partition
+      layouts all agree, and expected shard sizes are balanced to
+      |corpus|/n_shards (md5 uniformity).
+    - intra-shard shuffled: rows are ordered by a seeded hash
+      (md5('pos:'||id)) — the global-shuffle pass a training loader
+      needs so a shard isn't sorted by crawl/source order.  Carried by
+      the FILE order (sortWithinPartitions before a one-file-per-shard
+      write), not a materialized position column: at 100 TB a per-shard
+      row_number would serialize each shard through one task, while a
+      sort-within-partition rides the existing shuffle.
+    - manifest: one row per shard with n_docs, n_tokens (whitespace
+      convention), content_sum (order-independent sum of 40-bit
+      md5(id:text) row digests; per-SHARD sums stay far under int64 as
+      long as n_shards scales with the corpus — any lost/duplicated/mutated row moves
+      it), first_doc (head of the shuffle order — pins the permutation's
+      seed), min/max doc id.  Computed from the RE-READ shard files, so
+      the oracle checks the written artifact, not the plan that produced
+      it.
+
+    One shuffle on component (retention), one on shard (placement); the
+    manifest aggregation is a second pass over the written files.
+    """
+    spark = docs.sparkSession
+    sid = F.col(id_col).cast("string")
+    best = keep_best_per_cluster(components, docs, id_col, quality_col)
+    labeled = docs.select(id_col, text_col).join(
+        components.select(id_col, "component"), id_col, "left"
+    )
+    kept = (
+        labeled.join(F.broadcast(best.select("component", "kept_id")),
+                     "component", "left")
+        .filter(F.col("component").isNull() | (F.col(id_col) == F.col("kept_id")))
+        .select(id_col, text_col)
+    )
+    n_tok = (
+        F.length(text_col)
+        - F.length(F.regexp_replace(text_col, " ", ""))
+        + 1
+    ).cast("long")
+    sharded = kept.select(
+        F.col(id_col),
+        F.col(text_col),
+        n_tok.alias("n_tok"),
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("shard:"), sid)), 1, 2),
+                   16, 10).cast("int") % n_shards
+        ).alias("shard"),
+        F.conv(
+            F.substring(F.md5(F.concat(sid, F.lit(":"), F.col(text_col))), 1, 10),
+            16, 10,
+        ).cast("long").alias("row_hash"),
+        F.md5(F.concat(F.lit("pos:"), sid)).alias("pos_key"),
+    )
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    written = spark.read.parquet(out_dir)
+    return (
+        written.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("row_hash").alias("content_sum"),
+            F.expr(f"min_by({id_col}, pos_key)").alias("first_doc"),
+            F.min(id_col).alias("min_doc"),
+            F.max(id_col).alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
 def vocab_top_k(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     """Corpus vocabulary: the k most frequent whitespace tokens (ties broken
     lexicographically for determinism). One explode + one count agg — the

@@ -251,6 +251,30 @@ def q_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.keep_best_per_cluster(comp, d).orderBy("component")
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dedup-aware shard writer (round 8, VERDICT r7 item 8 —
+    llm/curation.py write_training_shards): the curation family's final
+    deliverable.  Near-dup clusters (exact n-gram Jaccard pairs →
+    connected components) are collapsed to their best doc, survivors are
+    hash-bucketed into 16 deterministic size-balanced shards, each shard
+    is written as one parquet file whose row order is a seeded-hash
+    shuffle, and the query returns the MANIFEST — per shard: doc count,
+    token sum, an order-independent 40-bit-digest content sum, the head
+    of the shuffle order, and the id range — computed from the RE-READ
+    files, so the oracle cross-checks the artifact on disk against the
+    same retention + placement + digest math in SQL.  Any lost,
+    duplicated, mutated, or mis-placed row moves a manifest cell."""
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    pairs = D.staged_ngram_pairs(d, k=5, min_jaccard=0.5, max_df=100).select(
+        "id_a", "id_b"
+    )
+    comp = D.connected_components(pairs)
+    out_dir = tempfile.mkdtemp(prefix="fossa_shards_")
+    return C.write_training_shards(d, comp, out_dir, n_shards=16)
+
+
 def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-AWARE train/val/test split: near-duplicate documents must
     land in the SAME fold, or eval leaks training data (the
@@ -553,6 +577,7 @@ QUERIES = {
     "q_chunk_overlap": q_chunk_overlap,
     "q_url_filter": q_url_filter,
     "q_cluster_keep": q_cluster_keep,
+    "q_shard_manifest": q_shard_manifest,
     "q_split_leakage_safe": q_split_leakage_safe,
 }
 
@@ -935,5 +960,68 @@ ORACLE = {
                COUNT(*) AS cluster_size
         FROM comp JOIN documents ON comp.id = documents.doc_id
         GROUP BY component ORDER BY component
+    """,
+    # same transitive-closure prelude as q_cluster_keep, then the shard
+    # writer's retention + placement + digest math re-derived in SQL:
+    # '0x'-hex casts are the q_sample_weighted convention; shard sums of
+    # 40-bit digests are integer-exact (no doubles anywhere)
+    "q_shard_manifest": f"""
+        WITH RECURSIVE {_GRAMS.format(km1=4).replace("gram", "shingle")},
+        sh AS (
+          SELECT sh0.* FROM sh0
+          JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100)
+            USING (shingle)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(n_inter AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+        ),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d
+        ),
+        comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+        best AS (
+          SELECT component,
+                 first(doc_id ORDER BY n_chars DESC, doc_id ASC) AS kept_id
+          FROM comp JOIN documents ON comp.id = documents.doc_id
+          GROUP BY component
+        ),
+        kept AS (
+          SELECT d.doc_id, d.text
+          FROM documents d
+          LEFT JOIN comp c ON d.doc_id = c.id
+          LEFT JOIN best b ON c.component = b.component
+          WHERE c.id IS NULL OR d.doc_id = b.kept_id
+        ),
+        placed AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                                      1, 2)) AS BIGINT) % 16 AS shard,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                                      1, 10)) AS BIGINT) AS row_hash,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1
+                      AS BIGINT) AS n_tok,
+                 md5('pos:' || CAST(doc_id AS VARCHAR)) AS pos_key
+          FROM kept
+        )
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(row_hash) AS BIGINT) AS content_sum,
+               arg_min(doc_id, pos_key) AS first_doc,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM placed GROUP BY shard ORDER BY shard
     """,
 }

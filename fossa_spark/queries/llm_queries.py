@@ -335,6 +335,49 @@ def q_sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_index_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTNESS-ON-DEMAND probe of the persisted IVF index (round 8,
+    VERDICT r7 item 2): with nprobe = n_centroids every inverted list is
+    probed — the FAISS ``nprobe = nlist`` idiom — so the index search
+    degenerates to exact brute force and the output must equal
+    q_sim_topk's row for row.  This puts the index's entire READ path
+    (format check, bucketed cell scan, query fan-out + cell equi-join,
+    full-dim cosine re-rank, rank window) under the hash-checked DuckDB
+    oracle, the way q_dedup_incremental_exact hardened the minhash
+    index's probe cycle; the approximate nprobe<nlist path stays covered
+    by q_sim_ivf_index's rows-only lifecycle row + pytest recall pins.
+
+    The index is read-only here, so it is tag-keyed per (format, sf) and
+    reused across runs (the q_dedup_incremental convention — no per-run
+    catalog/tempdir leak); the mutating lifecycle demo keeps its own
+    per-run copy in q_sim_ivf_index."""
+    import hashlib
+    import tempfile
+
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    prefix = f"fs_ivfx_v{S.IVF_INDEX_FORMAT_VERSION}_{tag}"
+    if not spark.catalog.tableExists(f"{prefix}_cells"):
+        S.staged_ivf_index(
+            c, spark, prefix, tempfile.mkdtemp(prefix="fossa_ivfx_"),
+            n_centroids=16,
+        )
+    # 5-query probe under batch-scale shuffle width (house pattern)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = S.ivf_index_topk(
+            queries=q, spark=spark, table_prefix=prefix, k=5, nprobe=16
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.orderBy("q_id", "rk")
+
+
 def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection 64-d → 8-d over the embeddings table (llm/
     similarity.py pca_project): exact integer Gram accumulation, driver
@@ -825,6 +868,7 @@ QUERIES = {
     "q_sim_ann": q_sim_ann,
     "q_sim_ivf": q_sim_ivf,
     "q_sim_ivf_index": q_sim_ivf_index,
+    "q_sim_index_exact": q_sim_index_exact,
     "q_sim_pca_ivf": q_sim_pca_ivf,
     "q_sim_pq": q_sim_pq,
     "q_embed_pca": q_embed_pca,
@@ -1263,6 +1307,25 @@ ORACLE = {
         ORDER BY label, id_a, id_b
     """,
     "q_sim_topk": f"""
+        WITH scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                 {_DOT.format(a="q.embedding", b="c.embedding")} AS score
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5
+        ),
+        ranked AS (
+          SELECT q_id, c_id, score,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY score DESC, c_id ASC) AS rk
+          FROM scored
+        )
+        SELECT q_id, c_id, score, rk FROM ranked WHERE rk <= 5 ORDER BY q_id, rk
+    """,
+    # q_sim_index_exact: nprobe = n_centroids makes the persisted-index
+    # probe EXACT, so its oracle is brute-force top-k — the same SQL as
+    # q_sim_topk (any divergence means the index read path lost or
+    # mis-scored a vector).
+    "q_sim_index_exact": f"""
         WITH scored AS (
           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
                  {_DOT.format(a="q.embedding", b="c.embedding")} AS score

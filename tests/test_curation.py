@@ -221,3 +221,56 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert spread.count() == 0
     # and clusters do exist, so the property is non-vacuous
     assert comp.count() > 0
+
+
+def test_write_training_shards_contract(spark, tmp_path):
+    """write_training_shards (round 8): (a) dedup-cluster-exclusive —
+    exactly one doc per near-dup component survives, singletons all
+    survive; (b) deterministic — same corpus twice → identical manifest;
+    (c) the written files carry the seeded intra-shard shuffle: each
+    shard's FILE row order equals ordering by the pos_key hash, and the
+    manifest's first_doc is the head of that order; (d) every kept doc
+    appears exactly once across shard files (content_sum is computed from
+    the artifact, so (a)+(d) together mean no row was lost or doubled)."""
+    import os
+
+    from fossa_spark.llm import curation as C
+    from fossa_spark.llm import dedup as D
+    from fossa_spark.queries._util import load
+
+    sf = os.environ.get("FOSSA_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(d, k=5, min_jaccard=0.5, max_df=100).select(
+        "id_a", "id_b"
+    )
+    comp = D.connected_components(pairs)
+    out1 = str(tmp_path / "s1")
+    m1 = C.write_training_shards(d, comp, out1, n_shards=8).collect()
+
+    # (a) cluster-exclusive + singleton-complete
+    written = spark.read.parquet(out1)
+    kept_ids = {r.doc_id for r in written.select("doc_id").collect()}
+    comp_rows = comp.collect()
+    by_comp: dict[int, list[int]] = {}
+    for r in comp_rows:
+        by_comp.setdefault(r.component, []).append(r.doc_id)
+    assert by_comp, "no clusters at this sf — test is vacuous"
+    for members in by_comp.values():
+        assert len(kept_ids & set(members)) == 1
+    clustered = {r.doc_id for r in comp_rows}
+    singletons = {r.doc_id for r in d.select("doc_id").collect()} - clustered
+    assert singletons <= kept_ids
+    # (d) exactly once
+    assert written.count() == len(kept_ids)
+
+    # (b) deterministic manifest
+    m2 = C.write_training_shards(d, comp, str(tmp_path / "s2"), n_shards=8).collect()
+    assert sorted(map(tuple, m1)) == sorted(map(tuple, m2))
+
+    # (c) file order == seeded-hash order; first_doc == its head
+    first = {r.shard: r.first_doc for r in m1}
+    for shard in first:
+        rows = spark.read.parquet(f"{out1}/shard={shard}").collect()
+        keys = [r.pos_key for r in rows]
+        assert keys == sorted(keys), f"shard {shard} not in shuffle order"
+        assert rows[0].doc_id == first[shard]
