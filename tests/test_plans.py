@@ -598,3 +598,73 @@ def test_scale_smells_bounded_exemptions(spark):
     # and the genuine shapes still fire through the same paths
     raw_win = df.withColumn("rk", F.row_number().over(W.orderBy("id")))
     assert any(s.startswith("corpus-window") for s in scale_smells(raw_win))
+
+
+def test_bnlj_unparseable_children_degrades_to_finding(monkeypatch):
+    """Explain-format drift that leaves a BroadcastNestedLoopJoin's
+    children unparsed must surface as a conservative cartesian finding,
+    never crash the sweep (advisor r6) — and that drift finding is NOT
+    absorbable by an ACCEPTED_SMELLS justification (advisor r7)."""
+    from fossa_spark import plans
+
+    drifted = (
+        "== Physical Plan ==\n"
+        "BroadcastNestedLoopJoin BuildRight, Inner (3)\n"
+        "   SomeFutureNodeShape without ids\n"
+        "\n"
+        "(3) BroadcastNestedLoopJoin\n"
+        "Arguments: BuildRight, Inner\n"
+    )
+    monkeypatch.setattr(
+        plans, "audit", lambda df: plans.PlanAudit(formatted=drifted)
+    )
+    smells = plans.scale_smells(None)
+    assert any("unparseable" in s for s in smells), smells
+    monkeypatch.setitem(
+        plans.ACCEPTED_SMELLS, "q_fake_drift", {"cartesian": "justified"}
+    )
+    assert any("unparseable" in s
+               for s in plans.unaccepted_smells("q_fake_drift", None))
+
+
+def test_accepted_smell_absorbs_exactly_one_finding(monkeypatch):
+    """A justification suppresses ONE finding of its class; a second
+    distinct finding of the same class still fails the sweep
+    (advisor r7: prefix matching used to swallow the whole class)."""
+    from fossa_spark import plans
+
+    monkeypatch.setattr(
+        plans, "scale_smells",
+        lambda df: [
+            "cartesian: CartesianProduct in plan — details A",
+            "cartesian: BroadcastNestedLoopJoin with a non-scalar build",
+        ],
+    )
+    monkeypatch.setitem(
+        plans.ACCEPTED_SMELLS, "q_fake_two", {"cartesian": "covers one"}
+    )
+    left = plans.unaccepted_smells("q_fake_two", None)
+    assert len(left) == 1 and left[0].startswith("cartesian"), left
+
+
+def test_sh_rows_overrides_k(spark):
+    """The sh_rows override contract (advisor r6/r7, documented on every
+    sh_rows-accepting function): a caller-supplied shingle relation
+    REPLACES text_col/k entirely — dedup_pairs_auto must produce the
+    sh_rows-implied pairs even when called with a contradictory k."""
+    from fossa_spark.llm import dedup as D
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g q"),
+        (3, "x y z w v u t s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh3 = D.shingle_hash_rows(df, "text", "doc_id", 3)
+    # docs 1/2 share 5 of their 6 k=3 shingles → jaccard 5/7 ≈ 0.7143;
+    # with k=999 (one all-token shingle per doc) they would share NOTHING
+    # — so the 0.7143 pair proves sh_rows, not k, drove the computation
+    out = D.dedup_pairs_auto(df, k=999, sh_rows=sh3).collect()
+    assert [(r.id_a, r.id_b, round(r.jaccard, 4)) for r in out] == [
+        (1, 2, 0.7143)
+    ]
