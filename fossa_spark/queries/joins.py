@@ -401,9 +401,15 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     1024 longs) regardless of fact size; the build aggregates bit words
     distributedly (groupBy word index + bit_or) and collects ≤1024 rows —
     driver traffic is bounded by the filter size, never by the data. The
-    membership test is element_at + shiftright + bitwise AND over a
-    folded literal array: whole-stage codegen, no UDF, applied BEFORE the
-    join's exchange so ~4/5 of fact rows never shuffle."""
+    membership test is element_at + shiftright + bitwise AND over the
+    packed array: whole-stage codegen, no UDF, applied BEFORE the join's
+    exchange so ~4/5 of fact rows never shuffle.  Round 8: the packed
+    words ship as ONE ArrayType Literal (``F.lit(list)``) instead of a
+    1024-child CreateArray — the old tree cost ~2 s of Catalyst analysis
+    per run, which dwarfed the query itself.  (Spark's own
+    ``bloom_filter_agg``/``might_contain`` would be the native form, but
+    they are not registered as public functions in this build —
+    runtime-filter-internal only.)"""
     m, n_hashes = 1 << 16, 4
     c = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -424,11 +430,8 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = [0] * (m // 64)
     for r in words:
         packed[int(r["w"])] = int(r["bits"])
-    arr = F.array(*[F.lit(w).cast("long") for w in packed])
 
-    o = load(spark, sf_dir, "orders").withColumn("_bloom", arr)
-    # ConstantFolding collapses the all-literal CreateArray into one array
-    # literal, so the per-row cost is k folded hash + bit ops in codegen.
+    o = load(spark, sf_dir, "orders").withColumn("_bloom", F.lit(packed))
     tests = []
     for i in range(n_hashes):
         p = f"pmod(xxhash64(o_custkey, {i}), {m})"

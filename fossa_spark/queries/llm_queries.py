@@ -807,9 +807,17 @@ def q_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     saturated corpora (setsim_join's measured sf10 boundary, made into
     an operator).  At every verification scale the fixture is linear, so
     the choice is deterministically 'exact_prefix' and the brute-force
-    SQL oracle covers the whole output including the strategy column."""
+    SQL oracle covers the whole output including the strategy column.
+
+    Round 8: the shingle relation is staged (staged_shingle_rows, k=3 —
+    built with the same k it overrides, per the sh_rows contract): the
+    estimator and every branch of the decision consume it ~4×, and the
+    unstaged Arrow pass was recomputed each time (~6 s isolated → ~3 s).
+    """
     d = load(spark, sf_dir, "documents")
-    return D.dedup_pairs_auto(d, threshold=0.5, k=3).orderBy("id_a", "id_b")
+    return D.dedup_pairs_auto(
+        d, threshold=0.5, k=3, sh_rows=D.staged_shingle_rows(d, k=3)
+    ).orderBy("id_a", "id_b")
 
 
 _BPE_MERGE_CACHE: dict = {}

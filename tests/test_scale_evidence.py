@@ -505,7 +505,8 @@ def test_bloom_join_prunes_fact_before_shuffle(spark):
     (no false negatives — correctness), (b) prune a large share of
     non-matching rows before the join (the 100 TB point: pruned rows never
     reach the exchange), and (c) stay codegen'd — the membership test is
-    bitwise ops over a folded literal array, no Python UDF in the plan."""
+    bitwise ops over a single ArrayType literal, no Python UDF in the
+    plan."""
     import os
 
     from fossa_spark.queries.joins import q_join_bloom
