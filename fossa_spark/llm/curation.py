@@ -403,6 +403,82 @@ def write_training_shards(
     )
 
 
+def append_to_shards(
+    new_docs: DataFrame,
+    keep: DataFrame,
+    out_dir: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental half of the shard layout (round 8) — the daily-batch
+    path into :func:`write_training_shards`'s artifact: a probed batch's
+    KEPT docs (``keep`` = (id_col, keep bool), e.g.
+    dedup.incremental_exact_dedup's output) are placed by the SAME
+    deterministic hash-bucket function the base layout used — placement
+    is a pure function of the doc id, so an appended doc lands in the
+    shard it would have been in had it arrived with the original corpus
+    — and appended as new files under the existing ``shard=`` partition
+    directories (parquet append: base files are never touched, a crashed
+    append leaves them intact).
+
+    Returns the per-shard MANIFEST DELTA (appended n_docs / n_tokens /
+    content_sum / min-max id — same digest math as the base manifest),
+    computed from the RE-READ appended files: base manifest + delta =
+    the manifest a full rebuild over corpus+novel docs would produce,
+    which is what makes the append auditable without rereading the base.
+
+    One narrow placement pass + one append write; the delta aggregation
+    reads back only the batch-sized new files (filtered on the append
+    tag column, which parquet row-group pruning handles).
+    """
+    spark = new_docs.sparkSession
+    sid = F.col(id_col).cast("string")
+    kept = new_docs.select(id_col, text_col).join(
+        keep.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+    )
+    n_tok = (
+        F.length(text_col)
+        - F.length(F.regexp_replace(text_col, " ", ""))
+        + 1
+    ).cast("long")
+    placed = kept.select(
+        F.col(id_col),
+        F.col(text_col),
+        n_tok.alias("n_tok"),
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("shard:"), sid)), 1, 2),
+                   16, 10).cast("int") % n_shards
+        ).alias("shard"),
+        F.conv(
+            F.substring(F.md5(F.concat(sid, F.lit(":"), F.col(text_col))), 1, 10),
+            16, 10,
+        ).cast("long").alias("row_hash"),
+        F.md5(F.concat(F.lit("pos:"), sid)).alias("pos_key"),
+        F.lit(True).alias("appended"),
+    )
+    (
+        placed.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos_key", id_col)
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    written = spark.read.option("mergeSchema", "true").parquet(out_dir)
+    return (
+        written.filter(F.col("appended"))
+        .groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("row_hash").alias("content_sum"),
+            F.min(id_col).alias("min_doc"),
+            F.max(id_col).alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
 def vocab_top_k(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     """Corpus vocabulary: the k most frequent whitespace tokens (ties broken
     lexicographically for determinism). One explode + one count agg — the

@@ -275,6 +275,60 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.write_training_shards(d, comp, out_dir, n_shards=16)
 
 
+def q_shard_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL shard append (round 8, llm/curation.py
+    append_to_shards) — the daily-batch close of the loop: the corpus
+    (doc_id % 4 != 0) lives as a base shard layout (served from the
+    stage cache — per-corpus-deterministic bytes, hard-linked per run;
+    appends only ADD files, so links never reach back into the cache);
+    the arriving batch (doc_id % 4 == 0, plus planted exact copies of
+    corpus docs with doc_id % 16 == 1 under +10_000_000 ids) probes the
+    persisted exact digest index, and only the NOVEL docs are placed —
+    by the same pure-function-of-id hash bucket as the base, so each
+    lands in the shard a full rebuild would have put it in — and
+    appended under the existing shard= directories.  Returns the
+    per-shard manifest DELTA computed from the re-read appended files;
+    the oracle re-derives dedup + placement + digest math in SQL, so a
+    lost/duplicated/mis-placed appended row hash-mismatches."""
+    import hashlib
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    planted = corpus.filter(F.col("doc_id") % 16 == 1).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    batch = batch.unionByName(planted)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # same tag-keyed digest index q_dedup_incremental_exact serves from
+    table = f"fs_exact_idx_{tag}"
+    if not spark.catalog.tableExists(table):
+        D.build_exact_index(
+            corpus, spark, table, tempfile.mkdtemp(prefix="fossa_exact_idx_")
+        )
+    keep = D.incremental_exact_dedup(batch, spark, table)
+
+    empty_comp = spark.createDataFrame([], "doc_id long, component long")
+    shard_dir = tempfile.mkdtemp(prefix="fossa_shard_base_")
+
+    def _build_base(into: str) -> None:
+        # the base manifest is materialized as part of the build (the
+        # write happens inside write_training_shards); only the files
+        # matter for the cache
+        C.write_training_shards(corpus, empty_comp, into, n_shards=16)
+
+    from fossa_spark.sources import stage_files
+
+    stage_files(
+        d, shard_dir,
+        cache_prefix="shard_base",
+        params=["shard_base_v1", 16],
+        build=_build_base,
+    )
+    return C.append_to_shards(batch, keep, shard_dir, n_shards=16)
+
+
 def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-AWARE train/val/test split: near-duplicate documents must
     land in the SAME fold, or eval leaks training data (the
@@ -578,6 +632,7 @@ QUERIES = {
     "q_url_filter": q_url_filter,
     "q_cluster_keep": q_cluster_keep,
     "q_shard_manifest": q_shard_manifest,
+    "q_shard_delta": q_shard_delta,
     "q_split_leakage_safe": q_split_leakage_safe,
 }
 
@@ -1021,6 +1076,45 @@ ORACLE = {
                CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
                CAST(SUM(row_hash) AS BIGINT) AS content_sum,
                arg_min(doc_id, pos_key) AS first_doc,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM placed GROUP BY shard ORDER BY shard
+    """,
+    # the incremental append's delta: exact-digest novelty (the
+    # q_dedup_incremental_exact convention) then the same placement +
+    # digest math as q_shard_manifest, restricted to the appended rows
+    "q_shard_delta": """
+        WITH corpus AS (
+          SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 4 <> 0
+        ),
+        batch AS (
+          SELECT doc_id, text,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT doc_id + 10000000, text,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+          FROM documents WHERE doc_id % 4 <> 0 AND doc_id % 16 = 1
+        ),
+        novel AS (
+          SELECT b.doc_id, b.text FROM batch b
+          LEFT JOIN (SELECT DISTINCT h FROM corpus) c ON b.h = c.h
+          WHERE c.h IS NULL
+        ),
+        placed AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                                      1, 2)) AS BIGINT) % 16 AS shard,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                                      1, 10)) AS BIGINT) AS row_hash,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1
+                      AS BIGINT) AS n_tok
+          FROM novel
+        )
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(row_hash) AS BIGINT) AS content_sum,
                MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         FROM placed GROUP BY shard ORDER BY shard
     """,

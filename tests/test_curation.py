@@ -274,3 +274,70 @@ def test_write_training_shards_contract(spark, tmp_path):
         keys = [r.pos_key for r in rows]
         assert keys == sorted(keys), f"shard {shard} not in shuffle order"
         assert rows[0].doc_id == first[shard]
+
+
+def test_append_to_shards_delta_equals_rebuild(spark, tmp_path):
+    """append_to_shards (round 8): base manifest + append delta must
+    equal the manifest of a FULL REBUILD over corpus + novel docs, on
+    every additive column — the invariant that lets a daily pipeline
+    audit its shard artifact without rereading the base; and already-
+    present docs (exact dups) must never be appended."""
+    import os
+    from collections import defaultdict
+
+    from fossa_spark.llm import curation as C
+    from fossa_spark.llm import dedup as D
+    from fossa_spark.queries._util import load
+
+    sf = os.environ.get("FOSSA_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    dup = corpus.limit(3).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    batch = batch.unionByName(dup)
+    empty = spark.createDataFrame([], "doc_id long, component long")
+
+    base_dir = str(tmp_path / "base")
+    base = C.write_training_shards(corpus, empty, base_dir, n_shards=8).collect()
+
+    spark.sql("DROP TABLE IF EXISTS t_shard_idx")
+    D.build_exact_index(corpus, spark, "t_shard_idx", str(tmp_path / "idx"))
+    keep = D.incremental_exact_dedup(batch, spark, "t_shard_idx")
+    delta = C.append_to_shards(batch, keep, base_dir, n_shards=8).collect()
+    spark.sql("DROP TABLE IF EXISTS t_shard_idx")
+
+    # exact dups of corpus docs must not have been appended
+    appended_ids = {
+        r.doc_id
+        for r in spark.read.option("mergeSchema", "true").parquet(base_dir)
+        .filter(F.col("appended")).select("doc_id").collect()
+    }
+    assert not any(i >= 10_000_000 for i in appended_ids)
+
+    novel = batch.join(
+        keep.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    rebuild = C.write_training_shards(
+        corpus.select("doc_id", "text")
+        .unionByName(novel)
+        .withColumn("n_chars", F.length("text")),
+        empty, str(tmp_path / "rebuild"), n_shards=8,
+    ).collect()
+
+    merged: dict[int, list[int]] = defaultdict(lambda: [0, 0, 0, None, None])
+    for rows in (base, delta):
+        for r in rows:
+            m = merged[r.shard]
+            m[0] += r.n_docs
+            m[1] += r.n_tokens
+            m[2] += r.content_sum
+            m[3] = r.min_doc if m[3] is None else min(m[3], r.min_doc)
+            m[4] = r.max_doc if m[4] is None else max(m[4], r.max_doc)
+    got = {s: tuple(v) for s, v in merged.items()}
+    want = {
+        r.shard: (r.n_docs, r.n_tokens, r.content_sum, r.min_doc, r.max_doc)
+        for r in rebuild
+    }
+    assert got == want
