@@ -262,7 +262,11 @@ def q_sim_pca_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine re-rank of the shortlist only — coarse recall in a space 4×
     cheaper, precision paid only on |queries| × shortlist rows.
     rows-only (eigendecomposition + seeded quantizer); recall@5 vs the
-    brute-force q_sim_topk is pinned in tests."""
+    brute-force q_sim_topk is pinned in tests.  (Round-8 negative
+    result: running the funnel at batch width — spread(target=8) + 8
+    shuffle partitions — was wall-neutral; the cost is the funnel's
+    sequential action depth (fit collect → quantizer collect → probe →
+    re-rank), not worker scheduling.)"""
     e = spread(load(spark, sf_dir, "embeddings"), spark)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")

@@ -614,3 +614,64 @@ def test_locality_subblock_recall_vs_random_split_sf1(spark):
         rnd, "blk", "vec_id", "embedding", threshold=0.35
     ).count()
     assert n_loc >= n_rnd, (n_loc, n_rnd)
+
+
+def test_stage_files_serves_identical_bytes_and_falls_back(spark, tmp_path):
+    """stage_files (round 8): (a) first call builds into the cache and
+    serves; (b) second call with the same fingerprint serves the SAME
+    bytes WITHOUT re-running the builder; (c) hard links are the default
+    serve (same inode as the cache — metadata-cost staging); (d) a
+    builder that writes nothing (no marker) degrades to a direct build
+    into the work dir."""
+    import os
+
+    from fossa_spark.queries._util import load
+    from fossa_spark.sources import stage_files
+    from tests.conftest import SF_DIR
+
+    d = load(spark, SF_DIR, "documents")
+    calls = []
+
+    def build(into):
+        calls.append(into)
+        os.makedirs(into, exist_ok=True)
+        with open(os.path.join(into, "artifact.bin"), "wb") as fh:
+            fh.write(b"payload-v1")
+
+    root = str(tmp_path / "cache")
+    w1, w2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    os.makedirs(w1); os.makedirs(w2)
+    stage_files(d, w1, cache_prefix="t_sf", params=["v1"], build=build,
+                cache_root=root)
+    stage_files(d, w2, cache_prefix="t_sf", params=["v1"], build=build,
+                cache_root=root)
+    assert len(calls) == 1, "second call must hit the cache"
+    p1, p2 = os.path.join(w1, "artifact.bin"), os.path.join(w2, "artifact.bin")
+    assert open(p1, "rb").read() == open(p2, "rb").read() == b"payload-v1"
+    # linked serve: same inode as the cached copy
+    cached = next(
+        os.path.join(root, e, "artifact.bin")
+        for e in os.listdir(root) if e.startswith("t_sf_")
+    )
+    assert os.stat(p1).st_ino == os.stat(cached).st_ino
+    # deleting a linked work copy never touches the cache
+    os.unlink(p1)
+    assert open(cached, "rb").read() == b"payload-v1"
+    # params change the fingerprint → rebuild
+    w3 = str(tmp_path / "w3"); os.makedirs(w3)
+    stage_files(d, w3, cache_prefix="t_sf", params=["v2"], build=build,
+                cache_root=root)
+    assert len(calls) == 2
+    # a failing builder degrades to a direct build (the fallback path)
+    w4 = str(tmp_path / "w4"); os.makedirs(w4)
+    state = {"n": 0}
+
+    def flaky(into):
+        state["n"] += 1
+        if state["n"] == 1:
+            raise RuntimeError("first build blows up")
+        build(into)
+
+    stage_files(d, w4, cache_prefix="t_sf2", params=["v1"], build=flaky,
+                cache_root=root)
+    assert os.path.exists(os.path.join(w4, "artifact.bin"))
