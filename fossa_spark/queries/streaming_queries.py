@@ -13,6 +13,8 @@ user and merge sorted runs. Watermarks bound state growth at 100 TB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -355,6 +357,36 @@ def _feed_writer(feed: str):
     return write
 
 
+def _staged_feed(src: DataFrame, feed: str, cache_prefix: str, build) -> None:
+    """Serve a DETERMINISTIC micro-batch feed from the stage cache
+    (round 8): the feed bytes are a pure function of the fixture, yet
+    every run was re-reading the source and re-writing the files (~1-2 s
+    per feed).  ``build(into)`` writes the feed files into ``into``;
+    serves COPY (not link — the mtime re-stamp below must not reach back
+    into the cached inodes) and then re-stamp mtimes in preserved build
+    order, since the file stream source triggers micro-batches in
+    modification-time order and several queries' cross-batch premises
+    depend on it."""
+    import time as _time
+
+    from fossa_spark.sources import stage_files
+
+    stage_files(
+        src, feed,
+        cache_prefix=cache_prefix,
+        params=[f"{cache_prefix}_v1"],
+        build=build,
+        link=False,
+    )
+    t0 = _time.time() - 1000
+    for name in sorted(
+        os.listdir(feed), key=lambda n: os.path.getmtime(os.path.join(feed, n))
+    ):
+        if name.endswith(".parquet"):
+            t0 += 10.0
+            os.utime(os.path.join(feed, name), (t0, t0))
+
+
 def q_stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming dedup under the oracle: the events feed is replayed
     with PLANTED duplicates (every event_id % 10 == 0 row arrives again in
@@ -372,12 +404,16 @@ def q_stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
     feed = tempfile.mkdtemp(prefix="fossa_dup_feed_")
+
     # file source triggers one file per micro-batch, in mtime order: the
     # full feed lands in batch 1, the duplicate rows in batch 2 — so the
     # dups must be caught by state persisted ACROSS batches, not within one
-    _write = _feed_writer(feed)
-    _write(e, 1)
-    _write(e.filter(F.col("event_id") % 10 == 0), 2)
+    def _build(into: str) -> None:
+        w = _feed_writer(into)
+        w(e, 1)
+        w(e.filter(F.col("event_id") % 10 == 0), 2)
+
+    _staged_feed(e, feed, "sdup_feed", _build)
 
     stream = (
         spark.readStream.schema(e.schema)
@@ -490,34 +526,13 @@ def q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch 2's planted re-emissions arrive.  The feed bytes are
     # deterministic per corpus snapshot, so they're served from the
     # stage cache (round 8: the two read-documents-and-write jobs were
-    # ~2 s of every run); copied, not linked, because the mtime stamps
-    # below must not reach back into the cached inodes.
+    # ~2 s of every run).
     def _build_feed(into: str) -> None:
         w = _feed_writer(into)
         w(b1, 1)
         w(b2.unionByName(planted), 2)
 
-    from fossa_spark.sources import stage_files
-
-    stage_files(
-        d, feed,
-        cache_prefix="snear_feed",
-        params=["snear_feed_v1"],
-        build=_build_feed,
-        link=False,
-    )
-    # re-stamp (staging preserves relative build order, but re-assert it
-    # explicitly: ordering is this query's correctness premise)
-    import time as _time
-
-    t0 = _time.time() - 1000
-    for name in sorted(
-        os.listdir(feed),
-        key=lambda n: os.path.getmtime(os.path.join(feed, n)),
-    ):
-        if name.endswith(".parquet"):
-            t0 += 10.0
-            os.utime(os.path.join(feed, name), (t0, t0))
+    _staged_feed(d, feed, "snear_feed", _build_feed)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch hands a frame bound to the micro-batch CLONE of
@@ -622,12 +637,16 @@ def q_stream_upsert_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "event_type", "value"
     )
     feed = tempfile.mkdtemp(prefix="fossa_upsert_feed_")
-    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
-        "append"
-    ).parquet(feed)
-    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
-        "append"
-    ).parquet(feed)
+
+    def _build(into: str) -> None:
+        # explicit mtime spacing via _feed_writer: the upsert result is
+        # order-independent (keep-newest by ts/event_id), but a stable
+        # batch order keeps runs comparable
+        w = _feed_writer(into)
+        w(e.filter(F.col("event_id") % 2 == 0), 1)
+        w(e.filter(F.col("event_id") % 2 == 1), 2)
+
+    _staged_feed(e, feed, "upsert_feed", _build)
 
     state: dict = {"df": None}
     w = W.partitionBy("user_id").orderBy(
