@@ -256,6 +256,28 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(q, c, k=5).orderBy("q_id", "rk")
 
 
+def q_sim_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTNESS-ON-DEMAND PQ probe (round 8, the q_sim_index_exact idea
+    applied to product quantization): with ``shortlist`` ≥ |corpus| the
+    exact full-vector re-rank covers EVERY candidate, so the
+    approximate LUT scan can only reorder the shortlist, never drop a
+    true neighbor — the output must equal brute-force top-k row for
+    row.  This puts pq_topk's whole machinery (codebook training,
+    byte-code encoding, per-query LUT scan over codes, re-rank math)
+    under the hash-checked brute-force oracle; the approximate
+    shortlist<corpus path stays covered by q_sim_pq's rows-only row +
+    pytest recall pins.  The |corpus|-wide shortlist is the
+    VERIFICATION configuration, not the scale path — production keeps
+    shortlist constant, which is the whole point of PQ."""
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    n = c.count()
+    return S.pq_topk(q, c, k=5, shortlist=n).orderBy("q_id", "rk")
+
+
 def q_sim_pca_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel ANN (llm/similarity.py pca_ivf_topk): exact distributed PCA
     64-d → 16-d, IVF shortlist in the projected space, exact full-dim
@@ -881,6 +903,7 @@ QUERIES = {
     "q_sim_ivf": q_sim_ivf,
     "q_sim_ivf_index": q_sim_ivf_index,
     "q_sim_index_exact": q_sim_index_exact,
+    "q_sim_pq_exact": q_sim_pq_exact,
     "q_sim_pca_ivf": q_sim_pca_ivf,
     "q_sim_pq": q_sim_pq,
     "q_embed_pca": q_embed_pca,
@@ -1319,6 +1342,23 @@ ORACLE = {
         ORDER BY label, id_a, id_b
     """,
     "q_sim_topk": f"""
+        WITH scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                 {_DOT.format(a="q.embedding", b="c.embedding")} AS score
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5
+        ),
+        ranked AS (
+          SELECT q_id, c_id, score,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY score DESC, c_id ASC) AS rk
+          FROM scored
+        )
+        SELECT q_id, c_id, score, rk FROM ranked WHERE rk <= 5 ORDER BY q_id, rk
+    """,
+    # q_sim_pq_exact: shortlist >= |corpus| makes the PQ funnel exact —
+    # same brute-force oracle as q_sim_topk
+    "q_sim_pq_exact": f"""
         WITH scored AS (
           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
                  {_DOT.format(a="q.embedding", b="c.embedding")} AS score

@@ -763,3 +763,16 @@ def test_staged_shingle_rows_identical(spark, docs, tmp_path):
     hit = {(r.doc_id, r._sh)
            for r in D.staged_shingle_rows(docs, k=5, cache_root=root).collect()}
     assert hit == direct
+
+
+def test_pq_topk_full_shortlist_is_exact(vecs):
+    """shortlist >= |corpus| means the exact re-rank covers every
+    candidate, so PQ must reproduce brute-force top-k row for row — the
+    exactness-on-demand premise of the oracle-backed q_sim_pq_exact
+    (round 8)."""
+    q = vecs.filter("vec_id < 5").selectExpr("vec_id q_id", "embedding q_vec")
+    c = vecs.selectExpr("vec_id c_id", "embedding c_vec")
+    n = c.count()
+    exact = sorted(map(tuple, S.brute_force_topk(q, c, k=5).collect()))
+    pq = sorted(map(tuple, S.pq_topk(q, c, k=5, shortlist=n).collect()))
+    assert pq == exact
