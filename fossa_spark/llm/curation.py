@@ -347,7 +347,14 @@ def write_training_shards(
       the oracle checks the written artifact, not the plan that produced
       it.
 
-    One shuffle on component (retention), one on shard (placement); the
+    Layout is two-level ``shard=N/batch=base``: the ``batch`` partition
+    column is what lets :func:`append_to_shards` later read ONLY its own
+    appended files (directory pruning) and keep per-batch manifest
+    deltas exact across repeated appends.
+
+    One shuffle on component (retention — a plain join: the per-cluster
+    best relation is O(#clusters) and must NOT be force-broadcast, AQE
+    picks the strategy the stats deserve), one on shard (placement); the
     manifest aggregation is a second pass over the written files.
     """
     spark = docs.sparkSession
@@ -357,8 +364,7 @@ def write_training_shards(
         components.select(id_col, "component"), id_col, "left"
     )
     kept = (
-        labeled.join(F.broadcast(best.select("component", "kept_id")),
-                     "component", "left")
+        labeled.join(best.select("component", "kept_id"), "component", "left")
         .filter(F.col("component").isNull() | (F.col(id_col) == F.col("kept_id")))
         .select(id_col, text_col)
     )
@@ -380,15 +386,28 @@ def write_training_shards(
             16, 10,
         ).cast("long").alias("row_hash"),
         F.md5(F.concat(F.lit("pos:"), sid)).alias("pos_key"),
+        F.lit("base").alias("batch"),
     )
     (
         sharded.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "pos_key", id_col)
         .write.mode("overwrite")
-        .partitionBy("shard")
+        .partitionBy("shard", "batch")
         .parquet(out_dir)
     )
+    return shard_manifest(spark, out_dir, id_col=id_col)
+
+
+def shard_manifest(
+    spark, out_dir: str, id_col: str = "doc_id", batch: str | None = None
+) -> DataFrame:
+    """Per-shard manifest aggregated from the WRITTEN shard files (the
+    artifact, not the plan) — optionally restricted to one append batch
+    (``batch`` filters the partition column: directory pruning, so a
+    delta read never touches the base files)."""
     written = spark.read.parquet(out_dir)
+    if batch is not None:
+        written = written.filter(F.col("batch") == batch)
     return (
         written.groupBy(F.col("shard").cast("long").alias("shard"))
         .agg(
@@ -410,6 +429,7 @@ def append_to_shards(
     n_shards: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_tag: str | None = None,
 ) -> DataFrame:
     """Incremental half of the shard layout (round 8) — the daily-batch
     path into :func:`write_training_shards`'s artifact: a probed batch's
@@ -418,21 +438,28 @@ def append_to_shards(
     deterministic hash-bucket function the base layout used — placement
     is a pure function of the doc id, so an appended doc lands in the
     shard it would have been in had it arrived with the original corpus
-    — and appended as new files under the existing ``shard=`` partition
-    directories (parquet append: base files are never touched, a crashed
-    append leaves them intact).
+    — and appended under a fresh ``shard=N/batch=<tag>`` partition
+    (parquet append: base files are never touched, a crashed append
+    leaves them intact).
 
-    Returns the per-shard MANIFEST DELTA (appended n_docs / n_tokens /
-    content_sum / min-max id — same digest math as the base manifest),
-    computed from the RE-READ appended files: base manifest + delta =
-    the manifest a full rebuild over corpus+novel docs would produce,
-    which is what makes the append auditable without rereading the base.
+    Returns THIS batch's per-shard MANIFEST DELTA (appended n_docs /
+    n_tokens / content_sum / min-max id — same digest math as the base
+    manifest), computed from the re-read appended files: base manifest +
+    every batch's delta = the manifest a full rebuild over corpus + all
+    novel docs would produce, which is what makes appends auditable
+    without rereading the base.  ``batch_tag`` names the batch partition
+    (a fresh uuid tag when omitted); because the delta filters on the
+    ``batch`` PARTITION column, repeated daily appends each get their
+    own exact delta (never cumulative) and the delta read prunes to the
+    batch's directories — the base corpus is never re-listed or re-read.
 
-    One narrow placement pass + one append write; the delta aggregation
-    reads back only the batch-sized new files (filtered on the append
-    tag column, which parquet row-group pruning handles).
+    One narrow placement pass + one append write + one batch-sized
+    aggregation pass.
     """
+    import uuid
+
     spark = new_docs.sparkSession
+    tag = batch_tag or f"b{uuid.uuid4().hex[:12]}"
     sid = F.col(id_col).cast("string")
     kept = new_docs.select(id_col, text_col).join(
         keep.filter(F.col("keep")).select(id_col), id_col, "left_semi"
@@ -455,19 +482,18 @@ def append_to_shards(
             16, 10,
         ).cast("long").alias("row_hash"),
         F.md5(F.concat(F.lit("pos:"), sid)).alias("pos_key"),
-        F.lit(True).alias("appended"),
+        F.lit(tag).alias("batch"),
     )
     (
         placed.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "pos_key", id_col)
         .write.mode("append")
-        .partitionBy("shard")
+        .partitionBy("shard", "batch")
         .parquet(out_dir)
     )
-    written = spark.read.option("mergeSchema", "true").parquet(out_dir)
+    written = spark.read.parquet(out_dir).filter(F.col("batch") == tag)
     return (
-        written.filter(F.col("appended"))
-        .groupBy(F.col("shard").cast("long").alias("shard"))
+        written.groupBy(F.col("shard").cast("long").alias("shard"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("n_tokens"),

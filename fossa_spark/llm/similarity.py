@@ -356,7 +356,9 @@ def build_ivf_index(
     """
     from fossa_spark.sources import write_bucketed
 
-    _IVF_CENTROIDS.pop((id(spark), table_prefix), None)  # rebuild = new fit
+    _IVF_CENTROIDS.pop(
+        (spark.sparkContext.applicationId, table_prefix), None
+    )  # rebuild = new fit
     centroids = fit_centroids_capped(candidates, vec_col, n_centroids, seed=seed)
     cells = candidates.withColumn(
         "cell", _nearest_centroids_udf(centroids, 1)(F.col(vec_col))[0]
@@ -426,11 +428,16 @@ def _load_ivf_centroids(spark, table_prefix: str) -> "np.ndarray":
     """Collect the coarse quantizer (n_centroids × dim — bounded by
     construction) after asserting the on-disk format version.
 
-    Memoized per (session, prefix): probes and appends both load it and
-    appends never refit (that's the operator's core invariant), so one
-    collect per session is sound — build_ivf_index invalidates its own
-    prefix when a rebuild lands under the same name."""
-    key = (id(spark), table_prefix)
+    Memoized per (application, prefix) — applicationId, not id(spark):
+    session clones share the catalog, and a garbage-collected session's
+    id() can be REUSED by a new one, which would serve a stale quantizer
+    (round-8 review).  Probes and appends both load it and appends never
+    refit (the operator's core invariant), so one collect per
+    application is sound — build_ivf_index invalidates its own prefix
+    when a rebuild lands under the same name.  Bounded: oldest entries
+    evicted past 64 (uuid-prefixed demo indexes would otherwise
+    accumulate an 8 KB array per run forever)."""
+    key = (spark.sparkContext.applicationId, table_prefix)
     hit = _IVF_CENTROIDS.get(key)
     if hit is not None:
         return hit
@@ -447,11 +454,13 @@ def _load_ivf_centroids(spark, table_prefix: str) -> "np.ndarray":
     rows = spark.table(f"{table_prefix}_centroids").orderBy("cell").collect()
     out = np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
     _IVF_CENTROIDS[key] = out
+    while len(_IVF_CENTROIDS) > 64:  # FIFO eviction (dicts are ordered)
+        _IVF_CENTROIDS.pop(next(iter(_IVF_CENTROIDS)))
     return out
 
 
-# (session id, prefix) -> quantizer; see _load_ivf_centroids
-_IVF_CENTROIDS: dict[tuple[int, str], "np.ndarray"] = {}
+# (applicationId, prefix) -> quantizer; see _load_ivf_centroids
+_IVF_CENTROIDS: dict[tuple[str, str], "np.ndarray"] = {}
 
 
 def ivf_index_topk(

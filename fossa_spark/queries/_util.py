@@ -68,7 +68,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e
 
 
-def spread(df: DataFrame, spark: SparkSession, target: int | None = None) -> DataFrame:
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Guarantee a COMPUTE-HEAVY narrow pipeline at least one task per
     core — adaptively, so it costs nothing at real scale.
 
@@ -80,16 +80,10 @@ def spread(df: DataFrame, spark: SparkSession, target: int | None = None) -> Dat
     splits and this helper is a NO-OP (partitions ≥ parallelism ⇒ no
     shuffle), so the one-pass text shuffle is only ever paid when it
     buys idle cores.  Only for expensive per-row compute — cheap narrow
-    queries keep their 0-Exchange plans.
-
-    ``target`` caps the spread width for BATCH-SIZED relations (round 8):
-    a few-thousand-row relation spread to 32 partitions pays 32 Arrow
-    worker round trips per downstream pandas-UDF pass.  Pass the width
-    the relation's row count deserves; a corpus-scale input still no-ops
-    (partitions ≥ target ⇒ no shuffle)."""
-    n = min(target, spark.sparkContext.defaultParallelism) if target else (
-        spark.sparkContext.defaultParallelism
-    )
+    queries keep their 0-Exchange plans.  (A round-8 experiment capping
+    the width for batch-sized relations was measured wall-neutral on the
+    ANN funnel and dropped — see q_sim_pca_ivf's negative-result note.)"""
+    n = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)

@@ -263,8 +263,14 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the shuffle order, and the id range — computed from the RE-READ
     files, so the oracle cross-checks the artifact on disk against the
     same retention + placement + digest math in SQL.  Any lost,
-    duplicated, mutated, or mis-placed row moves a manifest cell."""
+    duplicated, mutated, or mis-placed row moves a manifest cell.
+
+    The artifact is per-corpus-deterministic, so it is served from the
+    stage cache via hard links (round-8 review item: the first cut wrote
+    a full curated-corpus copy into a fresh temp dir every run)."""
     import tempfile
+
+    from fossa_spark.sources import stage_files
 
     d = load(spark, sf_dir, "documents")
     pairs = D.staged_ngram_pairs(d, k=5, min_jaccard=0.5, max_df=100).select(
@@ -272,7 +278,17 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = D.connected_components(pairs)
     out_dir = tempfile.mkdtemp(prefix="fossa_shards_")
-    return C.write_training_shards(d, comp, out_dir, n_shards=16)
+
+    def _build(into: str) -> None:
+        C.write_training_shards(d, comp, into, n_shards=16)
+
+    stage_files(
+        d, out_dir,
+        cache_prefix="shard_full",
+        params=["shard_full_v2", 16],
+        build=_build,
+    )
+    return C.shard_manifest(spark, out_dir)
 
 
 def q_shard_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,7 +339,7 @@ def q_shard_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_files(
         d, shard_dir,
         cache_prefix="shard_base",
-        params=["shard_base_v1", 16],
+        params=["shard_base_v2", 16],  # v2: shard=N/batch=base layout
         build=_build_base,
     )
     return C.append_to_shards(batch, keep, shard_dir, n_shards=16)

@@ -404,12 +404,18 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership test is element_at + shiftright + bitwise AND over the
     packed array: whole-stage codegen, no UDF, applied BEFORE the join's
     exchange so ~4/5 of fact rows never shuffle.  Round 8: the packed
-    words ship as ONE ArrayType Literal (``F.lit(list)``) instead of a
-    1024-child CreateArray — the old tree cost ~2 s of Catalyst analysis
-    per run, which dwarfed the query itself.  (Spark's own
-    ``bloom_filter_agg``/``might_contain`` would be the native form, but
-    they are not registered as public functions in this build —
-    runtime-filter-internal only.)"""
+    words ship as ONE ArrayType(Long) Literal — ``F.lit`` of an int64
+    NUMPY array takes the single-literal fast path (``F.lit(list)`` does
+    NOT: it expands to array(*[lit(x)...]), the same 1024-child
+    CreateArray, measured 5× slower to analyze) — where the old
+    1024-child CreateArray + per-element casts cost ~2 s of Catalyst
+    analysis per run, dwarfing the query itself.  The numpy dtype also
+    PINS the element type to bigint regardless of the words' magnitudes.
+    (Spark's own ``bloom_filter_agg``/``might_contain`` would be the
+    native form, but they are not registered as public functions in this
+    build — runtime-filter-internal only.)"""
+    import numpy as np
+
     m, n_hashes = 1 << 16, 4
     c = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -431,7 +437,9 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in words:
         packed[int(r["w"])] = int(r["bits"])
 
-    o = load(spark, sf_dir, "orders").withColumn("_bloom", F.lit(packed))
+    o = load(spark, sf_dir, "orders").withColumn(
+        "_bloom", F.lit(np.array(packed, dtype=np.int64))
+    )
     tests = []
     for i in range(n_hashes):
         p = f"pmod(xxhash64(o_custkey, {i}), {m})"

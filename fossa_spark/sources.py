@@ -244,21 +244,33 @@ def stage_files(
     try:
         if not os.path.exists(marker):
             os.makedirs(root, exist_ok=True)
+            # prune stale generations AND orphaned build dirs (a builder
+            # that crashed mid-build leaves its _tmp_ dir behind — the
+            # round-8 review caught these accumulating unboundedly)
             entries = sorted(
-                (e for e in os.listdir(root) if e.startswith(f"{cache_prefix}_")),
+                (
+                    e
+                    for e in os.listdir(root)
+                    if e.startswith(f"{cache_prefix}_")
+                    or e.startswith(f"_tmp_{cache_prefix}_")
+                ),
                 key=lambda e: os.path.getmtime(os.path.join(root, e)),
             )
             for stale in entries[:-5]:
                 shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
             tmp = os.path.join(root, f"_tmp_{cache_prefix}_{uuid.uuid4().hex}")
-            build(tmp)
-            open(os.path.join(tmp, "_FOSSA_STAGED"), "w").close()
+            try:
+                build(tmp)
+                open(os.path.join(tmp, "_FOSSA_STAGED"), "w").close()
+            except Exception:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
             try:
                 os.rename(tmp, staged)  # atomic: race losers fall through
             except OSError:
                 shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.exists(marker):
-                return build(work_dir)
+                return _fresh_build(build, work_dir)
 
         def _link_or_copy(src: str, dst: str) -> None:
             try:
@@ -274,7 +286,21 @@ def stage_files(
         )
         os.unlink(os.path.join(work_dir, "_FOSSA_STAGED"))
     except Exception:
-        return build(work_dir)
+        # The serve may have failed PARTWAY through the copytree: for an
+        # append-mode builder (a micro-batch feed) building on top of
+        # half-copied files would leave DUPLICATE rows — wipe the work
+        # dir before the direct build (round-8 review).
+        return _fresh_build(build, work_dir)
+
+
+def _fresh_build(build, work_dir: str) -> None:
+    """stage_files' fallback: direct build into an EMPTIED work_dir."""
+    import os
+    import shutil
+
+    shutil.rmtree(work_dir, ignore_errors=True)
+    os.makedirs(work_dir, exist_ok=True)
+    return build(work_dir)
 
 
 def colocated_join(

@@ -311,10 +311,21 @@ def test_append_to_shards_delta_equals_rebuild(spark, tmp_path):
     # exact dups of corpus docs must not have been appended
     appended_ids = {
         r.doc_id
-        for r in spark.read.option("mergeSchema", "true").parquet(base_dir)
-        .filter(F.col("appended")).select("doc_id").collect()
+        for r in spark.read.parquet(base_dir)
+        .filter(F.col("batch") != "base").select("doc_id").collect()
     }
     assert not any(i >= 10_000_000 for i in appended_ids)
+
+    # repeated appends: a SECOND batch's delta must cover only its own
+    # rows (round-8 review: a plain boolean append tag made every later
+    # delta cumulative) — and must never re-read the base partition
+    b2 = d.filter(F.col("doc_id") % 4 == 2).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"), "text"
+    )
+    keep2 = b2.select("doc_id").withColumn("keep", F.lit(True))
+    delta2 = C.append_to_shards(b2, keep2, base_dir, n_shards=8).collect()
+    assert sum(r.n_docs for r in delta2) == b2.count()
+    assert all(r.min_doc >= 20_000_000 for r in delta2), delta2
 
     novel = batch.join(
         keep.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
