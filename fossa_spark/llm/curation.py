@@ -316,6 +316,7 @@ def write_training_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     quality_col: str = "n_chars",
+    max_records_per_file: int | None = None,
 ) -> DataFrame:
     """Global dedup-aware SHARD WRITER (round 8) — the step after
     split/pack/mix: materialize the curated corpus as the deterministic,
@@ -388,13 +389,24 @@ def write_training_shards(
         F.md5(F.concat(F.lit("pos:"), sid)).alias("pos_key"),
         F.lit("base").alias("batch"),
     )
-    (
+    # Sort by the dynamic-partition write's REQUIRED ordering prefix
+    # (shard, batch) so Spark does not insert its own second sort — and
+    # so the intra-shard pos_key file order is guaranteed by THIS sort,
+    # not by the stability of the one Spark would otherwise add
+    # (advisor r8: TimSort stability is an implementation detail).
+    writer = (
         sharded.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "pos_key", id_col)
+        .sortWithinPartitions("shard", "batch", "pos_key", id_col)
         .write.mode("overwrite")
-        .partitionBy("shard", "batch")
-        .parquet(out_dir)
     )
+    if max_records_per_file is not None:
+        # Escape hatch for extreme scale: without it one task serializes
+        # a whole shard into a single file (and an md5-bucket collision
+        # can route two shards through one task).  The manifest is
+        # file-count-agnostic (it aggregates the re-read rows) and the
+        # epoch order keys on pos_key, so splitting files preserves both.
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.partitionBy("shard", "batch").parquet(out_dir)
     return shard_manifest(spark, out_dir, id_col=id_col)
 
 
@@ -456,10 +468,26 @@ def append_to_shards(
     One narrow placement pass + one append write + one batch-sized
     aggregation pass.
     """
+    import os
     import uuid
 
     spark = new_docs.sparkSession
     tag = batch_tag or f"b{uuid.uuid4().hex[:12]}"
+    # Guard the audit invariant (advisor r8): batch='base' would
+    # commingle the append with the original corpus partitions, and a
+    # REUSED tag would make this call's "delta" cumulative over the
+    # earlier append — both silently break base + deltas == rebuild.
+    if tag == "base":
+        raise ValueError("batch_tag='base' is reserved for write_training_shards")
+    if any(
+        os.path.isdir(os.path.join(out_dir, d, f"batch={tag}"))
+        for d in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+        if d.startswith("shard=")
+    ):
+        raise ValueError(
+            f"batch_tag={tag!r} already exists under {out_dir}; appending "
+            "would make the returned delta cumulative. Use a fresh tag."
+        )
     sid = F.col(id_col).cast("string")
     kept = new_docs.select(id_col, text_col).join(
         keep.filter(F.col("keep")).select(id_col), id_col, "left_semi"
@@ -486,7 +514,9 @@ def append_to_shards(
     )
     (
         placed.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "pos_key", id_col)
+        # (shard, batch) prefix: satisfy the dynamic-partition write's
+        # required ordering directly — see write_training_shards.
+        .sortWithinPartitions("shard", "batch", "pos_key", id_col)
         .write.mode("append")
         .partitionBy("shard", "batch")
         .parquet(out_dir)

@@ -202,6 +202,48 @@ CHANGED_IN = {
 }
 
 
+def _ran_rounds() -> tuple[dict[str, int], int]:
+    """(per-query round of the most recent successful EXECUTION, max
+    round number across all artifacts).  Execution = spark_rows present
+    and err in (None, 'no_oracle') — the rows-only notion of green.
+    Best-effort: parse failures degrade to ({}, 0)."""
+    import json
+    import re
+
+    ran: dict[str, int] = {}
+    max_round = 0
+    root = Path(__file__).resolve().parent.parent.parent
+    try:
+        for p in sorted(root.glob("CORRECTNESS_r*.json")):
+            m = re.search(r"r(\d+)", p.name)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            max_round = max(max_round, rnd)
+            doc = json.loads(p.read_text())
+            if not isinstance(doc, dict):
+                continue
+            for name, row in doc.items():
+                if (
+                    isinstance(row, dict)
+                    and row.get("spark_rows") is not None
+                    and row.get("err") in (None, "no_oracle")
+                ):
+                    ran[name] = max(ran.get(name, 0), rnd)
+    except (OSError, ValueError, AttributeError, TypeError):
+        return {}, 0
+    return ran, max_round
+
+
+# Rows-only queries can never earn a hash_match, so without a refresh
+# rule their driver evidence only ages.  Pin any rows-only query whose
+# last "ran" row is this many rounds older than the newest artifact
+# (q_agg_approx sat at r04 for four rounds before this existed — r8
+# verdict item 1), capped so pins can't crowd oracle-backed slots.
+_ROWS_ONLY_STALE_AFTER = 4
+_ROWS_ONLY_PIN_CAP = 6
+
+
 def _changed_pending_rows_only(
     merged: dict[str, QueryFn], oracles: dict[str, str]
 ) -> set[str]:
@@ -265,10 +307,24 @@ def all_queries() -> dict[str, QueryFn]:
     # ones first; the two expensive plans last within the pin so a
     # time-boxed run drops them, not the other 12.
     ever_seen = _ever_seen_names()
+    ran, max_round = _ran_rounds()
+    stale_rows_only = sorted(
+        (
+            n
+            for n in merged
+            if n not in oracles
+            and n in ran
+            and max_round - ran[n] >= _ROWS_ONLY_STALE_AFTER
+        ),
+        key=lambda n: ran[n],
+    )[:_ROWS_ONLY_PIN_CAP]
 
     def _pin(n: str) -> bool:
-        # never driver-seen, or its output changed and no post-change run
-        return n not in oracles and (n not in ever_seen or n in changed_rows_only)
+        # never driver-seen, its output changed with no post-change run,
+        # or its last ran row has aged past the staleness horizon
+        return n not in oracles and (
+            n not in ever_seen or n in changed_rows_only or n in stale_rows_only
+        )
 
     pin_rows_only = [
         n for n in merged if _pin(n) and n not in expensive_tail

@@ -275,14 +275,15 @@ def q_sim_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist<corpus path stays covered by q_sim_pq's rows-only row +
     pytest recall pins.  The |corpus|-wide shortlist is the
     VERIFICATION configuration, not the scale path — production keeps
-    shortlist constant, which is the whole point of PQ."""
+    shortlist constant, which is the whole point of PQ.  shortlist=None
+    is pq_topk's built-in spelling of "≥ |corpus|" — no per-run count()
+    job to size it (r8 verdict nit)."""
     e = spread(load(spark, sf_dir, "embeddings"), spark)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    n = c.count()
-    return S.pq_topk(q, c, k=5, shortlist=n).orderBy("q_id", "rk")
+    return S.pq_topk(q, c, k=5, shortlist=None).orderBy("q_id", "rk")
 
 
 def q_sim_pca_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

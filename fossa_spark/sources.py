@@ -32,6 +32,53 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def _prune_stage_cache(root: str, cache_prefix: str, keep: int = 5,
+                       grace_s: float = 600.0) -> None:
+    """Evict stale stage-cache entries for ``cache_prefix``.
+
+    Generations: keep the ``keep`` most-recently-USED (serve paths touch
+    the dir mtime on every hit, so a hot entry can't be evicted before
+    cold ones).  ``_tmp_`` build dirs: only prune ones older than
+    ``grace_s`` — a young _tmp_ dir may be a CONCURRENT builder's
+    in-flight build; deleting it mid-build loses that builder's work and
+    forces a rebuild (advisor r8).  Old _tmp_ dirs are crash leftovers.
+    """
+    import os
+    import shutil
+    import time
+
+    now = time.time()
+
+    def mt(e: str) -> float:
+        try:
+            return os.path.getmtime(os.path.join(root, e))
+        except OSError:
+            return now  # vanished/racing entry: treat as fresh, skip
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    gens = sorted(
+        (e for e in entries if e.startswith(f"{cache_prefix}_")), key=mt
+    )
+    for stale in gens[:-keep]:
+        shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+    for t in (e for e in entries if e.startswith(f"_tmp_{cache_prefix}_")):
+        if now - mt(t) > grace_s:
+            shutil.rmtree(os.path.join(root, t), ignore_errors=True)
+
+
+def _touch_cache_hit(staged: str) -> None:
+    """Refresh a cache generation's mtime on serve so the LRU prune in
+    :func:`_prune_stage_cache` sees it as recently used."""
+    import os
+
+    try:
+        os.utime(staged, None)
+    except OSError:
+        pass
+
+
 def stage_bucketed_tables(
     corpus: DataFrame,
     spark: SparkSession,
@@ -100,13 +147,9 @@ def stage_bucketed_tables(
         if not os.path.exists(os.path.join(staged, "meta", "_SUCCESS")):
             os.makedirs(root, exist_ok=True)
             # prune stale corpus generations (fixture mtimes change per
-            # round; keep the newest few per cache_prefix)
-            entries = sorted(
-                (e for e in os.listdir(root) if e.startswith(f"{cache_prefix}_")),
-                key=lambda e: os.path.getmtime(os.path.join(root, e)),
-            )
-            for stale in entries[:-5]:
-                shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+            # round; keep the newest few per cache_prefix) — LRU with a
+            # grace period for in-flight _tmp_ builds (advisor r8)
+            _prune_stage_cache(root, cache_prefix)
             tmp = os.path.join(root, f"_tmp_{cache_prefix}_{uuid.uuid4().hex}")
             tmp_prefix = f"_stage_{uuid.uuid4().hex[:12]}"
             build(tmp_prefix, tmp)
@@ -147,6 +190,7 @@ def stage_bucketed_tables(
             except OSError:
                 shutil.copy2(src, dst)
 
+        _touch_cache_hit(staged)
         for sub in subdirs:
             shutil.copytree(
                 os.path.join(staged, sub),
@@ -246,18 +290,9 @@ def stage_files(
             os.makedirs(root, exist_ok=True)
             # prune stale generations AND orphaned build dirs (a builder
             # that crashed mid-build leaves its _tmp_ dir behind — the
-            # round-8 review caught these accumulating unboundedly)
-            entries = sorted(
-                (
-                    e
-                    for e in os.listdir(root)
-                    if e.startswith(f"{cache_prefix}_")
-                    or e.startswith(f"_tmp_{cache_prefix}_")
-                ),
-                key=lambda e: os.path.getmtime(os.path.join(root, e)),
-            )
-            for stale in entries[:-5]:
-                shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+            # round-8 review caught these accumulating unboundedly);
+            # LRU + in-flight-_tmp_ grace period (advisor r8)
+            _prune_stage_cache(root, cache_prefix)
             tmp = os.path.join(root, f"_tmp_{cache_prefix}_{uuid.uuid4().hex}")
             try:
                 build(tmp)
@@ -278,6 +313,7 @@ def stage_files(
             except OSError:
                 shutil.copy2(src, dst)
 
+        _touch_cache_hit(staged)
         shutil.copytree(
             staged,
             work_dir,

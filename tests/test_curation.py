@@ -352,3 +352,55 @@ def test_append_to_shards_delta_equals_rebuild(spark, tmp_path):
         for r in rebuild
     }
     assert got == want
+
+
+def test_write_shards_max_records_per_file(spark, tmp_path):
+    """max_records_per_file (r8 verdict nit): splitting a shard across
+    several files must leave the MANIFEST bit-identical (it aggregates
+    re-read rows, not files) while actually producing more files — the
+    escape hatch that stops one task serializing a whole shard at
+    extreme scale."""
+    import glob
+    import os
+
+    from fossa_spark.llm import curation as C
+    from fossa_spark.queries._util import load
+
+    sf = os.environ.get("FOSSA_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load(spark, sf, "documents")
+    empty = spark.createDataFrame([], "doc_id long, component long")
+    one = str(tmp_path / "one")
+    split = str(tmp_path / "split")
+    m_one = C.write_training_shards(d, empty, one, n_shards=4).collect()
+    m_split = C.write_training_shards(
+        d, empty, split, n_shards=4, max_records_per_file=25
+    ).collect()
+    assert sorted(map(tuple, m_one)) == sorted(map(tuple, m_split))
+    n_one = len(glob.glob(f"{one}/shard=*/batch=base/*.parquet"))
+    n_split = len(glob.glob(f"{split}/shard=*/batch=base/*.parquet"))
+    assert n_one == 4 and n_split > n_one
+
+
+def test_append_to_shards_batch_tag_guards(spark, tmp_path):
+    """batch_tag validation (advisor r8): 'base' is reserved, and a
+    REUSED tag would make the returned delta cumulative — both must
+    raise before writing anything."""
+    import os
+
+    import pytest
+
+    from fossa_spark.llm import curation as C
+    from fossa_spark.queries._util import load
+
+    sf = os.environ.get("FOSSA_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load(spark, sf, "documents")
+    empty = spark.createDataFrame([], "doc_id long, component long")
+    out = str(tmp_path / "s")
+    C.write_training_shards(d.limit(50), empty, out, n_shards=4)
+    batch = d.filter(F.col("doc_id") >= 400).select("doc_id", "text")
+    keep = batch.select("doc_id").withColumn("keep", F.lit(True))
+    with pytest.raises(ValueError, match="reserved"):
+        C.append_to_shards(batch, keep, out, n_shards=4, batch_tag="base")
+    C.append_to_shards(batch.limit(5), keep, out, n_shards=4, batch_tag="day1")
+    with pytest.raises(ValueError, match="already exists"):
+        C.append_to_shards(batch, keep, out, n_shards=4, batch_tag="day1")

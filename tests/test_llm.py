@@ -528,6 +528,18 @@ def test_pq_topk_recall_and_determinism(vecs):
             assert r.score == bf[(r.q_id, r.c_id)]
 
 
+def test_pq_topk_shortlist_none_is_exact(vecs):
+    """shortlist=None ⇒ every candidate reaches the exact re-rank, so the
+    output must equal brute force ROW FOR ROW — without the caller paying
+    a count() to size the shortlist (r8 verdict nit; the oracle-backed
+    q_sim_pq_exact runs the same config under DuckDB at sf0.01)."""
+    q = vecs.filter("vec_id < 5").selectExpr("vec_id q_id", "embedding q_vec")
+    c = vecs.selectExpr("vec_id c_id", "embedding c_vec")
+    exact = sorted(map(tuple, S.brute_force_topk(q, c, k=5).collect()))
+    full = sorted(map(tuple, S.pq_topk(q, c, k=5, shortlist=None).collect()))
+    assert full == exact
+
+
 def test_ngram_hot_shingle_cap_bounds_pairs(spark):
     """A boilerplate shingle shared by every document must not generate the
     O(n²) all-pairs blow-up: with max_df below the corpus size the planted
