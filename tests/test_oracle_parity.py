@@ -75,17 +75,33 @@ def test_registration_order_contract():
     query (rounds 1-5 contract: a count-capped run verifies oracle
     signal first), and the two most expensive rows-only plans run dead
     last within their block so a time-boxed run loses them, not signal."""
-    from fossa_spark.queries import _changed_pending_rows_only, _ever_seen_names
+    from fossa_spark.queries import (
+        _ROWS_ONLY_STALE_AFTER,
+        _changed_pending_rows_only,
+        _ever_seen_names,
+        _ran_rounds,
+    )
 
     names = list(_QUERIES)
     seen = _ever_seen_names()
     pending = _changed_pending_rows_only(dict(_QUERIES), _ORACLES)
+    ran, max_round = _ran_rounds()
+    # round 9: rows-only queries whose last driver 'ran' row has aged
+    # past the staleness horizon are also legitimately pinned (their
+    # evidence only decays — see _ROWS_ONLY_STALE_AFTER)
+    stale = {
+        n for n in names
+        if n not in _ORACLES
+        and n in ran
+        and max_round - ran[n] >= _ROWS_ONLY_STALE_AFTER
+    }
     # the pin prefix: everything before the first oracle-backed name
     first_backed = next(i for i, n in enumerate(names) if n in _ORACLES)
     pin = names[:first_backed]
     assert all(
-        n not in _ORACLES and (n not in seen or n in pending) for n in pin
-    ), f"pin prefix must be never-seen or changed-pending rows-only: {pin}"
+        n not in _ORACLES and (n not in seen or n in pending or n in stale)
+        for n in pin
+    ), f"pin prefix must be never-seen, changed-pending, or stale: {pin}"
     # after the pin: the full oracle-backed inventory, uninterrupted
     backed_block = names[first_backed : first_backed + len(_ORACLES)]
     assert all(n in _ORACLES for n in backed_block), (

@@ -675,3 +675,118 @@ def test_stage_files_serves_identical_bytes_and_falls_back(spark, tmp_path):
     stage_files(d, w4, cache_prefix="t_sf2", params=["v1"], build=flaky,
                 cache_root=root)
     assert os.path.exists(os.path.join(w4, "artifact.bin"))
+
+
+def test_compact_exact_index_invariance(spark, skewed_docs, tmp_path):
+    """compact_exact_index (round 9, VERDICT r8 item 2): after two daily
+    appends the digest index carries extra files per bucket; compaction
+    must strictly reduce the file count to one per non-empty bucket while
+    leaving (a) probe RESULTS and (b) the bucketed zero-shuffle probe
+    plan bit-identical — the manifest-parity contract for index
+    maintenance."""
+    import os
+
+    from pyspark.sql import functions as FF
+
+    spark.sql("DROP TABLE IF EXISTS t_cpt_idx")
+    corpus = skewed_docs.filter(F.col("doc_id") < 2000)
+    path = str(tmp_path / "cidx")
+    D.build_exact_index(corpus, spark, "t_cpt_idx", path)
+    for day, text in enumerate(
+        ["first appended daily document body", "second appended daily body"]
+    ):
+        D.append_to_exact_index(
+            spark.createDataFrame([(9000 + day, text)], "doc_id long, text string"),
+            spark, "t_cpt_idx",
+        )
+
+    copy_text = corpus.filter(F.col("doc_id") == 1000).first().text
+    batch = spark.createDataFrame(
+        [(9901, copy_text),
+         (9902, "first appended daily document body"),
+         (9903, "utterly novel probe sentence")],
+        "doc_id long, text string",
+    )
+    before = sorted(
+        map(tuple, D.incremental_exact_dedup(batch, spark, "t_cpt_idx").collect())
+    )
+
+    def n_files() -> int:
+        return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+    files_pre = n_files()
+    ret = D.compact_exact_index(spark, "t_cpt_idx")
+    assert ret[0] == files_pre and ret[1] < ret[0], ret
+    assert n_files() == ret[1]
+
+    after = sorted(
+        map(tuple, D.incremental_exact_dedup(batch, spark, "t_cpt_idx").collect())
+    )
+    assert after == before
+    # the appended docs and the base corpus both survived the rewrite
+    got = {r[0]: r for r in after}
+    assert got[9901][1] == 1000 and got[9902][1] == 9000
+    assert got[9903][2] is True
+
+    # bucketed zero-shuffle probe plan survives the re-register
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b = batch.select("doc_id", FF.md5(D.normalize("text")).alias("text_hash"))
+        a = audit(b.join(spark.table("t_cpt_idx"), "text_hash"))
+        assert "Bucketed: true" in a.formatted, a.formatted[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_cpt_idx")
+
+
+def test_compact_minhash_index_invariance(spark, skewed_docs, tmp_path):
+    """compact_minhash_index: all three bucketed tables are rewritten to
+    one file per bucket, the format marker survives, and a near-dup probe
+    answers identically before/after — including attribution to a doc
+    APPENDED (not built) into the index."""
+    import os
+
+    for t in ("bands", "shingles", "sizes", "meta"):
+        spark.sql(f"DROP TABLE IF EXISTS t_cptmh_{t}")
+    corpus = skewed_docs.filter(F.col("doc_id") < 2000)
+    path = str(tmp_path / "mhidx")
+    D.build_minhash_index(corpus, "t_cptmh", path)
+    appended = spark.createDataFrame(
+        [(9100, "completely novel content about quantum chromodynamics "
+                "lattice simulations and gluon field configurations")],
+        "doc_id long, text string",
+    )
+    D.append_to_minhash_index(appended, spark, "t_cptmh")
+
+    batch = spark.createDataFrame(
+        [(9200, "completely novel content about quantum chromodynamics "
+                "lattice simulations and gluon field configuration"),
+         (9201, "orthogonal vocabulary untouched by anything in the corpus")],
+        "doc_id long, text string",
+    )
+    before = sorted(map(
+        tuple, D.incremental_dedup(batch, spark, "t_cptmh", threshold=0.5).collect()
+    ))
+
+    counts = D.compact_minhash_index(spark, "t_cptmh")
+    assert set(counts) == {"bands", "shingles", "sizes"}
+    for sub, (pre, post) in counts.items():
+        assert post < pre, (sub, pre, post)
+        on_disk = sum(
+            1 for f in os.listdir(os.path.join(path, sub))
+            if f.endswith(".parquet")
+        )
+        assert on_disk == post, (sub, on_disk, post)
+
+    # format marker untouched → the post-compaction format check passes
+    # (memo cleared to force a real re-check)
+    D._FORMAT_OK.discard((spark.sparkContext.applicationId, "t_cptmh"))
+    after = sorted(map(
+        tuple, D.incremental_dedup(batch, spark, "t_cptmh", threshold=0.5).collect()
+    ))
+    assert after == before
+    got = {r[0]: r for r in after}
+    assert got[9200][1] == 9100  # appended doc still attributable
+    for t in ("bands", "shingles", "sizes", "meta"):
+        spark.sql(f"DROP TABLE IF EXISTS t_cptmh_{t}")

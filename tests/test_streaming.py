@@ -357,3 +357,57 @@ def test_stream_dedup_near_cross_batch(spark):
     assert any(r.batch_id == 0 for r in out)
     for r in out:
         assert r.keep == (r.dup_of is None)
+
+
+def test_stream_ingest_base_plus_deltas_equals_rebuild(spark, tmp_path):
+    """q_stream_ingest (round 9): the composed probe→keep-novel→append
+    index+shards→delta loop must satisfy the audit identity — base shard
+    manifest + every batch's delta == the manifest of a full rebuild over
+    corpus + all arriving docs — and no planted duplicate (+10M corpus
+    copies, +20M batch-1 re-emissions) may ever be placed."""
+    from fossa_spark.llm import curation as C
+    from fossa_spark.queries.streaming_queries import q_stream_ingest
+    from fossa_spark.queries._util import load
+
+    deltas = q_stream_ingest(spark, SF_DIR).collect()
+    assert len(deltas) > 0
+    assert {r.batch_id for r in deltas} == {0, 1}
+    # planted dups are never novel, so no +10M/+20M id is ever placed
+    assert all(r.max_doc < 10_000_000 for r in deltas)
+
+    d = load(spark, SF_DIR, "documents")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    arriving = d.filter(F.col("doc_id") % 4 == 0)
+    empty = spark.createDataFrame([], "doc_id long, component long")
+    m_base = {
+        r.shard: r
+        for r in C.write_training_shards(
+            corpus, empty, str(tmp_path / "base"), n_shards=16
+        ).collect()
+    }
+    m_rebuild = {
+        r.shard: r
+        for r in C.write_training_shards(
+            corpus.unionByName(arriving), empty, str(tmp_path / "rebuild"),
+            n_shards=16,
+        ).collect()
+    }
+    acc = {
+        s: [m.n_docs, m.n_tokens, m.content_sum, m.min_doc, m.max_doc]
+        for s, m in m_base.items()
+    }
+    for r in deltas:
+        a = acc.setdefault(r.shard, [0, 0, 0, r.min_doc, r.max_doc])
+        a[0] += r.n_docs
+        a[1] += r.n_tokens
+        a[2] += r.content_sum
+        a[3] = min(a[3], r.min_doc)
+        a[4] = max(a[4], r.max_doc)
+    got = {
+        s: (a[0], a[1], a[2], a[3], a[4]) for s, a in acc.items()
+    }
+    want = {
+        s: (m.n_docs, m.n_tokens, m.content_sum, m.min_doc, m.max_doc)
+        for s, m in m_rebuild.items()
+    }
+    assert got == want
