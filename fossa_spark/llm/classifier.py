@@ -197,11 +197,15 @@ def train_quality_lr(
         w = w.join(grad, "f").crossJoin(F.broadcast(consts)).select(
             "f", (F.col("w") - _fdiv(F.col("g"), F.col("k"))).alias("w")
         )
-        # truncate lineage each round: the weight state is ≤257 rows, so
-        # an eager localCheckpoint costs one tiny job and keeps the plan
-        # O(1) per iteration instead of O(iters) deep (the iterative-
-        # algorithm discipline; PageRank at 3 iters tolerates lineage,
-        # a trained classifier at 10+ does not)
+        # truncate lineage EVERY round: the weight state is ≤257 rows, so
+        # an eager localCheckpoint costs one tiny job — and without it
+        # each iteration's weight subtree is re-executed inside the NEXT
+        # iteration's broadcast builds (z and grad both embed w), so the
+        # work per round compounds instead of staying constant (measured:
+        # batching checkpoints to every 3rd round REGRESSED 4.1 → 6.7 s
+        # warm at sf0.1 — the job-boundary saving never beats the
+        # re-execution).  This is the iterative-state discipline: small
+        # state, materialize each round.
         w = w.localCheckpoint(eager=True)
     feats.unpersist()
     y.unpersist()
