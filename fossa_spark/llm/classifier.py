@@ -60,19 +60,36 @@ def _fdiv(a: Column, b: Column | int) -> Column:
     differ only on inexact negative quotients).  The `/` here is double
     division, exact because the operands stay under 2^53 and the true
     quotient is representable (see module docstring).
+
+    The 2^53 precondition is ENFORCED, not assumed (review r9): a
+    gradient sum can cross it once a feature bucket's token mass passes
+    ~9e9 (a 100 TB corpus is ~1e13 tokens over 258 buckets), and past it
+    the double division silently rounds while DuckDB's integer ``//``
+    stays exact — the cross-engine divergence this whole design exists
+    to prevent.  Overflow raises loudly; the fix at that scale is a
+    larger ``lr_denom``-style rescale or training on a capped sample,
+    not a silent ±1 on the weights.
     """
     b = F.lit(b) if isinstance(b, int) else b
+    a = F.when(
+        F.abs(a) < F.lit(1 << 53), a
+    ).otherwise(
+        F.raise_error(
+            F.lit("fixed-point overflow: |numerator| >= 2^53 — rescale "
+                  "(larger lr_denom / capped training sample) before "
+                  "dividing")
+        )
+    )
     return ((a - F.pmod(a, b)) / b).cast("long")
 
 
 def _ntok(text_col: str) -> Column:
-    """Whitespace token count (space-count + 1; the token_count_ws
-    SQL-mirrorable convention)."""
-    return (
-        F.length(text_col)
-        - F.length(F.regexp_replace(text_col, " ", ""))
-        + F.lit(1)
-    ).cast("long")
+    """Whitespace token count — text.py's token_count_ws IS the
+    convention; import it rather than restating the expression (review
+    r9: two copies of the same convention drift)."""
+    from fossa_spark.llm.text import token_count_ws
+
+    return token_count_ws(text_col)
 
 
 def mean_token_count(

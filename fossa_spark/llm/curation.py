@@ -477,8 +477,11 @@ def append_to_shards(
     # commingle the append with the original corpus partitions, and a
     # REUSED tag would make this call's "delta" cumulative over the
     # earlier append — both silently break base + deltas == rebuild.
-    if tag == "base":
-        raise ValueError("batch_tag='base' is reserved for write_training_shards")
+    if tag in ("base", "compact"):
+        raise ValueError(
+            f"batch_tag={tag!r} is reserved (write_training_shards / "
+            "compact_shards partitions)"
+        )
     if any(
         os.path.isdir(os.path.join(out_dir, d, f"batch={tag}"))
         for d in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
@@ -487,6 +490,16 @@ def append_to_shards(
         raise ValueError(
             f"batch_tag={tag!r} already exists under {out_dir}; appending "
             "would make the returned delta cumulative. Use a fresh tag."
+        )
+    # a tag whose directories were FOLDED AWAY by compact_shards would
+    # pass the directory check above — the sidecar keeps the reuse guard
+    # alive across compactions (a replayed already-compacted append would
+    # otherwise double-append silently)
+    if tag in _consumed_batch_tags(out_dir):
+        raise ValueError(
+            f"batch_tag={tag!r} was already appended and folded into the "
+            f"layout by compact_shards (see _consumed_batches.json under "
+            f"{out_dir}). Use a fresh tag."
         )
     sid = F.col(id_col).cast("string")
     kept = new_docs.select(id_col, text_col).join(
@@ -555,30 +568,42 @@ def compact_shards(
     pruning): compaction is the checkpoint that closes the audit window,
     exactly like a streaming state checkpoint closes its changelog.
 
-    Placement math never reruns — rows are moved verbatim (doc_id, text,
-    n_tok, row_hash, pos_key), so a compaction bug cannot re-place a doc;
+    Placement math never reruns — rows are moved VERBATIM (every data
+    column, whatever the writer called them, plus the stored
+    n_tok/row_hash/pos_key), so a compaction bug cannot re-place a doc;
     it can only lose/duplicate rows, which the manifest (and the
     oracle-backed q_shard_compact) catches.  One shuffle on the shard key
     (each shard's rows hash to one task → one output file per shard);
     the directory swap is two renames, with the original kept until the
-    new tree is in place.  Returns (files_before, files_after).
+    new tree is in place.
+
+    The folded batch tags are RECORDED in a ``_consumed_batches.json``
+    sidecar (merged across compactions): without it, a replayed append
+    whose ``batch=`` directory was just folded away would pass both the
+    reused-tag guard and a caller's directory check and double-append —
+    the audit identity would break silently.  :func:`append_to_shards`
+    consults the sidecar.  Returns (files_before, files_after).
     """
+    import json
     import os
     import shutil
     import uuid
 
-    files_before = sum(
-        1
-        for dirpath, _dirs, files in os.walk(out_dir)
-        for f in files
-        if f.endswith(".parquet")
-    )
-    n_shards = sum(
-        1 for d in os.listdir(out_dir) if d.startswith("shard=")
-    )
-    rows = spark.read.parquet(out_dir).select(
-        id_col, "text", "n_tok", "row_hash", "pos_key",
-        F.col("shard"), F.lit("compact").alias("batch"),
+    from fossa_spark.sources import _count_parquet_files
+
+    files_before = _count_parquet_files(out_dir)
+    shard_dirs = [d for d in os.listdir(out_dir) if d.startswith("shard=")]
+    n_shards = len(shard_dirs)
+    consumed = set(_consumed_batch_tags(out_dir))
+    for sd in shard_dirs:
+        for bd in os.listdir(os.path.join(out_dir, sd)):
+            if bd.startswith("batch=") and bd != "batch=compact":
+                consumed.add(bd.removeprefix("batch="))
+    consumed.discard("base")
+    rows0 = spark.read.parquet(out_dir)
+    data_cols = [c for c in rows0.columns if c not in ("shard", "batch")]
+    rows = rows0.select(
+        *data_cols, F.col("shard"), F.lit("compact").alias("batch")
     )
     tmp = f"{out_dir.rstrip('/')}_compacting_{uuid.uuid4().hex[:8]}"
     (
@@ -588,6 +613,8 @@ def compact_shards(
         .partitionBy("shard", "batch")
         .parquet(tmp)
     )
+    with open(os.path.join(tmp, "_consumed_batches.json"), "w") as fh:
+        json.dump(sorted(consumed), fh)
     old = f"{out_dir.rstrip('/')}_old_{uuid.uuid4().hex[:8]}"
     os.rename(out_dir, old)
     try:
@@ -596,13 +623,21 @@ def compact_shards(
         os.rename(old, out_dir)
         raise
     shutil.rmtree(old, ignore_errors=True)
-    files_after = sum(
-        1
-        for dirpath, _dirs, files in os.walk(out_dir)
-        for f in files
-        if f.endswith(".parquet")
-    )
-    return files_before, files_after
+    return files_before, _count_parquet_files(out_dir)
+
+
+def _consumed_batch_tags(out_dir: str) -> list[str]:
+    """Batch tags folded away by past :func:`compact_shards` runs (the
+    sidecar; empty for never-compacted layouts)."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(out_dir, "_consumed_batches.json")) as fh:
+            tags = json.load(fh)
+        return [t for t in tags if isinstance(t, str)]
+    except (OSError, ValueError):
+        return []
 
 
 def shard_epoch_order(

@@ -381,6 +381,21 @@ def build_ivf_index(
     )
 
 
+def compact_ivf_index(spark, table_prefix: str) -> tuple[int, int]:
+    """Small-files maintenance for the IVF index (r8 verdict item:
+    every :func:`append_to_ivf_index` adds one file per touched bucket of
+    ``{prefix}_cells``; nothing reclaimed them).  Only the cells table
+    grows — centroids/meta are written once — so compaction is one
+    :func:`fossa_spark.sources.compact_bucketed_table` call: the
+    CLUSTERED BY layout (and with it the zero-shuffle probe) survives the
+    rewrite, and the stored quantizer is untouched, so probe results are
+    bit-identical (pinned in tests/test_scale_evidence.py).  Returns
+    (files_before, files_after)."""
+    from fossa_spark.sources import compact_bucketed_table
+
+    return compact_bucketed_table(spark, f"{table_prefix}_cells")
+
+
 def staged_ivf_index(
     candidates: DataFrame,
     spark,

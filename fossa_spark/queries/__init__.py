@@ -77,53 +77,75 @@ def _wrap(fn: QueryFn) -> QueryFn:
     return run
 
 
-def _last_verified_round() -> dict[str, int]:
-    """Per-query round of the most recent green driver row.
-
-    Reads the driver-written CORRECTNESS_r{N}.json artifacts at the repo
-    root (two levels above this package).  Queries absent from every file
-    (new this round, or never yet driver-checked) map to 0 — the stalest
-    possible signal — so they sort first.  Best-effort: any read/parse
-    failure degrades to {} (stable module order).
-    """
+def _artifacts() -> tuple[tuple[int, dict], ...]:
+    """All driver-written CORRECTNESS_r{N}.json artifacts at the repo
+    root, parsed ONCE per process ((round, rows) pairs, round-sorted) —
+    every registry helper below reads through this instead of re-parsing
+    the whole artifact set per call (review r9: all_queries() was paying
+    four-plus full parses).  The driver only writes artifacts between
+    runs, so a process-lifetime cache is safe.  Best-effort: unreadable
+    files are skipped, a broken root degrades to ()."""
+    global _ARTIFACTS_CACHE
+    if _ARTIFACTS_CACHE is not None:
+        return _ARTIFACTS_CACHE
     import json
     import re
 
-    seen: dict[str, int] = {}
+    out: list[tuple[int, dict]] = []
     root = Path(__file__).resolve().parent.parent.parent
     try:
         for p in sorted(root.glob("CORRECTNESS_r*.json")):
             m = re.search(r"r(\d+)", p.name)
             if not m:
                 continue
-            rnd = int(m.group(1))
-            rows = json.loads(p.read_text())
-            if not isinstance(rows, dict):
+            try:
+                doc = json.loads(p.read_text())
+            except (OSError, ValueError):
                 continue  # malformed artifact: skip, don't break the registry
-            for name, row in rows.items():
-                if isinstance(row, dict) and row.get("hash_match"):
-                    seen[name] = max(seen.get(name, 0), rnd)
-    except (OSError, ValueError, AttributeError, TypeError):
-        return {}
+            if isinstance(doc, dict):
+                out.append((int(m.group(1)), doc))
+    except OSError:
+        return ()
+    _ARTIFACTS_CACHE = tuple(out)
+    return _ARTIFACTS_CACHE
+
+
+_ARTIFACTS_CACHE: tuple[tuple[int, dict], ...] | None = None
+
+
+def _is_ran_row(row) -> bool:
+    """The one definition of 'the driver EXECUTED this query and it
+    returned rows' — a hash-matched oracle row has err None, a rows-only
+    run is recorded as err='no_oracle' (shared by _has_ran_row_since and
+    _ran_rounds; review r9 deduplicated the copies)."""
+    return (
+        isinstance(row, dict)
+        and row.get("spark_rows") is not None
+        and row.get("err") in (None, "no_oracle")
+    )
+
+
+def _last_verified_round() -> dict[str, int]:
+    """Per-query round of the most recent green driver row.
+
+    Queries absent from every artifact (new this round, or never yet
+    driver-checked) map to 0 — the stalest possible signal — so they
+    sort first."""
+    seen: dict[str, int] = {}
+    for rnd, rows in _artifacts():
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                seen[name] = max(seen.get(name, 0), rnd)
     return seen
 
 
 def _ever_seen_names() -> set[str]:
     """Names with ANY row (green, rows-only, or error) in any driver
     CORRECTNESS artifact — i.e. the driver has executed them at least
-    once.  Used to self-retire the rows-only front-of-window pin.
-    Best-effort: parse failures degrade to the empty set."""
-    import json
-
+    once.  Used to self-retire the rows-only front-of-window pin."""
     seen: set[str] = set()
-    root = Path(__file__).resolve().parent.parent.parent
-    try:
-        for p in sorted(root.glob("CORRECTNESS_r*.json")):
-            doc = json.loads(p.read_text())
-            if isinstance(doc, dict):
-                seen |= {k for k, v in doc.items() if isinstance(v, dict)}
-    except (OSError, ValueError, AttributeError, TypeError):
-        return set()
+    for _rnd, doc in _artifacts():
+        seen |= {k for k, v in doc.items() if isinstance(v, dict)}
     return seen
 
 
@@ -131,55 +153,22 @@ def _has_clean_row_since(name: str, min_round: int) -> bool:
     """True if any CORRECTNESS_r{N}.json with N >= min_round records a
     non-error row for ``name`` (rows-only queries never get hash_match
     True, so 'err is None' is their green)."""
-    import json
-    import re
-
-    root = Path(__file__).resolve().parent.parent.parent
-    try:
-        for p in sorted(root.glob("CORRECTNESS_r*.json")):
-            m = re.search(r"r(\d+)", p.name)
-            if not m or int(m.group(1)) < min_round:
-                continue
-            doc = json.loads(p.read_text())
-            if not isinstance(doc, dict):
-                continue  # malformed artifact: skip, don't break the registry
-            row = doc.get(name)
-            if isinstance(row, dict) and row.get("err") is None:
-                return True
-    except (OSError, ValueError, AttributeError, TypeError):
-        return False
-    return False
+    return any(
+        rnd >= min_round
+        and isinstance(doc.get(name), dict)
+        and doc[name].get("err") is None
+        for rnd, doc in _artifacts()
+    )
 
 
 def _has_ran_row_since(name: str, min_round: int) -> bool:
     """True if any CORRECTNESS_r{N}.json with N >= min_round records a
-    successful EXECUTION of ``name`` — the rows-only notion of green.
-    The driver writes every rows-only run as err='no_oracle' (never
-    err=None), so the rows-only retirement signal is 'it ran and
-    returned rows', i.e. spark_rows is not None and err is absent or
-    the no-oracle marker.  Best-effort: parse failures degrade False."""
-    import json
-    import re
-
-    root = Path(__file__).resolve().parent.parent.parent
-    try:
-        for p in sorted(root.glob("CORRECTNESS_r*.json")):
-            m = re.search(r"r(\d+)", p.name)
-            if not m or int(m.group(1)) < min_round:
-                continue
-            doc = json.loads(p.read_text())
-            if not isinstance(doc, dict):
-                continue
-            row = doc.get(name)
-            if (
-                isinstance(row, dict)
-                and row.get("spark_rows") is not None
-                and row.get("err") in (None, "no_oracle")
-            ):
-                return True
-    except (OSError, ValueError, AttributeError, TypeError):
-        return False
-    return False
+    successful EXECUTION of ``name`` — the rows-only notion of green
+    (see _is_ran_row)."""
+    return any(
+        rnd >= min_round and _is_ran_row(doc.get(name))
+        for rnd, doc in _artifacts()
+    )
 
 
 # Queries whose semantics/implementation changed in a given round: their
@@ -204,34 +193,14 @@ CHANGED_IN = {
 
 def _ran_rounds() -> tuple[dict[str, int], int]:
     """(per-query round of the most recent successful EXECUTION, max
-    round number across all artifacts).  Execution = spark_rows present
-    and err in (None, 'no_oracle') — the rows-only notion of green.
-    Best-effort: parse failures degrade to ({}, 0)."""
-    import json
-    import re
-
+    round number across all artifacts) — see _is_ran_row."""
     ran: dict[str, int] = {}
     max_round = 0
-    root = Path(__file__).resolve().parent.parent.parent
-    try:
-        for p in sorted(root.glob("CORRECTNESS_r*.json")):
-            m = re.search(r"r(\d+)", p.name)
-            if not m:
-                continue
-            rnd = int(m.group(1))
-            max_round = max(max_round, rnd)
-            doc = json.loads(p.read_text())
-            if not isinstance(doc, dict):
-                continue
-            for name, row in doc.items():
-                if (
-                    isinstance(row, dict)
-                    and row.get("spark_rows") is not None
-                    and row.get("err") in (None, "no_oracle")
-                ):
-                    ran[name] = max(ran.get(name, 0), rnd)
-    except (OSError, ValueError, AttributeError, TypeError):
-        return {}, 0
+    for rnd, doc in _artifacts():
+        max_round = max(max_round, rnd)
+        for name, row in doc.items():
+            if _is_ran_row(row):
+                ran[name] = max(ran.get(name, 0), rnd)
     return ran, max_round
 
 

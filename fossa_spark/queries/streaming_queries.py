@@ -700,6 +700,13 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     _staged_feed(d, feed, "singest_feed", _build_feed)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_tag = f"b{batch_id}"
+        # the marker test is pure local I/O — it must come FIRST so a
+        # replayed fully-committed batch never pays the probe shuffle +
+        # checkpoint just to discard them (review r9)
+        marker = os.path.join(markers, f"done_{batch_tag}")
+        if os.path.exists(marker):
+            return
         # resolve + refresh through the micro-batch clone's own session
         # (the q_stream_dedup_near stale-file-listing lesson)
         spark_b = batch_df.sparkSession
@@ -707,10 +714,6 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = D.incremental_exact_dedup(batch_df, spark_b, digest)
         # checkpoint the probe verdict BEFORE mutating the index it read
         res = res.localCheckpoint(eager=True)
-        batch_tag = f"b{batch_id}"
-        marker = os.path.join(markers, f"done_{batch_tag}")
-        if os.path.exists(marker):
-            return
         novel = batch_df.join(
             res.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
         ).localCheckpoint(eager=True)
@@ -719,14 +722,29 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             for sd in os.listdir(shard_dir)
             if sd.startswith("shard=")
         )
-        if not tag_exists:
-            delta = C.append_to_shards(
-                novel, res, shard_dir, n_shards=16, batch_tag=batch_tag
-            )
-        else:  # partial replay: recompute the delta, never re-append
+        if tag_exists:  # partial replay: recompute the delta, never re-append
             delta = C.shard_manifest(
                 spark_b, shard_dir, batch=batch_tag
             ).drop("first_doc")
+        elif batch_tag in C._consumed_batch_tags(shard_dir):
+            # the batch WAS appended but a maintenance compaction folded
+            # its partition before this replay committed — the per-batch
+            # delta is no longer derivable from files.  Re-appending
+            # would break base + deltas == rebuild, so fail loudly
+            # unless the delta already landed (then the marker is the
+            # only missing piece).
+            if not os.path.exists(f"{out_dir}/batch_id={batch_id}"):
+                raise RuntimeError(
+                    f"batch {batch_tag} was compacted away mid-replay and "
+                    "its delta was never recorded; recover from the shard "
+                    "manifest, do not re-append"
+                )
+            open(marker, "w").close()
+            return
+        else:
+            delta = C.append_to_shards(
+                novel, res, shard_dir, n_shards=16, batch_tag=batch_tag
+            )
         D.append_to_exact_index(novel, spark_b, digest)
         delta.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
         open(marker, "w").close()

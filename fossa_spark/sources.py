@@ -597,12 +597,20 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> tuple[int, int]:
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # files stay (EXTERNAL)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     old = f"{loc}_old_{uuid.uuid4().hex[:8]}"
-    os.rename(loc, old)  # keep the original until the new dir is in place
+    swapped = False
     try:
-        os.rename(tmp_loc, loc)
-    except OSError:
-        os.rename(old, loc)  # roll back; re-register below either way
-        raise
+        # keep the original until the new dir is in place; whatever
+        # happens between the DROP and the finally, the finally
+        # re-registers the name over `loc` — a failed FIRST rename
+        # leaves the original files at loc (re-registered unchanged),
+        # a failed second rename rolls the originals back first
+        os.rename(loc, old)
+        try:
+            os.rename(tmp_loc, loc)
+            swapped = True
+        except OSError:
+            os.rename(old, loc)
+            raise
     finally:
         sort = f"SORTED BY (`{sort_by}`) " if sort_by else ""
         spark.sql(
@@ -610,6 +618,8 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> tuple[int, int]:
             f"CLUSTERED BY (`{key}`) {sort}INTO {buckets} BUCKETS "
             f"LOCATION '{loc}'"
         )
+        if not swapped:  # failed swap: the compacted tree is now orphaned
+            shutil.rmtree(tmp_loc, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     return files_before, _count_parquet_files(loc)
 

@@ -505,3 +505,40 @@ def test_shard_epoch_order_contract(spark, tmp_path):
         for r in C.shard_manifest(spark, out).collect()
     }
     assert heads_after == manifest_after
+
+
+def test_compact_shards_preserves_reused_tag_guard(spark, tmp_path):
+    """Review r9: folding batch= partitions away must NOT void the
+    reused-tag guard — a replayed append whose directories were just
+    compacted would otherwise double-append silently.  The sidecar keeps
+    the guard alive across (repeated) compactions."""
+    import os
+
+    import pytest
+
+    from fossa_spark.llm import curation as C
+    from fossa_spark.queries._util import load
+
+    sf = os.environ.get("FOSSA_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load(spark, sf, "documents")
+    empty = spark.createDataFrame([], "doc_id long, component long")
+    out = str(tmp_path / "s")
+    C.write_training_shards(d.limit(60), empty, out, n_shards=4)
+    batch = d.filter(F.col("doc_id") >= 300).select("doc_id", "text").limit(10)
+    keep = batch.select("doc_id").withColumn("keep", F.lit(True))
+    C.append_to_shards(batch, keep, out, n_shards=4, batch_tag="day1")
+    C.compact_shards(spark, out)
+    assert C._consumed_batch_tags(out) == ["day1"]
+    with pytest.raises(ValueError, match="folded"):
+        C.append_to_shards(batch, keep, out, n_shards=4, batch_tag="day1")
+    # 'compact' itself is reserved, and the sidecar survives a SECOND
+    # compaction (merge, not overwrite)
+    with pytest.raises(ValueError, match="reserved"):
+        C.append_to_shards(batch, keep, out, n_shards=4, batch_tag="compact")
+    batch2 = d.filter(F.col("doc_id") >= 400).select("doc_id", "text").limit(5)
+    keep2 = batch2.select("doc_id").withColumn("keep", F.lit(True))
+    C.append_to_shards(batch2, keep2, out, n_shards=4, batch_tag="day2")
+    C.compact_shards(spark, out)
+    assert C._consumed_batch_tags(out) == ["day1", "day2"]
+    with pytest.raises(ValueError, match="folded"):
+        C.append_to_shards(batch, keep, out, n_shards=4, batch_tag="day1")

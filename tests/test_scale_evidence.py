@@ -790,3 +790,59 @@ def test_compact_minhash_index_invariance(spark, skewed_docs, tmp_path):
     assert got[9200][1] == 9100  # appended doc still attributable
     for t in ("bands", "shingles", "sizes", "meta"):
         spark.sql(f"DROP TABLE IF EXISTS t_cptmh_{t}")
+
+
+def test_compact_ivf_index_invariance(spark, tmp_path):
+    """compact_ivf_index (round 9): after an append the cells table
+    carries extra files; compaction must reduce the file count, keep the
+    bucketed probe plan, and leave probe results — including the
+    APPENDED vector's rank-1 hit — bit-identical."""
+    import os
+
+    from fossa_spark.llm import similarity as S
+    from fossa_spark.queries._util import load
+    from tests.conftest import SF_DIR
+
+    for t in ("cells", "centroids", "meta"):
+        spark.sql(f"DROP TABLE IF EXISTS t_civf_{t}")
+    e = load(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    path = str(tmp_path / "civf")
+    S.build_ivf_index(c, spark, "t_civf", path, n_centroids=16)
+    planted = q.filter(F.col("q_id") == 3).select(
+        F.lit(99_003).cast("long").alias("c_id"), F.col("q_vec").alias("c_vec")
+    )
+    S.append_to_ivf_index(planted, spark, "t_civf")
+    spark.catalog.refreshTable("t_civf_cells")
+    before = sorted(
+        map(tuple, S.ivf_index_topk(q, spark, "t_civf", k=5, nprobe=4).collect())
+    )
+
+    cells_dir = os.path.join(path, "cells")
+    files_pre = sum(1 for f in os.listdir(cells_dir) if f.endswith(".parquet"))
+    pre, post = S.compact_ivf_index(spark, "t_civf")
+    assert pre == files_pre and post < pre, (pre, post, files_pre)
+
+    after = sorted(
+        map(tuple, S.ivf_index_topk(q, spark, "t_civf", k=5, nprobe=4).collect())
+    )
+    assert after == before
+    got = {(r[0], r[3]): r[1] for r in after}  # (q_id, rk) -> c_id
+    assert got.get((3, 1)) == 99_003  # appended vector survived the rewrite
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        centroids = S._load_ivf_centroids(spark, "t_civf")
+        q_b = q.withColumn(
+            "_p", S._nearest_centroids_udf(centroids, 4)(F.col("q_vec"))
+        ).select("q_id", F.explode("_p").alias("cell"))
+        a = audit(q_b.join(spark.table("t_civf_cells"), "cell"))
+        assert "Bucketed: true" in a.formatted, a.formatted[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        for t in ("cells", "centroids", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS t_civf_{t}")
