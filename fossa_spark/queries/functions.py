@@ -193,6 +193,44 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML FUNCTIONS (Spark 4 built-ins): from_xml typed parsing +
+    xpath_string / xpath extraction over an XML payload column — the
+    feed-ingestion twin of q_fn_variant's JSON path.  The XML document
+    is built from document columns (nested scalars + one repeated <w>
+    element per text token), then parsed BACK with both APIs; the oracle
+    re-derives every output straight from the source columns, so the
+    checked property is that Spark's XML parse path (from_xml struct
+    fields, xpath node lists) is lossless against the data that
+    generated the document.  (The corpus text is XML-safe by
+    construction — no &, <, > in the fixture — so no escaping layer
+    muddies the parity.)"""
+    d0 = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    words = F.split(F.col("text"), " ")
+    xml = F.concat(
+        F.lit("<n><k>"), F.col("doc_id").cast("string"),
+        F.lit("</k><lang>"), F.col("lang"),
+        F.lit("</lang><ws><w>"),
+        F.concat_ws("</w><w>", words),
+        F.lit("</w></ws></n>"),
+    )
+    d = d0.select("doc_id", xml.alias("doc"))
+    parsed = F.from_xml(
+        "doc", "k BIGINT, lang STRING, ws STRUCT<w: ARRAY<STRING>>"
+    )
+    return (
+        d.select(
+            "doc_id",
+            parsed.getField("k").alias("k_typed"),
+            parsed.getField("lang").alias("lang_typed"),
+            F.size(parsed.getField("ws").getField("w")).alias("n_words"),
+            F.expr("xpath_string(doc, '/n/lang/text()')").alias("lang_xpath"),
+            F.expr("xpath(doc, '/n/ws/w/text()')")[0].alias("first_word"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested struct build + field access + named_struct comparison
     (flattened back to scalars so the hash is structure-agnostic)."""
@@ -292,6 +330,7 @@ QUERIES = {
     "q_fn_strdist": q_fn_strdist,
     "q_fn_bitwise": q_fn_bitwise,
     "q_fn_variant": q_fn_variant,
+    "q_fn_xml": q_fn_xml,
     "q_fn_string": q_fn_string,
     "q_fn_struct": q_fn_struct,
     "q_fn_posexplode": q_fn_posexplode,
@@ -329,6 +368,17 @@ ORACLE = {
           UNION ALL
           SELECT 'uid' AS k, CAST(user_id AS VARCHAR) AS v FROM events
         ) GROUP BY k, v ORDER BY k, v
+    """,
+    # everything re-derived from the generating columns: k/name are the
+    # source fields, word list from the same split the XML was built from
+    "q_fn_xml": """
+        SELECT doc_id,
+               doc_id AS k_typed,
+               lang AS lang_typed,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+               lang AS lang_xpath,
+               string_split(text, ' ')[1] AS first_word
+        FROM documents WHERE doc_id < 100 ORDER BY doc_id
     """,
     "q_fn_variant": """
         SELECT event_id,

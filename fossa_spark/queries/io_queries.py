@@ -128,6 +128,47 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + scan through Spark 4's BUILT-IN xml data source (the
+    spark-xml package folded into core — rowTag-delimited records, schema
+    inference on read): round-trips the supplier dim through a scratch
+    dir, re-reads with an explicit schema (inference would widen ints),
+    filters after the re-read, and aggregates per nation.  The oracle
+    computes the same result straight from the parquet source — lossless
+    IO through the XML writer/parser is what's checked.  XML is the
+    interchange format the reference's ETL surface would meet in the
+    wild (feeds, sitemaps, legacy exports); at scale the reader splits
+    by rowTag like any text source."""
+    out = tempfile.mkdtemp(prefix="fossa_xml_")
+    src = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    (
+        src.write.mode("overwrite").format("xml")
+        .option("rootTag", "suppliers").option("rowTag", "supplier")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("s_suppkey bigint, s_name string, s_nationkey bigint, "
+                "s_acctbal double")
+        .load(out)
+        .filter(F.col("s_acctbal") > 0.0)
+    )
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            (F.sum(cents("s_acctbal")).cast("double") / 100.0).alias(
+                "sum_bal"
+            ),
+            F.min("s_name").alias("first_name"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 def q_source_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom connector through Spark 4's Python Data Source API: the
     fossa_synth source plans 8 parallel input partitions over a
@@ -437,6 +478,7 @@ QUERIES = {
     "q_partitioned_write": q_partitioned_write,
     "q_ndjson_roundtrip": q_ndjson_roundtrip,
     "q_orc_roundtrip": q_orc_roundtrip,
+    "q_xml_roundtrip": q_xml_roundtrip,
     "q_source_python": q_source_python,
     "q_stream_source_python": q_stream_source_python,
     "q_schema_merge": q_schema_merge,
@@ -470,6 +512,15 @@ ORACLE = {
         GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     # ORC round-trip is lossless, so the oracle aggregates the source
+    "q_xml_roundtrip": f"""
+        SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_supp,
+               CAST(SUM({sql_cents("s_acctbal")}) AS DOUBLE) / 100.0
+                 AS sum_bal,
+               MIN(s_name) AS first_name
+        FROM supplier
+        WHERE s_acctbal > 0.0
+        GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
     "q_orc_roundtrip": f"""
         SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
