@@ -71,8 +71,14 @@ def _fdiv(a: Column, b: Column | int) -> Column:
     not a silent ±1 on the weights.
     """
     b = F.lit(b) if isinstance(b, int) else b
-    a = F.when(
-        F.abs(a) < F.lit(1 << 53), a
+    # guard the POST-pmod numerator, not `a`: for negative a the
+    # divisible numerator is up to b-1 larger in magnitude than a, so a
+    # guard on |a| alone admits a band just under 2^53 that still rounds
+    # (review r9); |m| < 2^53 also bounds the quotient, so the division
+    # below is exact whenever the guard passes
+    m = a - F.pmod(a, b)
+    m = F.when(
+        F.abs(m) < F.lit(1 << 53), m
     ).otherwise(
         F.raise_error(
             F.lit("fixed-point overflow: |numerator| >= 2^53 — rescale "
@@ -80,7 +86,7 @@ def _fdiv(a: Column, b: Column | int) -> Column:
                   "dividing")
         )
     )
-    return ((a - F.pmod(a, b)) / b).cast("long")
+    return (m / b).cast("long")
 
 
 def _ntok(text_col: str) -> Column:

@@ -628,16 +628,26 @@ def compact_shards(
 
 def _consumed_batch_tags(out_dir: str) -> list[str]:
     """Batch tags folded away by past :func:`compact_shards` runs (the
-    sidecar; empty for never-compacted layouts)."""
+    sidecar; empty for never-compacted layouts).  A sidecar that EXISTS
+    but cannot be read/parsed raises — degrading it to [] would silently
+    void the double-append guard it exists to enforce (review r9); only
+    a genuinely absent sidecar means 'never compacted'."""
     import json
     import os
 
+    path = os.path.join(out_dir, "_consumed_batches.json")
     try:
-        with open(os.path.join(out_dir, "_consumed_batches.json")) as fh:
+        with open(path) as fh:
             tags = json.load(fh)
-        return [t for t in tags if isinstance(t, str)]
-    except (OSError, ValueError):
+    except FileNotFoundError:
         return []
+    except (OSError, ValueError) as e:
+        raise RuntimeError(
+            f"unreadable compaction sidecar {path}: the consumed-tag "
+            "guard cannot be verified — repair or restore it before "
+            "appending"
+        ) from e
+    return [t for t in tags if isinstance(t, str)]
 
 
 def shard_epoch_order(

@@ -731,9 +731,12 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             # its partition before this replay committed — the per-batch
             # delta is no longer derivable from files.  Re-appending
             # would break base + deltas == rebuild, so fail loudly
-            # unless the delta already landed (then the marker is the
-            # only missing piece).
-            if not os.path.exists(f"{out_dir}/batch_id={batch_id}"):
+            # unless the delta already COMMITTED: require its _SUCCESS
+            # marker, not bare directory existence — a crash mid-write
+            # leaves the directory without it (review r9).
+            if not os.path.exists(
+                f"{out_dir}/batch_id={batch_id}/_SUCCESS"
+            ):
                 raise RuntimeError(
                     f"batch {batch_tag} was compacted away mid-replay and "
                     "its delta was never recorded; recover from the shard "
