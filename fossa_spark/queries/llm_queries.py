@@ -235,19 +235,23 @@ def q_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rewrite hash-mismatches.  File-count reduction and plan
     invariance are pinned in tests/test_llm.py.
 
-    The index MUTATES here (append + compact), so it is per-run and
-    dropped in a finally block — the q_sim_ivf_index convention, not
-    q_dedup_incremental_exact's tag-keyed reuse."""
+    The index MUTATES here (append + compact), so every run works on its
+    own copy and drops it in a finally block — but the day-0 BUILD is a
+    pure function of the corpus slice, so the copy is served from the
+    stage cache (staged_exact_index hard-links the immutable cached
+    files into a per-run work_dir; appends and the compaction swap only
+    ever touch the run-local directory entries, never the cached
+    inodes)."""
+    import hashlib
     import shutil
     import tempfile
-    import uuid
 
     d = load(spark, sf_dir, "documents")
-    table = f"fs_cidx_{uuid.uuid4().hex[:8]}"
     path = tempfile.mkdtemp(prefix="fossa_cidx_")
+    prefix = f"fs_cidx_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     try:
-        D.build_exact_index(
-            d.filter(F.col("doc_id") % 4 == 1), spark, table, path
+        table = D.staged_exact_index(
+            d.filter(F.col("doc_id") % 4 == 1), spark, prefix, path
         )
         for day in (2, 3):
             D.append_to_exact_index(
@@ -263,7 +267,8 @@ def q_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch.unionByName(planted), spark, table
         ).localCheckpoint(eager=True)
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        for sub in ("digest", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{sub}")
         shutil.rmtree(path, ignore_errors=True)
     return out.orderBy("doc_id")
 
