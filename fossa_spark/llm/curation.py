@@ -548,6 +548,65 @@ def append_to_shards(
     )
 
 
+def apply_mixture(
+    df: DataFrame,
+    alpha: float = 0.7,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENFORCE temperature-scaled mixing weights (round 9) — the
+    materialization step after :func:`mixing_weights` computes the
+    targets: deterministically subsample each source so one epoch of the
+    kept corpus has token shares ∝ the smoothed weights.
+
+    The epoch budget is T = min_s(tokens_s / w_s): the most
+    UNDER-represented-relative-to-target source is kept in full (rate
+    1.0) and every other source is thinned to rate_s = w_s·T/tokens_s —
+    the standard multinomial-mixture sampling of multi-source
+    pretraining (upweighting a small source beyond 1.0 means REPEATING
+    data, an epoch-schedule decision, not a filter's).
+
+    Keep/drop is the hash-Bernoulli convention (md5-derived 32-bit
+    uniform, 'mix:'-salted so it is independent of the other samplers'
+    coins), so the subsample is reproducible across engines, runs and
+    partitionings.  Determinism: weights are 8-dp rounded
+    (mixing_weights' contract), T and the 8-dp rate derive from those
+    identical doubles by single correctly-rounded ops, and the keep
+    comparison scales the rate by an exact power of two — no float sum
+    over corpus-sized data anywhere.
+
+    Scale shape: the weight/rate relation is one row per source
+    (control-plane-sized, broadcast); the corpus pays one narrow filter
+    pass.  Returns per-row (id, by, n_tok, rate, keep)."""
+    w = mixing_weights(df, alpha=alpha, by=by, text_col=text_col)
+    t = w.agg(
+        F.min(F.col("n_tokens").cast("double") / F.col("weight")).alias("_t")
+    )
+    rates = w.crossJoin(F.broadcast(t)).select(
+        by,
+        F.round(
+            F.col("weight") * F.col("_t") / F.col("n_tokens").cast("double"),
+            8,
+        ).alias("rate"),
+    )
+    n_tok = (
+        F.length(text_col)
+        - F.length(F.regexp_replace(text_col, " ", ""))
+        + 1
+    ).cast("long")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16, 10,
+    ).cast("double")
+    return df.join(F.broadcast(rates), by).select(
+        F.col(id_col), F.col(by), n_tok.alias("n_tok"), F.col("rate"),
+        (u < F.col("rate") * F.lit(4294967296.0)).alias("keep"),
+    )
+
+
 def compact_shards(
     spark, out_dir: str, id_col: str = "doc_id"
 ) -> tuple[int, int]:

@@ -255,6 +255,14 @@ ACCEPTED_SMELLS: dict[str, dict[str, str]] = {
         "single-partition-exchange": "same domain-level relation — "
         "mixture weights are control-plane output by definition",
     },
+    "q_mix_apply": {
+        "corpus-window": "inherits q_mix_weights' weight computation: "
+        "the empty-partition window normalizes one row per corpus "
+        "DOMAIN; the corpus itself only pays a broadcast-joined filter",
+        "single-partition-exchange": "same domain-level weight/budget "
+        "relation — the rates table is control-plane-sized by "
+        "definition",
+    },
     "q_join_dpp": {
         "corpus-window": "the rarest-status pick ranks one row per "
         "o_orderstatus value (a 3-value categorical domain)",

@@ -484,6 +484,29 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.mixing_weights(d, alpha=0.7).orderBy("source")
 
 
+def q_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture ENFORCEMENT (round 9, llm/curation.py apply_mixture):
+    q_mix_weights computes the temperature-scaled targets; this query
+    materializes them — each source hash-thinned to rate_s = w_s·T/n_s
+    with T = min(n/w) (the binding source kept in full) — and returns
+    the per-source audit: docs/tokens kept vs total and the rate.  The
+    oracle re-derives weights, budget, rates, and every per-doc coin in
+    SQL, so a single mis-kept document moves the audit row."""
+    d = load(spark, sf_dir, "documents")
+    out = C.apply_mixture(d, alpha=0.7)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(F.lit(0)))
+            .alias("tok_kept"),
+            F.min("rate").alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantization roundtrip over the embeddings table:
     integer code sums + saturation counts (exact) and worst-case
@@ -728,6 +751,7 @@ QUERIES = {
     "q_pii_scan": q_pii_scan,
     "q_vocab_coverage": q_vocab_coverage,
     "q_mix_weights": q_mix_weights,
+    "q_mix_apply": q_mix_apply,
     "q_embed_quantize": q_embed_quantize,
     "q_contamination": q_contamination,
     "q_sample_hash": q_sample_hash,
@@ -854,6 +878,46 @@ ORACLE = {
                      / SUM(pow(CAST(n_tokens AS DOUBLE), 0.7)) OVER (), 8)
                  AS weight
         FROM counts ORDER BY source
+    """,
+    # weights exactly as q_mix_weights (8-dp round bounds the float-sum
+    # order sensitivity), then budget/rate/per-doc coin re-derived; the
+    # '0x'-hex uniform and the 2^32 scaling are exact on both engines
+    "q_mix_apply": """
+        WITH counts AS (
+          SELECT source,
+                 CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                      AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        w AS (
+          SELECT source, n_tokens,
+                 round(pow(CAST(n_tokens AS DOUBLE), 0.7)
+                       / SUM(pow(CAST(n_tokens AS DOUBLE), 0.7)) OVER (), 8)
+                   AS weight
+          FROM counts
+        ),
+        t AS (SELECT MIN(CAST(n_tokens AS DOUBLE) / weight) AS _t FROM w),
+        rates AS (
+          SELECT source,
+                 round(weight * (SELECT _t FROM t)
+                       / CAST(n_tokens AS DOUBLE), 8) AS rate
+          FROM w
+        ),
+        docs AS (
+          SELECT d.source, d.doc_id, r.rate,
+                 CAST(length(d.text) - length(replace(d.text, ' ', '')) + 1
+                      AS BIGINT) AS n_tok,
+                 CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) AS u
+          FROM documents d JOIN rates r ON d.source = r.source
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN CAST(u AS DOUBLE) < rate * 4294967296.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN CAST(u AS DOUBLE) < rate * 4294967296.0
+                             THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept,
+               MIN(rate) AS rate
+        FROM docs GROUP BY source ORDER BY source
     """,
     "q_embed_quantize": """
         WITH e AS (

@@ -542,3 +542,38 @@ def test_compact_shards_preserves_reused_tag_guard(spark, tmp_path):
     assert C._consumed_batch_tags(out) == ["day1", "day2"]
     with pytest.raises(ValueError, match="folded"):
         C.append_to_shards(batch, keep, out, n_shards=4, batch_tag="day1")
+
+
+def test_apply_mixture_enforces_weights(spark):
+    """apply_mixture (round 9): the binding source's rate is exactly 1.0
+    (kept in full), every rate is in (0, 1], the kept corpus's token
+    shares approach the temperature-scaled targets, and the subsample is
+    rerun-deterministic."""
+    import os
+
+    from fossa_spark.llm import curation as C
+    from fossa_spark.queries._util import load
+
+    sf = os.environ.get("FOSSA_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load(spark, sf, "documents")
+    out = C.apply_mixture(d, alpha=0.7)
+    rows = out.collect()
+    rates = {r.source: r.rate for r in rows}
+    assert max(rates.values()) == 1.0
+    assert all(0.0 < r <= 1.0 for r in rates.values())
+
+    w = {r.source: r.weight for r in C.mixing_weights(d, alpha=0.7).collect()}
+    kept_tok = {}
+    for r in rows:
+        if r.keep:
+            kept_tok[r.source] = kept_tok.get(r.source, 0) + r.n_tok
+    total = sum(kept_tok.values())
+    # Bernoulli thinning: shares converge to the targets; at fixture
+    # scale allow a generous tolerance but require the ORDERING and
+    # rough magnitudes to match
+    for s, target in w.items():
+        share = kept_tok.get(s, 0) / total
+        assert abs(share - target) < 0.08, (s, share, target)
+
+    again = sorted(map(tuple, C.apply_mixture(d, alpha=0.7).collect()))
+    assert again == sorted(map(tuple, rows))
