@@ -411,3 +411,102 @@ def test_stream_ingest_base_plus_deltas_equals_rebuild(spark, tmp_path):
         for s, m in m_rebuild.items()
     }
     assert got == want
+
+
+def test_stream_ingest_restart_resume(spark, tmp_path):
+    """The ingest loop must survive a REAL stop/restart (round 9 exit
+    note): run 1 processes the day-1 file against a persistent
+    checkpointLocation and stops; day 2's file arrives; run 2 restarts
+    from the same checkpoint and must process ONLY the new file — no
+    re-probe, no double-append — and the final state must equal what a
+    single uninterrupted run produces: planted day-2 re-emissions of
+    day-1 docs attribute as dups, and base + both deltas == rebuild."""
+    import os
+
+    from fossa_spark.llm import curation as C
+    from fossa_spark.llm import dedup as D
+    from fossa_spark.queries._util import load
+    from fossa_spark.queries.streaming_queries import _feed_writer
+
+    d = load(spark, SF_DIR, "documents")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    arriving = d.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    b1 = arriving.filter(F.col("doc_id") % 8 == 0)
+    b2 = arriving.filter(F.col("doc_id") % 8 != 0)
+    replayed = b1.orderBy("doc_id").limit(3).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"), "text"
+    )
+
+    table = "t_restart_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    D.build_exact_index(corpus, spark, table, str(tmp_path / "idx"))
+    shard_dir = str(tmp_path / "shards")
+    empty = spark.createDataFrame([], "doc_id long, component long")
+    C.write_training_shards(corpus, empty, shard_dir, n_shards=4)
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    w = _feed_writer(feed)
+    deltas: list = []
+    probed_batches: list[int] = []
+
+    def _process(batch_df, batch_id):
+        spark_b = batch_df.sparkSession
+        spark_b.catalog.refreshTable(table)
+        probed_batches.append(int(batch_id))
+        res = D.incremental_exact_dedup(batch_df, spark_b, table)
+        res = res.localCheckpoint(eager=True)
+        novel = batch_df.join(
+            res.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint(eager=True)
+        delta = C.append_to_shards(
+            novel, res, shard_dir, n_shards=4, batch_tag=f"b{batch_id}"
+        )
+        D.append_to_exact_index(novel, spark_b, table)
+        delta.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    def _run_once():
+        q = (
+            spark.readStream.schema(arriving.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(_process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: only day-1 exists; process it and STOP
+    w(b1, 1)
+    _run_once()
+    assert probed_batches == [0]
+    # day 2 lands while the job is down, then the job restarts from the
+    # SAME checkpoint: only the new file may be processed
+    w(b2.unionByName(replayed), 2)
+    _run_once()
+    assert probed_batches == [0, 1]
+
+    # every replayed doc attributed (not re-placed): the +20M ids appear
+    # in NO shard partition
+    all_rows = spark.read.parquet(shard_dir)
+    assert all_rows.filter(F.col("doc_id") >= 20_000_000).count() == 0
+
+    # base + both deltas == full rebuild (the audit identity across the
+    # restart boundary)
+    got = {
+        r.shard: (r.n_docs, r.n_tokens, r.content_sum)
+        for r in C.shard_manifest(spark, shard_dir).collect()
+    }
+    rebuild_dir = str(tmp_path / "rebuild")
+    # novel = every %4==0 doc (the plants are dups of day-1 docs), so
+    # corpus + all novels is exactly the whole documents table
+    C.write_training_shards(d, empty, rebuild_dir, n_shards=4)
+    want = {
+        r.shard: (r.n_docs, r.n_tokens, r.content_sum)
+        for r in C.shard_manifest(spark, rebuild_dir).collect()
+    }
+    assert got == want
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
