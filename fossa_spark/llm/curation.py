@@ -369,11 +369,9 @@ def write_training_shards(
         .filter(F.col("component").isNull() | (F.col(id_col) == F.col("kept_id")))
         .select(id_col, text_col)
     )
-    n_tok = (
-        F.length(text_col)
-        - F.length(F.regexp_replace(text_col, " ", ""))
-        + 1
-    ).cast("long")
+    from fossa_spark.llm.text import token_count_ws
+
+    n_tok = token_count_ws(text_col)
     sharded = kept.select(
         F.col(id_col),
         F.col(text_col),
@@ -505,11 +503,9 @@ def append_to_shards(
     kept = new_docs.select(id_col, text_col).join(
         keep.filter(F.col("keep")).select(id_col), id_col, "left_semi"
     )
-    n_tok = (
-        F.length(text_col)
-        - F.length(F.regexp_replace(text_col, " ", ""))
-        + 1
-    ).cast("long")
+    from fossa_spark.llm.text import token_count_ws
+
+    n_tok = token_count_ws(text_col)
     placed = kept.select(
         F.col(id_col),
         F.col(text_col),
@@ -579,6 +575,8 @@ def apply_mixture(
     Scale shape: the weight/rate relation is one row per source
     (control-plane-sized, broadcast); the corpus pays one narrow filter
     pass.  Returns per-row (id, by, n_tok, rate, keep)."""
+    from fossa_spark.llm.text import token_count_ws
+
     w = mixing_weights(df, alpha=alpha, by=by, text_col=text_col)
     t = w.agg(
         F.min(F.col("n_tokens").cast("double") / F.col("weight")).alias("_t")
@@ -590,11 +588,10 @@ def apply_mixture(
             8,
         ).alias("rate"),
     )
-    n_tok = (
-        F.length(text_col)
-        - F.length(F.regexp_replace(text_col, " ", ""))
-        + 1
-    ).cast("long")
+    # text.py's token_count_ws IS the convention (the _ntok rule): the
+    # per-row n_tok must share mixing_weights' token definition or the
+    # enforced mixture silently skews
+    n_tok = token_count_ws(text_col)
     u = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))), 1, 8
@@ -816,9 +813,10 @@ def mixing_weights(df: DataFrame, alpha: float = 0.7,
     Determinism contract: pow() is a transcendental — both engines' libm
     agree to well under 1e-8 relative, so the weight is rounded to 8 dp
     after ONE division (oracle must round identically)."""
+    from fossa_spark.llm.text import token_count_ws
+
     counts = df.groupBy(by).agg(
-        F.sum(F.length(text_col) - F.length(F.regexp_replace(text_col, " ", ""))
-              + F.lit(1)).alias("n_tokens")
+        F.sum(token_count_ws(text_col)).alias("n_tokens")
     )
     w = Window.partitionBy()
     raw = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))

@@ -202,9 +202,13 @@ def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives every output straight from the source columns, so the
     checked property is that Spark's XML parse path (from_xml struct
     fields, xpath node lists) is lossless against the data that
-    generated the document.  (The corpus text is XML-safe by
-    construction — no &, <, > in the fixture — so no escaping layer
-    muddies the parity.)"""
+    generated the document.  Two fixture premises, both pinned by
+    tests/test_oracle_parity.py::test_fn_xml_fixture_premises: (a) the
+    text is XML-safe (no &, <, >) so no escaping layer muddies the
+    parity, and (b) spacing is regular (no empty/leading/trailing/double
+    -space tokens) so the xpath text() node list is positionally
+    identical to string_split — an empty <w></w> element yields NO text
+    node, which would shift first_word off the oracle's [1]."""
     d0 = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     words = F.split(F.col("text"), " ")
     xml = F.concat(

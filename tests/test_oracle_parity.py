@@ -120,3 +120,29 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_fn_xml_fixture_premises():
+    """q_fn_xml's oracle parity rests on two fixture properties (see its
+    docstring): XML-safe text and regular spacing.  Pin both so a
+    regenerated fixture that violates them fails HERE with a message,
+    not as an opaque driver hash mismatch."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    bad = duckdb.sql(
+        f"""
+        SELECT COUNT(*) FROM read_parquet('{SF_DIR}/documents.parquet')
+        WHERE doc_id < 100 AND (
+          text LIKE '%&%' OR text LIKE '%<%' OR text LIKE '%>%'
+          OR text LIKE ' %' OR text LIKE '% ' OR text LIKE '%  %'
+          OR text = ''
+        )
+        """
+    ).fetchone()[0]
+    assert bad == 0, (
+        f"{bad} documents violate q_fn_xml's XML-safety/regular-spacing "
+        "premises — adjust the query (derive first_word from the parsed "
+        "array) before trusting its oracle"
+    )
