@@ -825,3 +825,162 @@ def mixing_weights(df: DataFrame, alpha: float = 0.7,
         .withColumn("weight", F.round(F.col("_raw") / F.sum("_raw").over(w), 8))
         .select(by, "n_tokens", "weight")
     )
+
+
+def data_card(
+    df: DataFrame,
+    by: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus DATA CARD: the per-(source, lang) release report a training
+    run publishes next to its shards (mirrors the 'datasheets for
+    datasets' practice; the reference exposes the same corpus metadata
+    through its connector manifests, /root/reference/lib/ayeaye/connectors).
+
+    Per group: docs, whitespace tokens, chars, exact-duplicate docs
+    (normalized-digest copies counted CORPUS-WIDE, then attributed to the
+    group each copy lives in — a group can be 100% dup against another
+    group), dup rate, and the group's token share in ppm of the corpus.
+
+    Scale shape: one narrow pass derives (group, n_tok, n_chars, digest);
+    the digest count is a corpus-wide agg on the hash (the exact-dedup
+    shuffle, map-side combined); the join back is digest-keyed. The final
+    group agg and the scalar total are control-plane-sized. No window
+    over the corpus, no collect."""
+    from fossa_spark.llm.dedup import normalize
+    from fossa_spark.llm.text import token_count_ws
+
+    rows = df.select(
+        *[F.col(c) for c in by],
+        token_count_ws(text_col).alias("_ntok"),
+        F.length(text_col).alias("_nchr"),
+        F.md5(normalize(text_col)).alias("_dig"),
+    )
+    copies = rows.groupBy("_dig").agg(F.count(F.lit(1)).alias("_copies"))
+    per_group = (
+        rows.join(copies, "_dig")
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ntok").alias("n_tokens"),
+            F.sum("_nchr").alias("n_chars"),
+            F.sum((F.col("_copies") > 1).cast("long")).alias("n_dup_docs"),
+        )
+    )
+    total = per_group.agg(F.sum("n_tokens").alias("_tot"))
+    return (
+        per_group.crossJoin(F.broadcast(total))
+        .select(
+            *by,
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_dup_docs",
+            F.round(
+                F.col("n_dup_docs").cast("double")
+                / F.col("n_docs").cast("double"),
+                8,
+            ).alias("dup_rate"),
+            F.round(
+                F.col("n_tokens").cast("double") * 1e6
+                / F.col("_tot").cast("double"),
+                4,
+            ).alias("tok_share_ppm"),
+        )
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    by: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frequency cap: keep at most ``n`` rows per group, chosen
+    deterministically — the rank key is a salted md5 of the row id, so
+    the kept subset is a reproducible uniform sample of each group
+    (CommonCrawl-style per-domain caps: no single host may dominate the
+    corpus).
+
+    Scale shape: one shuffle on the group key + a per-group sort
+    (row_number). A pathological mega-group pays a single-reducer sort;
+    since the rank key IS the hash, the standard mitigation is a
+    pre-thin — filter u < c·n/|g| from a broadcast count relation —
+    before the exact rank; at fixture scale the plain window is the
+    honest plan and AQE handles moderate skew. Returns every row with
+    its rank and the keep verdict (callers filter on ``keep``)."""
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cap:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16, 10,
+    ).cast("bigint")
+    w = Window.partitionBy(by).orderBy(F.asc("_u"), F.asc(id_col))
+    return (
+        df.withColumn("_u", u)
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("keep", F.col("rk") <= F.lit(int(n)))
+        .drop("_u")
+    )
+
+
+def k_anonymize(
+    df: DataFrame,
+    levels: list[dict[str, Column]],
+    k: int,
+    max_suppress_frac: float = 0.01,
+) -> DataFrame:
+    """k-anonymity via GLOBAL generalization over a ladder of
+    quasi-identifier levels (level 0 finest; each coarser level replaces
+    detail with '*' but every level emits the SAME column names).
+
+    Picks the minimal level whose under-k rows (the rows that would have
+    to be suppressed) are ≤ max_suppress_frac of the table — falling
+    back to the coarsest level if none qualifies — then publishes that
+    level's groups with count ≥ k. Every published group therefore has
+    ≥ k members: the anonymity guarantee is structural, not best-effort.
+
+    Scale shape: one aggregation per ladder level, each a map-side-
+    combined groupBy on low-cardinality QID keys (the corpus is scanned
+    once per level; levels are few and fixed). The level chooser and the
+    publish filter run on the per-level GROUP relations — control-plane
+    sized. Declarative end to end: no collect, no driver branching, so
+    the chooser itself is part of the (resumable, explainable) plan."""
+    if not levels:
+        raise ValueError("k_anonymize needs at least one QID level")
+    qid_cols = list(levels[0].keys())
+    per_level = []
+    for i, cols in enumerate(levels):
+        if list(cols.keys()) != qid_cols:
+            raise ValueError("every level must emit the same QID columns")
+        per_level.append(
+            df.groupBy(*[c.alias(n) for n, c in cols.items()])
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(i).alias("level"), *qid_cols, "cnt")
+        )
+    lv = per_level[0]
+    for g in per_level[1:]:
+        lv = lv.unionByName(g)
+    stats = lv.groupBy("level").agg(
+        F.sum(F.when(F.col("cnt") < k, F.col("cnt")).otherwise(F.lit(0)))
+        .alias("suppressed"),
+        F.sum("cnt").alias("n"),
+    )
+    chosen = stats.agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("suppressed").cast("double")
+                    <= F.lit(float(max_suppress_frac)) * F.col("n").cast("double"),
+                    F.col("level"),
+                )
+            ),
+            F.max("level"),
+        ).alias("_lvl")
+    )
+    return (
+        lv.join(F.broadcast(chosen), F.col("level") == F.col("_lvl"))
+        .filter(F.col("cnt") >= k)
+        .select("level", *qid_cols, "cnt")
+    )

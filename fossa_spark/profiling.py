@@ -103,3 +103,78 @@ def run_checks(df: DataFrame, checks: list[tuple[str, Column, Column]]) -> DataF
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def profile_drift(
+    a: DataFrame,
+    b: DataFrame,
+    feats: dict[str, Column],
+    threshold_e8: int = 20_000_000,
+) -> DataFrame:
+    """Population-Stability-Index drift report between two corpus
+    snapshots — the gate a recurring ingest runs before letting a new
+    crawl batch into training (PSI > 0.2 is the classic 'investigate'
+    bar; 0.1–0.2 'watch').
+
+    Each feature is a Column producing a categorical BIN label (cast to
+    string); PSI(feature) = Σ_bins (p_a − p_b)·ln(p_a/p_b) with add-one
+    smoothing over the UNION bin vocabulary, so a bin present in only
+    one snapshot contributes a finite term instead of ±∞.
+
+    Determinism contract (driver hash): bin counts are exact ints; each
+    p is one double division of exact ints; each per-bin term is rounded
+    at 1e8 fixed-point (the lm_score/ln convention — both libms agree to
+    well under the rounding grain) and SUMMED AS BIGINT, so the report
+    is order-independent and engine-identical. psi_e8 = PSI·1e8.
+
+    Scale shape: one narrow explode per side melts all features in a
+    single pass (bins are low-cardinality by construction), one
+    map-side-combined count per side, then everything downstream —
+    joins, windows, the report — runs on the (feature, bin) relation,
+    which is control-plane sized. No corpus window, no collect."""
+    from pyspark.sql import Window
+
+    def melt(df: DataFrame) -> DataFrame:
+        arr = F.array(*[
+            F.struct(F.lit(name).alias("feature"),
+                     col.cast("string").alias("bin"))
+            for name, col in feats.items()
+        ])
+        return df.select(F.explode(arr).alias("fb")).select(
+            "fb.feature", "fb.bin"
+        )
+
+    ca = melt(a).groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).alias("cnt_a"))
+    cb = melt(b).groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).alias("cnt_b"))
+    j = (
+        ca.join(cb, ["feature", "bin"], "full")
+        .select(
+            "feature", "bin",
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+        )
+    )
+    w = Window.partitionBy("feature")
+    j = (
+        j.withColumn("n_a", F.sum("cnt_a").over(w))
+        .withColumn("n_b", F.sum("cnt_b").over(w))
+        .withColumn("n_bins", F.count(F.lit(1)).over(w))
+    )
+    pa = (F.col("cnt_a") + 1).cast("double") / (
+        F.col("n_a") + F.col("n_bins")).cast("double")
+    pb = (F.col("cnt_b") + 1).cast("double") / (
+        F.col("n_b") + F.col("n_bins")).cast("double")
+    term_e8 = F.round((pa - pb) * F.log(pa / pb) * 1e8).cast("bigint")
+    return (
+        j.withColumn("term_e8", term_e8)
+        .groupBy("feature")
+        .agg(
+            F.max("n_bins").alias("n_bins"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.sum("term_e8").alias("psi_e8"),
+        )
+        .withColumn("drifted", F.col("psi_e8") > F.lit(int(threshold_e8)))
+    )

@@ -742,6 +742,80 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DATA CARD (round 10, llm/curation.py data_card): the
+    per-(source, lang) release report published next to the training
+    shards — docs, tokens, chars, corpus-wide exact-duplicate membership,
+    dup rate, and token share in ppm. The oracle re-derives the digest
+    counts and every ratio in SQL, so a single mis-attributed duplicate
+    or a skewed share moves a cell."""
+    d = load(spark, sf_dir, "documents")
+    return C.data_card(d).orderBy("source", "lang")
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap (round 10, llm/curation.py
+    cap_per_group): no host may contribute more than N docs — the
+    CommonCrawl anti-domination pass. The corpus has no URLs, so each
+    doc derives a deterministic domain (doc_id % 7); the cap keeps the
+    10 hash-smallest docs per domain (salted md5 rank — a reproducible
+    uniform sample, identical across engines/runs/partitionings).
+    Returns the per-domain audit: totals, kept counts, and the kept-id /
+    kept-token sums that pin WHICH docs survived, not just how many."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "domain",
+        F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example")),
+    )
+    from fossa_spark.llm.text import token_count_ws
+
+    capped = C.cap_per_group(d, by="domain", n=10)
+    return (
+        capped.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("doc_id")).otherwise(F.lit(0)))
+            .alias("kept_id_sum"),
+            F.sum(F.when(F.col("keep"), token_count_ws("text"))
+                  .otherwise(F.lit(0))).alias("kept_tok_sum"),
+        )
+        .orderBy("domain")
+    )
+
+
+def q_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release (round 10, llm/curation.py k_anonymize):
+    customer quasi-identifiers (nation, market segment, account-balance
+    bucket) generalized up a fixed ladder — bal bucket 500 → 2500 → '*'
+    → segment also '*' — to the minimal GLOBAL level whose under-k rows
+    are ≤ 1% of the table (coarsest level if none qualifies), then only
+    groups with ≥ k members are published. The chooser is declarative
+    (no driver branching), and the oracle re-derives all four ladders,
+    the suppression accounting, and the chooser in SQL — a single
+    off-by-one group moves the published relation."""
+    c = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("double")
+
+    def bucket(width: int):
+        return (F.floor(bal / F.lit(float(width))).cast("bigint")
+                * width).cast("string")
+
+    nat = F.col("c_nationkey").cast("string")
+    seg = F.col("c_mktsegment")
+    star = F.lit("*")
+    levels = [
+        {"nation": nat, "segment": seg, "bal_bucket": bucket(500)},
+        {"nation": nat, "segment": seg, "bal_bucket": bucket(2500)},
+        {"nation": nat, "segment": seg, "bal_bucket": star},
+        {"nation": nat, "segment": star, "bal_bucket": star},
+    ]
+    return (
+        C.k_anonymize(c, levels, k=5, max_suppress_frac=0.01)
+        .orderBy("nation", "segment", "bal_bucket")
+    )
+
+
 QUERIES = {
     "q_source_entropy": q_source_entropy,
     "q_pack_efficiency": q_pack_efficiency,
@@ -768,6 +842,9 @@ QUERIES = {
     "q_shard_epoch": q_shard_epoch,
     "q_shard_delta": q_shard_delta,
     "q_split_leakage_safe": q_split_leakage_safe,
+    "q_data_card": q_data_card,
+    "q_domain_cap": q_domain_cap,
+    "q_k_anon": q_k_anon,
 }
 
 # shared oracle fragment: distinct word k-grams per doc (mirrors
@@ -794,6 +871,114 @@ _PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
 _IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
 ORACLE = {
+    # normalized-digest copies corpus-wide, attributed to each copy's own
+    # group; ratios are single double divisions rounded (8 dp / 4 dp);
+    # every integer CAST to BIGINT (DuckDB SUM(BIGINT) returns HUGEINT)
+    "q_data_card": """
+        WITH rows0 AS (
+          SELECT source, lang,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1
+                      AS BIGINT) AS ntok,
+                 CAST(length(text) AS BIGINT) AS nchr,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS dig
+          FROM documents
+        ),
+        copies AS (SELECT dig, COUNT(*) AS n_copies FROM rows0 GROUP BY dig),
+        g AS (
+          SELECT source, lang,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+                 CAST(SUM(nchr) AS BIGINT) AS n_chars,
+                 CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs
+          FROM rows0 JOIN copies USING (dig) GROUP BY source, lang
+        ),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM g)
+        SELECT source, lang, n_docs, n_tokens, n_chars, n_dup_docs,
+               round(CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 8)
+                 AS dup_rate,
+               round(CAST(n_tokens AS DOUBLE) * 1000000.0
+                     / CAST(tot AS DOUBLE), 4) AS tok_share_ppm
+        FROM g, tot ORDER BY source, lang
+    """,
+    # salted-md5 rank (same '0x'-hex trick as q_mix_apply's coin),
+    # row_number per domain, cap n=10; kept-id/token sums pin membership
+    "q_domain_cap": """
+        WITH d AS (
+          SELECT doc_id, text,
+                 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS domain,
+                 CAST(('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) AS u
+          FROM documents
+        ),
+        r AS (
+          SELECT domain, doc_id,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1
+                      AS BIGINT) AS ntok,
+                 row_number() OVER (PARTITION BY domain
+                                    ORDER BY u ASC, doc_id ASC) AS rk
+          FROM d
+        )
+        SELECT domain,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(SUM(CASE WHEN rk <= 10 THEN doc_id ELSE 0 END) AS BIGINT)
+                 AS kept_id_sum,
+               CAST(SUM(CASE WHEN rk <= 10 THEN ntok ELSE 0 END) AS BIGINT)
+                 AS kept_tok_sum
+        FROM r GROUP BY domain ORDER BY domain
+    """,
+    # all four ladder levels re-derived, suppression accounting per level,
+    # declarative chooser (min qualifying level else coarsest), publish
+    # groups >= k at the chosen level only
+    "q_k_anon": """
+        WITH lv AS (
+          SELECT CAST(0 AS INT) AS level,
+                 CAST(c_nationkey AS VARCHAR) AS nation,
+                 c_mktsegment AS segment,
+                 CAST(CAST(floor(c_acctbal / 500.0) AS BIGINT) * 500
+                      AS VARCHAR) AS bal_bucket,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM customer GROUP BY 2, 3, 4
+          UNION ALL
+          SELECT CAST(1 AS INT),
+                 CAST(c_nationkey AS VARCHAR), c_mktsegment,
+                 CAST(CAST(floor(c_acctbal / 2500.0) AS BIGINT) * 2500
+                      AS VARCHAR),
+                 CAST(COUNT(*) AS BIGINT)
+          FROM customer GROUP BY 2, 3, 4
+          UNION ALL
+          SELECT CAST(2 AS INT),
+                 CAST(c_nationkey AS VARCHAR), c_mktsegment, '*',
+                 CAST(COUNT(*) AS BIGINT)
+          FROM customer GROUP BY 2, 3, 4
+          UNION ALL
+          SELECT CAST(3 AS INT),
+                 CAST(c_nationkey AS VARCHAR), '*', '*',
+                 CAST(COUNT(*) AS BIGINT)
+          FROM customer GROUP BY 2, 3, 4
+        ),
+        stats AS (
+          SELECT level,
+                 CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS suppressed,
+                 CAST(SUM(cnt) AS BIGINT) AS n
+          FROM lv GROUP BY level
+        ),
+        chosen AS (
+          SELECT coalesce(
+                   MIN(CASE WHEN CAST(suppressed AS DOUBLE)
+                                 <= 0.01 * CAST(n AS DOUBLE)
+                            THEN level END),
+                   MAX(level)) AS lvl
+          FROM stats
+        )
+        SELECT level, nation, segment, bal_bucket, cnt
+        FROM lv JOIN chosen ON lv.level = chosen.lvl
+        WHERE cnt >= 5
+        ORDER BY nation, segment, bal_bucket
+    """,
     "q_source_entropy": _entropy_sql(),
     "q_pack_efficiency": """
         WITH t AS (

@@ -200,8 +200,36 @@ def q_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift report between two corpus snapshots (round 10,
+    profiling.py profile_drift): snapshot A = even doc_ids; snapshot B =
+    odd doc_ids with ~1/5 of SOURCES dropped entirely (salted-md5 coin
+    on the source name), planting a real source-distribution shift while
+    lang/length stay near-stationary. Features: source, lang, and
+    256-char length bins. The oracle re-derives both snapshots, the
+    union-bin smoothing, and every fixed-point PSI term in SQL — one
+    mis-binned doc or a smoothing slip moves psi_e8."""
+    d = load(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    src_coin = F.conv(
+        F.substring(F.md5(F.concat(F.lit("drft:"), F.col("source"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    b = d.filter((F.col("doc_id") % 2 == 1) & (src_coin % 5 != 0))
+    feats = {
+        "source": F.col("source"),
+        "lang": F.col("lang"),
+        "len_bin": (
+            F.floor(F.col("n_chars").cast("double") / F.lit(256.0))
+            .cast("bigint") * 256
+        ).cast("string"),
+    }
+    return P.profile_drift(a, b, feats).orderBy("feature")
+
+
 QUERIES = {
     "q_profile": q_profile,
+    "q_profile_drift": q_profile_drift,
     "q_observe": q_observe,
     "q_quality_checks": q_quality_checks,
     "q_skew_report": q_skew_report,
@@ -235,7 +263,69 @@ _STR_PROFILE = """
                  AS top_count
         FROM orders"""
 
+_DRIFT_SQL = """
+    WITH a AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    b AS (
+      SELECT * FROM documents
+      WHERE doc_id % 2 = 1
+        AND CAST(('0x' || substr(md5('drft:' || source), 1, 8)) AS BIGINT)
+            % 5 <> 0
+    ),
+    ma AS (
+      SELECT 'source' AS feature, source AS bin FROM a
+      UNION ALL SELECT 'lang', lang FROM a
+      UNION ALL
+      SELECT 'len_bin',
+             CAST(CAST(floor(CAST(n_chars AS DOUBLE) / 256.0) AS BIGINT) * 256
+                  AS VARCHAR)
+      FROM a
+    ),
+    mb AS (
+      SELECT 'source' AS feature, source AS bin FROM b
+      UNION ALL SELECT 'lang', lang FROM b
+      UNION ALL
+      SELECT 'len_bin',
+             CAST(CAST(floor(CAST(n_chars AS DOUBLE) / 256.0) AS BIGINT) * 256
+                  AS VARCHAR)
+      FROM b
+    ),
+    ca AS (SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS cnt_a
+           FROM ma GROUP BY 1, 2),
+    cb AS (SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS cnt_b
+           FROM mb GROUP BY 1, 2),
+    j AS (
+      SELECT coalesce(ca.feature, cb.feature) AS feature,
+             coalesce(ca.bin, cb.bin) AS bin,
+             coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+      FROM ca FULL JOIN cb
+        ON ca.feature = cb.feature AND ca.bin = cb.bin
+    ),
+    k AS (
+      SELECT feature, bin, cnt_a, cnt_b,
+             CAST(SUM(cnt_a) OVER (PARTITION BY feature) AS BIGINT) AS n_a,
+             CAST(SUM(cnt_b) OVER (PARTITION BY feature) AS BIGINT) AS n_b,
+             CAST(COUNT(*) OVER (PARTITION BY feature) AS BIGINT) AS n_bins
+      FROM j
+    ),
+    t AS (
+      SELECT feature, n_bins, n_a, n_b,
+             CAST(round(
+               (CAST(cnt_a + 1 AS DOUBLE) / CAST(n_a + n_bins AS DOUBLE)
+                - CAST(cnt_b + 1 AS DOUBLE) / CAST(n_b + n_bins AS DOUBLE))
+               * ln((CAST(cnt_a + 1 AS DOUBLE) / CAST(n_a + n_bins AS DOUBLE))
+                    / (CAST(cnt_b + 1 AS DOUBLE)
+                       / CAST(n_b + n_bins AS DOUBLE)))
+               * 100000000.0) AS BIGINT) AS term_e8
+      FROM k
+    )
+    SELECT feature, MAX(n_bins) AS n_bins, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+           CAST(SUM(term_e8) AS BIGINT) AS psi_e8,
+           (CAST(SUM(term_e8) AS BIGINT) > 20000000) AS drifted
+    FROM t GROUP BY feature ORDER BY feature
+"""
+
 ORACLE = {
+    "q_profile_drift": _DRIFT_SQL,
     "q_observe": f"""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM({sql_cents("l_extendedprice")}) AS DOUBLE) / 100.0

@@ -577,3 +577,119 @@ def test_apply_mixture_enforces_weights(spark):
 
     again = sorted(map(tuple, C.apply_mixture(d, alpha=0.7).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+def test_data_card_accounts_for_every_doc(spark):
+    """data_card (round 10): group counts sum to the corpus, dup docs
+    are counted corpus-wide (a planted cross-group copy marks BOTH
+    copies), and token shares sum to ~1e6 ppm."""
+    import os
+
+    from fossa_spark.llm import curation as C
+    from fossa_spark.queries._util import load
+
+    sf = os.environ.get("FOSSA_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load(spark, sf, "documents")
+    n = d.count()
+    # plant one exact copy of doc 0's text under a DIFFERENT (source,
+    # lang) group: both the original and the copy must count as dups
+    from pyspark.sql import functions as F
+
+    first_text = d.filter(F.col("doc_id") == 0).select("text").first().text
+    planted = spark.createDataFrame(
+        [(10_000_000, first_text, "xx", "planted", len(first_text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    card = C.data_card(d.unionByName(planted)).collect()
+    assert sum(r.n_docs for r in card) == n + 1
+    assert sum(r.n_dup_docs for r in card) >= 2
+    planted_row = [r for r in card if r.source == "planted"][0]
+    assert planted_row.n_dup_docs == 1 and planted_row.dup_rate == 1.0
+    assert abs(sum(r.tok_share_ppm for r in card) - 1e6) < 1.0
+
+
+def test_cap_per_group_is_deterministic_uniform_cap(spark):
+    """cap_per_group (round 10): at most n kept per group, kept set is
+    rerun-identical, and every group smaller than n is kept whole."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fossa_spark.llm import curation as C
+    from fossa_spark.queries._util import load
+
+    sf = os.environ.get("FOSSA_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load(spark, sf, "documents").withColumn(
+        "grp", (F.col("doc_id") % 5).cast("string")
+    )
+    out = C.cap_per_group(d, by="grp", n=7)
+    kept = out.filter("keep").groupBy("grp").count().collect()
+    assert all(r["count"] <= 7 for r in kept)
+    small = d.groupBy("grp").count().filter("count <= 7").collect()
+    small_sizes = {r.grp: r["count"] for r in small}
+    for r in kept:
+        if r.grp in small_sizes:
+            assert r["count"] == small_sizes[r.grp]
+    ids1 = sorted(r.doc_id for r in out.filter("keep").select("doc_id").collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in C.cap_per_group(d, by="grp", n=7)
+        .filter("keep").select("doc_id").collect()
+    )
+    assert ids1 == ids2
+
+
+def test_k_anonymize_guarantee_and_ladder(spark):
+    """k_anonymize (round 10): every published group has >= k members;
+    forcing an impossible fine level falls back to a coarser one; the
+    published relation is a partition of non-suppressed rows (group
+    counts never exceed the table)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fossa_spark.llm import curation as C
+    from fossa_spark.queries._util import load
+
+    sf = os.environ.get("FOSSA_TEST_SF_DIR", "/root/testdata/sf0.001")
+    c = load(spark, sf, "customer")
+    nat = F.col("c_nationkey").cast("string")
+    seg = F.col("c_mktsegment")
+    levels = [
+        # level 0: c_custkey makes every group a singleton — can never
+        # satisfy k, so the chooser MUST move past it
+        {"nation": nat, "segment": F.col("c_custkey").cast("string"),
+         "bal_bucket": F.lit("*")},
+        {"nation": nat, "segment": seg, "bal_bucket": F.lit("*")},
+        {"nation": nat, "segment": F.lit("*"), "bal_bucket": F.lit("*")},
+    ]
+    k = 4
+    pub = C.k_anonymize(c, levels, k=k, max_suppress_frac=0.25).collect()
+    assert pub, "expected at least one published group"
+    assert all(r.cnt >= k for r in pub)
+    lvl = {r.level for r in pub}
+    assert lvl.issubset({1, 2}) and len(lvl) == 1
+    assert sum(r.cnt for r in pub) <= c.count()
+
+
+def test_profile_drift_detects_planted_shift(spark):
+    """profile_drift (round 10): identical snapshots give PSI ~= 0 (only
+    smoothing noise); removing a whole category from one side pushes
+    that feature's PSI far above the stationary ones."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fossa_spark import profiling as P
+    from fossa_spark.queries._util import load
+
+    sf = os.environ.get("FOSSA_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load(spark, sf, "documents")
+    feats = {"source": F.col("source"), "lang": F.col("lang")}
+    same = {r.feature: r for r in P.profile_drift(d, d, feats).collect()}
+    assert all(abs(r.psi_e8) < 1000 and not r.drifted for r in same.values())
+
+    b = d.filter(F.col("lang") != d.select(F.min("lang")).first()[0])
+    shifted = {r.feature: r for r in P.profile_drift(d, b, feats).collect()}
+    assert shifted["lang"].psi_e8 > shifted["source"].psi_e8
+    assert shifted["lang"].n_bins == same["lang"].n_bins  # union vocab
