@@ -471,8 +471,89 @@ def q_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned dataset with TIME TRAVEL (round 10,
+    fossa_spark/versioned.py): a three-commit chain over orders —
+    v1 inserts keys ≡0 (mod 3); v2 inserts keys ≡1, re-upserts keys
+    ≡0 (mod 9) with a modified payload, and deletes keys ≡0 (mod 12);
+    v3 inserts keys ≡2 and deletes keys ≡6 (mod 15) — then a CHECKPOINT
+    at v2 and a VACUUM physically drop the v1/v2 deltas, so the as-of-2
+    read resolves from the checkpoint alone and the as-of-3 read folds
+    checkpoint + the one surviving delta (both partition-pruned on the
+    v= directory column). Returns the per-status audit of BOTH versions;
+    the oracle re-derives each version's exact membership and payload
+    state from orders, so a fold slip, a lost tombstone, or a
+    vacuum-destroyed row moves a cell. The artifact is per-corpus
+    deterministic and served from the stage cache."""
+    import os
+
+    from fossa_spark import versioned as V
+    from fossa_spark.sources import stage_files
+
+    o = load(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_custkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+
+    def _build(into: str) -> None:
+        tbl = os.path.join(into, "tbl")
+        V.init_table(tbl, key=["o_orderkey"])
+        up = F.lit(V.UPSERT)
+        v1 = base.filter(k % 3 == 0).withColumn(V.OP_COL, up)
+        v2 = (
+            base.filter(k % 3 == 1).withColumn(V.OP_COL, up)
+            .unionByName(
+                base.filter((k % 9 == 0) & (k % 12 != 0))
+                .withColumn("o_custkey", F.col("o_custkey") + 1_000_000)
+                .withColumn(V.OP_COL, up)
+            )
+            .unionByName(
+                base.filter(k % 12 == 0).withColumn(V.OP_COL, F.lit(V.DELETE))
+            )
+        )
+        v3 = (
+            base.filter(k % 3 == 2).withColumn(V.OP_COL, up)
+            .unionByName(
+                base.filter(k % 15 == 6).withColumn(V.OP_COL, F.lit(V.DELETE))
+            )
+        )
+        V.commit(spark, tbl, v1, expect_version=0)
+        V.commit(spark, tbl, v2, expect_version=1)
+        V.commit(spark, tbl, v3, expect_version=2)
+        V.checkpoint(spark, tbl, 2)
+        V.vacuum(tbl)
+
+    import tempfile as _tf
+
+    out_dir = _tf.mkdtemp(prefix="fossa_timetravel_")
+    stage_files(
+        base, out_dir,
+        cache_prefix="timetravel",
+        params=["timetravel_v1"],
+        build=_build,
+    )
+    tbl = os.path.join(out_dir, "tbl")
+
+    def audit(v: int) -> DataFrame:
+        return (
+            V.read_as_of(spark, tbl, v)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.sum("o_custkey").alias("cust_sum"),
+            )
+            .withColumn("version", F.lit(v))
+        )
+    return (
+        audit(2).unionByName(audit(3))
+        .select("version", "o_orderstatus", "n_rows", "key_sum", "cust_sum")
+        .orderBy("version", "o_orderstatus")
+    )
+
+
 QUERIES = {
     "q_csv_malformed": q_csv_malformed,
+    "q_time_travel": q_time_travel,
     "q_join_dpp": q_join_dpp,
     "q_csv_roundtrip": q_csv_roundtrip,
     "q_partitioned_write": q_partitioned_write,
@@ -488,6 +569,37 @@ QUERIES = {
 }
 
 ORACLE = {
+    # each version's membership/payload re-derived set-theoretically:
+    # as-of-2 = keys %3 in (0,1) minus %12=0 tombstones, cust modified
+    # where %9=0 survived; as-of-3 additionally inserts %3=2 and
+    # tombstones %15=6
+    "q_time_travel": """
+        WITH a2 AS (
+          SELECT * FROM orders
+          WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 12 <> 0
+        ),
+        a3 AS (
+          SELECT * FROM orders
+          WHERE o_orderkey % 3 IN (0, 1, 2) AND o_orderkey % 12 <> 0
+            AND o_orderkey % 15 <> 6
+        )
+        SELECT CAST(2 AS INT) AS version, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(CASE WHEN o_orderkey % 9 = 0 AND o_orderkey % 12 <> 0
+                             THEN o_custkey + 1000000 ELSE o_custkey END)
+                    AS BIGINT) AS cust_sum
+        FROM a2 GROUP BY o_orderstatus
+        UNION ALL
+        SELECT CAST(3 AS INT), o_orderstatus,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(o_orderkey) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderkey % 9 = 0 AND o_orderkey % 12 <> 0
+                             THEN o_custkey + 1000000 ELSE o_custkey END)
+                    AS BIGINT)
+        FROM a3 GROUP BY o_orderstatus
+        ORDER BY version, o_orderstatus
+    """,
     "q_csv_malformed": f"""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END)

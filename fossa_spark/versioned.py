@@ -1,0 +1,254 @@
+"""Versioned dataset with time travel — a minimal lakehouse table format
+(Delta-Lake-shaped, parquet-native) for the pipeline's mutable state.
+
+The reference engine persists job state as overwrite-in-place files
+(/root/reference/lib/fossa/control models re-write their outputs whole);
+at 100 TB that is the one thing you can never do — a failed overwrite
+destroys the only copy, and consumers mid-read see torn data. The
+lakehouse answer is an append-only version chain:
+
+    {path}/delta/v=N/*.parquet   one directory per commit; rows carry an
+                                 _op column ('u' upsert / 'd' delete)
+    {path}/ckpt/v=N/*.parquet    materialized snapshots (fold shortcuts)
+    {path}/_meta.json            current version, checkpoints, key, schema
+
+Reads fold base-checkpoint + later deltas with latest-version-wins per
+key; deletes are tombstones. Every read of ``v <= V`` is partition
+pruning on the ``v`` directory column — Spark never lists or scans the
+versions after V (time travel) or before the chosen checkpoint
+(compaction). The fold itself is ONE shuffle on the key.
+
+Scale design:
+- Commits are pure appends: no read-modify-write of existing files, so
+  a crashed commit leaves at worst an orphan directory that the next
+  commit of the same version number replaces; _meta.json is swapped
+  atomically (tmp + os.replace) and is the single source of truth — a
+  delta directory not recorded in meta does not exist.
+- Fold depth is bounded by checkpointing: a chain of K daily deltas
+  costs K-file-listing + one shuffle; checkpoint() collapses it to 1.
+  vacuum() then physically drops the folded-away deltas — the same
+  compaction story as sources.compact_parquet, but version-aware.
+- Single-writer by assumption (one orchestrator owns a table), exactly
+  like the shard/index appenders; readers are lock-free and always see
+  a committed version because they resolve through _meta.json first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+OP_COL = "_op"
+UPSERT = "u"
+DELETE = "d"
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(path, "_meta.json")
+
+
+def _read_meta(path: str) -> dict:
+    with open(_meta_path(path)) as f:
+        return json.load(f)
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    tmp = _meta_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    os.replace(tmp, _meta_path(path))
+
+
+def init_table(path: str, key: Sequence[str]) -> None:
+    """Create an empty versioned table (version 0 = empty relation)."""
+    os.makedirs(os.path.join(path, "delta"), exist_ok=True)
+    os.makedirs(os.path.join(path, "ckpt"), exist_ok=True)
+    _write_meta(path, {
+        "current": 0,
+        "checkpoints": [],
+        "key": list(key),
+        "columns": None,
+    })
+
+
+def current_version(path: str) -> int:
+    return int(_read_meta(path)["current"])
+
+
+def commit(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    *,
+    expect_version: int | None = None,
+) -> int:
+    """Append one commit (the next version) to the chain.
+
+    ``df`` must carry the key columns, the payload columns, and an
+    ``_op`` column of 'u' (upsert) / 'd' (delete tombstone — payload
+    values are ignored for deletes but the columns must exist: one
+    schema per table). A key may appear at most ONCE per commit —
+    within-commit ordering is undefined, so a duplicate would make the
+    fold ambiguous; callers resolve their own intra-batch conflicts
+    first (the same contract streaming upsert sinks impose).
+
+    ``expect_version`` is optimistic concurrency: the commit aborts if
+    another writer advanced the table (compare-and-swap on version
+    number, the Delta/Iceberg discipline), which converts a lost-update
+    race into a retryable error.
+    """
+    meta = _read_meta(path)
+    cur = int(meta["current"])
+    if expect_version is not None and cur != expect_version:
+        raise RuntimeError(
+            f"version conflict: table at v{cur}, expected v{expect_version}"
+        )
+    if OP_COL not in df.columns:
+        raise ValueError(f"commit df needs an {OP_COL!r} column")
+    cols = [c for c in df.columns if c != OP_COL]
+    if meta["columns"] is None:
+        meta["columns"] = cols
+    elif sorted(meta["columns"]) != sorted(cols):
+        raise ValueError(
+            f"schema drift: table has {meta['columns']}, commit has {cols}"
+        )
+    v = cur + 1
+    out = os.path.join(path, "delta", f"v={v}")
+    # a crashed previous attempt at this same version may have left an
+    # orphan dir (it is NOT in meta, so it logically does not exist) —
+    # replace it wholesale rather than appending into it
+    shutil.rmtree(out, ignore_errors=True)
+    df.select(*meta["columns"], OP_COL).write.parquet(out)
+    meta["current"] = v
+    _write_meta(path, meta)
+    return v
+
+
+def _fold(df: DataFrame, key: Sequence[str], columns: Sequence[str]) -> DataFrame:
+    """Latest-version-wins per key, tombstones dropped. One shuffle."""
+    w = Window.partitionBy(*key).orderBy(F.desc("v"))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter((F.col("_rk") == 1) & (F.col(OP_COL) == UPSERT))
+        .select(*columns)
+    )
+
+
+def read_as_of(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table's contents AS OF ``version`` (default: current).
+
+    Resolves through the newest checkpoint ≤ version, then folds only
+    the deltas in (ckpt, version] — both scans are partition-pruned on
+    the ``v`` directory column, so a 1000-commit table with a recent
+    checkpoint reads checkpoint + a handful of delta dirs, not the
+    whole history."""
+    meta = _read_meta(path)
+    cur = int(meta["current"])
+    v = cur if version is None else int(version)
+    if v < 0 or v > cur:
+        raise ValueError(f"version {v} out of range (table at v{cur})")
+    retained_from = int(meta.get("retained_from", 0))
+    if 0 < v < retained_from:
+        # vacuum physically dropped this version's history — fail loudly
+        # instead of silently folding an empty prefix
+        raise ValueError(
+            f"version {v} was vacuumed (history retained from v{retained_from})"
+        )
+    columns = meta["columns"] or []
+    if v == 0 or not columns:
+        return spark.createDataFrame(
+            [], schema=", ".join(f"`{c}` string" for c in columns) or "dummy string"
+        ).limit(0)
+    base_v = max((c for c in meta["checkpoints"] if c <= v), default=0)
+    parts = []
+    if base_v:
+        ck = spark.read.parquet(os.path.join(path, "ckpt", f"v={base_v}"))
+        parts.append(
+            ck.select(*columns)
+            .withColumn(OP_COL, F.lit(UPSERT))
+            .withColumn("v", F.lit(base_v))
+        )
+    if v > base_v:
+        deltas = spark.read.parquet(os.path.join(path, "delta"))
+        parts.append(
+            deltas.filter((F.col("v") > base_v) & (F.col("v") <= v))
+            .select(*columns, OP_COL, "v")
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return _fold(df, meta["key"], columns)
+
+
+def checkpoint(spark: SparkSession, path: str, version: int | None = None) -> int:
+    """Materialize the as-of relation so later reads fold from here.
+
+    Written to a temp dir then renamed into place: readers either see a
+    complete checkpoint or (per _meta.json) none at all."""
+    meta = _read_meta(path)
+    v = int(meta["current"]) if version is None else int(version)
+    snap = read_as_of(spark, path, v)
+    out = os.path.join(path, "ckpt", f"v={v}")
+    tmp = out + "._tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    snap.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
+    meta = _read_meta(path)
+    if v not in meta["checkpoints"]:
+        meta["checkpoints"] = sorted(meta["checkpoints"] + [v])
+        _write_meta(path, meta)
+    return v
+
+
+def vacuum(path: str) -> tuple[int, int]:
+    """Physically drop delta directories already folded into the newest
+    checkpoint, and all older checkpoints. Time travel remains available
+    back to that checkpoint; earlier versions are gone — the retention
+    trade every lakehouse vacuum makes. Returns (dirs_before, dirs_after).
+
+    Meta is updated FIRST (readers resolve through it, so a version is
+    unreachable before its files disappear), then directories are
+    removed — a crash between the two leaves only unreferenced files,
+    never a referenced-but-missing version."""
+    meta = _read_meta(path)
+    if not meta["checkpoints"]:
+        n = len(os.listdir(os.path.join(path, "delta")))
+        return (n, n)
+    keep_from = max(meta["checkpoints"])
+    delta_root = os.path.join(path, "delta")
+    ckpt_root = os.path.join(path, "ckpt")
+    before = len(os.listdir(delta_root)) + len(os.listdir(ckpt_root))
+    meta["checkpoints"] = [keep_from]
+    meta["retained_from"] = keep_from
+    _write_meta(path, meta)
+    for d in os.listdir(delta_root):
+        if d.startswith("v=") and int(d[2:]) <= keep_from:
+            shutil.rmtree(os.path.join(delta_root, d), ignore_errors=True)
+    for d in os.listdir(ckpt_root):
+        if d.startswith("v=") and int(d[2:]) < keep_from:
+            shutil.rmtree(os.path.join(ckpt_root, d), ignore_errors=True)
+    after = len(os.listdir(delta_root)) + len(os.listdir(ckpt_root))
+    return (before, after)
+
+
+def history(path: str) -> list[dict]:
+    """Commit chain metadata (version, kind, retained) — control-plane
+    only, no data files touched."""
+    meta = _read_meta(path)
+    retained_from = meta.get("retained_from", 0)
+    out = []
+    for v in range(1, int(meta["current"]) + 1):
+        out.append({
+            "version": v,
+            "checkpointed": v in meta["checkpoints"],
+            "readable": v >= retained_from,
+        })
+    return out
