@@ -984,3 +984,77 @@ def k_anonymize(
         .filter(F.col("cnt") >= k)
         .select("level", *qid_cols, "cnt")
     )
+
+
+def filter_funnel(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Rule-cascade document filter with per-stage ATTRITION accounting —
+    the C4/Gopher-style quality funnel every web-corpus pipeline runs,
+    where the published artifact is as much the funnel REPORT (how many
+    docs each rule killed) as the surviving corpus.
+
+    ``rules`` is an ordered list of (name, pass-predicate); a document
+    is charged to the FIRST rule it fails (later rules never see it —
+    the report's n_evaluated column shrinks down the cascade exactly as
+    the production pipeline's would).
+
+    Returns (per_doc, report): per_doc adds ``failed_stage`` (int index
+    of the first failed rule, null = survived) in ONE narrow codegen'd
+    pass — the cascade is a single chained CASE, so adding rules never
+    adds corpus scans; report has one row per rule (n_evaluated,
+    n_failed, n_survived, fail_rate) derived from the per-stage counts.
+    The report-side window/cumsum runs over the RULES relation — one
+    row per rule, control-plane-sized by construction."""
+    if not rules:
+        raise ValueError("filter_funnel needs at least one rule")
+    cascade = None
+    for i, (_, pred) in enumerate(rules):
+        cascade = (
+            F.when(~pred, F.lit(i)) if cascade is None
+            else cascade.when(~pred, F.lit(i))
+        )
+    per_doc = df.withColumn("failed_stage", cascade)
+
+    spark = df.sparkSession
+    rules_df = spark.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(rules)],
+        "stage int, rule string",
+    )
+    counts = per_doc.groupBy("failed_stage").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    r = (
+        rules_df.join(
+            counts, rules_df.stage == counts.failed_stage, "left"
+        )
+        .select("stage", "rule", F.coalesce("n", F.lit(0)).alias("n_failed"))
+        .crossJoin(F.broadcast(total))
+    )
+    w_prev = (
+        Window.orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = r.withColumn(
+        "n_evaluated",
+        F.col("_total") - F.coalesce(F.sum("n_failed").over(w_prev), F.lit(0)),
+    )
+    report = r.select(
+        "stage",
+        "rule",
+        "n_evaluated",
+        "n_failed",
+        (F.col("n_evaluated") - F.col("n_failed")).alias("n_survived"),
+        F.when(
+            F.col("n_evaluated") > 0,
+            F.round(
+                F.col("n_failed").cast("double")
+                / F.col("n_evaluated").cast("double"),
+                8,
+            ),
+        ).alias("fail_rate"),
+    )
+    return per_doc, report

@@ -249,6 +249,15 @@ ACCEPTED_SMELLS: dict[str, dict[str, str]] = {
         "inside the dense-retrieval leg; the fusion join itself is "
         "top-k x top-k (control-plane-sized)",
     },
+    "q_filter_funnel": {
+        "corpus-window": "the cumulative-evaluation window runs over the "
+        "RULES relation — one row per funnel rule (5 here), fixed by the "
+        "pipeline author, never per document; the corpus pays one narrow "
+        "CASE-cascade pass and one low-cardinality groupBy",
+        "single-partition-exchange": "same rules-side report relation — "
+        "per-rule attrition counts are control-plane output by "
+        "definition",
+    },
     "q_mix_weights": {
         "corpus-window": "runs over one row per corpus DOMAIN (the "
         "categorical mixture components), never per document",

@@ -816,8 +816,43 @@ def q_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-rule CASCADE with attrition report (round 10,
+    llm/curation.py filter_funnel — the C4/Gopher funnel): five ordered
+    rules (min chars, min tokens, duplicate-token fraction, punctuation
+    ratio, average token length), each document charged to the FIRST
+    rule it fails; the result is the per-stage funnel — n_evaluated
+    shrinking down the cascade, per-rule kill counts and rates. The
+    whole cascade is one chained CASE in a single narrow pass; the
+    oracle re-derives every feature, the first-fail attribution, and
+    the cumulative evaluation counts in SQL."""
+    from fossa_spark.llm.text import token_count_ws, tokens
+
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = tokens(t)
+    nc = F.length(t).cast("double")
+    nt = token_count_ws(t).cast("double")
+    dupf = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / \
+        F.size(toks).cast("double")
+    punct = (
+        F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    ).cast("double") / nc
+    avl = nc / nt
+    rules = [
+        ("min_chars", F.length(t) >= 150),
+        ("min_tokens", token_count_ws(t) >= 30),
+        ("dup_tokens", dupf <= 0.5),
+        ("punct_ratio", punct <= 0.015),
+        ("avg_token_len", (avl >= 5.2) & (avl <= 6.0)),
+    ]
+    _, report = C.filter_funnel(d, rules)
+    return report.orderBy("stage")
+
+
 QUERIES = {
     "q_source_entropy": q_source_entropy,
+    "q_filter_funnel": q_filter_funnel,
     "q_pack_efficiency": q_pack_efficiency,
     "q_dedup_source_matrix": q_dedup_source_matrix,
     "q_url_canonical": q_url_canonical,
@@ -871,6 +906,59 @@ _PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
 _IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
 ORACLE = {
+    # first-fail attribution via one CASE cascade; n_evaluated derived
+    # from the cumulative earlier-stage kill counts; all features are
+    # single IEEE ops over exact ints on both engines
+    "q_filter_funnel": """
+        WITH t AS (
+          SELECT length(text) AS nc,
+                 length(text) - length(replace(text, ' ', '')) + 1 AS nt,
+                 length(text) - length(regexp_replace(text,
+                     '[\\.,;:!\\?]', '', 'g')) AS np,
+                 string_split(lower(text), ' ') AS toks
+          FROM documents
+        ),
+        f AS (
+          SELECT CASE
+            WHEN NOT (nc >= 150) THEN 0
+            WHEN NOT (nt >= 30) THEN 1
+            WHEN NOT (1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                            / CAST(len(toks) AS DOUBLE) <= 0.5) THEN 2
+            WHEN NOT (CAST(np AS DOUBLE) / CAST(nc AS DOUBLE) <= 0.015)
+              THEN 3
+            WHEN NOT (CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE) >= 5.2
+                      AND CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE) <= 6.0)
+              THEN 4
+          END AS stage
+          FROM t
+        ),
+        c AS (SELECT stage, CAST(COUNT(*) AS BIGINT) AS n
+              FROM f GROUP BY stage),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+        rules(stage, rule) AS (VALUES
+          (0, 'min_chars'), (1, 'min_tokens'), (2, 'dup_tokens'),
+          (3, 'punct_ratio'), (4, 'avg_token_len')),
+        r AS (
+          SELECT rules.stage, rule,
+                 CAST(coalesce(c.n, 0) AS BIGINT) AS n_failed
+          FROM rules LEFT JOIN c ON c.stage = rules.stage
+        ),
+        e AS (
+          SELECT stage, rule, n_failed,
+                 CAST((SELECT total FROM tot)
+                      - coalesce(SUM(n_failed) OVER (ORDER BY stage
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS n_evaluated
+          FROM r
+        )
+        SELECT CAST(stage AS INT) AS stage, rule, n_evaluated, n_failed,
+               CAST(n_evaluated - n_failed AS BIGINT) AS n_survived,
+               CASE WHEN n_evaluated > 0
+                    THEN round(CAST(n_failed AS DOUBLE)
+                               / CAST(n_evaluated AS DOUBLE), 8)
+               END AS fail_rate
+        FROM e ORDER BY stage
+    """,
     # normalized-digest copies corpus-wide, attributed to each copy's own
     # group; ratios are single double divisions rounded (8 dp / 4 dp);
     # every integer CAST to BIGINT (DuckDB SUM(BIGINT) returns HUGEINT)

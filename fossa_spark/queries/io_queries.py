@@ -551,9 +551,79 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the versioned table (round 10,
+    versioned.py change_feed — the Delta-CDF shape): the same
+    three-commit chain as q_time_travel but retained in full, then the
+    net row-level changes in (v1, v3] — keys inserted at v2/v3 net to
+    'insert', the v2 payload rewrite nets to 'update', tombstones net
+    to 'delete' carrying the PRE-image, and a key upserted-then-deleted
+    inside the range nets to one 'delete'. Only the changed rows are
+    scanned (partition-pruned delta fold) + one membership join against
+    as-of(v1). The oracle re-derives the net classification and all
+    three payload states set-theoretically from orders."""
+    import os
+    import tempfile as _tf
+
+    from fossa_spark import versioned as V
+    from fossa_spark.sources import stage_files
+
+    o = load(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_custkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+
+    def _build(into: str) -> None:
+        tbl = os.path.join(into, "tbl")
+        V.init_table(tbl, key=["o_orderkey"])
+        up = F.lit(V.UPSERT)
+        v1 = base.filter(k % 3 == 0).withColumn(V.OP_COL, up)
+        v2 = (
+            base.filter(k % 3 == 1).withColumn(V.OP_COL, up)
+            .unionByName(
+                base.filter((k % 9 == 0) & (k % 12 != 0))
+                .withColumn("o_custkey", F.col("o_custkey") + 1_000_000)
+                .withColumn(V.OP_COL, up)
+            )
+            .unionByName(
+                base.filter(k % 12 == 0).withColumn(V.OP_COL, F.lit(V.DELETE))
+            )
+        )
+        v3 = (
+            base.filter(k % 3 == 2).withColumn(V.OP_COL, up)
+            .unionByName(
+                base.filter(k % 15 == 6).withColumn(V.OP_COL, F.lit(V.DELETE))
+            )
+        )
+        V.commit(spark, tbl, v1, expect_version=0)
+        V.commit(spark, tbl, v2, expect_version=1)
+        V.commit(spark, tbl, v3, expect_version=2)
+        # checkpoint WITHOUT vacuum: the feed must ignore it and the
+        # as-of(1) read must still resolve through the retained deltas
+        V.checkpoint(spark, tbl, 2)
+
+    out_dir = _tf.mkdtemp(prefix="fossa_changefeed_")
+    stage_files(
+        base, out_dir,
+        cache_prefix="changefeed",
+        params=["changefeed_v1"],
+        build=_build,
+    )
+    feed = V.change_feed(spark, os.path.join(out_dir, "tbl"), 1, 3)
+    return (
+        feed.groupBy("change", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("o_custkey").alias("cust_sum"),
+        )
+        .orderBy("change", "o_orderstatus")
+    )
+
+
 QUERIES = {
     "q_csv_malformed": q_csv_malformed,
     "q_time_travel": q_time_travel,
+    "q_change_feed": q_change_feed,
     "q_join_dpp": q_join_dpp,
     "q_csv_roundtrip": q_csv_roundtrip,
     "q_partitioned_write": q_partitioned_write,
@@ -599,6 +669,31 @@ ORACLE = {
                     AS BIGINT)
         FROM a3 GROUP BY o_orderstatus
         ORDER BY version, o_orderstatus
+    """,
+    # net changes in (v1, v3]: inserts = keys arriving at v2/v3; update =
+    # the v2 payload rewrite that SURVIVES v3's tombstones; deletes carry
+    # the pre-image (as-of-1 payload, which is the unmodified base)
+    "q_change_feed": """
+        WITH ch AS (
+          SELECT 'insert' AS change, o_orderkey, o_custkey, o_orderstatus
+          FROM orders WHERE o_orderkey % 3 IN (1, 2)
+          UNION ALL
+          SELECT 'update', o_orderkey, o_custkey + 1000000, o_orderstatus
+          FROM orders
+          WHERE o_orderkey % 9 = 0 AND o_orderkey % 12 <> 0
+            AND o_orderkey % 15 <> 6
+          UNION ALL
+          SELECT 'delete', o_orderkey, o_custkey, o_orderstatus
+          FROM orders
+          WHERE o_orderkey % 3 = 0
+            AND (o_orderkey % 12 = 0 OR o_orderkey % 15 = 6)
+        )
+        SELECT change, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        FROM ch GROUP BY change, o_orderstatus
+        ORDER BY change, o_orderstatus
     """,
     "q_csv_malformed": f"""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

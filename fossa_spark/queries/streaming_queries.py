@@ -845,8 +845,95 @@ def q_stream_upsert_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state["df"].orderBy("user_id")
 
 
+def q_stream_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC APPLY into the versioned table (round 10 — the
+    write-side composition of fossa_spark/versioned.py): the table is
+    seeded with the even order keys (v1), then a change feed arrives in
+    two micro-batches — batch 1 inserts keys ≡1 (mod 4) and deletes
+    keys ≡0 (mod 8); batch 2 inserts keys ≡3 (mod 4) with a modified
+    payload and deletes keys ≡6 (mod 10) — and foreachBatch commits
+    each micro-batch as one table version with a TAGGED (idempotent)
+    commit, so an at-least-once replay re-delivers a batch without
+    double-committing it. The final as-of read folds v1..v3 and the
+    ORACLE re-derives the end-state membership and payloads
+    set-theoretically from orders — a lost tombstone, a double commit,
+    or a mis-folded version moves the audit. A tombstone for a key
+    deleted in an earlier batch (keys ≡16 mod 40 are hit by BOTH
+    deletes) must net to a no-op, which the fold guarantees.
+
+    Scale shape: per-batch cost is one append write of the batch's own
+    rows (no read-modify-write); the final fold is one shuffle over
+    base + deltas with partition pruning on v=. This is exactly how a
+    Structured Streaming pipe maintains a mutable 100 TB dimension
+    without a lakehouse dependency."""
+    import tempfile
+
+    from fossa_spark import versioned as V
+
+    o = load(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_custkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    up, de = F.lit(V.UPSERT), F.lit(V.DELETE)
+
+    tbl = os.path.join(tempfile.mkdtemp(prefix="fossa_svers_"), "tbl")
+    V.init_table(tbl, key=["o_orderkey"])
+    V.commit(spark, tbl, base.filter(k % 2 == 0).withColumn(V.OP_COL, up),
+             expect_version=0)
+
+    b1 = (
+        base.filter(k % 4 == 1).withColumn(V.OP_COL, up)
+        .unionByName(base.filter(k % 8 == 0).withColumn(V.OP_COL, de))
+    )
+    b2 = (
+        base.filter(k % 4 == 3)
+        .withColumn("o_custkey", F.col("o_custkey") + 1_000_000)
+        .withColumn(V.OP_COL, up)
+        .unionByName(base.filter(k % 10 == 6).withColumn(V.OP_COL, de))
+    )
+    feed = tempfile.mkdtemp(prefix="fossa_svers_feed_")
+
+    def _build_feed(into: str) -> None:
+        w = _feed_writer(into)
+        w(b1, 1)
+        w(b2, 2)
+
+    _staged_feed(base, feed, "svers_feed", _build_feed)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        V.commit(batch_df.sparkSession, tbl, batch_df, tag=f"b{batch_id}")
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_apply)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        V.read_as_of(spark, tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("o_custkey").alias("cust_sum"),
+        )
+        .withColumn("version", F.lit(V.current_version(tbl)))
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
     "q_stream_tumble": q_stream_tumble,
+    "q_stream_versioned": q_stream_versioned,
     "q_stream_upsert_exec": q_stream_upsert_exec,
     "q_stream_exec": q_stream_exec,
     "q_stream_join_exec": q_stream_join_exec,
@@ -862,6 +949,27 @@ QUERIES = {
 }
 
 ORACLE = {
+    # end state after v1 (evens) + b1 (insert %4=1, delete %8=0) +
+    # b2 (insert %4=3 modified, delete %10=6): odds survive in full,
+    # evens survive unless tombstoned by either delete
+    "q_stream_versioned": """
+        WITH final AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 4 = 3 THEN o_custkey + 1000000
+                      ELSE o_custkey END AS cust,
+                 o_orderstatus
+          FROM orders
+          WHERE (o_orderkey % 2 = 0 AND o_orderkey % 8 <> 0
+                 AND o_orderkey % 10 <> 6)
+             OR o_orderkey % 2 = 1
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(cust) AS BIGINT) AS cust_sum,
+               CAST(3 AS INT) AS version
+        FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     # the full ingestion loop re-derived batch by batch: batch-1 novelty
     # against the corpus digest, batch-2 novelty against corpus + batch-1
     # novels (proving the between-batch index append landed), then

@@ -86,6 +86,7 @@ def commit(
     df: DataFrame,
     *,
     expect_version: int | None = None,
+    tag: str | None = None,
 ) -> int:
     """Append one commit (the next version) to the chain.
 
@@ -101,9 +102,17 @@ def commit(
     another writer advanced the table (compare-and-swap on version
     number, the Delta/Iceberg discipline), which converts a lost-update
     race into a retryable error.
+
+    ``tag`` makes the commit IDEMPOTENT for replaying producers (a
+    Structured Streaming foreachBatch that crashed after the meta swap
+    re-delivers the same batch): a tag already recorded in meta returns
+    its version without touching files — the txn-id dedup trick
+    streaming sinks use against at-least-once delivery.
     """
     meta = _read_meta(path)
     cur = int(meta["current"])
+    if tag is not None and tag in meta.get("tags", {}):
+        return int(meta["tags"][tag])
     if expect_version is not None and cur != expect_version:
         raise RuntimeError(
             f"version conflict: table at v{cur}, expected v{expect_version}"
@@ -125,6 +134,8 @@ def commit(
     shutil.rmtree(out, ignore_errors=True)
     df.select(*meta["columns"], OP_COL).write.parquet(out)
     meta["current"] = v
+    if tag is not None:
+        meta.setdefault("tags", {})[tag] = v
     _write_meta(path, meta)
     return v
 
@@ -252,3 +263,82 @@ def history(path: str) -> list[dict]:
             "readable": v >= retained_from,
         })
     return out
+
+
+def change_feed(
+    spark: SparkSession, path: str, from_v: int, to_v: int
+) -> DataFrame:
+    """NET row-level changes between two versions (the Delta change-data-
+    feed shape): one row per key whose state differs, classified
+    'insert' / 'update' / 'delete', carrying the final payload (the
+    pre-image for deletes). Downstream consumers — index maintainers,
+    shard appenders, cache invalidation — replay exactly this relation
+    instead of re-diffing two full snapshots.
+
+    Shape: the delta directories in (from_v, to_v] are partition-pruned
+    and folded latest-wins (one shuffle over only the CHANGED rows, not
+    the table), then LEFT-joined against the as-of(from_v) membership to
+    classify. A key upserted then deleted inside the range nets to
+    'delete'; a tombstone for a key absent at from_v nets to nothing.
+    An upsert identical to the old payload still reports 'update' —
+    the feed is change-log-faithful, not value-diff-faithful (use the
+    relational diff operators for that)."""
+    meta = _read_meta(path)
+    cur = int(meta["current"])
+    if not (0 <= from_v < to_v <= cur):
+        raise ValueError(
+            f"need 0 <= from_v < to_v <= {cur}, got ({from_v}, {to_v})"
+        )
+    retained_from = int(meta.get("retained_from", 0))
+    if from_v != 0 and from_v < retained_from:
+        raise ValueError(
+            f"version {from_v} was vacuumed (history from v{retained_from})"
+        )
+    key = list(meta["key"])
+    columns = list(meta["columns"])
+    payload = [c for c in columns if c not in key]
+
+    deltas = spark.read.parquet(os.path.join(path, "delta"))
+    w = Window.partitionBy(*key).orderBy(F.desc("v"))
+    net = (
+        deltas.filter((F.col("v") > from_v) & (F.col("v") <= to_v))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(*columns, OP_COL)
+    )
+    if from_v == 0:
+        # empty pre-image: every net upsert is an insert, every net
+        # tombstone a no-op (read_as_of(0)'s placeholder relation is
+        # untyped — don't join against it)
+        dtypes = dict(net.dtypes)
+        j = net.select(
+            "*",
+            *[F.lit(None).cast(dtypes[c]).alias(f"_old_{c}") for c in payload],
+            F.lit(None).cast("boolean").alias("_in_old"),
+        )
+    else:
+        old = read_as_of(spark, path, from_v).select(
+            *key,
+            *[F.col(c).alias(f"_old_{c}") for c in payload],
+            F.lit(True).alias("_in_old"),
+        )
+        j = net.join(old, key, "left")
+    change = (
+        F.when((F.col(OP_COL) == UPSERT) & F.col("_in_old").isNotNull(),
+               F.lit("update"))
+        .when(F.col(OP_COL) == UPSERT, F.lit("insert"))
+        .when(F.col("_in_old").isNotNull(), F.lit("delete"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            "change",
+            *key,
+            *[
+                F.when(F.col("change") == "delete", F.col(f"_old_{c}"))
+                .otherwise(F.col(c)).alias(c)
+                for c in payload
+            ],
+        )
+    )

@@ -693,3 +693,37 @@ def test_profile_drift_detects_planted_shift(spark):
     shifted = {r.feature: r for r in P.profile_drift(d, b, feats).collect()}
     assert shifted["lang"].psi_e8 > shifted["source"].psi_e8
     assert shifted["lang"].n_bins == same["lang"].n_bins  # union vocab
+
+
+def test_filter_funnel_first_fail_attribution(spark):
+    """filter_funnel (round 10): a doc is charged to the FIRST rule it
+    fails, n_evaluated shrinks by the cumulative kills, survivors +
+    total kills == corpus, and an empty rule list is rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fossa_spark.llm import curation as C
+
+    d = spark.createDataFrame(
+        [(1, "short"), (2, "x " * 50), (3, "a b c d e f g h i j"),
+         (4, "only fails rule three three three")],
+        "doc_id long, text string",
+    )
+    rules = [
+        ("len", F.length("text") >= 10),          # kills doc 1
+        ("toks", F.size(F.split("text", " ")) >= 6),  # nothing left to kill
+        ("no_x", ~F.col("text").startswith("x")),  # kills doc 2 ... no —
+        # doc 2 passed len (100 chars) and toks; rule 2 kills it HERE,
+        # proving it wasn't double-charged to an earlier rule
+    ]
+    per_doc, report = C.filter_funnel(d, rules)
+    staged = {r.doc_id: r.failed_stage for r in per_doc.collect()}
+    assert staged == {1: 0, 2: 2, 3: None, 4: None}
+    rep = {r.stage: r for r in report.collect()}
+    assert rep[0].n_evaluated == 4 and rep[0].n_failed == 1
+    assert rep[1].n_evaluated == 3 and rep[1].n_failed == 0
+    assert rep[2].n_evaluated == 3 and rep[2].n_failed == 1
+    assert rep[2].n_survived == 2
+    assert rep[1].fail_rate == 0.0 and rep[0].fail_rate == 0.25
+    with pytest.raises(ValueError):
+        C.filter_funnel(d, [])

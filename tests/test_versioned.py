@@ -99,3 +99,115 @@ def test_read_as_of_out_of_range(spark, tbl):
     V.commit(spark, tbl, _mk(spark, [(1, "a", "u")]))
     with pytest.raises(ValueError, match="out of range"):
         V.read_as_of(spark, tbl, 2)
+
+
+def test_change_feed_nets_and_preimages(spark, tbl):
+    V.commit(spark, tbl, _mk(spark, [(1, "a", "u"), (2, "b", "u")]))
+    V.commit(spark, tbl, _mk(spark, [
+        (1, "A", "u"),          # update
+        (3, "c", "u"),          # insert...
+        (2, None, "d"),         # delete
+        (9, None, "d"),         # no-op tombstone (9 never existed)
+    ]))
+    V.commit(spark, tbl, _mk(spark, [(3, None, "d"), (4, "d", "u")]))
+    feed = {(r.change, r.k, r.payload)
+            for r in V.change_feed(spark, tbl, 1, 3).collect()}
+    assert feed == {
+        ("update", 1, "A"),
+        ("delete", 2, "b"),     # pre-image payload
+        ("insert", 4, "d"),
+        # key 3: inserted at v2 AND deleted at v3 -> nets to nothing
+        # (absent at from_v, absent at to_v); key 9's tombstone drops
+    }
+    # replaying the feed over as-of(1) reproduces as-of(3)
+    asof1, asof3 = _rows(V.read_as_of(spark, tbl, 1)), _rows(
+        V.read_as_of(spark, tbl, 3))
+    replay = {kv for kv in asof1
+              if kv[0] not in {k for _, k, _p in feed}}
+    replay |= {(k, p) for c, k, p in feed if c in ("insert", "update")}
+    assert replay == asof3
+
+
+def test_change_feed_range_and_retention_guards(spark, tbl):
+    V.commit(spark, tbl, _mk(spark, [(1, "a", "u")]))
+    V.commit(spark, tbl, _mk(spark, [(2, "b", "u")]))
+    with pytest.raises(ValueError, match="from_v < to_v"):
+        V.change_feed(spark, tbl, 2, 2)
+    with pytest.raises(ValueError, match="from_v < to_v"):
+        V.change_feed(spark, tbl, 0, 3)
+    V.checkpoint(spark, tbl, 2)
+    V.commit(spark, tbl, _mk(spark, [(3, "c", "u")]))
+    V.vacuum(tbl)
+    with pytest.raises(ValueError, match="vacuumed"):
+        V.change_feed(spark, tbl, 1, 3)
+    assert {(r.change, r.k) for r in V.change_feed(spark, tbl, 2, 3).collect()} \
+        == {("insert", 3)}
+
+
+def test_change_feed_from_zero_is_all_inserts(spark, tbl):
+    V.commit(spark, tbl, _mk(spark, [(1, "a", "u"), (2, "b", "u")]))
+    V.commit(spark, tbl, _mk(spark, [(2, None, "d"), (3, "c", "u")]))
+    feed = {(r.change, r.k, r.payload)
+            for r in V.change_feed(spark, tbl, 0, 2).collect()}
+    assert feed == {("insert", 1, "a"), ("insert", 3, "c")}
+
+
+def test_tagged_commit_is_idempotent(spark, tbl):
+    v1 = V.commit(spark, tbl, _mk(spark, [(1, "a", "u")]), tag="b0")
+    v_again = V.commit(spark, tbl, _mk(spark, [(1, "SHOULD NOT LAND", "u")]),
+                       tag="b0")
+    assert v1 == v_again == 1
+    assert V.current_version(tbl) == 1
+    assert _rows(V.read_as_of(spark, tbl)) == {(1, "a")}
+    deltas = sorted(os.listdir(os.path.join(tbl, "delta")))
+    assert deltas == ["v=1"]
+    # a NEW tag still advances the chain
+    assert V.commit(spark, tbl, _mk(spark, [(2, "b", "u")]), tag="b1") == 2
+
+
+def test_streaming_cdc_apply_restart_resume(spark, tmp_path):
+    """The CDC apply loop survives a REAL stop/restart: run 1 commits
+    the day-1 change file against a persistent checkpointLocation and
+    stops; day 2's file arrives; run 2 restarts from the same
+    checkpoint and must commit ONLY the new batch — the final table
+    equals what one uninterrupted run produces, and the version chain
+    has exactly base + two batch commits."""
+    from fossa_spark.queries.streaming_queries import _feed_writer
+
+    tbl = str(tmp_path / "tbl")
+    V.init_table(tbl, key=["k"])
+    V.commit(spark, tbl, _mk(spark, [(i, f"base{i}", "u") for i in range(10)]))
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    ckpt = str(tmp_path / "ckpt")
+    w = _feed_writer(feed)
+
+    def _apply(batch_df, batch_id):
+        V.commit(batch_df.sparkSession, tbl, batch_df, tag=f"b{batch_id}")
+
+    def _run_once():
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    w(_mk(spark, [(100, "day1", "u"), (0, None, "d")]), 1)
+    _run_once()
+    assert V.current_version(tbl) == 2
+    mid = _rows(V.read_as_of(spark, tbl))
+    assert (100, "day1") in mid and not any(k == 0 for k, _ in mid)
+
+    w(_mk(spark, [(101, "day2", "u"), (100, "day1x", "u")]), 2)
+    _run_once()
+    assert V.current_version(tbl) == 3  # exactly ONE new commit
+    final = _rows(V.read_as_of(spark, tbl))
+    assert (101, "day2") in final and (100, "day1x") in final
+    assert (100, "day1") not in final
+    assert len(final) == 9 + 2  # 10 base - 1 delete + 2 inserts
