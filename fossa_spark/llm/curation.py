@@ -867,6 +867,10 @@ def data_card(
             F.sum("_nchr").alias("n_chars"),
             F.sum((F.col("_copies") > 1).cast("long")).alias("n_dup_docs"),
         )
+        # one row per (source, lang) — control-plane-sized; materialize
+        # so the corpus digest pass runs ONCE, not once under the report
+        # and again under the share total (measured 2x at sf10)
+        .localCheckpoint(eager=True)
     )
     total = per_group.agg(F.sum("n_tokens").alias("_tot"))
     return (
@@ -1025,7 +1029,8 @@ def filter_funnel(
     )
     counts = per_doc.groupBy("failed_stage").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).localCheckpoint(eager=True)  # n_rules+1 rows: one corpus pass, not
+    # one under the join and another under the total (measured 1.5x)
     total = counts.agg(F.sum("n").alias("_total"))
     r = (
         rules_df.join(

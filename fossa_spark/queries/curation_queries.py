@@ -749,7 +749,9 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup rate, and token share in ppm. The oracle re-derives the digest
     counts and every ratio in SQL, so a single mis-attributed duplicate
     or a skewed share moves a cell."""
-    d = load(spark, sf_dir, "documents")
+    # normalize+md5 per doc is a compute-heavy narrow pass — spread()
+    # buys idle cores when the scan yields fewer splits than cores
+    d = spread(load(spark, sf_dir, "documents"), spark)
     return C.data_card(d).orderBy("source", "lang")
 
 
@@ -828,7 +830,8 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cumulative evaluation counts in SQL."""
     from fossa_spark.llm.text import token_count_ws, tokens
 
-    d = load(spark, sf_dir, "documents")
+    # regex + tokenization features per doc — compute-heavy narrow pass
+    d = spread(load(spark, sf_dir, "documents"), spark)
     t = F.col("text")
     toks = tokens(t)
     nc = F.length(t).cast("double")
