@@ -831,7 +831,6 @@ def data_card(
     df: DataFrame,
     by: tuple[str, ...] = ("source", "lang"),
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Corpus DATA CARD: the per-(source, lang) release report a training
     run publishes next to its shards (mirrors the 'datasheets for
@@ -993,7 +992,6 @@ def k_anonymize(
 def filter_funnel(
     df: DataFrame,
     rules: list[tuple[str, Column]],
-    id_col: str = "doc_id",
 ) -> tuple[DataFrame, DataFrame]:
     """Rule-cascade document filter with per-stage ATTRITION accounting —
     the C4/Gopher-style quality funnel every web-corpus pipeline runs,

@@ -516,9 +516,9 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 base.filter(k % 15 == 6).withColumn(V.OP_COL, F.lit(V.DELETE))
             )
         )
-        V.commit(spark, tbl, v1, expect_version=0)
-        V.commit(spark, tbl, v2, expect_version=1)
-        V.commit(spark, tbl, v3, expect_version=2)
+        V.commit(tbl, v1, expect_version=0)
+        V.commit(tbl, v2, expect_version=1)
+        V.commit(tbl, v3, expect_version=2)
         V.checkpoint(spark, tbl, 2)
         V.vacuum(tbl)
 
@@ -594,9 +594,9 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 base.filter(k % 15 == 6).withColumn(V.OP_COL, F.lit(V.DELETE))
             )
         )
-        V.commit(spark, tbl, v1, expect_version=0)
-        V.commit(spark, tbl, v2, expect_version=1)
-        V.commit(spark, tbl, v3, expect_version=2)
+        V.commit(tbl, v1, expect_version=0)
+        V.commit(tbl, v2, expect_version=1)
+        V.commit(tbl, v3, expect_version=2)
         # checkpoint WITHOUT vacuum: the feed must ignore it and the
         # as-of(1) read must still resolve through the retained deltas
         V.checkpoint(spark, tbl, 2)

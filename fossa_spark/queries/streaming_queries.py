@@ -877,7 +877,7 @@ def q_stream_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tbl = os.path.join(tempfile.mkdtemp(prefix="fossa_svers_"), "tbl")
     V.init_table(tbl, key=["o_orderkey"])
-    V.commit(spark, tbl, base.filter(k % 2 == 0).withColumn(V.OP_COL, up),
+    V.commit(tbl, base.filter(k % 2 == 0).withColumn(V.OP_COL, up),
              expect_version=0)
 
     b1 = (
@@ -900,7 +900,7 @@ def q_stream_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     _staged_feed(base, feed, "svers_feed", _build_feed)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        V.commit(batch_df.sparkSession, tbl, batch_df, tag=f"b{batch_id}")
+        V.commit(tbl, batch_df, tag=f"b{batch_id}")
 
     stream = (
         spark.readStream.schema(b1.schema)

@@ -81,12 +81,12 @@ def current_version(path: str) -> int:
 
 
 def commit(
-    spark: SparkSession,
     path: str,
     df: DataFrame,
     *,
     expect_version: int | None = None,
     tag: str | None = None,
+    validate: bool = True,
 ) -> int:
     """Append one commit (the next version) to the chain.
 
@@ -97,6 +97,11 @@ def commit(
     within-commit ordering is undefined, so a duplicate would make the
     fold ambiguous; callers resolve their own intra-batch conflicts
     first (the same contract streaming upsert sinks impose).
+    ``validate=True`` (default) ENFORCES both the one-row-per-key rule
+    and the op vocabulary with one aggregate over the commit — a
+    duplicated key or a typo'd op ('U', 'upsert') would otherwise fold
+    NONDETERMINISTICALLY or silently tombstone rows; producers that
+    guarantee the contract by construction can skip the action.
 
     ``expect_version`` is optimistic concurrency: the commit aborts if
     another writer advanced the table (compare-and-swap on version
@@ -107,7 +112,10 @@ def commit(
     Structured Streaming foreachBatch that crashed after the meta swap
     re-delivers the same batch): a tag already recorded in meta returns
     its version without touching files — the txn-id dedup trick
-    streaming sinks use against at-least-once delivery.
+    streaming sinks use against at-least-once delivery. vacuum() prunes
+    tags at or below the retention horizon, so the replay window must
+    sit inside the retention window (the same trade the shard writer's
+    consumed-batch guard makes).
     """
     meta = _read_meta(path)
     cur = int(meta["current"])
@@ -126,6 +134,19 @@ def commit(
         raise ValueError(
             f"schema drift: table has {meta['columns']}, commit has {cols}"
         )
+    if validate:
+        bad = df.agg(
+            F.sum((~F.col(OP_COL).isin(UPSERT, DELETE)).cast("long"))
+            .alias("bad_ops"),
+            (F.count(F.lit(1))
+             - F.count_distinct(F.struct(*meta["key"]))).alias("dup_keys"),
+        ).first()
+        if bad.bad_ops or bad.dup_keys:
+            raise ValueError(
+                f"invalid commit: {bad.bad_ops or 0} rows with op not in "
+                f"('{UPSERT}', '{DELETE}'), {bad.dup_keys or 0} duplicated "
+                "keys (one row per key per commit)"
+            )
     v = cur + 1
     out = os.path.join(path, "delta", f"v={v}")
     # a crashed previous attempt at this same version may have left an
@@ -148,6 +169,32 @@ def _fold(df: DataFrame, key: Sequence[str], columns: Sequence[str]) -> DataFram
         .filter((F.col("_rk") == 1) & (F.col(OP_COL) == UPSERT))
         .select(*columns)
     )
+
+
+def _version_dirs(root: str) -> list[tuple[int, str]]:
+    """(version, name) for every committed ``v=N`` directory under root —
+    ignoring checkpoint/compaction temp dirs (``v=N._tmp``) that a crash
+    may have left behind."""
+    out = []
+    for d in os.listdir(root):
+        if d.startswith("v=") and d[2:].isdigit():
+            out.append((int(d[2:]), d))
+    return sorted(out)
+
+
+def _empty_like(spark: SparkSession, path: str, meta: dict) -> DataFrame:
+    """A 0-row relation in the table's REAL schema (version-0 reads must
+    union/join cleanly against any later as-of read). Resolves the
+    schema from any surviving delta or checkpoint files; a never-
+    committed table has no schema yet and returns a 0-column relation."""
+    columns = meta["columns"] or []
+    if columns:
+        for root in (os.path.join(path, "delta"), os.path.join(path, "ckpt")):
+            dirs = _version_dirs(root)
+            if dirs:
+                src = spark.read.parquet(os.path.join(root, dirs[-1][1]))
+                return src.filter(F.lit(False)).select(*columns)
+    return spark.createDataFrame([], schema="`_nothing` string").limit(0)
 
 
 def read_as_of(
@@ -174,9 +221,7 @@ def read_as_of(
         )
     columns = meta["columns"] or []
     if v == 0 or not columns:
-        return spark.createDataFrame(
-            [], schema=", ".join(f"`{c}` string" for c in columns) or "dummy string"
-        ).limit(0)
+        return _empty_like(spark, path, meta)
     base_v = max((c for c in meta["checkpoints"] if c <= v), default=0)
     parts = []
     if base_v:
@@ -239,12 +284,23 @@ def vacuum(path: str) -> tuple[int, int]:
     before = len(os.listdir(delta_root)) + len(os.listdir(ckpt_root))
     meta["checkpoints"] = [keep_from]
     meta["retained_from"] = keep_from
+    # retire idempotence tags whose commit fell below the horizon: a
+    # replay window must sit inside the retention window anyway (a
+    # vacuumed batch can no longer be re-derived), and an unpruned tag
+    # map would grow one entry per micro-batch forever
+    meta["tags"] = {
+        t: tv for t, tv in meta.get("tags", {}).items() if tv > keep_from
+    }
     _write_meta(path, meta)
-    for d in os.listdir(delta_root):
-        if d.startswith("v=") and int(d[2:]) <= keep_from:
+    for ver, d in _version_dirs(delta_root):
+        if ver <= keep_from:
             shutil.rmtree(os.path.join(delta_root, d), ignore_errors=True)
+    for ver, d in _version_dirs(ckpt_root):
+        if ver < keep_from:
+            shutil.rmtree(os.path.join(ckpt_root, d), ignore_errors=True)
+    # sweep crash-orphaned checkpoint temp dirs while we're here
     for d in os.listdir(ckpt_root):
-        if d.startswith("v=") and int(d[2:]) < keep_from:
+        if d.endswith("._tmp"):
             shutil.rmtree(os.path.join(ckpt_root, d), ignore_errors=True)
     after = len(os.listdir(delta_root)) + len(os.listdir(ckpt_root))
     return (before, after)
@@ -290,7 +346,11 @@ def change_feed(
             f"need 0 <= from_v < to_v <= {cur}, got ({from_v}, {to_v})"
         )
     retained_from = int(meta.get("retained_from", 0))
-    if from_v != 0 and from_v < retained_from:
+    if from_v < retained_from:
+        # this includes from_v == 0: a from-empty feed needs the FULL
+        # history, and the pre-checkpoint deltas are physically gone —
+        # silently folding the surviving suffix would drop every change
+        # that lived in the vacuumed range (review r10)
         raise ValueError(
             f"version {from_v} was vacuumed (history from v{retained_from})"
         )

@@ -30,9 +30,9 @@ def tbl(tmp_path):
 
 
 def test_commit_fold_upsert_delete_chain(spark, tbl):
-    V.commit(spark, tbl, _mk(spark, [(1, "a", "u"), (2, "b", "u")]))
-    V.commit(spark, tbl, _mk(spark, [(2, "B", "u"), (3, "c", "u")]))
-    V.commit(spark, tbl, _mk(spark, [(1, None, "d"), (4, "d", "u")]))
+    V.commit(tbl, _mk(spark, [(1, "a", "u"), (2, "b", "u")]))
+    V.commit(tbl, _mk(spark, [(2, "B", "u"), (3, "c", "u")]))
+    V.commit(tbl, _mk(spark, [(1, None, "d"), (4, "d", "u")]))
     assert V.current_version(tbl) == 3
     assert _rows(V.read_as_of(spark, tbl, 1)) == {(1, "a"), (2, "b")}
     assert _rows(V.read_as_of(spark, tbl, 2)) == {(1, "a"), (2, "B"), (3, "c")}
@@ -42,22 +42,22 @@ def test_commit_fold_upsert_delete_chain(spark, tbl):
 
 
 def test_optimistic_concurrency_and_schema_guard(spark, tbl):
-    V.commit(spark, tbl, _mk(spark, [(1, "a", "u")]), expect_version=0)
+    V.commit(tbl, _mk(spark, [(1, "a", "u")]), expect_version=0)
     with pytest.raises(RuntimeError, match="version conflict"):
-        V.commit(spark, tbl, _mk(spark, [(2, "b", "u")]), expect_version=0)
+        V.commit(tbl, _mk(spark, [(2, "b", "u")]), expect_version=0)
     with pytest.raises(ValueError, match="_op"):
-        V.commit(spark, tbl, _mk(spark, [(2, "b", "u")]).drop("_op"))
+        V.commit(tbl, _mk(spark, [(2, "b", "u")]).drop("_op"))
     drifted = spark.createDataFrame([(2, 7, "u")], "k long, other long, _op string")
     with pytest.raises(ValueError, match="schema drift"):
-        V.commit(spark, tbl, drifted)
+        V.commit(tbl, drifted)
 
 
 def test_checkpoint_vacuum_invariance_and_retention(spark, tbl):
-    V.commit(spark, tbl, _mk(spark, [(i, f"p{i}", "u") for i in range(20)]))
-    V.commit(spark, tbl, _mk(
+    V.commit(tbl, _mk(spark, [(i, f"p{i}", "u") for i in range(20)]))
+    V.commit(tbl, _mk(
         spark, [(i, f"q{i}", "u") for i in range(0, 20, 2)]
         + [(i, None, "d") for i in range(1, 20, 4)]))
-    V.commit(spark, tbl, _mk(spark, [(100, "new", "u")]))
+    V.commit(tbl, _mk(spark, [(100, "new", "u")]))
     before2 = _rows(V.read_as_of(spark, tbl, 2))
     before3 = _rows(V.read_as_of(spark, tbl, 3))
 
@@ -78,38 +78,38 @@ def test_checkpoint_vacuum_invariance_and_retention(spark, tbl):
     assert [h["readable"] for h in hist] == [False, True, True]
     assert [h["checkpointed"] for h in hist] == [False, True, False]
     # the chain keeps accepting commits after vacuum
-    V.commit(spark, tbl, _mk(spark, [(101, "post", "u")]), expect_version=3)
+    V.commit(tbl, _mk(spark, [(101, "post", "u")]), expect_version=3)
     assert (101, "post") in _rows(V.read_as_of(spark, tbl))
 
 
 def test_crashed_commit_orphan_is_replaced(spark, tbl):
-    V.commit(spark, tbl, _mk(spark, [(1, "a", "u")]))
+    V.commit(tbl, _mk(spark, [(1, "a", "u")]))
     # simulate a writer that crashed after writing files but BEFORE the
     # meta swap: the orphan v=2 directory logically does not exist
     orphan = os.path.join(tbl, "delta", "v=2")
     _mk(spark, [(9, "garbage", "u")]).write.parquet(orphan)
     assert V.current_version(tbl) == 1
-    V.commit(spark, tbl, _mk(spark, [(2, "b", "u")]), expect_version=1)
+    V.commit(tbl, _mk(spark, [(2, "b", "u")]), expect_version=1)
     assert _rows(V.read_as_of(spark, tbl)) == {(1, "a"), (2, "b")}
 
 
 def test_read_as_of_out_of_range(spark, tbl):
     with pytest.raises(ValueError, match="out of range"):
         V.read_as_of(spark, tbl, 1)
-    V.commit(spark, tbl, _mk(spark, [(1, "a", "u")]))
+    V.commit(tbl, _mk(spark, [(1, "a", "u")]))
     with pytest.raises(ValueError, match="out of range"):
         V.read_as_of(spark, tbl, 2)
 
 
 def test_change_feed_nets_and_preimages(spark, tbl):
-    V.commit(spark, tbl, _mk(spark, [(1, "a", "u"), (2, "b", "u")]))
-    V.commit(spark, tbl, _mk(spark, [
+    V.commit(tbl, _mk(spark, [(1, "a", "u"), (2, "b", "u")]))
+    V.commit(tbl, _mk(spark, [
         (1, "A", "u"),          # update
         (3, "c", "u"),          # insert...
         (2, None, "d"),         # delete
         (9, None, "d"),         # no-op tombstone (9 never existed)
     ]))
-    V.commit(spark, tbl, _mk(spark, [(3, None, "d"), (4, "d", "u")]))
+    V.commit(tbl, _mk(spark, [(3, None, "d"), (4, "d", "u")]))
     feed = {(r.change, r.k, r.payload)
             for r in V.change_feed(spark, tbl, 1, 3).collect()}
     assert feed == {
@@ -129,14 +129,14 @@ def test_change_feed_nets_and_preimages(spark, tbl):
 
 
 def test_change_feed_range_and_retention_guards(spark, tbl):
-    V.commit(spark, tbl, _mk(spark, [(1, "a", "u")]))
-    V.commit(spark, tbl, _mk(spark, [(2, "b", "u")]))
+    V.commit(tbl, _mk(spark, [(1, "a", "u")]))
+    V.commit(tbl, _mk(spark, [(2, "b", "u")]))
     with pytest.raises(ValueError, match="from_v < to_v"):
         V.change_feed(spark, tbl, 2, 2)
     with pytest.raises(ValueError, match="from_v < to_v"):
         V.change_feed(spark, tbl, 0, 3)
     V.checkpoint(spark, tbl, 2)
-    V.commit(spark, tbl, _mk(spark, [(3, "c", "u")]))
+    V.commit(tbl, _mk(spark, [(3, "c", "u")]))
     V.vacuum(tbl)
     with pytest.raises(ValueError, match="vacuumed"):
         V.change_feed(spark, tbl, 1, 3)
@@ -145,16 +145,16 @@ def test_change_feed_range_and_retention_guards(spark, tbl):
 
 
 def test_change_feed_from_zero_is_all_inserts(spark, tbl):
-    V.commit(spark, tbl, _mk(spark, [(1, "a", "u"), (2, "b", "u")]))
-    V.commit(spark, tbl, _mk(spark, [(2, None, "d"), (3, "c", "u")]))
+    V.commit(tbl, _mk(spark, [(1, "a", "u"), (2, "b", "u")]))
+    V.commit(tbl, _mk(spark, [(2, None, "d"), (3, "c", "u")]))
     feed = {(r.change, r.k, r.payload)
             for r in V.change_feed(spark, tbl, 0, 2).collect()}
     assert feed == {("insert", 1, "a"), ("insert", 3, "c")}
 
 
 def test_tagged_commit_is_idempotent(spark, tbl):
-    v1 = V.commit(spark, tbl, _mk(spark, [(1, "a", "u")]), tag="b0")
-    v_again = V.commit(spark, tbl, _mk(spark, [(1, "SHOULD NOT LAND", "u")]),
+    v1 = V.commit(tbl, _mk(spark, [(1, "a", "u")]), tag="b0")
+    v_again = V.commit(tbl, _mk(spark, [(1, "SHOULD NOT LAND", "u")]),
                        tag="b0")
     assert v1 == v_again == 1
     assert V.current_version(tbl) == 1
@@ -162,7 +162,7 @@ def test_tagged_commit_is_idempotent(spark, tbl):
     deltas = sorted(os.listdir(os.path.join(tbl, "delta")))
     assert deltas == ["v=1"]
     # a NEW tag still advances the chain
-    assert V.commit(spark, tbl, _mk(spark, [(2, "b", "u")]), tag="b1") == 2
+    assert V.commit(tbl, _mk(spark, [(2, "b", "u")]), tag="b1") == 2
 
 
 def test_streaming_cdc_apply_restart_resume(spark, tmp_path):
@@ -176,7 +176,7 @@ def test_streaming_cdc_apply_restart_resume(spark, tmp_path):
 
     tbl = str(tmp_path / "tbl")
     V.init_table(tbl, key=["k"])
-    V.commit(spark, tbl, _mk(spark, [(i, f"base{i}", "u") for i in range(10)]))
+    V.commit(tbl, _mk(spark, [(i, f"base{i}", "u") for i in range(10)]))
 
     feed = str(tmp_path / "feed")
     os.makedirs(feed)
@@ -184,7 +184,7 @@ def test_streaming_cdc_apply_restart_resume(spark, tmp_path):
     w = _feed_writer(feed)
 
     def _apply(batch_df, batch_id):
-        V.commit(batch_df.sparkSession, tbl, batch_df, tag=f"b{batch_id}")
+        V.commit(tbl, batch_df, tag=f"b{batch_id}")
 
     def _run_once():
         q = (
@@ -211,3 +211,38 @@ def test_streaming_cdc_apply_restart_resume(spark, tmp_path):
     assert (101, "day2") in final and (100, "day1x") in final
     assert (100, "day1") not in final
     assert len(final) == 9 + 2  # 10 base - 1 delete + 2 inserts
+
+
+def test_commit_validates_contract(spark, tbl):
+    dup = _mk(spark, [(1, "a", "u"), (1, "b", "u")])
+    with pytest.raises(ValueError, match="duplicated keys"):
+        V.commit(tbl, dup)
+    bad_op = _mk(spark, [(1, "a", "upsert")])
+    with pytest.raises(ValueError, match="op not in"):
+        V.commit(tbl, bad_op)
+    assert V.current_version(tbl) == 0  # nothing landed
+    # producers that guarantee the contract can skip the action
+    V.commit(tbl, _mk(spark, [(1, "a", "u")]), validate=False)
+    assert V.current_version(tbl) == 1
+
+
+def test_vacuum_survives_crashed_checkpoint_tmp(spark, tbl):
+    V.commit(tbl, _mk(spark, [(1, "a", "u")]), tag="b0")
+    V.commit(tbl, _mk(spark, [(2, "b", "u")]), tag="b1")
+    V.checkpoint(spark, tbl, 2)
+    # simulate a checkpoint that died before its rename
+    orphan = os.path.join(tbl, "ckpt", "v=9._tmp")
+    os.makedirs(orphan)
+    V.vacuum(tbl)  # must not raise on the ._tmp entry — and sweeps it
+    assert not os.path.exists(orphan)
+    # retired tags pruned (both commits are at/below the horizon),
+    # so meta stays bounded for long-lived streaming tables
+    assert V._read_meta(tbl)["tags"] == {}
+    # a from-zero feed over vacuumed history must fail loudly
+    V.commit(tbl, _mk(spark, [(3, "c", "u")]))
+    with pytest.raises(ValueError, match="vacuumed"):
+        V.change_feed(spark, tbl, 0, 3)
+    # as-of-0 reads keep the table's REAL schema for union/join safety
+    z = V.read_as_of(spark, tbl, 0)
+    assert dict(z.dtypes) == {"k": "bigint", "payload": "string"}
+    assert z.count() == 0
