@@ -42,7 +42,15 @@ class AccessMode(Enum):
 #     sized data only (job specs, manifests) — the same single-node shape
 #     as ayeaye's sqlite connector. Table name rides in the URL fragment:
 #     sqlite:///path/db.sqlite#tablename
-_FORMATS = {"csv", "parquet", "json", "orc", "text", "ndjson", "tsv", "sqlite"}
+#   versioned:// — the round-10 versioned dataset (fossa_spark.versioned):
+#     reads resolve time travel from the URL fragment
+#     (versioned:///path/tbl#v=2 → read_as_of v2; no fragment → current);
+#     writes are COMMITS (append-only version chain — rows without an
+#     _op column are treated as upserts). First write must declare the
+#     key via options={"key": "col[,col]"}; options={"tag": ...} makes
+#     the commit idempotent for replaying producers.
+_FORMATS = {"csv", "parquet", "json", "orc", "text", "ndjson", "tsv",
+            "sqlite", "versioned"}
 
 
 @dataclass
@@ -145,6 +153,8 @@ class Connect:
         url = self.resolved()
         if url.scheme == "sqlite":
             return self._read_sqlite(spark, url)
+        if url.scheme == "versioned":
+            return self._read_versioned(spark, url)
         reader = spark.read
         schema = self.schema or _schema_from_field_names(self.field_names)
         if schema is not None:
@@ -159,6 +169,9 @@ class Connect:
         url = self.resolved()
         if url.scheme == "sqlite":
             self._write_sqlite(df, url, mode)
+            return
+        if url.scheme == "versioned":
+            self._write_versioned(df, url)
             return
         writer = df.write.mode(mode)
         fmt, opts = self._format_and_options(url)
@@ -179,6 +192,47 @@ class Connect:
             opts.setdefault("multiLine", "false")
             return "json", opts
         return url.scheme, opts
+
+    # versioned:// passthrough — the lakehouse table behind the ayeaye
+    # connector surface: a model just declares
+    # Connect(engine_url="versioned:///state/users#v=3") and gets time
+    # travel; its write() is an append-only commit, never an overwrite.
+    def _read_versioned(self, spark: SparkSession, url: EngineUrl) -> DataFrame:
+        from fossa_spark import versioned as V
+
+        v: int | None = None
+        if url.fragment:
+            if not url.fragment.startswith("v="):
+                raise ValueError(
+                    f"versioned:// fragment must be v=<int>, got "
+                    f"{url.fragment!r}"
+                )
+            v = int(url.fragment[2:])
+        return V.read_as_of(spark, url.path, v)
+
+    def _write_versioned(self, df: DataFrame, url: EngineUrl) -> None:
+        import os
+
+        from pyspark.sql import functions as F
+
+        from fossa_spark import versioned as V
+
+        if url.fragment:
+            raise ValueError(
+                "versioned:// writes commit the NEXT version; a #v= pin "
+                "is a read-side concept"
+            )
+        if not os.path.exists(V._meta_path(url.path)):
+            key = self.options.get("key")
+            if not key:
+                raise ValueError(
+                    "first write to a versioned:// table must declare the "
+                    "key: options={'key': 'col[,col]'}"
+                )
+            V.init_table(url.path, key=[k.strip() for k in key.split(",")])
+        if V.OP_COL not in df.columns:
+            df = df.withColumn(V.OP_COL, F.lit(V.UPSERT))
+        V.commit(url.path, df, tag=self.options.get("tag"))
 
     # sqlite passthrough: stdlib sqlite3 on the driver. Control-plane-sized
     # data ONLY (same single-node contract as ayeaye's sqlite connector and

@@ -322,7 +322,8 @@ def history(path: str) -> list[dict]:
 
 
 def change_feed(
-    spark: SparkSession, path: str, from_v: int, to_v: int
+    spark: SparkSession, path: str, from_v: int, to_v: int,
+    *, with_preimage: bool = False,
 ) -> DataFrame:
     """NET row-level changes between two versions (the Delta change-data-
     feed shape): one row per key whose state differs, classified
@@ -338,7 +339,13 @@ def change_feed(
     'delete'; a tombstone for a key absent at from_v nets to nothing.
     An upsert identical to the old payload still reports 'update' —
     the feed is change-log-faithful, not value-diff-faithful (use the
-    relational diff operators for that)."""
+    relational diff operators for that).
+
+    ``with_preimage=True`` additionally emits ``old_<payload>`` columns
+    (the as-of(from_v) values; null for inserts) — what a downstream
+    index maintainer needs to RETRACT the superseded entry before
+    inserting the new one (the q_agg_retract signed-state discipline
+    requires both images for updates)."""
     meta = _read_meta(path)
     cur = int(meta["current"])
     if not (0 <= from_v < to_v <= cur):
@@ -389,6 +396,10 @@ def change_feed(
         .when(F.col(OP_COL) == UPSERT, F.lit("insert"))
         .when(F.col("_in_old").isNotNull(), F.lit("delete"))
     )
+    pre = (
+        [F.col(f"_old_{c}").alias(f"old_{c}") for c in payload]
+        if with_preimage else []
+    )
     return (
         j.withColumn("change", change)
         .filter(F.col("change").isNotNull())
@@ -400,5 +411,6 @@ def change_feed(
                 .otherwise(F.col(c)).alias(c)
                 for c in payload
             ],
+            *pre,
         )
     )

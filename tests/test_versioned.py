@@ -246,3 +246,48 @@ def test_vacuum_survives_crashed_checkpoint_tmp(spark, tbl):
     z = V.read_as_of(spark, tbl, 0)
     assert dict(z.dtypes) == {"k": "bigint", "payload": "string"}
     assert z.count() == 0
+
+
+def test_versioned_engine_url_connector(spark, tmp_path):
+    """versioned:// through the ayeaye-parity Connect surface: first
+    write declares the key and commits v1; later writes commit deltas
+    (bare rows default to upserts); reads time-travel via the #v=
+    fragment; a #v= pin on a write is rejected; tagged writes are
+    idempotent."""
+    from fossa_spark.connect import AccessMode, Connect
+
+    url = f"versioned://{tmp_path}/tbl"
+    w = Connect(engine_url=url, access=AccessMode.READWRITE,
+                options={"key": "k"})
+    with pytest.raises(ValueError, match="declare the key"):
+        Connect(engine_url=url, access=AccessMode.READWRITE).write(
+            spark.createDataFrame([(1, "a")], "k long, payload string"))
+    w.write(spark.createDataFrame([(1, "a"), (2, "b")],
+                                  "k long, payload string"))
+    w.write(_mk(spark, [(2, "B", "u"), (1, None, "d")]))
+    r = Connect(engine_url=url)
+    assert _rows(r.read(spark)) == {(2, "B")}
+    assert _rows(Connect(engine_url=url + "#v=1").read(spark)) == {
+        (1, "a"), (2, "b")}
+    with pytest.raises(ValueError, match="read-side"):
+        Connect(engine_url=url + "#v=1", access=AccessMode.READWRITE).write(
+            _mk(spark, [(3, "c", "u")]))
+    tagged = Connect(engine_url=url, access=AccessMode.READWRITE,
+                     options={"tag": "day3"})
+    tagged.write(_mk(spark, [(3, "c", "u")]))
+    tagged.write(_mk(spark, [(3, "SHOULD NOT LAND", "u")]))  # replay
+    assert _rows(r.read(spark)) == {(2, "B"), (3, "c")}
+    assert r.datasource_exists
+
+
+def test_change_feed_with_preimage(spark, tbl):
+    V.commit(tbl, _mk(spark, [(1, "a", "u"), (2, "b", "u")]))
+    V.commit(tbl, _mk(spark, [(1, "A", "u"), (2, None, "d"), (3, "c", "u")]))
+    feed = {(r.change, r.k, r.payload, r.old_payload)
+            for r in V.change_feed(spark, tbl, 1, 2,
+                                   with_preimage=True).collect()}
+    assert feed == {
+        ("update", 1, "A", "a"),   # both images for retraction
+        ("delete", 2, "b", "b"),
+        ("insert", 3, "c", None),
+    }
