@@ -171,7 +171,7 @@ class Connect:
             self._write_sqlite(df, url, mode)
             return
         if url.scheme == "versioned":
-            self._write_versioned(df, url)
+            self._write_versioned(df, url, mode, partition_by)
             return
         writer = df.write.mode(mode)
         fmt, opts = self._format_and_options(url)
@@ -208,9 +208,22 @@ class Connect:
                     f"{url.fragment!r}"
                 )
             v = int(url.fragment[2:])
-        return V.read_as_of(spark, url.path, v)
+        df = V.read_as_of(spark, url.path, v)
+        # apply the declared field contract like every other scheme does
+        # (review r10): project + cast, failing loudly on a missing column
+        schema = self.schema or _schema_from_field_names(self.field_names)
+        if schema is not None:
+            if isinstance(schema, str):
+                schema = T._parse_datatype_string(schema)
+            from pyspark.sql import functions as F
 
-    def _write_versioned(self, df: DataFrame, url: EngineUrl) -> None:
+            df = df.select(
+                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+            )
+        return df
+
+    def _write_versioned(self, df: DataFrame, url: EngineUrl,
+                         mode: str, partition_by: list[str] | None) -> None:
         import os
 
         from pyspark.sql import functions as F
@@ -222,6 +235,19 @@ class Connect:
                 "versioned:// writes commit the NEXT version; a #v= pin "
                 "is a read-side concept"
             )
+        # a commit IS an append — both spellings accepted; anything else
+        # ('error', 'ignore') has no version-chain meaning and must not
+        # be silently reinterpreted (review r10)
+        if mode not in ("append", "overwrite"):
+            raise ValueError(
+                f"versioned:// writes are append-only commits; mode "
+                f"{mode!r} has no meaning here"
+            )
+        if partition_by:
+            raise ValueError(
+                "versioned:// manages its own v= layout; partition_by "
+                "is not supported"
+            )
         if not os.path.exists(V._meta_path(url.path)):
             key = self.options.get("key")
             if not key:
@@ -229,10 +255,20 @@ class Connect:
                     "first write to a versioned:// table must declare the "
                     "key: options={'key': 'col[,col]'}"
                 )
-            V.init_table(url.path, key=[k.strip() for k in key.split(",")])
+            try:
+                V.init_table(url.path, key=[k.strip() for k in key.split(",")])
+            except FileExistsError:
+                pass  # another writer initialized first — commit below
         if V.OP_COL not in df.columns:
             df = df.withColumn(V.OP_COL, F.lit(V.UPSERT))
-        V.commit(url.path, df, tag=self.options.get("tag"))
+        # the tag resolves through the connector context, so a model can
+        # declare options={'tag': '{batch_id}'} ONCE and vary it per run;
+        # a constant tag makes every later write a silent no-op replay —
+        # exactly the idempotence contract, so it must vary per commit
+        tag = self.options.get("tag")
+        if tag is not None:
+            tag = connector_resolver.resolve(tag)
+        V.commit(url.path, df, tag=tag)
 
     # sqlite passthrough: stdlib sqlite3 on the driver. Control-plane-sized
     # data ONLY (same single-node contract as ayeaye's sqlite connector and

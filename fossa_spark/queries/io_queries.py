@@ -471,13 +471,80 @@ def q_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_version_chain(base: DataFrame, into: str, *,
+                          vacuum: bool) -> str:
+    """Build THE deterministic three-commit version chain every
+    versioned-table query shares (one definition — review r10: three
+    copy-pasted builders sharing a stage-cache key was a stale-cache
+    poisoning hazard): v1 inserts keys ≡0 (mod 3); v2 inserts ≡1,
+    re-upserts ≡0 (mod 9, excluding ≡0 mod 12) with o_custkey+1e6, and
+    deletes ≡0 (mod 12); v3 inserts ≡2 and deletes ≡6 (mod 15). A
+    checkpoint lands at v2; ``vacuum`` additionally drops the folded
+    history. Returns the table path under ``into``."""
+    import os
+
+    from fossa_spark import versioned as V
+
+    tbl = os.path.join(into, "tbl")
+    k = F.col("o_orderkey")
+    up = F.lit(V.UPSERT)
+    V.init_table(tbl, key=["o_orderkey"])
+    v1 = base.filter(k % 3 == 0).withColumn(V.OP_COL, up)
+    v2 = (
+        base.filter(k % 3 == 1).withColumn(V.OP_COL, up)
+        .unionByName(
+            base.filter((k % 9 == 0) & (k % 12 != 0))
+            .withColumn("o_custkey", F.col("o_custkey") + 1_000_000)
+            .withColumn(V.OP_COL, up)
+        )
+        .unionByName(
+            base.filter(k % 12 == 0).withColumn(V.OP_COL, F.lit(V.DELETE))
+        )
+    )
+    v3 = (
+        base.filter(k % 3 == 2).withColumn(V.OP_COL, up)
+        .unionByName(
+            base.filter(k % 15 == 6).withColumn(V.OP_COL, F.lit(V.DELETE))
+        )
+    )
+    spark = base.sparkSession
+    V.commit(tbl, v1, expect_version=0)
+    V.commit(tbl, v2, expect_version=1)
+    V.commit(tbl, v3, expect_version=2)
+    V.checkpoint(spark, tbl, 2)
+    if vacuum:
+        V.vacuum(tbl)
+    return tbl
+
+
+def _staged_version_chain(spark: SparkSession, sf_dir: str, *,
+                          vacuum: bool) -> str:
+    """The chain above, served from the stage cache (per-corpus
+    deterministic bytes). The cache key includes the vacuum flag AND a
+    build-recipe version, so editing the builder can never leave one
+    consumer reading another's stale artifact."""
+    import os
+    import tempfile as _tf
+
+    from fossa_spark.sources import stage_files
+
+    o = load(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_custkey", "o_orderstatus")
+    out_dir = _tf.mkdtemp(prefix="fossa_vchain_")
+    stage_files(
+        base, out_dir,
+        cache_prefix="vchain",
+        params=["vchain_v1", bool(vacuum)],
+        build=lambda into: _orders_version_chain(base, into, vacuum=vacuum),
+    )
+    return os.path.join(out_dir, "tbl")
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned dataset with TIME TRAVEL (round 10,
-    fossa_spark/versioned.py): a three-commit chain over orders —
-    v1 inserts keys ≡0 (mod 3); v2 inserts keys ≡1, re-upserts keys
-    ≡0 (mod 9) with a modified payload, and deletes keys ≡0 (mod 12);
-    v3 inserts keys ≡2 and deletes keys ≡6 (mod 15) — then a CHECKPOINT
-    at v2 and a VACUUM physically drop the v1/v2 deltas, so the as-of-2
+    fossa_spark/versioned.py): the shared three-commit chain over
+    orders (_orders_version_chain) with a CHECKPOINT at v2 and a
+    VACUUM that physically drops the v1/v2 deltas, so the as-of-2
     read resolves from the checkpoint alone and the as-of-3 read folds
     checkpoint + the one surviving delta (both partition-pruned on the
     v= directory column). Returns the per-status audit of BOTH versions;
@@ -485,53 +552,9 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     state from orders, so a fold slip, a lost tombstone, or a
     vacuum-destroyed row moves a cell. The artifact is per-corpus
     deterministic and served from the stage cache."""
-    import os
-
     from fossa_spark import versioned as V
-    from fossa_spark.sources import stage_files
 
-    o = load(spark, sf_dir, "orders")
-    base = o.select("o_orderkey", "o_custkey", "o_orderstatus")
-    k = F.col("o_orderkey")
-
-    def _build(into: str) -> None:
-        tbl = os.path.join(into, "tbl")
-        V.init_table(tbl, key=["o_orderkey"])
-        up = F.lit(V.UPSERT)
-        v1 = base.filter(k % 3 == 0).withColumn(V.OP_COL, up)
-        v2 = (
-            base.filter(k % 3 == 1).withColumn(V.OP_COL, up)
-            .unionByName(
-                base.filter((k % 9 == 0) & (k % 12 != 0))
-                .withColumn("o_custkey", F.col("o_custkey") + 1_000_000)
-                .withColumn(V.OP_COL, up)
-            )
-            .unionByName(
-                base.filter(k % 12 == 0).withColumn(V.OP_COL, F.lit(V.DELETE))
-            )
-        )
-        v3 = (
-            base.filter(k % 3 == 2).withColumn(V.OP_COL, up)
-            .unionByName(
-                base.filter(k % 15 == 6).withColumn(V.OP_COL, F.lit(V.DELETE))
-            )
-        )
-        V.commit(tbl, v1, expect_version=0)
-        V.commit(tbl, v2, expect_version=1)
-        V.commit(tbl, v3, expect_version=2)
-        V.checkpoint(spark, tbl, 2)
-        V.vacuum(tbl)
-
-    import tempfile as _tf
-
-    out_dir = _tf.mkdtemp(prefix="fossa_timetravel_")
-    stage_files(
-        base, out_dir,
-        cache_prefix="timetravel",
-        params=["timetravel_v1"],
-        build=_build,
-    )
-    tbl = os.path.join(out_dir, "tbl")
+    tbl = _staged_version_chain(spark, sf_dir, vacuum=True)
 
     def audit(v: int) -> DataFrame:
         return (
@@ -553,62 +576,20 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHANGE DATA FEED over the versioned table (round 10,
-    versioned.py change_feed — the Delta-CDF shape): the same
+    versioned.py change_feed — the Delta-CDF shape): the same shared
     three-commit chain as q_time_travel but retained in full, then the
     net row-level changes in (v1, v3] — keys inserted at v2/v3 net to
     'insert', the v2 payload rewrite nets to 'update', tombstones net
     to 'delete' carrying the PRE-image, and a key upserted-then-deleted
     inside the range nets to one 'delete'. Only the changed rows are
     scanned (partition-pruned delta fold) + one membership join against
-    as-of(v1). The oracle re-derives the net classification and all
-    three payload states set-theoretically from orders."""
-    import os
-    import tempfile as _tf
-
+    as-of(v1); the checkpoint at v2 must be ignored by the feed. The
+    oracle re-derives the net classification and all three payload
+    states set-theoretically from orders."""
     from fossa_spark import versioned as V
-    from fossa_spark.sources import stage_files
 
-    o = load(spark, sf_dir, "orders")
-    base = o.select("o_orderkey", "o_custkey", "o_orderstatus")
-    k = F.col("o_orderkey")
-
-    def _build(into: str) -> None:
-        tbl = os.path.join(into, "tbl")
-        V.init_table(tbl, key=["o_orderkey"])
-        up = F.lit(V.UPSERT)
-        v1 = base.filter(k % 3 == 0).withColumn(V.OP_COL, up)
-        v2 = (
-            base.filter(k % 3 == 1).withColumn(V.OP_COL, up)
-            .unionByName(
-                base.filter((k % 9 == 0) & (k % 12 != 0))
-                .withColumn("o_custkey", F.col("o_custkey") + 1_000_000)
-                .withColumn(V.OP_COL, up)
-            )
-            .unionByName(
-                base.filter(k % 12 == 0).withColumn(V.OP_COL, F.lit(V.DELETE))
-            )
-        )
-        v3 = (
-            base.filter(k % 3 == 2).withColumn(V.OP_COL, up)
-            .unionByName(
-                base.filter(k % 15 == 6).withColumn(V.OP_COL, F.lit(V.DELETE))
-            )
-        )
-        V.commit(tbl, v1, expect_version=0)
-        V.commit(tbl, v2, expect_version=1)
-        V.commit(tbl, v3, expect_version=2)
-        # checkpoint WITHOUT vacuum: the feed must ignore it and the
-        # as-of(1) read must still resolve through the retained deltas
-        V.checkpoint(spark, tbl, 2)
-
-    out_dir = _tf.mkdtemp(prefix="fossa_changefeed_")
-    stage_files(
-        base, out_dir,
-        cache_prefix="changefeed",
-        params=["changefeed_v1"],
-        build=_build,
-    )
-    feed = V.change_feed(spark, os.path.join(out_dir, "tbl"), 1, 3)
+    tbl = _staged_version_chain(spark, sf_dir, vacuum=False)
+    feed = V.change_feed(spark, tbl, 1, 3)
     return (
         feed.groupBy("change", "o_orderstatus")
         .agg(
@@ -620,10 +601,76 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-DRIVEN materialized-view maintenance (round 10 — the
+    change-data-feed consumer): a per-status aggregate view (count,
+    key sum, payload sum) is seeded from as-of(v1), then maintained
+    PURELY from change_feed(v1→v3, with_preimage=True) by the fully
+    general signed-state recipe — every update is treated as a
+    RETRACTION of its pre-image plus an insertion of its post-image
+    (each charged to its OWN group, so updates that move a row between
+    groups maintain both sides; review r10), deletes retract, inserts
+    add — and the maintained view must equal the direct aggregate of
+    as-of(v3), which is exactly what the oracle computes
+    set-theoretically from orders. An O(changes) refresh replacing an
+    O(table) rescan: the feed is the only corpus-sized input after the
+    seed. Reuses the shared staged chain (vacuum=False)."""
+    from fossa_spark import versioned as V
+
+    tbl = _staged_version_chain(spark, sf_dir, vacuum=False)
+
+    seed = (
+        V.read_as_of(spark, tbl, 1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("o_custkey").alias("cust_sum"),
+        )
+    )
+    feed = V.change_feed(spark, tbl, 1, 3, with_preimage=True)
+    # retractions: deletes (payload IS the pre-image) and updates
+    # (pre-image in old_*), each charged to its pre-image group
+    retract = feed.filter(F.col("change").isin("delete", "update")).select(
+        F.when(F.col("change") == "update", F.col("old_o_orderstatus"))
+        .otherwise(F.col("o_orderstatus")).alias("grp"),
+        F.lit(-1).alias("dn"),
+        (-F.col("o_orderkey")).alias("dk"),
+        F.when(F.col("change") == "update", -F.col("old_o_custkey"))
+        .otherwise(-F.col("o_custkey")).alias("dc"),
+    )
+    # insertions: inserts and updates, post-image group and payload
+    add = feed.filter(F.col("change").isin("insert", "update")).select(
+        F.col("o_orderstatus").alias("grp"),
+        F.lit(1).alias("dn"),
+        F.col("o_orderkey").alias("dk"),
+        F.col("o_custkey").alias("dc"),
+    )
+    deltas = (
+        retract.unionByName(add)
+        .groupBy("grp")
+        .agg(F.sum("dn").alias("n_rows"), F.sum("dk").alias("key_sum"),
+             F.sum("dc").alias("cust_sum"))
+        .withColumnRenamed("grp", "o_orderstatus")
+    )
+    return (
+        seed.unionByName(deltas)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("key_sum").alias("key_sum"),
+            F.sum("cust_sum").alias("cust_sum"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
     "q_csv_malformed": q_csv_malformed,
     "q_time_travel": q_time_travel,
     "q_change_feed": q_change_feed,
+    "q_view_maintain": q_view_maintain,
     "q_join_dpp": q_join_dpp,
     "q_csv_roundtrip": q_csv_roundtrip,
     "q_partitioned_write": q_partitioned_write,
@@ -669,6 +716,22 @@ ORACLE = {
                     AS BIGINT)
         FROM a3 GROUP BY o_orderstatus
         ORDER BY version, o_orderstatus
+    """,
+    # the maintained view must equal the DIRECT aggregate of as-of(v3):
+    # same membership/payload derivation as q_time_travel's v3 block
+    "q_view_maintain": """
+        WITH a3 AS (
+          SELECT * FROM orders
+          WHERE o_orderkey % 3 IN (0, 1, 2) AND o_orderkey % 12 <> 0
+            AND o_orderkey % 15 <> 6
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(CASE WHEN o_orderkey % 9 = 0 AND o_orderkey % 12 <> 0
+                             THEN o_custkey + 1000000 ELSE o_custkey END)
+                    AS BIGINT) AS cust_sum
+        FROM a3 GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     # net changes in (v1, v3]: inserts = keys arriving at v2/v3; update =
     # the v2 payload rewrite that SURVIVES v3's tombstones; deletes carry

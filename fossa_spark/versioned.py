@@ -65,15 +65,26 @@ def _write_meta(path: str, meta: dict) -> None:
 
 
 def init_table(path: str, key: Sequence[str]) -> None:
-    """Create an empty versioned table (version 0 = empty relation)."""
+    """Create an empty versioned table (version 0 = empty relation).
+
+    Creation is EXCLUSIVE (O_CREAT|O_EXCL on _meta.json): re-initializing
+    an existing table raises FileExistsError instead of resetting its
+    version counter — the reset would make the next commit overwrite a
+    committed delta directory (the two-writers-race reviewers caught in
+    the connector's create-if-missing path, r10)."""
+    import json as _json
+
     os.makedirs(os.path.join(path, "delta"), exist_ok=True)
     os.makedirs(os.path.join(path, "ckpt"), exist_ok=True)
-    _write_meta(path, {
+    meta = {
         "current": 0,
         "checkpoints": [],
         "key": list(key),
         "columns": None,
-    })
+    }
+    fd = os.open(_meta_path(path), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as f:
+        _json.dump(meta, f, indent=1, sort_keys=True)
 
 
 def current_version(path: str) -> int:
@@ -364,6 +375,14 @@ def change_feed(
     key = list(meta["key"])
     columns = list(meta["columns"])
     payload = [c for c in columns if c not in key]
+    if with_preimage:
+        clash = [c for c in payload if f"old_{c}" in columns]
+        if clash:
+            raise ValueError(
+                f"with_preimage would shadow existing column(s) "
+                f"{[f'old_{c}' for c in clash]} — rename them or read "
+                "without pre-images"
+            )
 
     deltas = spark.read.parquet(os.path.join(path, "delta"))
     w = Window.partitionBy(*key).orderBy(F.desc("v"))

@@ -291,3 +291,56 @@ def test_change_feed_with_preimage(spark, tbl):
         ("delete", 2, "b", "b"),
         ("insert", 3, "c", None),
     }
+
+
+def test_versioned_connector_guards_and_templated_tag(spark, tmp_path):
+    """Review r10 guards: foreign write modes and partition_by are
+    rejected; re-init of an existing table refuses instead of resetting
+    the chain; the commit tag resolves through the connector context so
+    ONE declared Connect can vary it per batch; a declared schema is
+    applied on reads like every other scheme."""
+    from fossa_spark.connect import (AccessMode, Connect,
+                                     connector_resolver)
+
+    url = f"versioned://{tmp_path}/tbl"
+    w = Connect(engine_url=url, access=AccessMode.READWRITE,
+                options={"key": "k"})
+    df1 = spark.createDataFrame([(1, "a")], "k long, payload string")
+    with pytest.raises(ValueError, match="append-only"):
+        w.write(df1, mode="error")
+    with pytest.raises(ValueError, match="partition_by"):
+        w.write(df1, partition_by=["payload"])
+    w.write(df1)
+    with pytest.raises(FileExistsError):
+        V.init_table(str(tmp_path / "tbl"), key=["other"])
+
+    tagged = Connect(engine_url=url, access=AccessMode.READWRITE,
+                     options={"tag": "batch-{bid}"})
+    with connector_resolver.context(bid="1"):
+        tagged.write(_mk(spark, [(2, "b", "u")]))
+        tagged.write(_mk(spark, [(2, "REPLAY", "u")]))  # same tag: dropped
+    with connector_resolver.context(bid="2"):
+        tagged.write(_mk(spark, [(3, "c", "u")]))       # new tag: lands
+    r = Connect(engine_url=url, schema="k long, payload string")
+    assert _rows(r.read(spark)) == {(1, "a"), (2, "b"), (3, "c")}
+    narrow = Connect(engine_url=url, schema="k long")
+    assert narrow.read(spark).columns == ["k"]
+    from pyspark.errors import AnalysisException
+    with pytest.raises(AnalysisException):
+        Connect(engine_url=url, schema="nope long").read(spark).collect()
+
+
+def test_change_feed_preimage_collision_guard(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    V.init_table(path, key=["k"])
+    df = spark.createDataFrame(
+        [(1, "a", "a0", "u")],
+        "k long, payload string, old_payload string, _op string")
+    V.commit(path, df)
+    V.commit(path, spark.createDataFrame(
+        [(1, "b", "b0", "u")],
+        "k long, payload string, old_payload string, _op string"))
+    with pytest.raises(ValueError, match="shadow"):
+        V.change_feed(spark, path, 1, 2, with_preimage=True)
+    # without pre-images the feed still works
+    assert V.change_feed(spark, path, 1, 2).count() == 1
