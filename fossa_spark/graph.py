@@ -223,3 +223,81 @@ def k_core(edges: DataFrame, k: int = 3, max_iter: int = 12) -> DataFrame:
             return cur
         n_prev = n
     raise RuntimeError(f"k_core did not converge within {max_iter} rounds")
+
+
+def weighted_purchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customer↔supplier purchase graph with exact integer edge weights:
+    weight(cust, supp) = MIN over their shared lineitems of the line's
+    price in cents (cheapest observed transaction — a deterministic,
+    overflow-safe cost metric). Same sign-disjoint node encoding as
+    bipartite_purchase_edges; both directed arcs emitted.
+
+    Build = one fact join + one map-side-combined groupBy(min) — the
+    weight aggregate collapses the fact table to pair grain before any
+    iteration touches it."""
+    pairs = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+        )
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (-F.col("l_suppkey").cast("long") - 1).alias("dst"),
+        )
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "w"
+            )
+        )
+    )
+    return pairs.unionByName(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+
+
+def bellman_ford(
+    edges: DataFrame, sources: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Single-source shortest paths by ``rounds`` synchronous min-plus
+    relaxations over a weighted arc list (src, dst, w: exact BIGINT) —
+    distributed Bellman-Ford, the Pregel SSSP kernel. Returns (node,
+    dist) for every node reached within ``rounds`` hops: the exact
+    shortest-path cost among paths of at most that many edges (weights
+    are non-negative here, so dist is also a monotone upper bound that
+    has CONVERGED for any node whose true shortest path uses ≤ rounds
+    edges).
+
+    Per round: one equi-join of the (node-sized) distance vector against
+    the persisted edge list + one map-side-combined groupBy(dst) MIN +
+    one outer-merge MIN with the previous vector — all integer min-plus,
+    order-independent, so the DuckDB oracle unrolls the same rounds and
+    hash-matches exactly. Lineage truncated per round (localCheckpoint,
+    same contract as bfs_levels); on a cluster use checkpoint() to
+    survive executor loss."""
+    edges = edges.persist()
+    dist = (
+        sources.select("node")
+        .distinct()
+        .select("node", F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("relax"))
+        )
+        dist = (
+            dist.join(relaxed, "node", "full_outer")
+            .select(
+                "node",
+                # least() skips NULLs in Spark; the oracle mirrors this
+                # with an explicit CASE so both engines share one rule
+                F.least("dist", "relax").alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return dist

@@ -450,3 +450,78 @@ def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
             ),
         )
     )
+
+
+IDF_SCALE = 10_000  # fixed-point idf scale for tfidf_cosine_pairs
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    max_df: int = 20,
+    min_cos: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine similarity >= ``min_cos`` —
+    sparse-vector near-duplicate detection in TOKEN space (the weighted
+    complement of the set-Jaccard family in llm/dedup.py: Jaccard treats
+    'the' and a rare name equally; TF-IDF cosine does not).
+
+    The subquadratic shape is the inverted index + document-frequency cap
+    (Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity Search"):
+    only terms with df <= ``max_df`` generate candidate pairs, so a
+    term's posting list self-join is at most max_df^2 and total pair work
+    is sum-over-terms of df^2 — bounded by construction, never
+    |corpus|^2. High-df terms carry near-zero idf anyway, so dropping
+    them from the PAIR GENERATION loses almost nothing; norms are
+    computed over the same capped term space, so the reported cosine is
+    exact within that space (documented, deterministic).
+
+    Determinism: weights are exact integers ``tf * round(idf * 1e4)``
+    (smooth idf, ln((1+N)/(1+df)) + 1 — the tfidf_top_terms convention);
+    dot products and squared norms are exact BIGINT sums
+    (order-independent), and the final cosine is three correctly-rounded
+    IEEE ops (sqrt, multiply, divide) on exact integers — identical in
+    Spark and DuckDB, so the oracle hash-matches.
+
+    Headroom: w <= tf * (ln(1+N)+1) * 1e4 ~= 1.1e7 at N=1e9 docs and
+    tf<=50; per-pair dot <= doc_len * w^2 ~= 2.4e16 < 2^63.
+    """
+    n_docs = docs.select(id_col).distinct().count()
+    pairs = (
+        docs.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = pairs.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = pairs.groupBy("term").agg(
+        F.count_distinct(F.col("doc")).alias("df")
+    ).filter(F.col("df") <= max_df)
+    inv = tf.join(F.broadcast(df_), "term").select(
+        "term",
+        "doc",
+        (
+            F.col("tf")
+            * F.round(
+                (F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + 1.0)
+                * F.lit(float(IDF_SCALE))
+            ).cast("bigint")
+        ).alias("w"),
+    )
+    norms = inv.groupBy("doc").agg(F.sum(F.col("w") * F.col("w")).alias("nn"))
+    a = inv.select(F.col("term"), F.col("doc").alias("doc_a"), F.col("w").alias("wa"))
+    b = inv.select(F.col("term"), F.col("doc").alias("doc_b"), F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot_q"))
+    )
+    cos = F.col("dot_q").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        dots.join(norms.select(F.col("doc").alias("doc_a"), F.col("nn").alias("na")), "doc_a")
+        .join(norms.select(F.col("doc").alias("doc_b"), F.col("nn").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", "dot_q", F.round(cos, 8).alias("cos"))
+        .filter(F.col("cos") >= min_cos)
+    )

@@ -1,0 +1,366 @@
+"""Distributed classical-ML operators under the exact-oracle discipline
+(round 10): Lloyd's k-means, closed-form OLS regression, and a multinomial
+Naive Bayes text classifier.
+
+Why these belong in a training-data engine: clustering is the backbone of
+SemDeDup-style semantic dedup and IVF coarse quantization (the existing
+coarse quantizer, llm/similarity.py fit_centroids_capped, trains on a
+driver-capped SAMPLE — `kmeans_fit` here is the honest full-corpus
+refinement path); OLS is the moments-based regression every profiling /
+drift stack needs; Naive Bayes is the cheapest useful document classifier
+(language / domain routing) and — unlike the logistic model in
+llm/classifier.py — trains in ONE aggregation pass.
+
+Determinism contract (shared with graph.py pagerank and llm/classifier.py):
+all iterative / summed state lives in scaled BIGINTs so every aggregation
+is order-independent and the DuckDB oracle can replay the exact integers.
+Floor division uses the two-engine-safe form
+``(s - (((s % n) + n) % n)) div n`` (Spark `div` and DuckDB `//` both
+truncate toward zero; subtracting the positive modulus first makes the
+dividend an exact multiple, so truncation == floor in both).
+
+Reference parity note: the reference engine (/root/reference) ships no ML
+operators — this family is part of the beyond-reference training-data
+surface mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+#: fixed-point scale for k-means vector components. 1e4 keeps every
+#: intermediate exact in int64 far past the target scale: components are
+#: |x| <= ~1 so |q| <= ~1e4, per-pair squared distance <= 64 * (2e4)^2
+#: ~= 2.6e10, and the per-cluster inertia sum stays under 2^63 even at
+#: ~3e8 member vectors per cluster (sf ~1000).
+KMEANS_SCALE = 10_000
+
+
+def _floordiv(s: Column, n: Column) -> Column:
+    """Exact floor(s / n) for BIGINT s, n > 0 — identical in Spark and
+    DuckDB (see module docstring)."""
+    m = ((s % n) + n) % n
+    return ((s - m) / n).cast("bigint")
+
+
+def quantize_vectors(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """array<float> -> array<bigint> fixed-point quantization (per-element
+    ``round(x * scale)`` — one IEEE multiply + round per element, identical
+    in both engines; the same convention as llm/text.py lm_score's 1e8
+    log-probs)."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast(
+                "bigint"
+            ),
+        ).alias("qv"),
+    )
+
+
+def _centroids_one_row(cents_long: DataFrame) -> DataFrame:
+    """(cluster, pos, v) long form -> ONE row holding
+    array<struct<cluster, cv: array<bigint>>> sorted by cluster asc —
+    control-plane sized (k x dim elements), built with two tiny
+    aggregations so it can ride a broadcast crossJoin into the corpus
+    without ever collecting to the driver."""
+    per_cluster = (
+        cents_long.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(
+            "cluster",
+            F.transform("pv", lambda s: s["v"]).alias("cv"),
+        )
+    )
+    return per_cluster.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "cv"))).alias("cents")
+    )
+
+
+def _sqdist(qv: Column, cv: Column) -> Column:
+    """Exact integer squared L2 distance between two bigint arrays —
+    zip_with + aggregate run JVM-side inside whole-stage codegen."""
+    return F.aggregate(
+        F.zip_with(qv, cv, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(vecs: DataFrame, cents_long: DataFrame) -> DataFrame:
+    """Map-only assignment step: broadcast the one-row centroid array into
+    the corpus and take the argmin per vector with a strict-less fold over
+    the cluster-ascending array (ties -> lowest cluster id, mirroring the
+    oracle's ``ORDER BY dist, cluster``). NO shuffle of the corpus — this
+    is the step that runs over all N rows, and it stays embarrassingly
+    parallel at any scale."""
+    crow = _centroids_one_row(cents_long)
+    # struct ordering is lexicographic (dist, then cluster), so array_min
+    # IS the argmin with the lowest-cluster tie-break — and each distance
+    # is computed exactly once (a fold's when() would evaluate it twice).
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _sqdist(F.col("qv"), c["cv"]).alias("dist"),
+                c["cluster"].alias("cluster"),
+            ),
+        )
+    )
+    return (
+        vecs.join(F.broadcast(crow))
+        .withColumn("_b", best)
+        .select(
+            "vec_id",
+            "qv",
+            F.col("_b.cluster").alias("cluster"),
+            F.col("_b.dist").alias("dist"),
+        )
+    )
+
+
+def kmeans_fit(
+    vecs: DataFrame, k: int = 4, iters: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed Lloyd's k-means over fixed-point vectors
+    (``quantize_vectors`` output: vec_id, qv array<bigint>).
+
+    Returns ``(centroids_long, assignment)`` — centroids as
+    (cluster, pos, v) rows and the FINAL assignment (vec_id, cluster,
+    dist) under the returned centroids (iters update steps, then one
+    closing assignment — the standard Lloyd's convention).
+
+    Init: the k lowest-id vectors (deterministic, oracle-replayable;
+    k-means++ would need a random stream both engines share).
+
+    The 100 TB shape — per iteration exactly ONE shuffle, and it is
+    k x dim sized:
+      * assignment is map-only (one-row centroid broadcast, argmin fold
+        per row — no corpus shuffle, no Python),
+      * the update is a single map-side-combined groupBy(cluster, pos)
+        over the posexploded assignment whose output is k*dim rows,
+      * the new centroid table is localCheckpoint()ed (control-plane
+        sized) so iteration i+1's plan starts from materialized
+        centroids instead of replaying i corpus passes.
+    Empty clusters keep their previous centroid (left-join + coalesce),
+    the standard Lloyd's degeneracy rule.
+
+    This is the full-corpus training path for the IVF coarse quantizer
+    (llm/similarity.py trains on a driver-capped sample; at 100 TB you
+    sample to seed, then run 2-3 of THESE refinement passes)."""
+    w = F.row_number().over(Window.orderBy("vec_id"))
+    init = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .withColumn("cluster", w - F.lit(1))
+    )
+    cents = init.select(
+        "cluster", F.posexplode("qv").alias("pos", "v")
+    ).localCheckpoint()
+    for _ in range(iters):
+        assigned = _assign(vecs, cents)
+        upd = (
+            assigned.select("cluster", F.posexplode("qv").alias("pos", "q"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cluster", "pos", _floordiv(F.col("s"), F.col("n")).alias("v")
+            )
+        )
+        cents = (
+            cents.withColumnRenamed("v", "v_prev")
+            .join(upd, ["cluster", "pos"], "left")
+            .select(
+                "cluster",
+                "pos",
+                F.coalesce("v", "v_prev").alias("v"),
+            )
+            .localCheckpoint()  # k*dim rows: truncates the iteration chain
+        )
+    return cents, _assign(vecs, cents)
+
+
+def ols_sufficient_stats(
+    df: DataFrame, x: Column, y: Column, by: list[str]
+) -> DataFrame:
+    """Grouped simple-OLS fit from exact integer sufficient statistics —
+    the moments form (n, Sx, Sy, Sxy, Sxx, Syy) that makes linear
+    regression a SINGLE map-side-combined aggregation at any scale
+    (partial sums merge; no second pass, no joins, no Python).
+
+    ``x``/``y`` must already be exact BIGINT columns (the caller picks
+    the scaling so the cross-moments fit int64 — document the headroom).
+    The closed form (Cramer's rule on the 2x2 normal equations) is then
+    a handful of IEEE double ops on exact integers: both engines cast
+    the SAME int64s to double (correctly rounded) and evaluate the SAME
+    expression tree (+, -, *, / are each exactly rounded), so slope /
+    intercept / r2 hash-match without any fixed-point gymnastics."""
+    g = df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd, syyd = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov_n = nd * sxyd - sxd * syd  # n^2 * covariance
+    varx_n = nd * sxxd - sxd * sxd  # n^2 * variance(x)
+    vary_n = nd * syyd - syd * syd
+    slope = cov_n / varx_n
+    intercept = (syd - slope * sxd) / nd
+    r2 = (cov_n * cov_n) / (varx_n * vary_n)
+    return g.select(
+        *by,
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        F.round(slope, 8).alias("slope"),
+        F.round(intercept, 8).alias("intercept"),
+        F.round(r2, 8).alias("r2"),
+    )
+
+
+NB_SCALE = 100_000_000  # 1e8 — the lm_score log-prob fixed-point convention
+
+
+def nb_train_score(
+    docs: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_k: int = 200,
+) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and scored on
+    the corpus itself (the fastText/CCNet-style routing classifier, in its
+    one-aggregation-pass closed form — cf. llm/classifier.py for the
+    iterative logistic variant).
+
+    Model: vocabulary = top-``vocab_k`` corpus tokens (freq desc, token
+    asc); per-class add-one-smoothed token likelihoods restricted to the
+    vocabulary (out-of-vocabulary tokens are dropped from scoring — no OOV
+    bucket, so the vocabulary is the whole feature space and the math
+    needs no per-class OOV mass). Log-likelihoods and log-priors are
+    ``round(ln(.) * 1e8)`` BIGINTs (the llm/text.py lm_score convention),
+    so each document's per-class score is an exact integer sum —
+    order-independent, oracle-replayable. Prediction = argmax score, ties
+    to the lexicographically smallest class.
+
+    Scale shape: ONE explode + token groupBy builds the vocab (map-side
+    combined); the likelihood table is (classes x vocab_k) rows and the
+    prior table (classes) rows — both broadcast; scoring is one groupBy
+    (doc, class) over the vocab-joined token stream, then a k-row-per-doc
+    argmax window. The corpus is never shuffled except by doc_id.
+
+    Returns (doc_id, true label, predicted, score_scaled) per document.
+    """
+    toks = docs.select(
+        F.col(id_col), F.col(label_col).alias("label"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(vocab_k)
+        .select("token")
+    )
+    vt = toks.join(F.broadcast(vocab), "token")  # vocab-restricted stream
+    classes = docs.select(F.col(label_col).alias("label")).distinct()
+    # class priors from doc counts: round(ln(n_c / n) * 1e8)
+    nd = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs_c")
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    prior = nd.crossJoin(F.broadcast(total)).select(
+        "label",
+        F.round(
+            F.log(F.col("n_docs_c").cast("double") / F.col("n_docs"))
+            * F.lit(float(NB_SCALE))
+        )
+        .cast("bigint")
+        .alias("lprior"),
+    )
+    # per-class token counts over the FULL class x vocab grid (zero counts
+    # must exist for add-one smoothing to see them)
+    ct = (
+        vt.groupBy("label", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grid = classes.crossJoin(vocab)
+    nc = vt.groupBy("label").agg(F.count(F.lit(1)).alias("n_tok_c"))
+    vsize = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    ll = (
+        grid.join(ct, ["label", "token"], "left")
+        .join(nc, "label", "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "label",
+            "token",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + 1.0)
+                    / (
+                        F.coalesce(F.col("n_tok_c"), F.lit(0)).cast("double")
+                        + F.col("v")
+                    )
+                )
+                * F.lit(float(NB_SCALE))
+            )
+            .cast("bigint")
+            .alias("ll"),
+        )
+    )
+    # score every doc against every class (k small); docs with zero vocab
+    # tokens still get prior-only scores via the doc x class base grid
+    dt = vt.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("n"))
+    contrib = (
+        dt.join(F.broadcast(ll), "token")
+        .groupBy(id_col, "label")
+        .agg(F.sum(F.col("n") * F.col("ll")).alias("s"))
+    )
+    base = docs.select(
+        F.col(id_col), F.col(label_col).alias("true_label")
+    ).crossJoin(F.broadcast(classes))
+    scored = (
+        base.join(contrib, [id_col, "label"], "left")
+        .join(F.broadcast(prior), "label")
+        .select(
+            id_col,
+            "true_label",
+            "label",
+            (
+                F.coalesce(F.col("s"), F.lit(0).cast("bigint"))
+                + F.col("lprior")
+            ).alias("score"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(
+            F.col("score").desc(), F.col("label").asc()
+        )
+    )
+    return (
+        scored.withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            "true_label",
+            F.col("label").alias("predicted"),
+            F.col("score").alias("score_scaled"),
+        )
+    )

@@ -272,6 +272,13 @@ ACCEPTED_SMELLS: dict[str, dict[str, str]] = {
         "relation — the rates table is control-plane-sized by "
         "definition",
     },
+    "q_nb_classify": {
+        "cartesian": "the build side is the CLASS-LABEL domain (distinct "
+        "over the categorical label column — a constant-k set fixed by "
+        "the labeling scheme, never per-document); docs x k is the dense "
+        "posterior grid every NB scorer must produce, linear in the "
+        "corpus with constant fan-out (queries/ml_queries.py)",
+    },
     "q_join_dpp": {
         "corpus-window": "the rarest-status pick ranks one row per "
         "o_orderstatus value (a 3-value categorical domain)",

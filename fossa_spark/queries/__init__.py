@@ -34,6 +34,7 @@ _MODULES = [
     "fossa_spark.queries.io_queries",
     "fossa_spark.queries.streaming_queries",
     "fossa_spark.queries.llm_queries",
+    "fossa_spark.queries.ml_queries",
     "fossa_spark.queries.curation_queries",
     "fossa_spark.queries.events_queries",
     "fossa_spark.queries.graph_queries",

@@ -126,12 +126,83 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (distributed Bellman-Ford,
+    4 min-plus rounds) from customer node 1 over the purchase graph with
+    min-price-cents edge weights (graph.py weighted_purchase_edges /
+    bellman_ford). Emits the 25 cheapest-reachable nodes — exact integer
+    costs, so the oracle unrolls the same rounds and hash-matches. The
+    weighted sibling of q_bfs (hop counts) and q_pagerank (mass flow)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    edges = G.weighted_purchase_edges(li, o)
+    src = spark.range(1, 2).select(F.col("id").alias("node"))
+    dist = G.bellman_ford(edges, src, rounds=4)
+    label = F.when(
+        F.col("node") >= 0, F.concat(F.lit("C"), F.col("node").cast("string"))
+    ).otherwise(F.concat(F.lit("S"), (-F.col("node") - 1).cast("string")))
+    return (
+        dist.select(
+            label.alias("node"),
+            F.col("dist").alias("dist_cents"),
+            (F.col("dist").cast("double") / 100.0).alias("dist_dollars"),
+        )
+        .orderBy(F.col("dist_cents").asc(), F.col("node").asc())
+        .limit(25)
+    )
+
+
 QUERIES = {
     "q_pagerank": q_pagerank,
     "q_triangles": q_triangles,
     "q_bfs": q_bfs,
     "q_kcore": q_kcore,
+    "q_sssp": q_sssp,
 }
+
+
+def _sssp_unrolled_sql(rounds: int) -> str:
+    """Fixed-round min-plus relaxation as chained MATERIALIZED CTEs
+    (each round references the previous twice — the q_kcore inlining
+    lesson applies)."""
+    head = """
+        WITH pairs AS MATERIALIZED (
+          SELECT CAST(o.o_custkey AS BIGINT) AS src,
+                 CAST(-l.l_suppkey - 1 AS BIGINT) AS dst,
+                 MIN(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS w
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2
+        ),
+        edges AS MATERIALIZED (
+          SELECT src, dst, w FROM pairs
+          UNION ALL SELECT dst, src, w FROM pairs
+        ),
+        d0 AS (SELECT CAST(1 AS BIGINT) AS node,
+                      CAST(0 AS BIGINT) AS dist)"""
+    parts = [head]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+        r{i} AS MATERIALIZED (
+          SELECT e.dst AS node, MIN(d.dist + e.w) AS relax
+          FROM edges e JOIN d{i - 1} d ON e.src = d.node
+          GROUP BY e.dst
+        ),
+        d{i} AS MATERIALIZED (
+          SELECT COALESCE(d.node, r.node) AS node,
+                 CASE WHEN d.dist IS NULL THEN r.relax
+                      WHEN r.relax IS NULL THEN d.dist
+                      WHEN r.relax < d.dist THEN r.relax
+                      ELSE d.dist END AS dist
+          FROM d{i - 1} d FULL OUTER JOIN r{i} r ON d.node = r.node
+        )""")
+    parts.append(f"""
+        SELECT CASE WHEN node >= 0 THEN 'C' || CAST(node AS VARCHAR)
+                    ELSE 'S' || CAST(-node - 1 AS VARCHAR) END AS node,
+               dist AS dist_cents,
+               CAST(dist AS DOUBLE) / 100.0 AS dist_dollars
+        FROM d{rounds}
+        ORDER BY dist_cents ASC, node ASC LIMIT 25""")
+    return "".join(parts)
 
 
 def _kcore_unrolled_sql(k: int, rounds: int) -> str:
@@ -190,6 +261,7 @@ _ITER = """
 
 ORACLE = {
     "q_kcore": _kcore_unrolled_sql(k=3, rounds=16),
+    "q_sssp": _sssp_unrolled_sql(rounds=4),
     "q_bfs": """
         WITH pairs AS (
           SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,

@@ -1,0 +1,293 @@
+"""Classical-ML queries (round 10): distributed k-means, closed-form OLS,
+and multinomial Naive Bayes — all hash-verified against exact DuckDB
+oracles (fossa_spark/ml.py holds the operators and the determinism
+contract; the oracles here replay the same fixed-point integers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fossa_spark import ml
+from fossa_spark.queries._util import load, spread
+
+_K, _ITERS = 4, 3
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed fixed-point Lloyd's k-means (k=4, 3 iterations) over the
+    embeddings table; emits the final centroids in long form joined with
+    each cluster's membership count and exact integer inertia.
+
+    Per iteration: ONE map-side-combined shuffle of k x dim rows; the
+    assignment pass over the corpus is map-only (broadcast one-row
+    centroid array + argmin fold). See ml.kmeans_fit for the 100 TB
+    argument and the deterministic init/tie-break rules the oracle
+    unrolls."""
+    vecs = ml.quantize_vectors(
+        spread(load(spark, sf_dir, "embeddings"), spark)
+    )
+    cents, assign = ml.kmeans_fit(vecs, k=_K, iters=_ITERS)
+    stats = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("dist").alias("inertia"),
+    )
+    return (
+        cents.join(stats, "cluster", "left")
+        .select(
+            "cluster",
+            "pos",
+            F.col("v").alias("centroid_q"),
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            F.coalesce("inertia", F.lit(0)).alias("inertia"),
+        )
+        .orderBy("cluster", "pos")
+    )
+
+
+def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped simple OLS (price-per-quantity line) per
+    (l_returnflag, l_linestatus): slope/intercept/r2 from exact integer
+    sufficient statistics — regression as ONE map-side-combined
+    aggregation, the only shape that works at 100 TB (no second pass,
+    no per-group collect; see ml.ols_sufficient_stats).
+
+    Quantization headroom: x = quantity (integral, <= 50), y = whole
+    currency units (<= ~1.1e5) keep sum(y*y) inside int64 through
+    roughly sf300."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice")).cast("bigint")
+    return ml.ols_sufficient_stats(
+        li.select("l_returnflag", "l_linestatus", x.alias("x"), y.alias("y")),
+        F.col("x"),
+        F.col("y"),
+        ["l_returnflag", "l_linestatus"],
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained on the corpus
+    itself (one aggregation pass, vocab=200) and folded to a confusion
+    matrix — the fastText-style routing gate of a curation pipeline under
+    a full hash-checked oracle (ml.nb_train_score)."""
+    d = load(spark, sf_dir, "documents")
+    pred = ml.nb_train_score(d, vocab_k=200)
+    return (
+        pred.groupBy("true_label", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum("score_scaled").alias("sum_score"),
+        )
+        .orderBy("true_label", "predicted")
+    )
+
+
+QUERIES = {
+    "q_kmeans": q_kmeans,
+    "q_linreg": q_linreg,
+    "q_nb_classify": q_nb_classify,
+}
+
+
+def _kmeans_unrolled_sql(k: int, iters: int, scale: int) -> str:
+    """Unrolled Lloyd's iterations as chained MATERIALIZED CTEs (the
+    q_kcore discipline — each round references the previous twice, so
+    inlining would blow up exponentially). Exploded long form throughout;
+    floor-div via the two-engine-safe modulus form (ml._floordiv)."""
+    head = f"""
+        WITH q AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+                   AS qv
+          FROM embeddings
+        ),
+        e AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts(qv, 1) - 1 AS pos,
+                 unnest(qv) AS qval
+          FROM q
+        ),
+        init AS (
+          SELECT vec_id, qv,
+                 row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+          FROM q ORDER BY vec_id LIMIT {k}
+        ),
+        c0 AS MATERIALIZED (
+          SELECT cluster, generate_subscripts(qv, 1) - 1 AS pos,
+                 unnest(qv) AS v
+          FROM init
+        )"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+        d{i} AS MATERIALIZED (
+          SELECT e.vec_id, c.cluster,
+                 SUM((e.qval - c.v) * (e.qval - c.v)) AS dist
+          FROM e JOIN c{i - 1} c USING (pos)
+          GROUP BY e.vec_id, c.cluster
+        ),
+        a{i} AS MATERIALIZED (
+          SELECT vec_id, cluster, dist FROM (
+            SELECT vec_id, cluster, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM d{i}
+          ) WHERE rn = 1
+        ),
+        u{i} AS MATERIALIZED (
+          SELECT a.cluster, e.pos,
+                 CAST((SUM(e.qval)
+                       - (((SUM(e.qval) % COUNT(*)) + COUNT(*)) % COUNT(*)))
+                      // COUNT(*) AS BIGINT) AS v
+          FROM a{i} a JOIN e USING (vec_id)
+          GROUP BY a.cluster, e.pos
+        ),
+        c{i} AS MATERIALIZED (
+          SELECT p.cluster, p.pos, COALESCE(u.v, p.v) AS v
+          FROM c{i - 1} p
+          LEFT JOIN u{i} u ON p.cluster = u.cluster AND p.pos = u.pos
+        )"""
+        )
+    # closing assignment under the final centroids (Lloyd's convention)
+    fin = iters + 1
+    parts.append(f""",
+        d{fin} AS MATERIALIZED (
+          SELECT e.vec_id, c.cluster,
+                 SUM((e.qval - c.v) * (e.qval - c.v)) AS dist
+          FROM e JOIN c{iters} c USING (pos)
+          GROUP BY e.vec_id, c.cluster
+        ),
+        a{fin} AS MATERIALIZED (
+          SELECT vec_id, cluster, dist FROM (
+            SELECT vec_id, cluster, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM d{fin}
+          ) WHERE rn = 1
+        ),
+        stats AS (
+          SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+                 CAST(SUM(dist) AS BIGINT) AS inertia
+          FROM a{fin} GROUP BY cluster
+        )
+        SELECT c.cluster, CAST(c.pos AS INTEGER) AS pos,
+               c.v AS centroid_q,
+               COALESCE(s.n_members, 0) AS n_members,
+               COALESCE(s.inertia, 0) AS inertia
+        FROM c{iters} c LEFT JOIN stats s USING (cluster)
+        ORDER BY c.cluster, c.pos""")
+    return "".join(parts)
+
+
+ORACLE = {
+    "q_kmeans": _kmeans_unrolled_sql(_K, _ITERS, ml.KMEANS_SCALE),
+    "q_linreg": """
+        WITH m AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(round(l_extendedprice) AS BIGINT) AS y
+          FROM lineitem
+        ),
+        g AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM m GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT l_returnflag, l_linestatus, n, sx, sy, sxy, sxx,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8)
+                 AS slope,
+               round((CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 8)
+                 AS intercept,
+               round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8)
+                 AS r2
+        FROM g ORDER BY l_returnflag, l_linestatus
+    """,
+    "q_nb_classify": """
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, lang AS label, t.token
+          FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
+          WHERE t.token <> ''
+        ),
+        vocab AS MATERIALIZED (
+          SELECT token FROM (
+            SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+          ) ORDER BY freq DESC, token ASC LIMIT 200
+        ),
+        vt AS MATERIALIZED (SELECT * FROM tok JOIN vocab USING (token)),
+        classes AS (SELECT DISTINCT lang AS label FROM documents),
+        prior AS (
+          SELECT lang AS label,
+                 CAST(round(ln(CAST(COUNT(*) AS DOUBLE)
+                               / (SELECT CAST(COUNT(*) AS DOUBLE)
+                                  FROM documents)) * 1e8) AS BIGINT)
+                   AS lprior
+          FROM documents GROUP BY lang
+        ),
+        nc AS (SELECT label, COUNT(*) AS n_tok_c FROM vt GROUP BY label),
+        ct AS (SELECT label, token, COUNT(*) AS cnt
+               FROM vt GROUP BY label, token),
+        ll AS MATERIALIZED (
+          SELECT g.label, g.token,
+                 CAST(round(ln((CAST(COALESCE(ct.cnt, 0) AS DOUBLE) + 1.0)
+                               / (CAST(COALESCE(nc.n_tok_c, 0) AS DOUBLE)
+                                  + (SELECT CAST(COUNT(*) AS DOUBLE)
+                                     FROM vocab))) * 1e8) AS BIGINT) AS ll
+          FROM (SELECT c.label, v.token FROM classes c CROSS JOIN vocab v) g
+          LEFT JOIN ct ON g.label = ct.label AND g.token = ct.token
+          LEFT JOIN nc ON g.label = nc.label
+        ),
+        dt AS (SELECT doc_id, token, COUNT(*) AS n
+               FROM vt GROUP BY doc_id, token),
+        contrib AS (
+          SELECT dt.doc_id, ll.label, SUM(dt.n * ll.ll) AS s
+          FROM dt JOIN ll USING (token)
+          GROUP BY dt.doc_id, ll.label
+        ),
+        scored AS (
+          SELECT d.doc_id, d.lang AS true_label, c.label,
+                 CAST(COALESCE(x.s, 0) AS BIGINT) + p.lprior AS score
+          FROM documents d
+          CROSS JOIN classes c
+          LEFT JOIN contrib x ON d.doc_id = x.doc_id AND c.label = x.label
+          JOIN prior p ON c.label = p.label
+        ),
+        pred AS (
+          SELECT doc_id, true_label, label AS predicted, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, label ASC)
+                        AS rn
+            FROM scored
+          ) WHERE rn = 1
+        )
+        SELECT true_label, predicted,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+               CAST(SUM(score) AS BIGINT) AS sum_score
+        FROM pred GROUP BY true_label, predicted
+        ORDER BY true_label, predicted
+    """,
+}

@@ -1,0 +1,149 @@
+"""Behavioral tests of the classical-ML operators (fossa_spark/ml.py) —
+beyond the registry parity checks: k-means recovers planted clusters and
+honors the empty-cluster rule, OLS recovers an exact planted line, and
+Naive Bayes separates unambiguous planted classes with the documented
+tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fossa_spark import ml
+
+
+def _qv(spark, rows):
+    """rows: list of (vec_id, [floats]) -> quantized vec DF."""
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    return ml.quantize_vectors(df)
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    # two tight blobs far apart; k=2, init = ids 0 and 1 (one per blob)
+    blob_a = [(0, [0.0, 0.0]), (2, [0.01, 0.0]), (4, [0.0, 0.02])]
+    blob_b = [(1, [1.0, 1.0]), (3, [0.99, 1.0]), (5, [1.0, 0.98])]
+    vecs = _qv(spark, blob_a + blob_b)
+    cents, assign = ml.kmeans_fit(vecs, k=2, iters=2)
+    got = {r.vec_id: r.cluster for r in assign.collect()}
+    assert {got[0], got[2], got[4]} == {0}
+    assert {got[1], got[3], got[5]} == {1}
+    # centroid of blob_a is the exact integer mean of its members
+    c0 = {r.pos: r.v for r in cents.filter(F.col("cluster") == 0).collect()}
+    assert c0[0] == (0 + 100 + 0) // 3  # scale 1e4: 0.01 -> 100
+    assert c0[1] == (0 + 0 + 200) // 3
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # k=2 but both init vectors sit inside one blob: every point assigns
+    # to the nearer init; if a cluster empties, its centroid must persist
+    rows = [(0, [0.0, 0.0]), (1, [5.0, 5.0]), (2, [0.1, 0.0]), (3, [0.0, 0.1])]
+    vecs = _qv(spark, rows)
+    cents, assign = ml.kmeans_fit(vecs, k=2, iters=2)
+    # cluster 1 keeps at least its init member; nothing crashes and every
+    # vector is assigned to a live cluster
+    got = assign.collect()
+    assert len(got) == 4
+    assert {r.cluster for r in got} <= {0, 1}
+    assert cents.count() == 4  # 2 clusters x 2 dims
+
+
+def test_kmeans_assignment_tie_breaks_low_cluster(spark):
+    # a point exactly equidistant from both centroids must take cluster 0
+    rows = [(0, [0.0, 0.0]), (1, [2.0, 0.0]), (2, [1.0, 0.0])]
+    vecs = _qv(spark, rows)
+    _, assign = ml.kmeans_fit(vecs, k=2, iters=0)
+    got = {r.vec_id: r.cluster for r in assign.collect()}
+    assert got[2] == 0
+
+
+def test_ols_recovers_exact_line(spark):
+    # y = 3x + 7 exactly: slope/intercept exact, r2 == 1
+    df = spark.createDataFrame(
+        [("g", x, 3 * x + 7) for x in range(1, 11)], "grp string, x long, y long"
+    )
+    out = ml.ols_sufficient_stats(df, F.col("x"), F.col("y"), ["grp"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.slope == 3.0 and r.intercept == 7.0 and r.r2 == 1.0
+    assert r.n == 10 and r.sx == 55
+
+
+def test_ols_grouped_independent_fits(spark):
+    df = spark.createDataFrame(
+        [("a", x, 2 * x) for x in range(1, 6)]
+        + [("b", x, -x + 10) for x in range(1, 6)],
+        "grp string, x long, y long",
+    )
+    out = {
+        r.grp: r
+        for r in ml.ols_sufficient_stats(
+            df, F.col("x"), F.col("y"), ["grp"]
+        ).collect()
+    }
+    assert out["a"].slope == 2.0 and out["a"].intercept == 0.0
+    assert out["b"].slope == -1.0 and out["b"].intercept == 10.0
+
+
+def test_nb_separates_planted_classes(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa bb", "en"),
+            (2, "aa aa aa", "en"),
+            (3, "zz zz yy", "de"),
+            (4, "zz yy yy", "de"),
+            (5, "aa bb aa", "en"),
+            (6, "yy zz zz", "de"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    pred = ml.nb_train_score(docs, vocab_k=10).collect()
+    by_id = {r.doc_id: r for r in pred}
+    assert all(by_id[i].predicted == "en" for i in (1, 2, 5))
+    assert all(by_id[i].predicted == "de" for i in (3, 4, 6))
+
+
+def test_nb_empty_vocab_doc_gets_prior_argmax(spark):
+    # a doc with no vocabulary tokens must still be scored (prior-only);
+    # majority class wins, ties break to the lexicographically smaller
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa", "en"),
+            (2, "aa bb", "en"),
+            (3, "zz zz", "de"),
+            (4, "@@ @@", "fr"),  # '@@' survives tokenization; freq-2 token
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    # vocab_k=2 keeps only the two most frequent tokens ('aa' freq 3,
+    # one of {'zz','@@'} freq 2 -> '@@' wins the token-asc tie) so doc 3
+    # has no vocab tokens at all
+    pred = {r.doc_id: r for r in ml.nb_train_score(docs, vocab_k=2).collect()}
+    assert pred[3].predicted is not None
+    assert len(pred) == 4
+
+
+def test_bellman_ford_prefers_cheaper_multi_hop(spark):
+    from fossa_spark import graph as G
+
+    # direct edge 1->4 costs 10; the 1->2->3->4 path costs 3+3+3=9
+    edges = spark.createDataFrame(
+        [(1, 4, 10), (1, 2, 3), (2, 3, 3), (3, 4, 3), (5, 6, 1)],
+        "src long, dst long, w long",
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    dist = {r.node: r.dist for r in G.bellman_ford(edges, src, rounds=4).collect()}
+    assert dist[4] == 9
+    assert dist[2] == 3 and dist[3] == 6 and dist[1] == 0
+    assert 5 not in dist and 6 not in dist  # disconnected component
+
+
+def test_bellman_ford_round_bound_is_hop_bound(spark):
+    from fossa_spark import graph as G
+
+    # a 3-edge chain: with rounds=2 the far node is NOT yet reached
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1)], "src long, dst long, w long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    d2 = {r.node: r.dist for r in G.bellman_ford(edges, src, rounds=2).collect()}
+    assert 4 not in d2 and d2[3] == 2
