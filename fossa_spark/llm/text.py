@@ -457,55 +457,58 @@ IDF_SCALE = 10_000  # fixed-point idf scale for tfidf_cosine_pairs
 
 def tfidf_cosine_pairs(
     docs: DataFrame,
+    shingle_k: int = 3,
     max_df: int = 20,
     min_cos: float = 0.4,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """All document pairs with TF-IDF cosine similarity >= ``min_cos`` —
-    sparse-vector near-duplicate detection in TOKEN space (the weighted
-    complement of the set-Jaccard family in llm/dedup.py: Jaccard treats
-    'the' and a rare name equally; TF-IDF cosine does not).
+    """All document pairs with idf-weighted cosine similarity >=
+    ``min_cos`` over distinct word ``shingle_k``-shingles — sparse-vector
+    near-duplicate detection in weighted shingle space (the idf-weighted
+    complement of llm/dedup.py's unweighted Jaccard: a shared rare
+    shingle counts for more than a shared boilerplate one).
 
     The subquadratic shape is the inverted index + document-frequency cap
     (Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity Search"):
-    only terms with df <= ``max_df`` generate candidate pairs, so a
-    term's posting list self-join is at most max_df^2 and total pair work
-    is sum-over-terms of df^2 — bounded by construction, never
-    |corpus|^2. High-df terms carry near-zero idf anyway, so dropping
-    them from the PAIR GENERATION loses almost nothing; norms are
-    computed over the same capped term space, so the reported cosine is
-    exact within that space (documented, deterministic).
+    only shingles with df <= ``max_df`` generate candidate pairs, so one
+    shingle's posting-list self-join is at most max_df^2 and total pair
+    work is sum-over-shingles of df^2 — bounded by construction, never
+    |corpus|^2. High-df shingles carry near-zero idf anyway, so dropping
+    them from pair generation loses almost nothing; norms are computed
+    over the same capped shingle space, so the reported cosine is exact
+    within that space (the same hot-shingle-cap contract as
+    dedup.ngram_jaccard_pairs).
 
-    Determinism: weights are exact integers ``tf * round(idf * 1e4)``
-    (smooth idf, ln((1+N)/(1+df)) + 1 — the tfidf_top_terms convention);
-    dot products and squared norms are exact BIGINT sums
-    (order-independent), and the final cosine is three correctly-rounded
-    IEEE ops (sqrt, multiply, divide) on exact integers — identical in
-    Spark and DuckDB, so the oracle hash-matches.
+    Determinism: weights are exact integers ``round(idf * 1e4)`` (smooth
+    idf, ln((1+N)/(1+df)) + 1 — the tfidf_top_terms convention; shingles
+    are DISTINCT per doc so tf == 1); dot products and squared norms are
+    exact BIGINT sums (order-independent), and the final cosine is three
+    correctly-rounded IEEE ops (sqrt, multiply, divide) on exact
+    integers — identical in Spark and DuckDB, so the oracle hash-matches.
 
-    Headroom: w <= tf * (ln(1+N)+1) * 1e4 ~= 1.1e7 at N=1e9 docs and
-    tf<=50; per-pair dot <= doc_len * w^2 ~= 2.4e16 < 2^63.
+    Headroom: w <= (ln(1+N)+1) * 1e4 ~= 2.2e5 at N=1e9 docs; per-pair
+    dot <= doc_shingles * w^2 ~= 1e3 * 4.8e10 ~= 5e13 < 2^63.
     """
+    from fossa_spark.llm.dedup import word_shingles
+
     n_docs = docs.select(id_col).distinct().count()
-    pairs = (
-        docs.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term"))
-        .filter(F.col("term") != "")
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, k=shingle_k)).alias("term"),
     )
-    tf = pairs.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = pairs.groupBy("term").agg(
-        F.count_distinct(F.col("doc")).alias("df")
+    df_ = sh.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")  # shingles are distinct per doc
     ).filter(F.col("df") <= max_df)
-    inv = tf.join(F.broadcast(df_), "term").select(
+    inv = sh.join(F.broadcast(df_), "term").select(
         "term",
         "doc",
-        (
-            F.col("tf")
-            * F.round(
-                (F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + 1.0)
-                * F.lit(float(IDF_SCALE))
-            ).cast("bigint")
-        ).alias("w"),
+        F.round(
+            (F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + 1.0)
+            * F.lit(float(IDF_SCALE))
+        )
+        .cast("bigint")
+        .alias("w"),
     )
     norms = inv.groupBy("doc").agg(F.sum(F.col("w") * F.col("w")).alias("nn"))
     a = inv.select(F.col("term"), F.col("doc").alias("doc_a"), F.col("w").alias("wa"))

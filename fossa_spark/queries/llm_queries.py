@@ -579,6 +579,20 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.tfidf_top_terms(d, k=5).orderBy("doc_id", "rk")
 
 
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with idf-weighted shingle cosine >= 0.4 over the
+    df-capped inverted index (llm/text.py tfidf_cosine_pairs — Bayardo
+    WWW'07 all-pairs shape: pair work is sum-over-shingles of df^2 with
+    df <= 20, never |corpus|^2). Weighted near-dup detection — the
+    idf-weighted complement of q_dedup_ngram's unweighted Jaccard.
+    Exact integer dots/norms + three correctly-rounded IEEE ops make the
+    cosine hash-matchable."""
+    d = load(spark, sf_dir, "documents")
+    return X.tfidf_cosine_pairs(d, shingle_k=3, max_df=20, min_cos=0.4).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 _BM25_TERMS = ("hash", "join", "vector")
 
 
@@ -1040,6 +1054,7 @@ QUERIES = {
     "q_rank_fusion": q_rank_fusion,
     "q_feature_hash": q_feature_hash,
     "q_tfidf": q_tfidf,
+    "q_tfidf_cosine": q_tfidf_cosine,
     "q_lm_score": q_lm_score,
     "q_sketch_cms": q_sketch_cms,
     "q_embed_standardize": q_embed_standardize,
@@ -1617,6 +1632,48 @@ ORACLE = {
         SELECT t.token AS token, COUNT(*) AS freq
         FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
         GROUP BY t.token ORDER BY freq DESC, token ASC
+    """,
+    "q_tfidf_cosine": """
+        WITH toks AS (
+          SELECT doc_id AS doc, string_split(lower(text), ' ') AS t
+          FROM documents
+        ),
+        sh AS MATERIALIZED (  -- distinct 3-shingles, word_shingles rule:
+          -- short docs yield one shingle of all their tokens
+          SELECT DISTINCT doc, array_to_string(t[gs : gs + 2], ' ') AS term
+          FROM toks JOIN generate_series(1, 100000) AS g(gs)
+            ON gs <= greatest(len(t) - 2, 1)
+        ),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs
+              FROM documents),
+        dfq AS (
+          SELECT term, COUNT(*) AS df FROM sh
+          GROUP BY term HAVING COUNT(*) <= 20
+        ),
+        inv AS MATERIALIZED (
+          SELECT sh.term, sh.doc,
+                 CAST(round((ln((1.0 + (SELECT n_docs FROM n))
+                                / (1.0 + CAST(dfq.df AS DOUBLE)))
+                             + 1.0) * 1e4) AS BIGINT) AS w
+          FROM sh JOIN dfq USING (term)
+        ),
+        norms AS (SELECT doc, SUM(w * w) AS nn FROM inv GROUP BY doc),
+        dots AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, SUM(a.w * b.w) AS dot_q
+          FROM inv a JOIN inv b ON a.term = b.term AND a.doc < b.doc
+          GROUP BY a.doc, b.doc
+        ),
+        cosed AS (
+          SELECT d.doc_a, d.doc_b, CAST(d.dot_q AS BIGINT) AS dot_q,
+                 round(CAST(d.dot_q AS DOUBLE)
+                       / (sqrt(CAST(na.nn AS DOUBLE))
+                          * sqrt(CAST(nb.nn AS DOUBLE))), 8) AS cos
+          FROM dots d
+          JOIN norms na ON d.doc_a = na.doc
+          JOIN norms nb ON d.doc_b = nb.doc
+        )
+        SELECT doc_a, doc_b, dot_q, cos FROM cosed
+        WHERE cos >= 0.4 ORDER BY doc_a, doc_b
     """,
     "q_tfidf": """
         WITH pairs AS (

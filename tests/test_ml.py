@@ -147,3 +147,44 @@ def test_bellman_ford_round_bound_is_hop_bound(spark):
     src = spark.createDataFrame([(1,)], "node long")
     d2 = {r.node: r.dist for r in G.bellman_ford(edges, src, rounds=2).collect()}
     assert 4 not in d2 and d2[3] == 2
+
+
+def test_tfidf_cosine_pairs_ranks_near_dup_above_partial(spark):
+    from fossa_spark.llm import text as X
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+            (3, "alpha beta gamma nine ten eleven"),     # partial overlap
+            (4, "one two three four five six"),          # disjoint
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r.doc_a, r.doc_b): r.cos
+        for r in X.tfidf_cosine_pairs(
+            docs, shingle_k=3, max_df=20, min_cos=0.0
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0  # identical shingle sets -> cosine exactly 1
+    assert out[(1, 3)] < out[(1, 2)]
+    assert (1, 4) not in out and (2, 4) not in out
+
+
+def test_tfidf_cosine_pairs_df_cap_blocks_boilerplate(spark):
+    from fossa_spark.llm import text as X
+
+    # the same boilerplate shingle in EVERY doc; unique tails otherwise.
+    # with max_df=2 the boilerplate posting list (df=3) is dropped, so no
+    # pair shares a surviving shingle
+    docs = spark.createDataFrame(
+        [
+            (1, "common head one two three"),
+            (2, "common head four five six"),
+            (3, "common head seven eight nine"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = X.tfidf_cosine_pairs(docs, shingle_k=3, max_df=2, min_cos=0.0)
+    assert out.count() == 0
