@@ -1158,3 +1158,50 @@ def apply_pca(
             out_col
         ),
     )
+
+
+def refine_ivf_centroids(
+    candidates: DataFrame,
+    centroids: "np.ndarray",
+    vec_c: str = "c_vec",
+    id_c: str = "c_id",
+    iters: int = 2,
+) -> "np.ndarray":
+    """Full-corpus Lloyd refinement of sample-trained coarse-quantizer
+    centroids — the 100 TB half of the FAISS train/refine split:
+    :func:`fit_centroids_capped` seeds from a driver-capped sample (fast,
+    bounded), then THIS runs ``iters`` distributed Lloyd passes over the
+    ENTIRE corpus (fossa_spark/ml.py kmeans_fit: map-only assignment via
+    a one-row broadcast centroid array, one k x dim-sized map-side-
+    combined shuffle per pass — no corpus collect, no corpus shuffle).
+
+    Centroids cross the boundary in the ml module's fixed-point space
+    (KMEANS_SCALE), so refinement inherits its exact-integer determinism
+    (q_kmeans hash-verifies the same math under the DuckDB oracle);
+    the returned array is float again, ready for _nearest_centroids_udf.
+    Lloyd monotonicity (inertia never increases) is the pytest witness.
+    """
+    import numpy as np
+
+    from fossa_spark import ml
+
+    spark = candidates.sparkSession
+    k, dim = centroids.shape
+    qcent = np.rint(centroids * ml.KMEANS_SCALE).astype(np.int64)
+    init = spark.createDataFrame(
+        [
+            (int(c), int(p), int(qcent[c, p]))
+            for c in range(k)
+            for p in range(dim)
+        ],
+        "cluster int, pos int, v bigint",
+    )
+    vecs = ml.quantize_vectors(candidates, vec_col=vec_c, id_col=id_c).select(
+        F.col(id_c).alias("vec_id"), "qv"
+    )
+    cents, _ = ml.kmeans_fit(vecs, k=k, iters=iters, init=init)
+    rows = cents.collect()  # k x dim rows: control-plane sized
+    out = np.empty((k, dim), dtype=np.float64)
+    for r in rows:
+        out[r["cluster"], r["pos"]] = r["v"] / float(ml.KMEANS_SCALE)
+    return out

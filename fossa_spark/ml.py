@@ -127,7 +127,10 @@ def _assign(vecs: DataFrame, cents_long: DataFrame) -> DataFrame:
 
 
 def kmeans_fit(
-    vecs: DataFrame, k: int = 4, iters: int = 3
+    vecs: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    init: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed Lloyd's k-means over fixed-point vectors
     (``quantize_vectors`` output: vec_id, qv array<bigint>).
@@ -138,7 +141,11 @@ def kmeans_fit(
     closing assignment — the standard Lloyd's convention).
 
     Init: the k lowest-id vectors (deterministic, oracle-replayable;
-    k-means++ would need a random stream both engines share).
+    k-means++ would need a random stream both engines share) — or pass
+    ``init`` as a (cluster, pos, v) long-form frame to refine centroids
+    trained elsewhere (e.g. llm/similarity.py's capped-sample quantizer:
+    sample-seed on the driver, then run THESE full-corpus refinement
+    passes — the FAISS train-on-sample / refine-on-corpus split).
 
     The 100 TB shape — per iteration exactly ONE shuffle, and it is
     k x dim sized:
@@ -155,15 +162,15 @@ def kmeans_fit(
     This is the full-corpus training path for the IVF coarse quantizer
     (llm/similarity.py trains on a driver-capped sample; at 100 TB you
     sample to seed, then run 2-3 of THESE refinement passes)."""
-    w = F.row_number().over(Window.orderBy("vec_id"))
-    init = (
-        vecs.orderBy("vec_id")
-        .limit(k)
-        .withColumn("cluster", w - F.lit(1))
-    )
-    cents = init.select(
-        "cluster", F.posexplode("qv").alias("pos", "v")
-    ).localCheckpoint()
+    if init is None:
+        w = F.row_number().over(Window.orderBy("vec_id"))
+        init = (
+            vecs.orderBy("vec_id")
+            .limit(k)
+            .withColumn("cluster", w - F.lit(1))
+            .select("cluster", F.posexplode("qv").alias("pos", "v"))
+        )
+    cents = init.localCheckpoint()
     for _ in range(iters):
         assigned = _assign(vecs, cents)
         upd = (
@@ -273,14 +280,26 @@ def nb_train_score(
         F.col(id_col), F.col(label_col).alias("label"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
     ).filter(F.col("token") != "")
+    # ONE corpus explode + ONE map-side-combined shuffle: every other
+    # relation (vocabulary, per-class counts, per-doc counts) derives from
+    # this (doc, label, token, n) grain. Materialized so the four
+    # consumers don't each replay the explode (measured 8.4 s -> the
+    # explode was 4x-replayed at sf1); at cluster scale this is the
+    # standard "tokenize once into a temp table" stage — doc x distinct-
+    # token grain, far smaller than the raw token stream.
+    dt0 = (
+        toks.groupBy(id_col, "label", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     vocab = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
+        dt0.groupBy("token")
+        .agg(F.sum("n").alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("token").asc())
         .limit(vocab_k)
         .select("token")
     )
-    vt = toks.join(F.broadcast(vocab), "token")  # vocab-restricted stream
+    dtv = dt0.join(F.broadcast(vocab), "token")  # vocab-restricted grain
     classes = docs.select(F.col(label_col).alias("label")).distinct()
     # class priors from doc counts: round(ln(n_c / n) * 1e8)
     nd = docs.groupBy(F.col(label_col).alias("label")).agg(
@@ -298,11 +317,9 @@ def nb_train_score(
     )
     # per-class token counts over the FULL class x vocab grid (zero counts
     # must exist for add-one smoothing to see them)
-    ct = (
-        vt.groupBy("label", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    ct = dtv.groupBy("label", "token").agg(F.sum("n").alias("cnt"))
     grid = classes.crossJoin(vocab)
-    nc = vt.groupBy("label").agg(F.count(F.lit(1)).alias("n_tok_c"))
+    nc = dtv.groupBy("label").agg(F.sum("n").alias("n_tok_c"))
     vsize = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
     ll = (
         grid.join(ct, ["label", "token"], "left")
@@ -327,7 +344,7 @@ def nb_train_score(
     )
     # score every doc against every class (k small); docs with zero vocab
     # tokens still get prior-only scores via the doc x class base grid
-    dt = vt.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("n"))
+    dt = dtv.select(id_col, "token", "n")
     contrib = (
         dt.join(F.broadcast(ll), "token")
         .groupBy(id_col, "label")
@@ -363,4 +380,17 @@ def nb_train_score(
             F.col("label").alias("predicted"),
             F.col("score").alias("score_scaled"),
         )
+    )
+
+
+def kmeans_inertia(vecs: DataFrame, cents_long: DataFrame) -> int:
+    """Exact integer k-means objective (sum of squared distances to the
+    assigned centroid) of ``vecs`` under ``cents_long`` — one map-only
+    assignment pass + one scalar agg. The monotonicity witness: Lloyd
+    updates never increase this, which is what makes full-corpus
+    refinement of sample-trained centroids testable without tolerances."""
+    return (
+        _assign(vecs, cents_long)
+        .agg(F.sum("dist").alias("inertia"))
+        .collect()[0]["inertia"]
     )

@@ -586,8 +586,9 @@ def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     df <= 20, never |corpus|^2). Weighted near-dup detection — the
     idf-weighted complement of q_dedup_ngram's unweighted Jaccard.
     Exact integer dots/norms + three correctly-rounded IEEE ops make the
-    cosine hash-matchable."""
-    d = load(spark, sf_dir, "documents")
+    cosine hash-matchable. spread(): shingle construction is CPU-bound
+    per doc and the fixture scan yields few row-group splits."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
     return X.tfidf_cosine_pairs(d, shingle_k=3, max_df=20, min_cos=0.4).orderBy(
         "doc_a", "doc_b"
     )

@@ -71,8 +71,10 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained on the corpus
     itself (one aggregation pass, vocab=200) and folded to a confusion
     matrix — the fastText-style routing gate of a curation pipeline under
-    a full hash-checked oracle (ml.nb_train_score)."""
-    d = load(spark, sf_dir, "documents")
+    a full hash-checked oracle (ml.nb_train_score). spread(): the explode
+    + token groupBys are CPU-bound per doc and the fixture scan yields
+    few row-group splits (see _util.spread — no-op at real scale)."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
     pred = ml.nb_train_score(d, vocab_k=200)
     return (
         pred.groupBy("true_label", "predicted")

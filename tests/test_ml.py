@@ -188,3 +188,32 @@ def test_tfidf_cosine_pairs_df_cap_blocks_boilerplate(spark):
     )
     out = X.tfidf_cosine_pairs(docs, shingle_k=3, max_df=2, min_cos=0.0)
     assert out.count() == 0
+
+
+def test_refine_ivf_centroids_never_increases_inertia(spark):
+    """Lloyd monotonicity: full-corpus refinement of sample-trained
+    centroids must not increase the exact quantized objective."""
+    from fossa_spark.llm import similarity as S
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cent0 = S.fit_centroids_capped(emb, "embedding", k=8, train_cap=64, seed=7)
+    vecs = ml.quantize_vectors(emb)
+
+    def long_form(c):
+        import numpy as np
+
+        q = np.rint(c * ml.KMEANS_SCALE).astype(int)
+        return spark.createDataFrame(
+            [(int(i), int(p), int(q[i, p])) for i in range(q.shape[0])
+             for p in range(q.shape[1])],
+            "cluster int, pos int, v bigint",
+        )
+
+    before = ml.kmeans_inertia(vecs, long_form(cent0))
+    cent1 = S.refine_ivf_centroids(
+        emb, cent0, vec_c="embedding", id_c="vec_id", iters=2
+    )
+    after = ml.kmeans_inertia(vecs, long_form(cent1))
+    assert after <= before
+    assert cent1.shape == cent0.shape
