@@ -151,8 +151,10 @@ def kmeans_fit(
     k x dim sized:
       * assignment is map-only (one-row centroid broadcast, argmin fold
         per row — no corpus shuffle, no Python),
-      * the update is a single map-side-combined groupBy(cluster, pos)
-        over the posexploded assignment whose output is k*dim rows,
+      * the update is a single map-side-combined groupBy(cluster) with
+        one SUM column per dimension — the shuffle reads N rows and
+        emits k (a posexploded (cluster, pos) formulation shuffles
+        N*dim rows; measured 34 s vs 9 s warm at sf10, 500k x 64),
       * the new centroid table is localCheckpoint()ed (control-plane
         sized) so iteration i+1's plan starts from materialized
         centroids instead of replaying i corpus passes.
@@ -171,15 +173,28 @@ def kmeans_fit(
             .select("cluster", F.posexplode("qv").alias("pos", "v"))
         )
     cents = init.localCheckpoint()
+    first = vecs.select(F.size("qv").alias("d")).first()
+    dim = 0 if first is None else int(first["d"])
+    vecs = vecs.persist()
     for _ in range(iters):
         assigned = _assign(vecs, cents)
-        upd = (
-            assigned.select("cluster", F.posexplode("qv").alias("pos", "q"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
-            .select(
-                "cluster", "pos", _floordiv(F.col("s"), F.col("n")).alias("v")
-            )
+        # per-dimension SUM columns instead of a posexplode: the shuffle
+        # input stays N rows (map-side combined straight down to k rows
+        # x dim+1 columns) — the exploded form shuffled N*dim rows per
+        # iteration, measured 34 s warm at sf10 (500k x 64) vs the
+        # column form's one narrow pass
+        sums = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)],
+        )
+        upd = sums.select(
+            "cluster",
+            "n",
+            F.posexplode(
+                F.array(*[F.col(f"s{i}") for i in range(dim)])
+            ).alias("pos", "s"),
+        ).select(
+            "cluster", "pos", _floordiv(F.col("s"), F.col("n")).alias("v")
         )
         cents = (
             cents.withColumnRenamed("v", "v_prev")
@@ -191,7 +206,13 @@ def kmeans_fit(
             )
             .localCheckpoint()  # k*dim rows: truncates the iteration chain
         )
-    return cents, _assign(vecs, cents)
+    final = (
+        _assign(vecs, cents)
+        .select("vec_id", "cluster", "dist")  # qv dropped: don't store
+        .localCheckpoint()  # materialized so unpersist can't force replays
+    )
+    vecs.unpersist()
+    return cents, final
 
 
 def ols_sufficient_stats(

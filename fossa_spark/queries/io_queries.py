@@ -574,6 +574,42 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE as a forward commit (round 10, versioned.py restore — the
+    Delta RESTORE shape): roll the shared three-commit chain back to v1
+    by committing the INVERSE of change_feed(v1 -> v3] (net inserts
+    become tombstones, updates and deletes re-upsert their pre-image) —
+    an O(changes) commit, never an O(table) rewrite, with the botched
+    v2/v3 still readable behind it. Emits the per-status audit of BOTH
+    as-of(1) and as-of(4): the oracle derives the v1 state from orders
+    ONCE and expects it under both version labels, so any key the
+    rollback missed, resurrected, or double-restored moves a cell.
+    The staged chain is hard-linked per run, so the restore commit
+    mutates only this run's copy (never the stage cache)."""
+    from fossa_spark import versioned as V
+
+    tbl = _staged_version_chain(spark, sf_dir, vacuum=False)
+    v_new = V.restore(spark, tbl, 1)
+
+    def audit(v: int) -> DataFrame:
+        return (
+            V.read_as_of(spark, tbl, v)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.sum("o_custkey").alias("cust_sum"),
+            )
+            .withColumn("version", F.lit(v))
+        )
+
+    return (
+        audit(1).unionByName(audit(v_new))
+        .select("version", "o_orderstatus", "n_rows", "key_sum", "cust_sum")
+        .orderBy("version", "o_orderstatus")
+    )
+
+
 def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHANGE DATA FEED over the versioned table (round 10,
     versioned.py change_feed — the Delta-CDF shape): the same shared
@@ -669,6 +705,7 @@ def q_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_csv_malformed": q_csv_malformed,
     "q_time_travel": q_time_travel,
+    "q_restore": q_restore,
     "q_change_feed": q_change_feed,
     "q_view_maintain": q_view_maintain,
     "q_join_dpp": q_join_dpp,
@@ -690,6 +727,24 @@ ORACLE = {
     # as-of-2 = keys %3 in (0,1) minus %12=0 tombstones, cust modified
     # where %9=0 survived; as-of-3 additionally inserts %3=2 and
     # tombstones %15=6
+    # restore-to-v1 must reproduce the v1 state EXACTLY under both the
+    # version-1 and version-4 labels: v1 membership is keys == 0 (mod 3)
+    # with the untouched base payload
+    "q_restore": """
+        WITH a1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0)
+        SELECT CAST(1 AS INT) AS version, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        FROM a1 GROUP BY o_orderstatus
+        UNION ALL
+        SELECT CAST(4 AS INT), o_orderstatus,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(o_orderkey) AS BIGINT),
+               CAST(SUM(o_custkey) AS BIGINT)
+        FROM a1 GROUP BY o_orderstatus
+        ORDER BY version, o_orderstatus
+    """,
     "q_time_travel": """
         WITH a2 AS (
           SELECT * FROM orders

@@ -433,3 +433,65 @@ def change_feed(
             *pre,
         )
     )
+
+
+def restore(
+    spark: SparkSession,
+    path: str,
+    to_version: int,
+    *,
+    tag: str | None = None,
+) -> int:
+    """RESTORE the table to an earlier version AS A NEW COMMIT (the
+    Delta/Iceberg RESTORE shape: history is immutable — rolling back is
+    a forward commit whose fold result equals the old state, so the
+    botched versions stay auditable and concurrent readers never see a
+    chain rewrite).
+
+    Computed as the INVERSE of the change feed over (to_version,
+    current]:
+
+      * net 'insert' (absent then, present now)  -> delete tombstone
+      * net 'update'                             -> upsert with the OLD
+        payload (the feed's pre-image columns)
+      * net 'delete' (present then, absent now)  -> upsert with the
+        pre-image (the feed's payload for deletes)
+
+    so the commit is O(changes), never O(table) — the same scale shape
+    as change_feed itself. Everything below the retention horizon is
+    refused loudly by the underlying feed (you cannot restore to a
+    vacuumed version). Restoring to the current version, or when the
+    net feed is empty (the table already equals ``to_version``), is a
+    no-op that returns the current version without writing a commit.
+
+    ``tag`` passes through to :func:`commit` for idempotent replays.
+    Returns the new (or unchanged) version number."""
+    meta = _read_meta(path)
+    cur = int(meta["current"])
+    if not (0 <= to_version <= cur):
+        raise ValueError(f"need 0 <= to_version <= {cur}, got {to_version}")
+    if to_version == cur:
+        return cur
+    key = list(meta["key"])
+    payload = [c for c in (meta["columns"] or []) if c not in key]
+    feed = change_feed(spark, path, to_version, cur, with_preimage=True)
+    inverse = feed.select(
+        *key,
+        *[
+            F.when(F.col("change") == "update", F.col(f"old_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in payload
+        ],
+        F.when(F.col("change") == "insert", F.lit(DELETE))
+        .otherwise(F.lit(UPSERT))
+        .alias(OP_COL),
+    )
+    # materialize the O(changes) relation once: the emptiness probe and
+    # the commit write would otherwise each replay the feed's fold+join
+    inverse = inverse.localCheckpoint()
+    if inverse.isEmpty():
+        return cur
+    # the feed nets one row per key by construction and the op column is
+    # literal — skip the validator's extra aggregate over the changes
+    return commit(path, inverse, expect_version=cur, tag=tag, validate=False)

@@ -344,3 +344,40 @@ def test_change_feed_preimage_collision_guard(spark, tmp_path):
         V.change_feed(spark, path, 1, 2, with_preimage=True)
     # without pre-images the feed still works
     assert V.change_feed(spark, path, 1, 2).count() == 1
+
+
+def test_restore_rolls_back_as_forward_commit(spark, tbl):
+    V.commit(tbl, _mk(spark, [(1, "a", "u"), (2, "b", "u")]))       # v1
+    V.commit(tbl, _mk(spark, [(2, "B", "u"), (3, "c", "u")]))       # v2
+    V.commit(tbl, _mk(spark, [(1, None, "d"), (4, "d", "u")]))      # v3
+    v = V.restore(spark, tbl, 1)
+    assert v == 4
+    # the restored head equals the v1 state exactly
+    assert _rows(V.read_as_of(spark, tbl)) == {(1, "a"), (2, "b")}
+    # history is intact: the botched versions stay readable behind it
+    assert _rows(V.read_as_of(spark, tbl, 3)) == {(2, "B"), (3, "c"), (4, "d")}
+    # the restore commit is O(changes): exactly the 4 net-changed keys
+    delta = spark.read.parquet(os.path.join(tbl, "delta", "v=4"))
+    assert delta.count() == 4
+    ops = {(r.k, r._op) for r in delta.collect()}
+    assert (3, "d") in ops and (4, "d") in ops     # net inserts -> deletes
+    assert (1, "u") in ops and (2, "u") in ops     # delete/update -> re-upsert
+
+
+def test_restore_is_noop_when_state_already_matches(spark, tbl):
+    V.commit(tbl, _mk(spark, [(1, "a", "u")]))                      # v1
+    V.commit(tbl, _mk(spark, [(2, "b", "u")]))                      # v2
+    assert V.restore(spark, tbl, 1) == 3
+    # restoring again to v1: head already equals v1 -> no new commit
+    assert V.restore(spark, tbl, 1) == 3
+    assert V.restore(spark, tbl, 3) == 3  # restore-to-current is a no-op
+    assert _rows(V.read_as_of(spark, tbl)) == {(1, "a")}
+
+
+def test_restore_refuses_vacuumed_target(spark, tbl):
+    V.commit(tbl, _mk(spark, [(1, "a", "u")]))                      # v1
+    V.commit(tbl, _mk(spark, [(2, "b", "u")]))                      # v2
+    V.checkpoint(spark, tbl, 2)
+    V.vacuum(tbl)
+    with pytest.raises(ValueError, match="vacuumed"):
+        V.restore(spark, tbl, 1)
