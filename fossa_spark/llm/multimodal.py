@@ -469,3 +469,177 @@ def frame_sample(
     return v.select("media_id", "payload").mapInPandas(
         run, "media_id long, frame_idx int, mean_luma double"
     )
+
+
+def _ahash(px: "np.ndarray", hash_dim: int = 8) -> int:
+    """Average hash (aHash) of a decoded grayscale image: block-mean
+    downsample to hash_dim x hash_dim, threshold each cell at the grid
+    mean, pack row-major into one unsigned integer (64 bits at the
+    default). Pure integer index mapping, deterministic across
+    platforms — the classic cheap perceptual fingerprint (dHash/pHash
+    swap the thresholding, same plumbing)."""
+    h, w = px.shape
+    px = px.astype(np.float64)
+    ys = (np.arange(hash_dim + 1) * h) // hash_dim
+    xs = (np.arange(hash_dim + 1) * w) // hash_dim
+    grid = np.empty((hash_dim, hash_dim), dtype=np.float64)
+    for i in range(hash_dim):
+        for j in range(hash_dim):
+            grid[i, j] = px[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    bits = (grid > grid.mean()).flatten()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def image_phash(media: DataFrame, hash_dim: int = 8) -> DataFrame:
+    """Perceptual-hash fingerprints for the image rows: decode each PNG
+    (the real pure-stdlib codec), average-hash the pixels, emit
+    (media_id, phash) with the hash as a SIGNED bigint (the two's-
+    complement reinterpretation of the 64-bit fingerprint — XOR and
+    bit_count are sign-agnostic, so Hamming math downstream is exact).
+
+    Only image rows reach Python; Arrow-batched mapInPandas, one decode
+    + one O(pixels) hash per row — embarrassingly parallel, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                hv = _ahash(_decode_png(payload), hash_dim)
+                # reinterpret as signed 64-bit for the bigint column
+                if hv >= 1 << 63:
+                    hv -= 1 << 64
+                ids.append(mid)
+                hashes.append(hv)
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, "media_id long, phash long")
+    )
+
+
+def phash_near_dup(
+    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance —
+    the pigeonhole banding of llm/dedup.py's SimHash applied to the
+    image fingerprints: a 64-bit hash splits into ``bands`` equal slices,
+    and any pair within Hamming ``max_hamming`` (< bands) must agree
+    EXACTLY on at least one slice, so candidates come from equi-joining
+    per-band buckets — never an all-pairs scan. Exact Hamming
+    (bit_count(a XOR b), JVM-side) then filters the candidates.
+
+    Returns (id_a, id_b, hamming), id_a < id_b, distinct."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < bands, got "
+            f"{max_hamming} >= {bands}"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"(phash >> {i * width}) & {mask}").alias("bval"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = hashes.select(
+        "media_id", "phash", F.explode(slices).alias("s")
+    ).select(
+        "media_id", "phash", F.col("s.band").alias("band"),
+        F.col("s.bval").alias("bval"),
+    )
+    a = banded.select(
+        "band", "bval", F.col("media_id").alias("id_a"),
+        F.col("phash").alias("ha"),
+    )
+    b = banded.select(
+        "band", "bval", F.col("media_id").alias("id_b"),
+        F.col("phash").alias("hb"),
+    )
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.expr("ha ^ hb")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def synthetic_random_images(
+    spark: SparkSession, n: int = 48, w: int = 64, h: int = 64
+) -> DataFrame:
+    """Id-seeded pseudo-random PNG images (media_id, kind='image',
+    payload) — the fingerprint-friendly test corpus: random pixels give
+    every image a near-uniform 64-bit aHash, so distinct images differ
+    by ~32 bits and only PLANTED perturbed copies land within a small
+    Hamming radius. (synthetic_media's gradient test pattern is the
+    WRONG corpus for perceptual hashing: the shared x-gradient dominates
+    every block mean, hashing all images to nearly the same value.)
+    Generated distributedly; payload is a pure function of media_id."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                px = np.random.default_rng(i).integers(
+                    0, 256, size=(h, w)
+                ).astype(np.uint8)
+                rows.append(
+                    {"media_id": i, "kind": "image",
+                     "payload": _encode_png(px)}
+                )
+            yield pd.DataFrame(rows)
+
+    n_parts = max(1, min(32, n // 4096 + 1))
+    return spark.range(n, numPartitions=n_parts).mapInPandas(
+        gen, "media_id long, kind string, payload binary"
+    )
+
+
+def perturb_images(
+    media: DataFrame,
+    id_offset: int = 100_000,
+    every: int = 4,
+    flips: int = 3,
+) -> DataFrame:
+    """Near-identical copies of every ``every``-th image: decode, bump
+    ``flips`` id-seeded pixel positions by +16 (mod 256), re-encode under
+    media_id + id_offset. The planted near-duplicates a perceptual-hash
+    dedup must recover — a few changed pixels move a block mean by at
+    most a fraction of a gray level, so the aHash shifts 0-2 bits."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                if mid % every != 0:
+                    continue
+                px = _decode_png(payload).astype(np.int64)
+                rng = np.random.default_rng(mid + 1)
+                h, w = px.shape
+                for _ in range(flips):
+                    y, x = int(rng.integers(h)), int(rng.integers(w))
+                    px[y, x] = (px[y, x] + 16) % 256
+                ids.append(mid + id_offset)
+                kinds.append("image")
+                payloads.append(_encode_png(px.astype(np.uint8)))
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads}
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, "media_id long, kind string, payload binary"
+    )

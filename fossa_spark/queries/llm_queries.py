@@ -914,6 +914,25 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection by perceptual hash (round 10,
+    llm/multimodal.py image_phash/phash_near_dup): 48 id-seeded random
+    PNGs + planted near-identical copies (20 pixels perturbed — enough
+    to flip 0-2 hash bits, so the Hamming filter is really exercised, not
+    just band equality) of every 4th image → real stdlib PNG decode →
+    64-bit average-hash → SimHash-
+    style pigeonhole banding (4 x 16-bit slices: any pair within
+    Hamming 3 shares an exact slice) → exact bit_count Hamming filter.
+    The multimodal sibling of q_dedup_simhash — candidates come from
+    band equi-joins, never an all-pairs scan. rows-only (binary decode
+    in Python has no SQL oracle); the planted copies' recovery is
+    pytest-pinned."""
+    base = M.synthetic_random_images(spark, n=48)
+    media = base.unionByName(M.perturb_images(base, every=4, flips=20))
+    pairs = M.phash_near_dup(M.image_phash(media), max_hamming=3, bands=4)
+    return pairs.orderBy("id_a", "id_b")
+
+
 def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full training-data pipeline transform (quality gates → langid →
     exact dedup → MinHash-LSH near-dedup → token annotations) as one lazy
@@ -1056,6 +1075,7 @@ QUERIES = {
     "q_feature_hash": q_feature_hash,
     "q_tfidf": q_tfidf,
     "q_tfidf_cosine": q_tfidf_cosine,
+    "q_multimodal_phash": q_multimodal_phash,
     "q_lm_score": q_lm_score,
     "q_sketch_cms": q_sketch_cms,
     "q_embed_standardize": q_embed_standardize,

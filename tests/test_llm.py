@@ -845,3 +845,36 @@ def test_quality_lr_learns_and_composes(spark):
     )
     n_gated, n_keep = gated.count(), scored.filter("keep").count()
     assert 0 < n_gated <= n_keep
+
+
+def test_image_phash_near_dup_recovers_planted_copies(spark):
+    """Every planted perturbed copy must pair with its original within
+    the Hamming radius; no cross-pair between distinct random images
+    (48 random 64-bit hashes: a band collision AND hamming <= 3 between
+    unrelated images is ~impossible, and the rng is seeded)."""
+    base = M.synthetic_random_images(spark, n=48)
+    media = base.unionByName(M.perturb_images(base, every=4, flips=20))
+    pairs = M.phash_near_dup(
+        M.image_phash(media), max_hamming=3, bands=4
+    ).collect()
+    planted = {(r.id_a, r.id_b) for r in pairs if r.id_b - r.id_a == 100_000}
+    assert planted == {(i, i + 100_000) for i in range(0, 48, 4)}
+    assert all(r.hamming <= 3 for r in pairs)
+    assert not [r for r in pairs if r.id_b - r.id_a != 100_000]
+
+
+def test_image_phash_is_stable_and_distinct(spark):
+    h = {r.media_id: r.phash
+         for r in M.image_phash(M.synthetic_random_images(spark, n=8)).collect()}
+    h2 = {r.media_id: r.phash
+          for r in M.image_phash(M.synthetic_random_images(spark, n=8)).collect()}
+    assert h == h2                       # pure function of media_id
+    assert len(set(h.values())) == 8     # random images hash apart
+
+
+def test_phash_near_dup_guards_pigeonhole_premise(spark):
+    import pytest as _pt
+
+    hashes = M.image_phash(M.synthetic_random_images(spark, n=4))
+    with _pt.raises(ValueError, match="pigeonhole"):
+        M.phash_near_dup(hashes, max_hamming=4, bands=4)
