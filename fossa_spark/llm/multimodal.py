@@ -643,3 +643,104 @@ def perturb_images(
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, "media_id long, kind string, payload binary"
     )
+
+
+def synthetic_random_audio(
+    spark: SparkSession, n: int = 48, length: int = 2048
+) -> DataFrame:
+    """Id-seeded random-noise WAV clips (media_id, kind='audio',
+    payload) — the fingerprint-friendly audio corpus, for the same
+    reason as synthetic_random_images: the periodic triangle test tone
+    has a near-flat block-RMS envelope, so envelope fingerprints
+    degenerate; seeded noise gives every clip an individual envelope."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                x = np.random.default_rng(i ^ 0xA0D10).integers(
+                    -16384, 16384, size=length
+                ).astype(np.int16)
+                rows.append(
+                    {"media_id": i, "kind": "audio",
+                     "payload": _encode_wav(x, rate=16000)}
+                )
+            yield pd.DataFrame(rows)
+
+    n_parts = max(1, min(32, n // 4096 + 1))
+    return spark.range(n, numPartitions=n_parts).mapInPandas(
+        gen, "media_id long, kind string, payload binary"
+    )
+
+
+def perturb_audio(
+    media: DataFrame,
+    id_offset: int = 100_000,
+    every: int = 4,
+    amp: int = 512,
+) -> DataFrame:
+    """Near-identical copies of every ``every``-th clip: decode, add
+    id-seeded uniform noise of amplitude ``amp`` (~3% of full scale at
+    the default), re-encode under media_id + id_offset — the planted
+    near-duplicates an audio fingerprint must recover (block-RMS deltas
+    barely move, so only near-tie envelope bits flip)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                if mid % every != 0:
+                    continue
+                x, rate = _decode_wav(payload)
+                rng = np.random.default_rng(mid + 7)
+                noise = rng.integers(-amp, amp + 1, size=len(x))
+                y = np.clip(
+                    x.astype(np.int64) + noise, -32768, 32767
+                ).astype(np.int16)
+                ids.append(mid + id_offset)
+                kinds.append("audio")
+                payloads.append(_encode_wav(y, rate=rate))
+            yield pd.DataFrame(
+                {"media_id": ids, "kinds": kinds, "payload": payloads}
+            ).rename(columns={"kinds": "kind"})
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, "media_id long, kind string, payload binary"
+    )
+
+
+def audio_fingerprint(media: DataFrame, n_bits: int = 64) -> DataFrame:
+    """64-bit envelope fingerprint for the audio rows: decode each WAV
+    (the real stdlib codec), compute the block-RMS envelope over
+    ``n_bits + 1`` equal windows, emit the sign-of-delta bits
+    (envelope dHash — the shape audio fingerprinters like Chromaprint
+    build per frequency band; one band here keeps it stdlib-only).
+    Output (media_id, phash signed bigint) — the SAME relation
+    :func:`phash_near_dup` consumes, so banding + Hamming dedup is
+    shared between modalities."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x, _rate = _decode_wav(payload)
+                x = x.astype(np.float64)
+                blocks = np.array_split(x, n_bits + 1)
+                rms = np.array([np.sqrt(np.mean(b * b)) for b in blocks])
+                bits = rms[1:] > rms[:-1]
+                hv = 0
+                for b in bits:
+                    hv = (hv << 1) | int(b)
+                if hv >= 1 << 63:
+                    hv -= 1 << 64
+                ids.append(int(mid))
+                hashes.append(hv)
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(run, "media_id long, phash long")
+    )

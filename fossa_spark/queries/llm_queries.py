@@ -933,6 +933,23 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate detection by envelope fingerprint (round 10,
+    llm/multimodal.py audio_fingerprint): 48 id-seeded noise WAV clips +
+    planted noisy copies (3% additive noise) of every 4th clip → real
+    stdlib WAV decode → block-RMS envelope → 64-bit sign-of-delta hash
+    (envelope dHash, the one-band Chromaprint shape) → the SAME
+    pigeonhole banding + bit_count Hamming dedup the image path uses
+    (phash_near_dup is modality-agnostic over (media_id, phash)).
+    rows-only; recovery of the planted copies is pytest-pinned."""
+    base = M.synthetic_random_audio(spark, n=48)
+    media = base.unionByName(M.perturb_audio(base, every=4, amp=512))
+    pairs = M.phash_near_dup(
+        M.audio_fingerprint(media), max_hamming=3, bands=4
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
 def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full training-data pipeline transform (quality gates → langid →
     exact dedup → MinHash-LSH near-dedup → token annotations) as one lazy
@@ -1076,6 +1093,7 @@ QUERIES = {
     "q_tfidf": q_tfidf,
     "q_tfidf_cosine": q_tfidf_cosine,
     "q_multimodal_phash": q_multimodal_phash,
+    "q_audio_fingerprint": q_audio_fingerprint,
     "q_lm_score": q_lm_score,
     "q_sketch_cms": q_sketch_cms,
     "q_embed_standardize": q_embed_standardize,

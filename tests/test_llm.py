@@ -878,3 +878,22 @@ def test_phash_near_dup_guards_pigeonhole_premise(spark):
     hashes = M.image_phash(M.synthetic_random_images(spark, n=4))
     with _pt.raises(ValueError, match="pigeonhole"):
         M.phash_near_dup(hashes, max_hamming=4, bands=4)
+
+
+def test_audio_fingerprint_near_dup_recovers_planted_copies(spark):
+    base = M.synthetic_random_audio(spark, n=48)
+    media = base.unionByName(M.perturb_audio(base, every=4, amp=512))
+    pairs = M.phash_near_dup(
+        M.audio_fingerprint(media), max_hamming=3, bands=4
+    ).collect()
+    planted = {(r.id_a, r.id_b) for r in pairs if r.id_b - r.id_a == 100_000}
+    assert planted == {(i, i + 100_000) for i in range(0, 48, 4)}
+    assert not [r for r in pairs if r.id_b - r.id_a != 100_000]
+
+
+def test_audio_fingerprint_is_stable_and_distinct(spark):
+    base = M.synthetic_random_audio(spark, n=8)
+    h = {r.media_id: r.phash for r in M.audio_fingerprint(base).collect()}
+    h2 = {r.media_id: r.phash for r in M.audio_fingerprint(base).collect()}
+    assert h == h2
+    assert len(set(h.values())) == 8
