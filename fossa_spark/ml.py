@@ -415,3 +415,70 @@ def kmeans_inertia(vecs: DataFrame, cents_long: DataFrame) -> int:
         .agg(F.sum("dist").alias("inertia"))
         .collect()[0]["inertia"]
     )
+
+
+def kmeans_update(
+    vecs_batch: DataFrame,
+    cents: DataFrame,
+    counts: DataFrame,
+    dim: int,
+) -> tuple[DataFrame, DataFrame]:
+    """ONE streaming mini-batch k-means step (the running-mean variant of
+    Sculley WWW'10): assign the batch to the current centroids (map-only
+    broadcast argmin, exactly :func:`_assign`), then fold the batch's
+    per-cluster sums into the lifetime means in EXACT fixed point —
+
+        v_new = floor((n_old * v_old + sum_batch) / (n_old + n_batch))
+
+    so the centroid after any batch sequence is a pure integer function
+    of the batch contents and order, which is what lets a DuckDB oracle
+    unroll the whole stream batch by batch and hash-match the final
+    state. Clusters untouched by the batch keep centroid AND count.
+
+    Returns ``(cents, counts)`` — both localCheckpointed control-plane
+    frames ((cluster, pos, v) and (cluster, n)); per batch the corpus
+    pays one map-only pass plus one N-row -> k-row map-side-combined
+    shuffle, the same shape as the batch trainer's iteration."""
+    assigned = _assign(vecs_batch, cents)
+    sums = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("nb"),
+        *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)],
+    )
+    batch_long = sums.select(
+        "cluster",
+        "nb",
+        F.posexplode(
+            F.array(*[F.col(f"s{i}") for i in range(dim)])
+        ).alias("pos", "s"),
+    )
+    merged = (
+        cents.withColumnRenamed("v", "v_old")
+        .join(F.broadcast(counts.withColumnRenamed("n", "n_old")), "cluster")
+        .join(batch_long, ["cluster", "pos"], "left")
+        .select(
+            "cluster",
+            "pos",
+            F.when(
+                F.col("s").isNotNull(),
+                _floordiv(
+                    F.col("n_old") * F.col("v_old") + F.col("s"),
+                    F.col("n_old") + F.col("nb"),
+                ),
+            )
+            .otherwise(F.col("v_old"))
+            .alias("v"),
+        )
+        .localCheckpoint()
+    )
+    new_counts = (
+        counts.withColumnRenamed("n", "n_old")
+        .join(
+            batch_long.select("cluster", "nb").distinct(), "cluster", "left"
+        )
+        .select(
+            "cluster",
+            (F.col("n_old") + F.coalesce("nb", F.lit(0))).alias("n"),
+        )
+        .localCheckpoint()
+    )
+    return merged, new_counts

@@ -845,6 +845,102 @@ def q_stream_upsert_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state["df"].orderBy("user_id")
 
 
+def q_stream_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING mini-batch k-means under the EXACT oracle (round 10 —
+    streaming ML with a hash-checked answer): the embeddings table
+    arrives in three micro-batches (vec_id mod 3 slices, one file per
+    trigger in mtime order), and foreachBatch folds each batch into the
+    lifetime centroids by the running-mean rule in exact fixed point
+    (ml.kmeans_update — v_new = floor((n_old*v_old + sum_batch) /
+    (n_old + n_batch)), Sculley WWW'10's mini-batch update with the
+    per-cluster count as the learning-rate schedule). Initialization:
+    the k lowest vec_ids of the FIRST batch. Because every update is a
+    pure integer function of (batch contents, batch order) and the
+    batch order is pinned by the staged feed's mtimes, the DuckDB
+    oracle unrolls the whole stream batch by batch and the final
+    (centroid, count) state hash-matches.
+
+    Per batch the corpus pays one map-only assignment pass + one
+    N-row -> k-row map-side-combined shuffle; centroid/count state is
+    control-plane sized and localCheckpointed (O(1) lineage across
+    batches — the q_stream_upsert_exec discipline). This is the online
+    half of q_kmeans exactly as q_stream_dedup_near is the online half
+    of the batch near-dedup loop."""
+    import tempfile
+
+    from pyspark.sql.window import Window as W
+
+    from fossa_spark import ml
+
+    k = 4
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    feed = tempfile.mkdtemp(prefix="fossa_kmeans_feed_")
+
+    def _build(into: str) -> None:
+        w = _feed_writer(into)
+        for i in range(3):
+            w(e.filter(F.col("vec_id") % 3 == i), i + 1)
+
+    _staged_feed(e, feed, "kmeans_feed", _build)
+
+    state: dict = {}
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        vecs = ml.quantize_vectors(batch_df)
+        if "cents" not in state:
+            first = vecs.select(F.size("qv").alias("d")).first()
+            if first is None:
+                return
+            state["dim"] = int(first["d"])
+            w = W.orderBy("vec_id")
+            state["cents"] = (
+                vecs.orderBy("vec_id")
+                .limit(k)
+                .withColumn("cluster", F.row_number().over(w) - F.lit(1))
+                .select("cluster", F.posexplode("qv").alias("pos", "v"))
+                .localCheckpoint()
+            )
+            state["counts"] = (
+                spark.range(k)
+                .select(
+                    F.col("id").cast("int").alias("cluster"),
+                    F.lit(0).cast("bigint").alias("n"),
+                )
+                .localCheckpoint()
+            )
+        state["cents"], state["counts"] = ml.kmeans_update(
+            vecs, state["cents"], state["counts"], state["dim"]
+        )
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        state["cents"]
+        .join(state["counts"], "cluster")
+        .select(
+            "cluster",
+            "pos",
+            F.col("v").alias("centroid_q"),
+            F.col("n").alias("n_members"),
+        )
+        .orderBy("cluster", "pos")
+    )
+
+
 def q_stream_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC APPLY into the versioned table (round 10 — the
     write-side composition of fossa_spark/versioned.py): the table is
@@ -931,7 +1027,90 @@ def q_stream_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_kmeans_sql(k: int, batches: int, scale: int) -> str:
+    """Unroll the streaming mini-batch k-means run batch by batch as
+    chained MATERIALIZED CTEs: batch i's slice (vec_id mod batches =
+    i-1) is assigned against c{i-1}, then folded by the exact weighted
+    running-mean rule with the lifetime counts n{i-1} — precisely what
+    foreachBatch executes, so the final state hash-matches. Floor-div
+    uses the two-engine-safe modulus form (ml._floordiv)."""
+    head = f"""
+        WITH q AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+                   AS qv
+          FROM embeddings
+        ),
+        e AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts(qv, 1) - 1 AS pos,
+                 unnest(qv) AS qval
+          FROM q
+        ),
+        init AS (
+          SELECT vec_id, qv,
+                 row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+          FROM q WHERE vec_id % {batches} = 0 ORDER BY vec_id LIMIT {k}
+        ),
+        c0 AS MATERIALIZED (
+          SELECT cluster, generate_subscripts(qv, 1) - 1 AS pos,
+                 unnest(qv) AS v
+          FROM init
+        ),
+        n0 AS (SELECT DISTINCT cluster, CAST(0 AS BIGINT) AS n FROM c0)"""
+    parts = [head]
+    for i in range(1, batches + 1):
+        pred = f"vec_id % {batches} = {i - 1}"
+        parts.append(f""",
+        d{i} AS MATERIALIZED (
+          SELECT e.vec_id, c.cluster,
+                 SUM((e.qval - c.v) * (e.qval - c.v)) AS dist
+          FROM e JOIN c{i - 1} c USING (pos)
+          WHERE e.{pred}
+          GROUP BY e.vec_id, c.cluster
+        ),
+        a{i} AS MATERIALIZED (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM d{i}
+          ) WHERE rn = 1
+        ),
+        u{i} AS MATERIALIZED (
+          SELECT a.cluster, e.pos, SUM(e.qval) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS nb
+          FROM a{i} a JOIN e USING (vec_id)
+          GROUP BY a.cluster, e.pos
+        ),
+        c{i} AS MATERIALIZED (
+          SELECT p.cluster, p.pos,
+                 CASE WHEN u.s IS NOT NULL THEN
+                   CAST(((n.n * p.v + u.s)
+                         - ((((n.n * p.v + u.s) % (n.n + u.nb))
+                             + (n.n + u.nb)) % (n.n + u.nb)))
+                        // (n.n + u.nb) AS BIGINT)
+                 ELSE p.v END AS v
+          FROM c{i - 1} p
+          JOIN n{i - 1} n USING (cluster)
+          LEFT JOIN u{i} u ON p.cluster = u.cluster AND p.pos = u.pos
+        ),
+        n{i} AS MATERIALIZED (
+          SELECT n.cluster, n.n + COALESCE(b.nb, 0) AS n
+          FROM n{i - 1} n
+          LEFT JOIN (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS nb
+                     FROM a{i} GROUP BY cluster) b USING (cluster)
+        )""")
+    parts.append(f"""
+        SELECT c.cluster, CAST(c.pos AS INTEGER) AS pos,
+               c.v AS centroid_q, n.n AS n_members
+        FROM c{batches} c JOIN n{batches} n USING (cluster)
+        ORDER BY c.cluster, c.pos""")
+    return "".join(parts)
+
+
 QUERIES = {
+    "q_stream_kmeans": q_stream_kmeans,
     "q_stream_tumble": q_stream_tumble,
     "q_stream_versioned": q_stream_versioned,
     "q_stream_upsert_exec": q_stream_upsert_exec,
@@ -948,7 +1127,10 @@ QUERIES = {
     "q_stream_session": q_stream_session,
 }
 
+from fossa_spark.ml import KMEANS_SCALE as _KMEANS_SCALE  # noqa: E402
+
 ORACLE = {
+    "q_stream_kmeans": _stream_kmeans_sql(4, 3, _KMEANS_SCALE),
     # end state after v1 (evens) + b1 (insert %4=1, delete %8=0) +
     # b2 (insert %4=3 modified, delete %10=6): odds survive in full,
     # evens survive unless tombstoned by either delete

@@ -217,3 +217,42 @@ def test_refine_ivf_centroids_never_increases_inertia(spark):
     after = ml.kmeans_inertia(vecs, long_form(cent1))
     assert after <= before
     assert cent1.shape == cent0.shape
+
+
+def test_stream_kmeans_counts_and_equivalence(spark):
+    """The streaming fold must account for every corpus vector exactly
+    once, and must equal the same updates applied sequentially in batch
+    mode (engine-independence of the foreachBatch loop)."""
+    from tests.conftest import SF_DIR
+    from fossa_spark.queries.streaming_queries import q_stream_kmeans
+
+    out = q_stream_kmeans(spark, SF_DIR)
+    rows = out.collect()
+    n_corpus = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    per_cluster = {r.cluster: r.n_members for r in rows if r.pos == 0}
+    assert sum(per_cluster.values()) == n_corpus
+    assert set(per_cluster) == {0, 1, 2, 3}
+
+    # sequential replay with direct kmeans_update calls
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs_all = ml.quantize_vectors(emb)
+    b1 = vecs_all.filter(F.col("vec_id") % 3 == 0)
+    from pyspark.sql.window import Window as W
+
+    cents = (
+        b1.orderBy("vec_id").limit(4)
+        .withColumn("cluster", F.row_number().over(W.orderBy("vec_id")) - F.lit(1))
+        .select("cluster", F.posexplode("qv").alias("pos", "v"))
+        .localCheckpoint()
+    )
+    counts = spark.range(4).select(
+        F.col("id").cast("int").alias("cluster"),
+        F.lit(0).cast("bigint").alias("n"),
+    ).localCheckpoint()
+    for i in range(3):
+        cents, counts = ml.kmeans_update(
+            vecs_all.filter(F.col("vec_id") % 3 == i), cents, counts, 64
+        )
+    want = {(r.cluster, r.pos): r.v for r in cents.collect()}
+    got = {(r.cluster, r.pos): r.centroid_q for r in rows}
+    assert got == want
