@@ -256,3 +256,30 @@ def test_stream_kmeans_counts_and_equivalence(spark):
     want = {(r.cluster, r.pos): r.v for r in cents.collect()}
     got = {(r.cluster, r.pos): r.centroid_q for r in rows}
     assert got == want
+
+
+def test_bellman_ford_matches_pure_python_reference(spark):
+    """Seeded random graph vs a driver-side Bellman-Ford — the
+    distributed min-plus rounds must agree exactly (integer weights)."""
+    import random
+
+    rng = random.Random(20251016)
+    n_nodes, n_edges = 12, 30
+    edges = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes), rng.randrange(1, 100))
+        for _ in range(n_edges)
+    ]
+    rounds = n_nodes - 1
+    ref = {0: 0}
+    for _ in range(rounds):
+        nxt = dict(ref)
+        for s, d, w in edges:
+            if s in ref and ref[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = ref[s] + w
+        ref = nxt
+    from fossa_spark import graph as G
+
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    src = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in G.bellman_ford(edf, src, rounds=rounds).collect()}
+    assert got == ref

@@ -339,3 +339,71 @@ def test_connected_components_small_path_equals_union_find(spark):
     got_df = connected_components(pairs)  # default gate → driver path
     got = {r["doc_id"]: r["component"] for r in got_df.collect()}
     assert got == expect
+
+
+# -- round-10 classical-ML determinism contracts (pure-Python mirrors of
+#    the fixed-point math both engines must agree on)
+
+
+@given(
+    st.integers(min_value=-(10**17), max_value=10**17),
+    st.integers(min_value=1, max_value=10**9),
+)
+def test_floordiv_modulus_form_is_floor(s, n):
+    """ml._floordiv's two-engine-safe form — subtract the positive
+    modulus, then ANY truncating division — equals Python's floor
+    division for every sign combination."""
+    m = ((s % n) + n) % n
+    q = (s - m) // n  # exact multiple: truncation == floor
+    assert q == s // n
+    assert q * n + m == s
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=100_000),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(max_examples=60)
+def test_ols_moments_form_matches_fraction_ground_truth(pts):
+    """The Cramer's-rule slope from exact integer moments equals the
+    rational ground truth to within one double rounding — the contract
+    q_linreg's oracle relies on (both engines evaluate the SAME
+    expression over the SAME exact integers)."""
+    from fractions import Fraction
+
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    den = n * sxx - sx * sx
+    if den == 0:
+        return  # degenerate x: q_linreg's groups never are
+    slope_double = (float(n) * float(sxy) - float(sx) * float(sy)) / (
+        float(n) * float(sxx) - float(sx) * float(sx)
+    )
+    slope_exact = Fraction(n * sxy - sx * sy, den)
+    assert math.isclose(slope_double, float(slope_exact), rel_tol=1e-9)
+
+
+@given(st.integers(min_value=0, max_value=(1 << 64) - 1), st.integers(min_value=0, max_value=3))
+@settings(max_examples=120)
+def test_phash_banding_pigeonhole(h, flips):
+    """Any pair within Hamming <= 3 shares at least one of the 4 16-bit
+    band slices — the premise phash_near_dup's candidate join rests on.
+    Flip `flips` random-ish bit positions derived from the hash itself
+    (deterministic) and check band agreement."""
+    g = h
+    for i in range(flips):
+        g ^= 1 << ((h >> (i * 6)) % 64)
+    bands_h = [(h >> (i * 16)) & 0xFFFF for i in range(4)]
+    bands_g = [(g >> (i * 16)) & 0xFFFF for i in range(4)]
+    hamming = bin(h ^ g).count("1")
+    if hamming <= 3:
+        assert any(a == b for a, b in zip(bands_h, bands_g))
