@@ -18,7 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fossa_spark.queries._util import cents, load, load_events, sql_cents
+from fossa_spark.queries._util import cents, load, load_events, spread, sql_cents
 
 
 def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -886,7 +886,10 @@ def q_stream_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     state: dict = {}
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
-        vecs = ml.quantize_vectors(batch_df)
+        # each micro-batch is ONE coalesced feed file -> 1-2 scan
+        # partitions; the 64-dim argmin fold is CPU-bound per row, so
+        # spread the batch across the cores (no-op at real batch widths)
+        vecs = ml.quantize_vectors(spread(batch_df, spark))
         if "cents" not in state:
             first = vecs.select(F.size("qv").alias("d")).first()
             if first is None:
