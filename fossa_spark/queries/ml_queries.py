@@ -293,3 +293,96 @@ ORACLE = {
         ORDER BY true_label, predicted
     """,
 }
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution (record linkage): planted dirty
+    duplicates of every 37th customer (key + 1e7, 'o'->'0' in the name)
+    are unioned with the base records, BLOCKED by the name's last four
+    characters (the classic sort-key blocking — candidate pairs come
+    from a block equi-join, never all-pairs), verified by Levenshtein
+    <= 2, and resolved into entities by connected components
+    (llm/dedup.py connected_components — the same min-root contract the
+    near-dup keep rule uses). Output: one row per multi-record entity
+    with the canonical (minimum) key, member count, key sum, and how
+    many members are planted dirty records. The oracle re-derives the
+    dirty records, blocking, edit-distance match, and transitive closure
+    (recursive CTE, the q_cluster_keep pattern) set-theoretically.
+
+    Note the weak match rule links some distinct base customers whose
+    keys differ in one digit outside the block suffix — kept
+    deliberately: chained clusters are exactly what the CC stage exists
+    for, and the oracle mirrors the rule."""
+    from fossa_spark.llm.dedup import connected_components
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dirty = c.filter(F.col("c_custkey") % 37 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.translate("c_name", "o", "0").alias("c_name"),
+    )
+    recs = c.unionByName(dirty).withColumn(
+        "block", F.expr("right(c_name, 4)")
+    )
+    a = recs.select(
+        "block", F.col("c_custkey").alias("id_a"), F.col("c_name").alias("na")
+    )
+    b = recs.select(
+        "block", F.col("c_custkey").alias("id_b"), F.col("c_name").alias("nb")
+    )
+    pairs = (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("na", "nb") <= 2)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("doc_id").alias("key_sum"),
+            F.sum((F.col("doc_id") >= 10_000_000).cast("long")).alias(
+                "n_dirty"
+            ),
+        )
+        .select(
+            F.col("component").alias("entity_key"),
+            "n_records",
+            "key_sum",
+            "n_dirty",
+        )
+        .orderBy("entity_key")
+    )
+
+
+QUERIES["q_entity_resolution"] = q_entity_resolution
+
+ORACLE["q_entity_resolution"] = """
+    WITH RECURSIVE recs AS (
+      SELECT c_custkey AS k, c_name AS name FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000, translate(c_name, 'o', '0')
+      FROM customer WHERE c_custkey % 37 = 0
+    ),
+    blk AS (SELECT k, name, right(name, 4) AS block FROM recs),
+    pairs AS (
+      SELECT a.k AS id_a, b.k AS id_b
+      FROM blk a JOIN blk b
+        ON a.block = b.block AND a.k < b.k
+       AND levenshtein(a.name, b.name) <= 2
+    ),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d
+    ),
+    comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
+    SELECT component AS entity_key,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(id) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN id >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dirty
+    FROM comp GROUP BY component ORDER BY entity_key
+"""

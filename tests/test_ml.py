@@ -283,3 +283,22 @@ def test_bellman_ford_matches_pure_python_reference(spark):
     src = spark.createDataFrame([(0,)], "node long")
     got = {r.node: r.dist for r in G.bellman_ford(edf, src, rounds=rounds).collect()}
     assert got == ref
+
+
+def test_entity_resolution_links_planted_dirty_records(spark):
+    """Every planted dirty record must resolve into an entity whose
+    canonical key is a base customer key, and every multi-record entity
+    must contain at least two members."""
+    from tests.conftest import SF_DIR
+    from fossa_spark.queries.ml_queries import q_entity_resolution
+
+    out = q_entity_resolution(spark, SF_DIR).collect()
+    assert out, "no entities resolved"
+    n_dirty_planted = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .filter(F.col("c_custkey") % 37 == 0)
+        .count()
+    )
+    assert sum(r.n_dirty for r in out) == n_dirty_planted
+    assert all(r.n_records >= 2 for r in out)
+    assert all(r.entity_key < 10_000_000 for r in out)  # canonical = base
