@@ -482,3 +482,67 @@ def kmeans_update(
         .localCheckpoint()
     )
     return merged, new_counts
+
+
+def decision_stump(
+    df: DataFrame, x_col: str, label_col: str
+) -> DataFrame:
+    """Best binary split (x <= threshold) by weighted Gini impurity — the
+    CART/boosting split-finding kernel in its histogram form (the
+    XGBoost/LightGBM discipline): per-candidate class counts come from
+    ONE map-side-combined groupBy over the corpus, prefix sums over the
+    VALUE DOMAIN (|distinct x| rows — control-plane sized for binned or
+    integer features) turn them into left/right splits, and the argmin
+    is an orderBy+limit over that tiny relation. The corpus is scanned
+    once; nothing corpus-sized shuffles.
+
+    ``label_col`` must be a 0/1 integer column. Impurity is computed
+    from exact integer counts with one identical IEEE expression tree
+    per engine — weighted Gini numerator (nL^2 - l0^2 - l1^2)/nL +
+    (nR^2 - r0^2 - r1^2)/nR, monotone-equivalent to the classic form —
+    so argmin and the reported value are oracle-matchable (ties break
+    to the smallest threshold).
+
+    Returns one row: threshold, n_left/right, left/right majority
+    class, impurity (rounded 8dp)."""
+    hist = df.groupBy(F.col(x_col).alias("x")).agg(
+        F.sum(1 - F.col(label_col)).alias("n0"),
+        F.sum(label_col).alias("n1"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "x",
+        F.sum("n0").over(w).alias("l0"),
+        F.sum("n1").over(w).alias("l1"),
+    )
+    tot = hist.agg(
+        F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+    )
+    c = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("x").alias("threshold"),
+        "l0", "l1",
+        (F.col("t0") - F.col("l0")).alias("r0"),
+        (F.col("t1") - F.col("l1")).alias("r1"),
+    ).filter((F.col("r0") + F.col("r1")) > 0)  # x = max splits nothing off
+    nl = (F.col("l0") + F.col("l1")).cast("double")
+    nr = (F.col("r0") + F.col("r1")).cast("double")
+    l0d, l1d = F.col("l0").cast("double"), F.col("l1").cast("double")
+    r0d, r1d = F.col("r0").cast("double"), F.col("r1").cast("double")
+    imp = (nl * nl - l0d * l0d - l1d * l1d) / nl + (
+        nr * nr - r0d * r0d - r1d * r1d
+    ) / nr
+    return (
+        c.withColumn("impurity", imp)
+        .orderBy(F.col("impurity").asc(), F.col("threshold").asc())
+        .limit(1)
+        .select(
+            "threshold",
+            (F.col("l0") + F.col("l1")).alias("n_left"),
+            (F.col("r0") + F.col("r1")).alias("n_right"),
+            F.when(F.col("l1") > F.col("l0"), F.lit(1)).otherwise(F.lit(0))
+            .alias("left_class"),
+            F.when(F.col("r1") > F.col("r0"), F.lit(1)).otherwise(F.lit(0))
+            .alias("right_class"),
+            F.round(F.col("impurity"), 8).alias("impurity"),
+        )
+    )

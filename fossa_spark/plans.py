@@ -279,6 +279,16 @@ ACCEPTED_SMELLS: dict[str, dict[str, str]] = {
         "posterior grid every NB scorer must produce, linear in the "
         "corpus with constant fan-out (queries/ml_queries.py)",
     },
+    "q_stump": {
+        "corpus-window": "the prefix-sum window runs over the feature's "
+        "VALUE-DOMAIN histogram (one row per distinct quantity, <= 50 "
+        "by the TPC-H domain; binned features bound it by construction "
+        "at any corpus size), never per row — the corpus pays one "
+        "map-side-combined groupBy (ml.decision_stump)",
+        "single-partition-exchange": "same histogram relation feeding "
+        "the argmin orderBy+limit — split candidates are control-plane "
+        "output by definition",
+    },
     "q_join_dpp": {
         "corpus-window": "the rarest-status pick ranks one row per "
         "o_orderstatus value (a 3-value categorical domain)",

@@ -386,3 +386,70 @@ ORACLE["q_entity_resolution"] = """
              AS n_dirty
     FROM comp GROUP BY component ORDER BY entity_key
 """
+
+
+def q_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training (ml.decision_stump): the best Gini split
+    of quantity predicting whether a line was returned — histogram-based
+    split finding (one corpus groupBy, prefix sums over the <= 50-value
+    quantity domain, argmin over that control-plane relation). The
+    boosting/CART kernel with its full math under the hash-checked
+    oracle; the weighted-Gini numerator form is documented in ml.py."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    return ml.decision_stump(li, "x", "label")
+
+
+QUERIES["q_stump"] = q_stump
+
+ORACLE["q_stump"] = """
+    WITH hist AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT x,
+             SUM(n0) OVER (ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS l0,
+             SUM(n1) OVER (ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS l1
+      FROM hist
+    ),
+    tot AS (SELECT SUM(n0) AS t0, SUM(n1) AS t1 FROM hist),
+    c AS (
+      SELECT x AS threshold, l0, l1,
+             (SELECT t0 FROM tot) - l0 AS r0,
+             (SELECT t1 FROM tot) - l1 AS r1
+      FROM cum
+      WHERE ((SELECT t0 FROM tot) - l0) + ((SELECT t1 FROM tot) - l1) > 0
+    ),
+    scored AS (
+      SELECT threshold, l0, l1, r0, r1,
+             (CAST(l0 + l1 AS DOUBLE) * CAST(l0 + l1 AS DOUBLE)
+              - CAST(l0 AS DOUBLE) * CAST(l0 AS DOUBLE)
+              - CAST(l1 AS DOUBLE) * CAST(l1 AS DOUBLE))
+               / CAST(l0 + l1 AS DOUBLE)
+             + (CAST(r0 + r1 AS DOUBLE) * CAST(r0 + r1 AS DOUBLE)
+                - CAST(r0 AS DOUBLE) * CAST(r0 AS DOUBLE)
+                - CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE))
+               / CAST(r0 + r1 AS DOUBLE) AS impurity
+      FROM c
+    )
+    SELECT threshold,
+           CAST(l0 + l1 AS BIGINT) AS n_left,
+           CAST(r0 + r1 AS BIGINT) AS n_right,
+           CAST(CASE WHEN l1 > l0 THEN 1 ELSE 0 END AS INTEGER)
+             AS left_class,
+           CAST(CASE WHEN r1 > r0 THEN 1 ELSE 0 END AS INTEGER)
+             AS right_class,
+           round(impurity, 8) AS impurity
+    FROM scored ORDER BY impurity ASC, threshold ASC LIMIT 1
+"""

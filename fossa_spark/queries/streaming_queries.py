@@ -944,6 +944,100 @@ def q_stream_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING regression by sufficient-statistics folding: the
+    lineitem feed arrives in two micro-batches and foreachBatch merges
+    each batch's exact integer OLS moments (n, Sx, Sy, Sxy, Sxx, Syy —
+    ml.ols_sufficient_stats' grain) into per-group lifetime totals with
+    a union + re-aggregate + localCheckpoint (the q_stream_upsert_exec
+    O(1)-lineage discipline). Moments are ADDITIVE and commutative, so
+    the streamed fold equals the one-shot batch aggregate BIT-FOR-BIT —
+    the oracle is literally q_linreg's closed form over the full table,
+    and any lost batch, double-count, or drifted partial sum flips the
+    hash. This is how a 100 TB pipeline keeps regressions fresh: fold
+    tiny per-batch moment tables, never rescan history."""
+    import tempfile
+
+    from fossa_spark import ml
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice")).cast("bigint").alias("y"),
+    )
+    feed = tempfile.mkdtemp(prefix="fossa_linreg_feed_")
+
+    def _build(into: str) -> None:
+        w = _feed_writer(into)
+        w(li.filter(F.col("l_orderkey") % 2 == 0), 1)
+        w(li.filter(F.col("l_orderkey") % 2 == 1), 2)
+
+    _staged_feed(li, feed, "linreg_feed", _build)
+
+    keys = ["l_returnflag", "l_linestatus"]
+    state: dict = {"m": None}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        m = batch_df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        if state["m"] is not None:
+            m = (
+                state["m"].unionByName(m)
+                .groupBy(*keys)
+                .agg(*[F.sum(c).alias(c)
+                       for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+            )
+        state["m"] = m.localCheckpoint(eager=True)
+
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    g = state["m"]
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd, syyd = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov_n = nd * sxyd - sxd * syd
+    varx_n = nd * sxxd - sxd * sxd
+    vary_n = nd * syyd - syd * syd
+    slope = cov_n / varx_n
+    return g.select(
+        *keys,
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        F.round(slope, 8).alias("slope"),
+        F.round((syd - slope * sxd) / nd, 8).alias("intercept"),
+        F.round((cov_n * cov_n) / (varx_n * vary_n), 8).alias("r2"),
+    ).orderBy(*keys)
+
+
 def q_stream_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC APPLY into the versioned table (round 10 — the
     write-side composition of fossa_spark/versioned.py): the table is
@@ -1114,6 +1208,7 @@ def _stream_kmeans_sql(k: int, batches: int, scale: int) -> str:
 
 QUERIES = {
     "q_stream_kmeans": q_stream_kmeans,
+    "q_stream_linreg": q_stream_linreg,
     "q_stream_tumble": q_stream_tumble,
     "q_stream_versioned": q_stream_versioned,
     "q_stream_upsert_exec": q_stream_upsert_exec,
@@ -1131,9 +1226,13 @@ QUERIES = {
 }
 
 from fossa_spark.ml import KMEANS_SCALE as _KMEANS_SCALE  # noqa: E402
+from fossa_spark.queries.ml_queries import ORACLE as _ML_ORACLE  # noqa: E402
 
 ORACLE = {
     "q_stream_kmeans": _stream_kmeans_sql(4, 3, _KMEANS_SCALE),
+    # moments are additive, so the streamed fold must equal the one-shot
+    # batch aggregate exactly: the oracle IS q_linreg's closed form
+    "q_stream_linreg": None,  # bound below from ml_queries (single source)
     # end state after v1 (evens) + b1 (insert %4=1, delete %8=0) +
     # b2 (insert %4=3 modified, delete %10=6): odds survive in full,
     # evens survive unless tombstoned by either delete
@@ -1363,3 +1462,5 @@ ORACLE = {
         FROM tagged GROUP BY user_id, sess_id ORDER BY user_id, sess_start
     """,
 }
+
+ORACLE["q_stream_linreg"] = _ML_ORACLE["q_linreg"]

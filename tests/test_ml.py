@@ -302,3 +302,23 @@ def test_entity_resolution_links_planted_dirty_records(spark):
     assert sum(r.n_dirty for r in out) == n_dirty_planted
     assert all(r.n_records >= 2 for r in out)
     assert all(r.entity_key < 10_000_000 for r in out)  # canonical = base
+
+
+def test_decision_stump_finds_planted_split(spark):
+    # labels perfectly separable at x <= 5: the stump must find it
+    rows = [(x, 1 if x <= 5 else 0) for x in range(1, 11) for _ in range(3)]
+    df = spark.createDataFrame(rows, "x long, label int")
+    r = ml.decision_stump(df, "x", "label").collect()[0]
+    assert r.threshold == 5
+    assert r.left_class == 1 and r.right_class == 0
+    assert r.impurity == 0.0
+    assert r.n_left == 15 and r.n_right == 15
+
+
+def test_decision_stump_tie_breaks_low_threshold(spark):
+    # constant labels: every split has impurity 0 -> smallest threshold
+    df = spark.createDataFrame(
+        [(x, 0) for x in range(1, 6)], "x long, label int"
+    )
+    r = ml.decision_stump(df, "x", "label").collect()[0]
+    assert r.threshold == 1 and r.impurity == 0.0
