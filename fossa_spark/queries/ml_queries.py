@@ -312,7 +312,16 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Note the weak match rule links some distinct base customers whose
     keys differ in one digit outside the block suffix — kept
     deliberately: chained clusters are exactly what the CC stage exists
-    for, and the oracle mirrors the rule."""
+    for, and the oracle mirrors the rule.
+
+    HOT-BLOCK CAP (the ngram hot-shingle-cap convention applied to ER —
+    standard blocking practice): blocks with more than 20 records are
+    dropped from pair generation. Block sizes otherwise grow linearly
+    with the corpus and the within-block self-join quadratically — the
+    uncapped form measured >6 min at sf10 where the replica fixture
+    duplicates every name ~100x; production ER re-blocks oversized
+    blocks with a finer key, this query bounds them. The oracle mirrors
+    the cap exactly."""
     from fossa_spark.llm.dedup import connected_components
 
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -323,6 +332,13 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = c.unionByName(dirty).withColumn(
         "block", F.expr("right(c_name, 4)")
     )
+    ok_blocks = (
+        recs.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= 20)
+        .select("block")
+    )
+    recs = recs.join(F.broadcast(ok_blocks), "block")
     a = recs.select(
         "block", F.col("c_custkey").alias("id_a"), F.col("c_name").alias("na")
     )
@@ -364,7 +380,12 @@ ORACLE["q_entity_resolution"] = """
       SELECT c_custkey + 10000000, translate(c_name, 'o', '0')
       FROM customer WHERE c_custkey % 37 = 0
     ),
-    blk AS (SELECT k, name, right(name, 4) AS block FROM recs),
+    blk0 AS (SELECT k, name, right(name, 4) AS block FROM recs),
+    blk AS (  -- hot-block cap: blocks > 20 records leave pair generation
+      SELECT blk0.* FROM blk0
+      JOIN (SELECT block FROM blk0 GROUP BY block HAVING COUNT(*) <= 20)
+        USING (block)
+    ),
     pairs AS (
       SELECT a.k AS id_a, b.k AS id_b
       FROM blk a JOIN blk b
