@@ -479,6 +479,14 @@ def _ahash(px: "np.ndarray", hash_dim: int = 8) -> int:
     platforms — the classic cheap perceptual fingerprint (dHash/pHash
     swap the thresholding, same plumbing)."""
     h, w = px.shape
+    if h < hash_dim or w < hash_dim:
+        # smaller images would produce empty block slices whose mean is
+        # NaN — every threshold comparison then yields False and ALL
+        # tiny images hash to 0, i.e. spurious hamming-0 "duplicates"
+        # (review r10 session 2): refuse loudly instead
+        raise ValueError(
+            f"image {w}x{h} smaller than hash grid {hash_dim}x{hash_dim}"
+        )
     px = px.astype(np.float64)
     ys = (np.arange(hash_dim + 1) * h) // hash_dim
     xs = (np.arange(hash_dim + 1) * w) // hash_dim
@@ -539,40 +547,23 @@ def phash_near_dup(
             f"pigeonhole needs max_hamming < bands, got "
             f"{max_hamming} >= {bands}"
         )
-    width = 64 // bands
-    mask = (1 << width) - 1
-    slices = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.expr(f"(phash >> {i * width}) & {mask}").alias("bval"),
-            )
-            for i in range(bands)
-        ]
+    # ONE banding implementation in the repo: delegate to the SimHash
+    # pair join (llm/dedup.py simhash_pairs), which does exactly this
+    # over a precomputed 64-bit signature table — including absorbing
+    # the 64 % chunks remainder bits into the last slice, which a naive
+    # 64 // bands split silently drops (review r10 session 2). It bands
+    # into max_hamming + 1 chunks, which satisfies the pigeonhole for
+    # the requested radius regardless of the caller's ``bands`` (the
+    # parameter stays for the guard above and API compatibility; the
+    # exact Hamming filter makes banding an implementation detail).
+    from fossa_spark.llm.dedup import simhash_pairs
+
+    sigs = hashes.select(
+        F.col("media_id").alias("doc_id"), F.col("phash").alias("sig")
     )
-    banded = hashes.select(
-        "media_id", "phash", F.explode(slices).alias("s")
-    ).select(
-        "media_id", "phash", F.col("s.band").alias("band"),
-        F.col("s.bval").alias("bval"),
-    )
-    a = banded.select(
-        "band", "bval", F.col("media_id").alias("id_a"),
-        F.col("phash").alias("ha"),
-    )
-    b = banded.select(
-        "band", "bval", F.col("media_id").alias("id_b"),
-        F.col("phash").alias("hb"),
-    )
-    return (
-        a.join(b, ["band", "bval"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.bit_count(F.expr("ha ^ hb")).cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    pairs = simhash_pairs(None, sigs=sigs, max_hamming=max_hamming)
+    return pairs.select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming").cast("int").alias("hamming")
     )
 
 

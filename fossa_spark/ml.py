@@ -39,9 +39,31 @@ KMEANS_SCALE = 10_000
 
 def _floordiv(s: Column, n: Column) -> Column:
     """Exact floor(s / n) for BIGINT s, n > 0 — identical in Spark and
-    DuckDB (see module docstring)."""
-    m = ((s % n) + n) % n
-    return ((s - m) / n).cast("bigint")
+    DuckDB (see module docstring).
+
+    The Spark-side `/` is double division; it is exact because the
+    post-modulus numerator divides evenly AND stays under 2^53 — and the
+    precondition is ENFORCED, not assumed (the llm/classifier.py _fdiv
+    discipline; review r10 session 2): past 2^53 the double silently
+    rounds while DuckDB's integer `//` stays exact, which is precisely
+    the cross-engine divergence this module exists to prevent. For
+    k-means the numerator is a per-cluster component sum (~n_members *
+    scale), so the guard fires around 1e11-member clusters — rescale
+    KMEANS_SCALE or shard the update before trusting a silent ±1."""
+    m = s - (((s % n) + n) % n)
+    m = F.when(
+        F.abs(m) < F.lit(1 << 53),
+        m,
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "fixed-point overflow: |numerator| >= 2^53 — the double "
+                "division below would round where the oracle's integer "
+                "division does not; rescale before dividing"
+            )
+        )
+    )
+    return (m / n).cast("bigint")
 
 
 def quantize_vectors(
@@ -126,6 +148,21 @@ def _assign(vecs: DataFrame, cents_long: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_init(vecs: DataFrame, k: int) -> DataFrame:
+    """THE deterministic init every k-means surface shares (batch fit,
+    streaming first batch; the oracles unroll the same rule): the k
+    lowest-id vectors become clusters 0..k-1, in long (cluster, pos, v)
+    form. One definition — the init rule is part of the oracle contract,
+    so copies must not drift (review r10 session 2)."""
+    w = F.row_number().over(Window.orderBy("vec_id"))
+    return (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .withColumn("cluster", w - F.lit(1))
+        .select("cluster", F.posexplode("qv").alias("pos", "v"))
+    )
+
+
 def kmeans_fit(
     vecs: DataFrame,
     k: int = 4,
@@ -164,18 +201,15 @@ def kmeans_fit(
     This is the full-corpus training path for the IVF coarse quantizer
     (llm/similarity.py trains on a driver-capped sample; at 100 TB you
     sample to seed, then run 2-3 of THESE refinement passes)."""
+    # persist FIRST: the init top-k scan and the dim probe below are then
+    # the actions that populate the cache, instead of paying one extra
+    # full corpus read before iteration 1 (review r10 session 2)
+    vecs = vecs.persist()
     if init is None:
-        w = F.row_number().over(Window.orderBy("vec_id"))
-        init = (
-            vecs.orderBy("vec_id")
-            .limit(k)
-            .withColumn("cluster", w - F.lit(1))
-            .select("cluster", F.posexplode("qv").alias("pos", "v"))
-        )
+        init = kmeans_init(vecs, k)
     cents = init.localCheckpoint()
     first = vecs.select(F.size("qv").alias("d")).first()
     dim = 0 if first is None else int(first["d"])
-    vecs = vecs.persist()
     for _ in range(iters):
         assigned = _assign(vecs, cents)
         # per-dimension SUM columns instead of a posexplode: the shuffle
@@ -238,6 +272,18 @@ def ols_sufficient_stats(
         F.sum(x * x).alias("sxx"),
         F.sum(y * y).alias("syy"),
     )
+    return ols_fit_from_moments(g, by)
+
+
+def ols_fit_from_moments(g: DataFrame, by: list[str]) -> DataFrame:
+    """Closed-form OLS projection over a MOMENTS frame (columns n, sx,
+    sy, sxy, sxx, syy per ``by`` group) — the one definition of the
+    Cramer's-rule expression tree both the batch aggregate
+    (:func:`ols_sufficient_stats`) and the streaming fold
+    (q_stream_linreg) project through, so the two paths cannot drift
+    against the shared oracle (review r10 session 2). Moments are
+    additive, which is exactly why this split exists: any union of
+    per-batch moment tables re-aggregated per group feeds here."""
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxyd, sxxd, syyd = (

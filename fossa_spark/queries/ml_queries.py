@@ -297,7 +297,9 @@ ORACLE = {
 
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END entity resolution (record linkage): planted dirty
-    duplicates of every 37th customer (key + 1e7, 'o'->'0' in the name)
+    duplicates of every 37th customer (key + 1e12 — far above any real
+    customer key until ~sf6e6, so dirty keys can never collide with base
+    keys; 'o'->'0' in the name)
     are unioned with the base records, BLOCKED by the name's last four
     characters (the classic sort-key blocking — candidate pairs come
     from a block equi-join, never all-pairs), verified by Levenshtein
@@ -326,7 +328,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     dirty = c.filter(F.col("c_custkey") % 37 == 0).select(
-        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        (F.col("c_custkey") + 1_000_000_000_000).alias("c_custkey"),
         F.translate("c_name", "o", "0").alias("c_name"),
     )
     recs = c.unionByName(dirty).withColumn(
@@ -357,7 +359,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_records"),
             F.sum("doc_id").alias("key_sum"),
-            F.sum((F.col("doc_id") >= 10_000_000).cast("long")).alias(
+            F.sum((F.col("doc_id") >= 1_000_000_000_000).cast("long")).alias(
                 "n_dirty"
             ),
         )
@@ -377,7 +379,7 @@ ORACLE["q_entity_resolution"] = """
     WITH RECURSIVE recs AS (
       SELECT c_custkey AS k, c_name AS name FROM customer
       UNION ALL
-      SELECT c_custkey + 10000000, translate(c_name, 'o', '0')
+      SELECT c_custkey + 1000000000000, translate(c_name, 'o', '0')
       FROM customer WHERE c_custkey % 37 = 0
     ),
     blk0 AS (SELECT k, name, right(name, 4) AS block FROM recs),
@@ -403,7 +405,7 @@ ORACLE["q_entity_resolution"] = """
     SELECT component AS entity_key,
            CAST(COUNT(*) AS BIGINT) AS n_records,
            CAST(SUM(id) AS BIGINT) AS key_sum,
-           CAST(SUM(CASE WHEN id >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN id >= 1000000000000 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_dirty
     FROM comp GROUP BY component ORDER BY entity_key
 """
@@ -472,5 +474,11 @@ ORACLE["q_stump"] = """
            CAST(CASE WHEN r1 > r0 THEN 1 ELSE 0 END AS INTEGER)
              AS right_class,
            round(impurity, 8) AS impurity
-    FROM scored ORDER BY impurity ASC, threshold ASC LIMIT 1
+    FROM (
+      -- argmin on the UNROUNDED impurity, exactly like the Spark plan:
+      -- DuckDB would otherwise bind ORDER BY to the rounded SELECT
+      -- alias and near-tied splits could pick a different threshold
+      -- (review r10 session 2)
+      SELECT * FROM scored ORDER BY impurity ASC, threshold ASC LIMIT 1
+    )
 """

@@ -868,8 +868,6 @@ def q_stream_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the batch near-dedup loop."""
     import tempfile
 
-    from pyspark.sql.window import Window as W
-
     from fossa_spark import ml
 
     k = 4
@@ -895,14 +893,8 @@ def q_stream_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             if first is None:
                 return
             state["dim"] = int(first["d"])
-            w = W.orderBy("vec_id")
-            state["cents"] = (
-                vecs.orderBy("vec_id")
-                .limit(k)
-                .withColumn("cluster", F.row_number().over(w) - F.lit(1))
-                .select("cluster", F.posexplode("qv").alias("pos", "v"))
-                .localCheckpoint()
-            )
+            # the shared deterministic init rule (oracle contract)
+            state["cents"] = ml.kmeans_init(vecs, k).localCheckpoint()
             state["counts"] = (
                 spark.range(k)
                 .select(
@@ -1013,29 +1005,9 @@ def q_stream_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    g = state["m"]
-    nd = F.col("n").cast("double")
-    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxyd, sxxd, syyd = (
-        F.col("sxy").cast("double"),
-        F.col("sxx").cast("double"),
-        F.col("syy").cast("double"),
-    )
-    cov_n = nd * sxyd - sxd * syd
-    varx_n = nd * sxxd - sxd * sxd
-    vary_n = nd * syyd - syd * syd
-    slope = cov_n / varx_n
-    return g.select(
-        *keys,
-        "n",
-        "sx",
-        "sy",
-        "sxy",
-        "sxx",
-        F.round(slope, 8).alias("slope"),
-        F.round((syd - slope * sxd) / nd, 8).alias("intercept"),
-        F.round((cov_n * cov_n) / (varx_n * vary_n), 8).alias("r2"),
-    ).orderBy(*keys)
+    # one closed-form definition for batch AND stream: the moments frame
+    # projects through the same expression tree q_linreg uses
+    return ml.ols_fit_from_moments(state["m"], keys).orderBy(*keys)
 
 
 def q_stream_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -897,3 +897,15 @@ def test_audio_fingerprint_is_stable_and_distinct(spark):
     h2 = {r.media_id: r.phash for r in M.audio_fingerprint(base).collect()}
     assert h == h2
     assert len(set(h.values())) == 8
+
+
+def test_image_phash_refuses_images_smaller_than_grid(spark):
+    import numpy as np
+    import pytest as _pt
+
+    from fossa_spark.llm.multimodal import _ahash
+
+    with _pt.raises(ValueError, match="smaller than hash grid"):
+        _ahash(np.zeros((4, 64), dtype=np.uint8), hash_dim=8)
+    with _pt.raises(ValueError, match="smaller than hash grid"):
+        _ahash(np.zeros((64, 7), dtype=np.uint8), hash_dim=8)

@@ -301,7 +301,7 @@ def test_entity_resolution_links_planted_dirty_records(spark):
     )
     assert sum(r.n_dirty for r in out) == n_dirty_planted
     assert all(r.n_records >= 2 for r in out)
-    assert all(r.entity_key < 10_000_000 for r in out)  # canonical = base
+    assert all(r.entity_key < 1_000_000_000_000 for r in out)  # canonical = base
 
 
 def test_decision_stump_finds_planted_split(spark):
