@@ -735,3 +735,105 @@ def audio_fingerprint(media: DataFrame, n_bits: int = 64) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(run, "media_id long, phash long")
     )
+
+
+def synthetic_random_videos(
+    spark: SparkSession, n: int = 48, w: int = 32, h: int = 24,
+    n_frames: int = 80,
+) -> DataFrame:
+    """Id-seeded random-noise Y4M clips (media_id, kind='video',
+    payload) — the fingerprint-friendly video corpus (same rationale as
+    synthetic_random_images/audio: the panned test pattern has a LINEAR
+    per-frame-mean envelope, so every clip's temporal dHash degenerates;
+    seeded noise gives each clip an individual envelope)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                fr = np.random.default_rng(i ^ 0x51DE0).integers(
+                    0, 256, size=(n_frames, h, w)
+                ).astype(np.uint8)
+                rows.append(
+                    {"media_id": i, "kind": "video",
+                     "payload": _encode_y4m(fr)}
+                )
+            yield pd.DataFrame(rows)
+
+    n_parts = max(1, min(32, n // 4096 + 1))
+    return spark.range(n, numPartitions=n_parts).mapInPandas(
+        gen, "media_id long, kind string, payload binary"
+    )
+
+
+def perturb_videos(
+    media: DataFrame,
+    id_offset: int = 100_000,
+    every: int = 4,
+    amp: int = 3,
+) -> DataFrame:
+    """Near-identical copies of every ``every``-th clip: decode, add
+    id-seeded uniform pixel noise of amplitude ``amp``, re-encode under
+    media_id + id_offset — the planted near-duplicates a temporal
+    fingerprint must recover (per-frame means shift by fractions of a
+    gray level, so only near-tie envelope bits flip)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                if mid % every != 0:
+                    continue
+                fr, _fps = _decode_y4m(payload)
+                rng = np.random.default_rng(mid + 13)
+                noise = rng.integers(-amp, amp + 1, size=fr.shape)
+                y = np.clip(fr.astype(np.int64) + noise, 0, 255).astype(
+                    np.uint8
+                )
+                ids.append(mid + id_offset)
+                kinds.append("video")
+                payloads.append(_encode_y4m(y))
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads}
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, "media_id long, kind string, payload binary"
+    )
+
+
+def video_fingerprint(media: DataFrame, n_bits: int = 64) -> DataFrame:
+    """64-bit TEMPORAL fingerprint for the video rows: decode each Y4M
+    (the real stdlib codec), take the per-frame spatial-mean envelope,
+    group it into ``n_bits + 1`` windows, and emit the sign-of-delta
+    bits — the video sibling of audio_fingerprint's envelope dHash (a
+    production system hashes per-scene color histograms; the temporal
+    plumbing and the banded Hamming dedup are identical). Output
+    (media_id, phash signed bigint) — consumed by the SAME
+    :func:`phash_near_dup` as images and audio."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, _fps = _decode_y4m(payload)
+                env = frames.reshape(frames.shape[0], -1).mean(axis=1)
+                groups = np.array_split(env, n_bits + 1)
+                g = np.array([x.mean() for x in groups])
+                bits = g[1:] > g[:-1]
+                hv = 0
+                for b in bits:
+                    hv = (hv << 1) | int(b)
+                if hv >= 1 << 63:
+                    hv -= 1 << 64
+                ids.append(int(mid))
+                hashes.append(hv)
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(run, "media_id long, phash long")
+    )

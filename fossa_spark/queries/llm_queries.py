@@ -950,6 +950,23 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-duplicate detection by temporal fingerprint (round 10,
+    llm/multimodal.py video_fingerprint — completing the modality trio):
+    48 id-seeded noise Y4M clips + planted noisy copies of every 4th
+    clip -> real stdlib Y4M decode -> per-frame spatial-mean envelope ->
+    64-bit sign-of-delta hash over 65 temporal windows -> the SAME
+    banded Hamming dedup as images and audio (phash_near_dup delegates
+    to dedup.simhash_pairs: one banding implementation, three
+    modalities). rows-only; planted-copy recovery pytest-pinned."""
+    base = M.synthetic_random_videos(spark, n=48)
+    media = base.unionByName(M.perturb_videos(base, every=4, amp=3))
+    pairs = M.phash_near_dup(
+        M.video_fingerprint(media), max_hamming=3, bands=4
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
 def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full training-data pipeline transform (quality gates → langid →
     exact dedup → MinHash-LSH near-dedup → token annotations) as one lazy
@@ -1094,6 +1111,7 @@ QUERIES = {
     "q_tfidf_cosine": q_tfidf_cosine,
     "q_multimodal_phash": q_multimodal_phash,
     "q_audio_fingerprint": q_audio_fingerprint,
+    "q_video_fingerprint": q_video_fingerprint,
     "q_lm_score": q_lm_score,
     "q_sketch_cms": q_sketch_cms,
     "q_embed_standardize": q_embed_standardize,

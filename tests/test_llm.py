@@ -909,3 +909,22 @@ def test_image_phash_refuses_images_smaller_than_grid(spark):
         _ahash(np.zeros((4, 64), dtype=np.uint8), hash_dim=8)
     with _pt.raises(ValueError, match="smaller than hash grid"):
         _ahash(np.zeros((64, 7), dtype=np.uint8), hash_dim=8)
+
+
+def test_video_fingerprint_near_dup_recovers_planted_copies(spark):
+    base = M.synthetic_random_videos(spark, n=48)
+    media = base.unionByName(M.perturb_videos(base, every=4, amp=3))
+    pairs = M.phash_near_dup(
+        M.video_fingerprint(media), max_hamming=3, bands=4
+    ).collect()
+    planted = {(r.id_a, r.id_b) for r in pairs if r.id_b - r.id_a == 100_000}
+    assert planted == {(i, i + 100_000) for i in range(0, 48, 4)}
+    assert not [r for r in pairs if r.id_b - r.id_a != 100_000]
+
+
+def test_video_fingerprint_is_stable_and_distinct(spark):
+    base = M.synthetic_random_videos(spark, n=8)
+    h = {r.media_id: r.phash for r in M.video_fingerprint(base).collect()}
+    h2 = {r.media_id: r.phash for r in M.video_fingerprint(base).collect()}
+    assert h == h2
+    assert len(set(h.values())) == 8
