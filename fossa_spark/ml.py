@@ -592,3 +592,130 @@ def decision_stump(
             F.round(F.col("impurity"), 8).alias("impurity"),
         )
     )
+
+
+def bagged_stumps(
+    df: DataFrame,
+    x_col: str,
+    label_col: str,
+    tree_col: str,
+) -> DataFrame:
+    """A bagged ensemble of decision stumps — ``tree_col`` assigns each
+    row to one tree (disjoint hash-partition bagging: each tree trains
+    on its own md5 slice, the subbagging variant whose determinism both
+    engines can replay; bootstrap-with-replacement needs a shared random
+    stream), each tree learns its own best Gini split (the
+    :func:`decision_stump` histogram recipe, windowed per tree), and
+    every row is then scored by ALL trees with a majority vote.
+
+    Scale shape: ONE corpus groupBy(tree, x) builds every tree's
+    histogram together (map-side combined); prefix sums + argmin run on
+    the trees x |value domain| relation (control-plane); the vote pass
+    broadcasts the n_trees split rules back as a one-row array and is
+    map-only. Nothing corpus-sized shuffles twice.
+
+    Output: one row per tree — its split (threshold, left/right class),
+    rounded impurity, exact per-tree counts (n_rows, n_correct on its
+    OWN partition), and the ensemble's exact majority-vote accounting
+    (n_rows_total, n_correct_ensemble; majority = strictly more 1-votes
+    than 0-votes) repeated on every row for hash checking."""
+    hist = df.groupBy(F.col(tree_col).alias("tree"), F.col(x_col).alias("x")).agg(
+        F.sum(1 - F.col(label_col)).alias("n0"),
+        F.sum(label_col).alias("n1"),
+    )
+    w = (
+        Window.partitionBy("tree")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "tree",
+        "x",
+        F.sum("n0").over(w).alias("l0"),
+        F.sum("n1").over(w).alias("l1"),
+    )
+    tot = hist.groupBy("tree").agg(
+        F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+    )
+    c = (
+        cum.join(F.broadcast(tot), "tree")
+        .select(
+            "tree",
+            F.col("x").alias("threshold"),
+            "l0", "l1",
+            (F.col("t0") - F.col("l0")).alias("r0"),
+            (F.col("t1") - F.col("l1")).alias("r1"),
+        )
+        .filter((F.col("r0") + F.col("r1")) > 0)
+    )
+    nl = (F.col("l0") + F.col("l1")).cast("double")
+    nr = (F.col("r0") + F.col("r1")).cast("double")
+    l0d, l1d = F.col("l0").cast("double"), F.col("l1").cast("double")
+    r0d, r1d = F.col("r0").cast("double"), F.col("r1").cast("double")
+    imp = (nl * nl - l0d * l0d - l1d * l1d) / nl + (
+        nr * nr - r0d * r0d - r1d * r1d
+    ) / nr
+    rk = F.row_number().over(
+        Window.partitionBy("tree").orderBy(
+            F.col("impurity").asc(), F.col("threshold").asc()
+        )
+    )
+    stumps = (
+        c.withColumn("impurity", imp)
+        .withColumn("_rk", rk)
+        .filter(F.col("_rk") == 1)
+        .select(
+            "tree",
+            "threshold",
+            F.when(F.col("l1") > F.col("l0"), F.lit(1)).otherwise(F.lit(0))
+            .alias("left_class"),
+            F.when(F.col("r1") > F.col("r0"), F.lit(1)).otherwise(F.lit(0))
+            .alias("right_class"),
+            F.round(F.col("impurity"), 8).alias("impurity"),
+        )
+        .localCheckpoint()  # n_trees rows: reused by both vote passes
+    )
+    rules = stumps.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("tree", "threshold", "left_class", "right_class")
+            )
+        ).alias("rules")
+    )
+    pred_of = lambda rule: F.when(  # noqa: E731
+        F.col(x_col) <= rule["threshold"], rule["left_class"]
+    ).otherwise(rule["right_class"])
+    own_rule = F.element_at(
+        F.filter(F.col("rules"), lambda r: r["tree"] == F.col(tree_col)), 1
+    )
+    scored = df.join(F.broadcast(rules)).select(
+        F.col(tree_col).alias("tree"),
+        F.col(label_col).alias("label"),
+        # own-tree prediction: the rule whose tree id matches the row's
+        (pred_of(own_rule) == F.col(label_col)).cast("long").alias("own_ok"),
+        (
+            (
+                F.aggregate(
+                    F.col("rules"),
+                    F.lit(0),
+                    lambda acc, r: acc + pred_of(r),
+                )
+                * 2
+                > F.size("rules")
+            ).cast("int")
+            == F.col(label_col)
+        ).cast("long").alias("ens_ok"),
+    )
+    per_tree = scored.groupBy("tree").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("own_ok").alias("n_correct_tree"),
+    )
+    ens = scored.agg(
+        F.count(F.lit(1)).alias("n_rows_total"),
+        F.sum("ens_ok").alias("n_correct_ensemble"),
+    )
+    return (
+        stumps.join(per_tree, "tree")
+        .crossJoin(F.broadcast(ens))
+        .orderBy("tree")
+    )

@@ -482,3 +482,130 @@ ORACLE["q_stump"] = """
       SELECT * FROM scored ORDER BY impurity ASC, threshold ASC LIMIT 1
     )
 """
+
+
+def q_bagged_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAGGED decision-stump ensemble (ml.bagged_stumps): four trees,
+    each trained on its own deterministic md5 hash-partition of lineitem
+    (disjoint-slice bagging — the oracle-replayable subbagging variant),
+    each learning the best Gini split of quantity predicting returns;
+    every row then majority-voted by all four. One corpus groupBy builds
+    all histograms together; the vote pass is a one-row broadcast of the
+    rules — ensemble learning with every count hash-checked."""
+    li = load(spark, sf_dir, "lineitem").select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 4
+        ).alias("tree"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    return ml.bagged_stumps(li, "x", "label", "tree")
+
+
+QUERIES["q_bagged_stumps"] = q_bagged_stumps
+
+ORACLE["q_bagged_stumps"] = """
+    WITH m AS MATERIALIZED (
+      SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                                   || CAST(l_linenumber AS VARCHAR)),
+                   1, 2)) AS INTEGER) % 4 AS tree,
+             CAST(l_quantity AS BIGINT) AS x,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label
+      FROM lineitem
+    ),
+    hist AS (
+      SELECT tree, x,
+             CAST(SUM(1 - label) AS BIGINT) AS n0,
+             CAST(SUM(label) AS BIGINT) AS n1
+      FROM m GROUP BY tree, x
+    ),
+    cum AS (
+      SELECT tree, x,
+             SUM(n0) OVER (PARTITION BY tree ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS l0,
+             SUM(n1) OVER (PARTITION BY tree ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS l1
+      FROM hist
+    ),
+    tot AS (SELECT tree, SUM(n0) AS t0, SUM(n1) AS t1 FROM hist GROUP BY tree),
+    c AS (
+      SELECT cum.tree, x AS threshold, l0, l1,
+             tot.t0 - l0 AS r0, tot.t1 - l1 AS r1
+      FROM cum JOIN tot ON cum.tree = tot.tree
+      WHERE (tot.t0 - l0) + (tot.t1 - l1) > 0
+    ),
+    scored AS (
+      SELECT tree, threshold, l0, l1, r0, r1,
+             (CAST(l0 + l1 AS DOUBLE) * CAST(l0 + l1 AS DOUBLE)
+              - CAST(l0 AS DOUBLE) * CAST(l0 AS DOUBLE)
+              - CAST(l1 AS DOUBLE) * CAST(l1 AS DOUBLE))
+               / CAST(l0 + l1 AS DOUBLE)
+             + (CAST(r0 + r1 AS DOUBLE) * CAST(r0 + r1 AS DOUBLE)
+                - CAST(r0 AS DOUBLE) * CAST(r0 AS DOUBLE)
+                - CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE))
+               / CAST(r0 + r1 AS DOUBLE) AS impurity
+      FROM c
+    ),
+    stumps AS MATERIALIZED (
+      SELECT tree, threshold,
+             CAST(CASE WHEN l1 > l0 THEN 1 ELSE 0 END AS INTEGER)
+               AS left_class,
+             CAST(CASE WHEN r1 > r0 THEN 1 ELSE 0 END AS INTEGER)
+               AS right_class,
+             impurity
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY tree
+                                     ORDER BY impurity ASC, threshold ASC)
+                    AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    votes AS MATERIALIZED (
+      SELECT m.tree, m.label,
+             CASE WHEN (CASE WHEN m.x <= own.threshold THEN own.left_class
+                             ELSE own.right_class END) = m.label
+                  THEN 1 ELSE 0 END AS own_ok,
+             CASE WHEN (
+               CASE WHEN (SELECT SUM(CASE WHEN m.x <= s.threshold
+                                          THEN s.left_class
+                                          ELSE s.right_class END)
+                          FROM stumps s) * 2
+                         > (SELECT COUNT(*) FROM stumps)
+                    THEN 1 ELSE 0 END) = m.label
+                  THEN 1 ELSE 0 END AS ens_ok
+      FROM m JOIN stumps own ON m.tree = own.tree
+    ),
+    per_tree AS (
+      SELECT tree, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(own_ok) AS BIGINT) AS n_correct_tree
+      FROM votes GROUP BY tree
+    ),
+    ens AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_total,
+             CAST(SUM(ens_ok) AS BIGINT) AS n_correct_ensemble
+      FROM votes
+    )
+    SELECT s.tree, s.threshold, s.left_class, s.right_class,
+           round(s.impurity, 8) AS impurity,
+           p.n_rows, p.n_correct_tree,
+           e.n_rows_total, e.n_correct_ensemble
+    FROM stumps s JOIN per_tree p ON s.tree = p.tree CROSS JOIN ens e
+    ORDER BY s.tree
+"""

@@ -322,3 +322,24 @@ def test_decision_stump_tie_breaks_low_threshold(spark):
     )
     r = ml.decision_stump(df, "x", "label").collect()[0]
     assert r.threshold == 1 and r.impurity == 0.0
+
+
+def test_bagged_stumps_per_tree_splits_and_vote_accounting(spark):
+    # two disjoint "trees" with opposite planted splits; the ensemble
+    # vote (2 trees, strict majority) only predicts 1 when BOTH agree
+    rows = (
+        [(0, x, 1 if x <= 3 else 0) for x in range(1, 7) for _ in range(2)]
+        + [(1, x, 1 if x >= 4 else 0) for x in range(1, 7) for _ in range(2)]
+    )
+    df = spark.createDataFrame(rows, "tree int, x long, label int")
+    out = {r.tree: r for r in ml.bagged_stumps(df, "x", "label", "tree").collect()}
+    assert out[0].threshold == 3 and out[0].left_class == 1
+    assert out[1].threshold == 3 and out[1].left_class == 0
+    assert out[0].impurity == 0.0 and out[1].impurity == 0.0
+    # each tree is perfect on its own partition
+    assert out[0].n_correct_tree == out[0].n_rows == 12
+    assert out[1].n_correct_tree == out[1].n_rows == 12
+    # strict 2-of-2 majority never fires (the trees always disagree), so
+    # the ensemble predicts 0 everywhere: correct exactly on the 0-labels
+    assert out[0].n_rows_total == 24
+    assert out[0].n_correct_ensemble == 12
