@@ -1,6 +1,9 @@
 """Distributed classical-ML operators under the exact-oracle discipline
-(round 10): Lloyd's k-means, closed-form OLS regression, and a multinomial
-Naive Bayes text classifier.
+(round 10): Lloyd's k-means (batch, refine-from-sample, and a streaming
+mini-batch update), closed-form OLS regression (batch + a moments-fold
+projection the streaming path shares), a multinomial Naive Bayes text
+classifier, a histogram-based Gini decision stump, and a bagged stump
+ensemble.
 
 Why these belong in a training-data engine: clustering is the backbone of
 SemDeDup-style semantic dedup and IVF coarse quantization (the existing

@@ -1,7 +1,9 @@
 """Classical-ML queries (round 10): distributed k-means, closed-form OLS,
-and multinomial Naive Bayes — all hash-verified against exact DuckDB
+multinomial Naive Bayes, a Gini decision stump, a bagged stump ensemble,
+and end-to-end entity resolution — all hash-verified against exact DuckDB
 oracles (fossa_spark/ml.py holds the operators and the determinism
-contract; the oracles here replay the same fixed-point integers).
+contract; the oracles here replay the same fixed-point integers, unrolled
+iterations, and argmin tie-breaks).
 """
 
 from __future__ import annotations
