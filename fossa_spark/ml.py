@@ -722,3 +722,177 @@ def bagged_stumps(
         .crossJoin(F.broadcast(ens))
         .orderBy("tree")
     )
+
+
+def _weighted_stump(df: DataFrame, x_col: str, label_col: str,
+                    w_col: str) -> DataFrame:
+    """One best-Gini split over WEIGHTED class counts — the
+    decision_stump histogram recipe with per-row integer weights (the
+    boosting primitive: weights stay exact BIGINTs, so every count the
+    split decision reads is oracle-replayable)."""
+    hist = df.groupBy(F.col(x_col).alias("x")).agg(
+        F.sum(F.col(w_col) * (1 - F.col(label_col))).alias("n0"),
+        F.sum(F.col(w_col) * F.col(label_col)).alias("n1"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "x",
+        F.sum("n0").over(w).alias("l0"),
+        F.sum("n1").over(w).alias("l1"),
+    )
+    tot = hist.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
+    c = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("x").alias("threshold"),
+            "l0", "l1",
+            (F.col("t0") - F.col("l0")).alias("r0"),
+            (F.col("t1") - F.col("l1")).alias("r1"),
+        )
+        .filter((F.col("r0") + F.col("r1")) > 0)
+    )
+    nl = (F.col("l0") + F.col("l1")).cast("double")
+    nr = (F.col("r0") + F.col("r1")).cast("double")
+    l0d, l1d = F.col("l0").cast("double"), F.col("l1").cast("double")
+    r0d, r1d = F.col("r0").cast("double"), F.col("r1").cast("double")
+    imp = (nl * nl - l0d * l0d - l1d * l1d) / nl + (
+        nr * nr - r0d * r0d - r1d * r1d
+    ) / nr
+    rk = F.row_number().over(
+        Window.orderBy(F.col("impurity").asc(), F.col("threshold").asc())
+    )
+    return (
+        c.withColumn("impurity", imp)
+        .withColumn("_rk", rk)
+        .filter(F.col("_rk") == 1)
+        .select(
+            "threshold",
+            F.when(F.col("l1") > F.col("l0"), F.lit(1)).otherwise(F.lit(0))
+            .alias("left_class"),
+            F.when(F.col("r1") > F.col("r0"), F.lit(1)).otherwise(F.lit(0))
+            .alias("right_class"),
+            F.round(F.col("impurity"), 8).alias("impurity"),
+        )
+    )
+
+
+ALPHA_SCALE = 100_000_000  # 1e8 — the lm_score fixed-point log convention
+
+
+def boosted_stumps(
+    df: DataFrame, x_col: str, label_col: str, rounds: int = 2
+) -> DataFrame:
+    """Discrete AdaBoost over decision stumps, in the ORACLE-REPLAYABLE
+    integer variant: each round trains a weighted-Gini stump
+    (:func:`_weighted_stump`), misclassified rows get their integer
+    weight TRIPLED for the next round (the boost-by-majority-style
+    integer schedule — exp(alpha) reweighting would leave integer space),
+    and the final vote combines stumps by Laplace-smoothed log-odds
+    alpha = 0.5 * ln((correct_w + 1) / (wrong_w + 1)) held as
+    ``round(alpha * 1e8)`` BIGINTs, so the per-row ensemble score is an
+    exact integer sum (positive -> class 1; ties and negatives -> 0).
+
+    Scale shape: each round is one map-side-combined histogram groupBy
+    + a control-plane argmin + one map-only reweight pass carrying the
+    running weight column; the vote pass broadcasts the rounds-row
+    model. Weights grow <= 3^rounds (bounded by construction for the
+    shallow ensembles this targets).
+
+    Returns one row per round: the stump, its weighted error counts,
+    alpha_scaled, and the exact unweighted ensemble accuracy repeated.
+    """
+    cur = df.select(
+        F.col(x_col).alias("x"),
+        F.col(label_col).alias("label"),
+        F.lit(1).cast("bigint").alias("w"),
+    ).localCheckpoint()
+    stumps = []
+    for rnd in range(rounds):
+        s = _weighted_stump(cur, "x", "label", "w").withColumn(
+            "round", F.lit(rnd)
+        )
+        srow = F.broadcast(s.select("round", "threshold", "left_class",
+                                    "right_class", "impurity"))
+        pred = F.when(
+            F.col("x") <= F.col("threshold"), F.col("left_class")
+        ).otherwise(F.col("right_class"))
+        judged = cur.crossJoin(srow).select(
+            "x", "label", "w", "round", "threshold", "left_class",
+            "right_class", "impurity",
+            (pred == F.col("label")).alias("ok"),
+        )
+        errs = judged.groupBy(
+            "round", "threshold", "left_class", "right_class", "impurity"
+        ).agg(
+            F.sum(F.when(F.col("ok"), F.col("w")).otherwise(F.lit(0)))
+            .alias("correct_w"),
+            F.sum(F.when(~F.col("ok"), F.col("w")).otherwise(F.lit(0)))
+            .alias("wrong_w"),
+        ).withColumn(
+            "alpha_scaled",
+            F.round(
+                F.log(
+                    (F.col("correct_w").cast("double") + 1.0)
+                    / (F.col("wrong_w").cast("double") + 1.0)
+                )
+                / 2.0
+                * F.lit(float(ALPHA_SCALE))
+            ).cast("bigint"),
+        ).localCheckpoint()  # one row
+        stumps.append(errs)
+        cur = judged.select(
+            "x",
+            "label",
+            F.when(F.col("ok"), F.col("w")).otherwise(F.col("w") * 3)
+            .alias("w"),
+        ).localCheckpoint()
+    model = stumps[0]
+    for s in stumps[1:]:
+        model = model.unionByName(s)
+    model = model.localCheckpoint()
+    rules = model.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("round", "threshold", "left_class", "right_class",
+                         "alpha_scaled")
+            )
+        ).alias("rules")
+    )
+    signed = lambda r: (  # noqa: E731  (2*pred - 1) * alpha
+        (
+            F.when(F.col("x") <= r["threshold"], r["left_class"])
+            .otherwise(r["right_class"])
+            * 2
+            - 1
+        ).cast("bigint")
+        * r["alpha_scaled"]
+    )
+    ens = (
+        df.select(F.col(x_col).alias("x"), F.col(label_col).alias("label"))
+        .join(F.broadcast(rules))
+        .select(
+            "label",
+            (
+                F.aggregate(
+                    F.col("rules"),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, r: acc + signed(r),
+                )
+                > 0
+            ).cast("int").alias("pred"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_total"),
+            F.sum((F.col("pred") == F.col("label")).cast("long"))
+            .alias("n_correct_ensemble"),
+        )
+    )
+    return (
+        model.crossJoin(F.broadcast(ens))
+        .select(
+            "round", "threshold", "left_class", "right_class", "impurity",
+            "correct_w", "wrong_w", "alpha_scaled",
+            "n_rows_total", "n_correct_ensemble",
+        )
+        .orderBy("round")
+    )

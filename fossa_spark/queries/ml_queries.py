@@ -611,3 +611,153 @@ ORACLE["q_bagged_stumps"] = """
     FROM stumps s JOIN per_tree p ON s.tree = p.tree CROSS JOIN ens e
     ORDER BY s.tree
 """
+
+
+def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOSTED stump ensemble (ml.boosted_stumps — discrete AdaBoost in
+    the oracle-replayable integer variant): two rounds over lineitem
+    (quantity predicting returns), misclassified rows tripling their
+    integer weight between rounds, Laplace-smoothed log-odds alphas as
+    1e8-scaled BIGINTs, exact integer log-odds vote. The sequential
+    complement of q_bagged_stumps — bagging AND boosting both sit under
+    the hash-checked oracle."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    return ml.boosted_stumps(li, "x", "label", rounds=2)
+
+
+QUERIES["q_boosted_stumps"] = q_boosted_stumps
+
+
+def _weighted_stump_sql(tag: str, src: str, w_expr: str) -> str:
+    """One weighted-Gini stump as CTEs over relation ``src`` (columns x,
+    label, and whatever ``w_expr`` reads): h{tag} -> s{tag} (threshold,
+    left/right class, raw + argmin on the UNROUNDED impurity)."""
+    return f"""
+        h{tag} AS (
+          SELECT x,
+                 CAST(SUM(({w_expr}) * (1 - label)) AS BIGINT) AS n0,
+                 CAST(SUM(({w_expr}) * label) AS BIGINT) AS n1
+          FROM {src} GROUP BY x
+        ),
+        cum{tag} AS (
+          SELECT x,
+                 SUM(n0) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS l0,
+                 SUM(n1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS l1
+          FROM h{tag}
+        ),
+        tot{tag} AS (SELECT SUM(n0) AS t0, SUM(n1) AS t1 FROM h{tag}),
+        c{tag} AS (
+          SELECT x AS threshold, l0, l1,
+                 (SELECT t0 FROM tot{tag}) - l0 AS r0,
+                 (SELECT t1 FROM tot{tag}) - l1 AS r1
+          FROM cum{tag}
+          WHERE ((SELECT t0 FROM tot{tag}) - l0)
+                + ((SELECT t1 FROM tot{tag}) - l1) > 0
+        ),
+        sc{tag} AS (
+          SELECT threshold, l0, l1, r0, r1,
+                 (CAST(l0 + l1 AS DOUBLE) * CAST(l0 + l1 AS DOUBLE)
+                  - CAST(l0 AS DOUBLE) * CAST(l0 AS DOUBLE)
+                  - CAST(l1 AS DOUBLE) * CAST(l1 AS DOUBLE))
+                   / CAST(l0 + l1 AS DOUBLE)
+                 + (CAST(r0 + r1 AS DOUBLE) * CAST(r0 + r1 AS DOUBLE)
+                    - CAST(r0 AS DOUBLE) * CAST(r0 AS DOUBLE)
+                    - CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE))
+                   / CAST(r0 + r1 AS DOUBLE) AS impurity
+          FROM c{tag}
+        ),
+        s{tag} AS MATERIALIZED (
+          SELECT threshold,
+                 CAST(CASE WHEN l1 > l0 THEN 1 ELSE 0 END AS INTEGER)
+                   AS left_class,
+                 CAST(CASE WHEN r1 > r0 THEN 1 ELSE 0 END AS INTEGER)
+                   AS right_class,
+                 impurity
+          FROM (SELECT *, row_number() OVER (ORDER BY impurity ASC,
+                                             threshold ASC) AS rn
+                FROM sc{tag})
+          WHERE rn = 1
+        )"""
+
+
+ORACLE["q_boosted_stumps"] = f"""
+    WITH m AS MATERIALIZED (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label
+      FROM lineitem
+    ),
+    {_weighted_stump_sql("0", "m", "1")},
+    j0 AS MATERIALIZED (
+      SELECT m.x, m.label,
+             CASE WHEN (CASE WHEN m.x <= s0.threshold THEN s0.left_class
+                             ELSE s0.right_class END) = m.label
+                  THEN 1 ELSE 3 END AS w1,
+             CASE WHEN (CASE WHEN m.x <= s0.threshold THEN s0.left_class
+                             ELSE s0.right_class END) = m.label
+                  THEN 1 ELSE 0 END AS ok0
+      FROM m CROSS JOIN s0
+    ),
+    e0 AS (
+      SELECT CAST(SUM(ok0) AS BIGINT) AS correct_w,
+             CAST(SUM(1 - ok0) AS BIGINT) AS wrong_w
+      FROM j0
+    ),
+    {_weighted_stump_sql("1", "j0", "w1")},
+    j1 AS (
+      SELECT j0.*,
+             CASE WHEN (CASE WHEN j0.x <= s1.threshold THEN s1.left_class
+                             ELSE s1.right_class END) = j0.label
+                  THEN 1 ELSE 0 END AS ok1
+      FROM j0 CROSS JOIN s1
+    ),
+    e1 AS (
+      SELECT CAST(SUM(w1 * ok1) AS BIGINT) AS correct_w,
+             CAST(SUM(w1 * (1 - ok1)) AS BIGINT) AS wrong_w
+      FROM j1
+    ),
+    a0 AS (SELECT correct_w, wrong_w,
+                  CAST(round(ln((CAST(correct_w AS DOUBLE) + 1.0)
+                                / (CAST(wrong_w AS DOUBLE) + 1.0))
+                             / 2.0 * 1e8) AS BIGINT) AS alpha_scaled
+           FROM e0),
+    a1 AS (SELECT correct_w, wrong_w,
+                  CAST(round(ln((CAST(correct_w AS DOUBLE) + 1.0)
+                                / (CAST(wrong_w AS DOUBLE) + 1.0))
+                             / 2.0 * 1e8) AS BIGINT) AS alpha_scaled
+           FROM e1),
+    votes AS (
+      SELECT m.label,
+             CASE WHEN
+               (CAST((CASE WHEN m.x <= s0.threshold THEN s0.left_class
+                           ELSE s0.right_class END) * 2 - 1 AS BIGINT)
+                * (SELECT alpha_scaled FROM a0))
+               + (CAST((CASE WHEN m.x <= s1.threshold THEN s1.left_class
+                             ELSE s1.right_class END) * 2 - 1 AS BIGINT)
+                  * (SELECT alpha_scaled FROM a1)) > 0
+             THEN 1 ELSE 0 END AS pred
+      FROM m CROSS JOIN s0 CROSS JOIN s1
+    ),
+    ens AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_total,
+             CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct_ensemble
+      FROM votes
+    )
+    SELECT CAST(0 AS INTEGER) AS round, s0.threshold, s0.left_class,
+           s0.right_class, round(s0.impurity, 8) AS impurity,
+           a0.correct_w, a0.wrong_w, a0.alpha_scaled,
+           ens.n_rows_total, ens.n_correct_ensemble
+    FROM s0 CROSS JOIN a0 CROSS JOIN ens
+    UNION ALL
+    SELECT CAST(1 AS INTEGER), s1.threshold, s1.left_class,
+           s1.right_class, round(s1.impurity, 8),
+           a1.correct_w, a1.wrong_w, a1.alpha_scaled,
+           ens.n_rows_total, ens.n_correct_ensemble
+    FROM s1 CROSS JOIN a1 CROSS JOIN ens
+    ORDER BY round
+"""

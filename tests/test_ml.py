@@ -343,3 +343,27 @@ def test_bagged_stumps_per_tree_splits_and_vote_accounting(spark):
     # the ensemble predicts 0 everywhere: correct exactly on the 0-labels
     assert out[0].n_rows_total == 24
     assert out[0].n_correct_ensemble == 12
+
+
+def test_boosted_stumps_reweighting_and_vote_accounting(spark):
+    # interval labels (1 on x in [4,7]) — no single threshold is perfect,
+    # so round 1 must see real errors and round 2 trains on 3x-reweighted
+    # mistakes
+    rows = [(x, 1 if 4 <= x <= 7 else 0) for x in range(1, 11) for _ in range(3)]
+    df = spark.createDataFrame(rows, "x long, label int")
+    out = {r.round: r for r in ml.boosted_stumps(df, "x", "label", rounds=2).collect()}
+    assert set(out) == {0, 1}
+    n = 30
+    r0, r1 = out[0], out[1]
+    # round-0 weights are all 1: counts partition the corpus
+    assert r0.correct_w + r0.wrong_w == n
+    assert r0.wrong_w > 0  # the interval is not threshold-separable
+    # round-1 weighted mass = n + 2 * (round-0 mistakes)
+    assert r1.correct_w + r1.wrong_w == n + 2 * r0.wrong_w
+    # alphas positive while stumps beat 50/50 weighted error
+    assert r0.alpha_scaled > 0
+    assert r0.n_rows_total == r1.n_rows_total == n
+    assert 0 <= r0.n_correct_ensemble <= n
+    # deterministic end to end
+    again = {r.round: r for r in ml.boosted_stumps(df, "x", "label", rounds=2).collect()}
+    assert again[0] == r0 and again[1] == r1
