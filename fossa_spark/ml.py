@@ -801,11 +801,16 @@ def boosted_stumps(
     Returns one row per round: the stump, its weighted error counts,
     alpha_scaled, and the exact unweighted ensemble accuracy repeated.
     """
+    # NOTE: the corpus-sized frames (cur / judged) are deliberately NOT
+    # checkpointed — at 2-3 rounds, recomputing the narrow (x, label, w)
+    # lineage per pass is far cheaper than materializing N rows per
+    # round (measured: sf10 warm 63.5 -> ~13 s without the checkpoints);
+    # only the one-row model state is pinned
     cur = df.select(
         F.col(x_col).alias("x"),
         F.col(label_col).alias("label"),
         F.lit(1).cast("bigint").alias("w"),
-    ).localCheckpoint()
+    )
     stumps = []
     for rnd in range(rounds):
         s = _weighted_stump(cur, "x", "label", "w").withColumn(
@@ -845,7 +850,7 @@ def boosted_stumps(
             "label",
             F.when(F.col("ok"), F.col("w")).otherwise(F.col("w") * 3)
             .alias("w"),
-        ).localCheckpoint()
+        )
     model = stumps[0]
     for s in stumps[1:]:
         model = model.unionByName(s)
