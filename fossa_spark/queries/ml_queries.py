@@ -761,3 +761,130 @@ ORACLE["q_boosted_stumps"] = f"""
     FROM s1 CROSS JOIN a1 CROSS JOIN ens
     ORDER BY round
 """
+
+
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA from exact integer moments: does mean line price
+    differ across return-flag groups? Per-group (n, sum, sum-of-squares)
+    in ONE map-side-combined aggregation (whole-unit quantization, the
+    q_linreg headroom argument), then the F-statistic's between/within
+    sum-of-squares assembled from those exact integers with identical
+    IEEE expression trees in both engines — grouped hypothesis testing
+    as a single corpus pass, the moments discipline q_linreg/
+    q_stream_linreg established."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice")).cast("bigint").alias("y"),
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sy").alias("tsy"),
+        F.sum("syy").alias("tsyy"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    # per-group between-term n * (mean - grand_mean)^2, computed as
+    # n * mean^2 summed minus tn * grand^2 at the end; keep it simpler:
+    # ss_between = sum_g(sy_g^2 / n_g) - tsy^2 / tn (exact-int inputs)
+    per = g.crossJoin(F.broadcast(tot)).select(
+        "l_returnflag", "n", "sy", "syy", "tn", "tsy", "tsyy", "k",
+        (F.col("sy").cast("double") * F.col("sy").cast("double") / nd)
+        .alias("b_term"),
+    )
+    # the ONLY double summation here runs over k group terms — a raw
+    # SUM(double) is order-dependent, so fold the terms in SORTED group
+    # order on both engines (the never-hash-a-raw-double-sum contract)
+    agg = per.groupBy("tn", "tsy", "tsyy", "k").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("l_returnflag", "b_term"))
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t["b_term"],
+        ).alias("b_sum"),
+    )
+    tnd = F.col("tn").cast("double")
+    grand = F.col("tsy").cast("double") * F.col("tsy").cast("double") / tnd
+    ss_between = F.col("b_sum") - grand
+    ss_total = F.col("tsyy").cast("double") - grand
+    ss_within = ss_total - ss_between
+    kd = F.col("k").cast("double")
+    # degenerate corpora (zero within-group variance) have an undefined
+    # F — emit NULL rather than dividing by zero (ANSI mode raises)
+    f_stat = F.when(
+        ss_within > 0.0, (ss_between / (kd - 1.0)) / (ss_within / (tnd - kd))
+    )
+    return agg.select(
+        F.col("k").cast("int").alias("n_groups"),
+        F.col("tn").alias("n_rows"),
+        F.round(ss_between, 6).alias("ss_between"),
+        F.round(ss_within, 6).alias("ss_within"),
+        F.round(f_stat, 8).alias("f_stat"),
+    )
+
+
+QUERIES["q_anova"] = q_anova
+
+ORACLE["q_anova"] = """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM m GROUP BY l_returnflag
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn,
+             CAST(SUM(sy) AS BIGINT) AS tsy,
+             CAST(SUM(syy) AS BIGINT) AS tsyy,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g
+    ),
+    agg AS (
+      -- sorted left-fold of the k group terms: a raw SUM(double) is
+      -- order-dependent; list(... ORDER BY) + list_sum folds the same
+      -- sequence Spark's sorted-array aggregate does
+      SELECT t.tn, t.tsy, t.tsyy, t.k,
+             list_sum(list(CAST(g.sy AS DOUBLE) * CAST(g.sy AS DOUBLE)
+                           / CAST(g.n AS DOUBLE)
+                           ORDER BY g.l_returnflag)) AS b_sum
+      FROM g CROSS JOIN tot t
+      GROUP BY t.tn, t.tsy, t.tsyy, t.k
+    )
+    SELECT CAST(k AS INTEGER) AS n_groups,
+           tn AS n_rows,
+           round(b_sum - CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE)
+                         / CAST(tn AS DOUBLE), 6) AS ss_between,
+           round((CAST(tsyy AS DOUBLE)
+                  - CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE)
+                    / CAST(tn AS DOUBLE))
+                 - (b_sum - CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE)
+                            / CAST(tn AS DOUBLE)), 6) AS ss_within,
+           round(CASE WHEN ((CAST(tsyy AS DOUBLE)
+                             - CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE)
+                               / CAST(tn AS DOUBLE))
+                            - (b_sum
+                               - CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE)
+                                 / CAST(tn AS DOUBLE))) > 0 THEN
+                 ((b_sum - CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE)
+                           / CAST(tn AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+                 / (((CAST(tsyy AS DOUBLE)
+                      - CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE)
+                        / CAST(tn AS DOUBLE))
+                     - (b_sum - CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE)
+                                / CAST(tn AS DOUBLE)))
+                    / (CAST(tn AS DOUBLE) - CAST(k AS DOUBLE)))
+                 END, 8)
+             AS f_stat
+    FROM agg
+"""

@@ -367,3 +367,37 @@ def test_boosted_stumps_reweighting_and_vote_accounting(spark):
     # deterministic end to end
     again = {r.round: r for r in ml.boosted_stumps(df, "x", "label", rounds=2).collect()}
     assert again[0] == r0 and again[1] == r1
+
+
+def test_anova_f_statistic_separates_group_means(spark):
+    """Sanity against the textbook F: three groups with very different
+    means -> large F; identical groups -> F == 0."""
+    from fossa_spark.queries import ml_queries as MQ
+    import tempfile, os
+    import pyspark.sql.functions as _F
+
+    # build a tiny parquet 'lineitem' with controlled values
+    d = tempfile.mkdtemp(prefix="anova_fix_")
+    rows = (
+        [("A", 10.0)] * 5 + [("N", 100.0)] * 5 + [("R", 1000.0)] * 5
+    )
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double"
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    out = MQ.q_anova(spark, d).collect()[0]
+    assert out.n_groups == 3 and out.n_rows == 15
+    assert out.ss_within == 0.0      # constant within groups
+    assert out.f_stat is None        # degenerate: F undefined, not a crash
+
+    # add within-group noise: F becomes finite and large
+    d2 = tempfile.mkdtemp(prefix="anova_fix2_")
+    rows2 = [
+        (g, base + eps)
+        for g, base in (("A", 10.0), ("N", 100.0), ("R", 1000.0))
+        for eps in (-1.0, 0.0, 1.0, 2.0, -2.0)
+    ]
+    spark.createDataFrame(
+        rows2, "l_returnflag string, l_extendedprice double"
+    ).write.parquet(os.path.join(d2, "lineitem.parquet"))
+    out2 = MQ.q_anova(spark, d2).collect()[0]
+    assert out2.f_stat is not None and out2.f_stat > 1000.0
