@@ -302,12 +302,17 @@ def all_queries() -> dict[str, QueryFn]:
     backed = [n for n in merged if n in oracles]
     # Stable sort (registration order breaks ties):
     #   changed-this-round (0) → oldest verified round first (1, 2, ...)
-    #   with never-driver-verified NEW queries slotted between the stalest
-    #   verified round and the rest (1.5): when more queries compete than
-    #   the driver's 50-row cap, the ones whose last green row is oldest
-    #   must win the slots (new queries have full pytest parity locally and
-    #   rotate to the front next round), so no row goes >1 round stale.
-    backed.sort(key=lambda n: 0 if n in changed else last.get(n, 1.5))
+    #   with never-driver-verified NEW queries slotted after critically
+    #   stale signal but before fresh signal: when more queries compete
+    #   than the driver's 50-row cap, green rows that have aged past the
+    #   staleness horizon must win the slots (new queries have full
+    #   pytest parity locally and rotate forward next round — their
+    #   driver row can wait one round; a 5-round-old green row cannot).
+    #   The old fixed 1.5 hardcoded "stalest round is r1"; with the
+    #   stalest cohort now at r5, 1.5 front-ran the drain (r10 verdict
+    #   item 2).
+    new_key = max_round - _ROWS_ONLY_STALE_AFTER + 0.5
+    backed.sort(key=lambda n: 0 if n in changed else last.get(n, new_key))
     out = {n: merged[n] for n in pin_rows_only}
     out.update({n: merged[n] for n in retire_errs if n in merged})
     out.update({n: merged[n] for n in backed})

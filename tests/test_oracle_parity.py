@@ -107,12 +107,62 @@ def test_registration_order_contract():
     assert all(n in _ORACLES for n in backed_block), (
         "a rows-only query interrupts the oracle-backed block"
     )
-    # expensive tail: last of the pin if pinned, else last overall
+    _assert_expensive_last_within_block(names, pin)
+
+
+def _assert_expensive_last_within_block(names, pin):
+    """The expensive rows-only invariant is PER-ELEMENT (r10 verdict item
+    1): each of q_dedup_near/q_pipeline must run dead last *within
+    whichever block it occupies* — the stale-pin prefix or the global
+    tail.  The r10 artifact drop split the pair (the _ROWS_ONLY_PIN_CAP
+    admitted q_pipeline but not q_dedup_near), a state the old
+    all-pinned-or-none assertion didn't model and flapped red on."""
     expensive = ["q_dedup_near", "q_pipeline"]
-    if all(e in pin for e in expensive):
-        assert pin[-2:] == expensive
-    else:
-        assert names[-2:] == expensive
+    pinned = [e for e in expensive if e in pin]
+    unpinned = [e for e in expensive if e not in pin]
+    if pinned:
+        assert pin[-len(pinned):] == pinned, (
+            f"pinned expensive queries must close the pin prefix: "
+            f"pin tail {pin[-len(pinned):]} != {pinned}"
+        )
+    if unpinned:
+        assert names[-len(unpinned):] == unpinned, (
+            f"unpinned expensive queries must close the registry: "
+            f"tail {names[-len(unpinned):]} != {unpinned}"
+        )
+
+
+def test_registration_order_split_pin_regression(monkeypatch):
+    """Synthesize the exact artifact state that turned r10 red: enough
+    stale rows-only queries that _ROWS_ONLY_PIN_CAP admits q_pipeline
+    (ran r5) but excludes q_dedup_near (ran r6) — the pair splits across
+    pin and tail, and the per-element invariant must still hold."""
+    import fossa_spark.queries as q
+
+    rows_only = [n for n in _QUERIES if n not in _ORACLES]
+    cheap = [n for n in rows_only if n not in ("q_dedup_near", "q_pipeline")]
+    assert len(cheap) >= q._ROWS_ONLY_PIN_CAP - 1, "fixture premise"
+    fill = q._ROWS_ONLY_PIN_CAP - 1
+    ran = {"spark_rows": 1, "err": "no_oracle"}
+    doc5 = {n: dict(ran) for n in cheap[:fill]}
+    doc5["q_pipeline"] = dict(ran)
+    doc6 = {"q_dedup_near": dict(ran)}
+    # every other query gets a fresh r10 row so only the split cohort pins
+    doc10 = {
+        n: {"spark_rows": 1, "err": None, "hash_match": True}
+        for n in _ORACLES
+    }
+    doc10.update({n: dict(ran) for n in cheap[fill:]})
+    monkeypatch.setattr(
+        q, "_ARTIFACTS_CACHE", ((5, doc5), (6, doc6), (10, doc10))
+    )
+    names = list(q.all_queries())
+    first_backed = next(i for i, n in enumerate(names) if n in _ORACLES)
+    pin = names[:first_backed]
+    assert "q_pipeline" in pin and "q_dedup_near" not in pin, (
+        f"fixture failed to split the pair: pin={pin}"
+    )
+    _assert_expensive_last_within_block(names, pin)
 
 
 def test_entry_smoke(spark):
