@@ -530,32 +530,30 @@ def image_phash(media: DataFrame, hash_dim: int = 8) -> DataFrame:
     )
 
 
-def phash_near_dup(
-    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
-) -> DataFrame:
+def phash_near_dup(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Image near-duplicate pairs by perceptual-hash Hamming distance —
     the pigeonhole banding of llm/dedup.py's SimHash applied to the
-    image fingerprints: a 64-bit hash splits into ``bands`` equal slices,
-    and any pair within Hamming ``max_hamming`` (< bands) must agree
+    image fingerprints: the 64-bit hash splits into ``max_hamming + 1``
+    slices, and any pair within Hamming ``max_hamming`` must agree
     EXACTLY on at least one slice, so candidates come from equi-joining
     per-band buckets — never an all-pairs scan. Exact Hamming
     (bit_count(a XOR b), JVM-side) then filters the candidates.
 
+    (The former ``bands`` parameter was dropped — advisor r10: it was
+    validated but otherwise ignored, since the delegate always bands
+    into max_hamming + 1 chunks; a misleading knob is worse than none.)
+
     Returns (id_a, id_b, hamming), id_a < id_b, distinct."""
-    if max_hamming >= bands:
+    if not 0 <= max_hamming < 64:
         raise ValueError(
-            f"pigeonhole needs max_hamming < bands, got "
-            f"{max_hamming} >= {bands}"
+            "pigeonhole banding of a 64-bit hash needs "
+            f"0 <= max_hamming < 64, got {max_hamming}"
         )
     # ONE banding implementation in the repo: delegate to the SimHash
     # pair join (llm/dedup.py simhash_pairs), which does exactly this
     # over a precomputed 64-bit signature table — including absorbing
     # the 64 % chunks remainder bits into the last slice, which a naive
-    # 64 // bands split silently drops (review r10 session 2). It bands
-    # into max_hamming + 1 chunks, which satisfies the pigeonhole for
-    # the requested radius regardless of the caller's ``bands`` (the
-    # parameter stays for the guard above and API compatibility; the
-    # exact Hamming filter makes banding an implementation detail).
+    # equal split silently drops (review r10 session 2).
     from fossa_spark.llm.dedup import simhash_pairs
 
     sigs = hashes.select(

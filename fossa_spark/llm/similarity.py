@@ -187,7 +187,9 @@ def srp_buckets(bits: int, tables: int, dim: int):
             ]
             for t in range(tables)
         ]
-    )  # tables × bits × dim
+    ).reshape(tables, bits, dim)  # explicit: bits=0 (the exactness-probe
+    # degenerate configuration — every vector in bucket 0) otherwise
+    # collapses the dim axis and breaks the einsum
     weights = (1 << np.arange(bits)).astype(np.int64)
 
     @F.pandas_udf("array<long>")

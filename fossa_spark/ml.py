@@ -500,9 +500,27 @@ def kmeans_update(
             F.array(*[F.col(f"s{i}") for i in range(dim)])
         ).alias("pos", "s"),
     )
+    # LEFT join + runtime raise (advisor r10): an inner join here would
+    # silently drop any cents cluster missing from counts — state
+    # corruption surfacing as quiet cluster loss across batches.  n_old
+    # is control-plane-sized, so the guard costs nothing.
+    n_old_ok = F.when(
+        F.col("n_old").isNull(),
+        F.raise_error(
+            F.lit(
+                "kmeans_update: a cluster in cents has no row in counts"
+                " — corrupted (cents, counts) state"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n_old"))
     merged = (
         cents.withColumnRenamed("v", "v_old")
-        .join(F.broadcast(counts.withColumnRenamed("n", "n_old")), "cluster")
+        .join(
+            F.broadcast(counts.withColumnRenamed("n", "n_old")),
+            "cluster",
+            "left",
+        )
+        .withColumn("n_old", n_old_ok)
         .join(batch_long, ["cluster", "pos"], "left")
         .select(
             "cluster",
@@ -602,6 +620,7 @@ def bagged_stumps(
     x_col: str,
     label_col: str,
     tree_col: str,
+    n_trees: int | None = None,
 ) -> DataFrame:
     """A bagged ensemble of decision stumps — ``tree_col`` assigns each
     row to one tree (disjoint hash-partition bagging: each tree trains
@@ -678,6 +697,21 @@ def bagged_stumps(
         )
         .localCheckpoint()  # n_trees rows: reused by both vote passes
     )
+    # Refuse loudly on degenerate trees (advisor r10): a tree whose
+    # slice has a single distinct x yields NO split candidate (the
+    # r0+r1>0 filter empties it) and would silently vanish from the
+    # per-tree output while its rows still count in the ensemble vote —
+    # a divergence an oracle's inner join to the stump table cannot see.
+    # stumps is checkpointed and n_trees-sized, so this collect is free.
+    if n_trees is not None:
+        got = sorted(r["tree"] for r in stumps.select("tree").collect())
+        if len(got) != n_trees:
+            missing = sorted(set(range(n_trees)) - set(got))
+            raise ValueError(
+                f"bagged_stumps: trees {missing} produced no split "
+                f"(empty slice or single distinct {x_col}) — refusing "
+                "to vote with a silently shrunken ensemble"
+            )
     rules = stumps.groupBy().agg(
         F.array_sort(
             F.collect_list(

@@ -929,7 +929,7 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned."""
     base = M.synthetic_random_images(spark, n=48)
     media = base.unionByName(M.perturb_images(base, every=4, flips=20))
-    pairs = M.phash_near_dup(M.image_phash(media), max_hamming=3, bands=4)
+    pairs = M.phash_near_dup(M.image_phash(media), max_hamming=3)
     return pairs.orderBy("id_a", "id_b")
 
 
@@ -945,7 +945,7 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = M.synthetic_random_audio(spark, n=48)
     media = base.unionByName(M.perturb_audio(base, every=4, amp=512))
     pairs = M.phash_near_dup(
-        M.audio_fingerprint(media), max_hamming=3, bands=4
+        M.audio_fingerprint(media), max_hamming=3
     )
     return pairs.orderBy("id_a", "id_b")
 
@@ -962,7 +962,7 @@ def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = M.synthetic_random_videos(spark, n=48)
     media = base.unionByName(M.perturb_videos(base, every=4, amp=3))
     pairs = M.phash_near_dup(
-        M.video_fingerprint(media), max_hamming=3, bands=4
+        M.video_fingerprint(media), max_hamming=3
     )
     return pairs.orderBy("id_a", "id_b")
 

@@ -516,7 +516,7 @@ def q_bagged_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("x"),
         (F.col("l_returnflag") == "R").cast("int").alias("label"),
     )
-    return ml.bagged_stumps(li, "x", "label", "tree")
+    return ml.bagged_stumps(li, "x", "label", "tree", n_trees=4)
 
 
 QUERIES["q_bagged_stumps"] = q_bagged_stumps

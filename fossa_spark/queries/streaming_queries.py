@@ -891,7 +891,16 @@ def q_stream_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         if "cents" not in state:
             first = vecs.select(F.size("qv").alias("d")).first()
             if first is None:
-                return
+                # Refuse loudly (advisor r10): the oracle unrolls init
+                # on the vec_id%3==0 slice, so silently deferring init
+                # to a later batch would surface as an opaque hash
+                # mismatch — a feed regression must be an ERROR here.
+                raise ValueError(
+                    "q_stream_kmeans: first micro-batch is empty — the "
+                    "staged feed always starts with the vec_id%3==0 "
+                    "slice; a deferred init would diverge from the "
+                    "unrolled oracle"
+                )
             state["dim"] = int(first["d"])
             # the shared deterministic init rule (oracle contract)
             state["cents"] = ml.kmeans_init(vecs, k).localCheckpoint()

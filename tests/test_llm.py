@@ -855,7 +855,7 @@ def test_image_phash_near_dup_recovers_planted_copies(spark):
     base = M.synthetic_random_images(spark, n=48)
     media = base.unionByName(M.perturb_images(base, every=4, flips=20))
     pairs = M.phash_near_dup(
-        M.image_phash(media), max_hamming=3, bands=4
+        M.image_phash(media), max_hamming=3
     ).collect()
     planted = {(r.id_a, r.id_b) for r in pairs if r.id_b - r.id_a == 100_000}
     assert planted == {(i, i + 100_000) for i in range(0, 48, 4)}
@@ -877,14 +877,16 @@ def test_phash_near_dup_guards_pigeonhole_premise(spark):
 
     hashes = M.image_phash(M.synthetic_random_images(spark, n=4))
     with _pt.raises(ValueError, match="pigeonhole"):
-        M.phash_near_dup(hashes, max_hamming=4, bands=4)
+        M.phash_near_dup(hashes, max_hamming=64)
+    with _pt.raises(ValueError, match="pigeonhole"):
+        M.phash_near_dup(hashes, max_hamming=-1)
 
 
 def test_audio_fingerprint_near_dup_recovers_planted_copies(spark):
     base = M.synthetic_random_audio(spark, n=48)
     media = base.unionByName(M.perturb_audio(base, every=4, amp=512))
     pairs = M.phash_near_dup(
-        M.audio_fingerprint(media), max_hamming=3, bands=4
+        M.audio_fingerprint(media), max_hamming=3
     ).collect()
     planted = {(r.id_a, r.id_b) for r in pairs if r.id_b - r.id_a == 100_000}
     assert planted == {(i, i + 100_000) for i in range(0, 48, 4)}
@@ -915,7 +917,7 @@ def test_video_fingerprint_near_dup_recovers_planted_copies(spark):
     base = M.synthetic_random_videos(spark, n=48)
     media = base.unionByName(M.perturb_videos(base, every=4, amp=3))
     pairs = M.phash_near_dup(
-        M.video_fingerprint(media), max_hamming=3, bands=4
+        M.video_fingerprint(media), max_hamming=3
     ).collect()
     planted = {(r.id_a, r.id_b) for r in pairs if r.id_b - r.id_a == 100_000}
     assert planted == {(i, i + 100_000) for i in range(0, 48, 4)}
