@@ -356,6 +356,29 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(q, c, k=5, bits=4, tables=8).orderBy("q_id", "rk")
 
 
+def q_sim_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTNESS-ON-DEMAND probe of the SRP-LSH path (round 11, VERDICT
+    r10 item 3 — the last ANN read path without an exactness gate): at
+    ``bits=0`` every vector's signature is the empty projection, so all
+    vectors land in bucket 0 of the single table, every (query,
+    candidate) pair is a candidate, and the exact cosine re-rank makes
+    the output equal brute-force top-k row for row — the FAISS
+    ``nprobe = nlist`` idiom applied to hyperplane LSH.  This puts
+    lsh_topk's whole machinery (vectorized bucket assignment, posexplode
+    fan-out, bucket equi-join, distinct, re-rank math and tie-breaks)
+    under the hash-checked brute-force oracle; the approximate bits>0
+    path stays covered by q_sim_ann's rows-only row + pytest recall
+    pins.  The single-bucket join is the VERIFICATION configuration,
+    not the scale path — production keeps bits·tables sized so buckets
+    stay bounded, which is the whole point of LSH."""
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return S.lsh_topk(q, c, k=5, bits=0, tables=1).orderBy("q_id", "rk")
+
+
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: KMeans coarse quantizer + nprobe bucket search +
     exact re-rank (the FAISS-IVF shape; rows-only — KMeans is not
@@ -1096,6 +1119,7 @@ QUERIES = {
     "q_quality_model": q_quality_model,
     "q_sim_topk": q_sim_topk,
     "q_sim_ann": q_sim_ann,
+    "q_sim_ann_exact": q_sim_ann_exact,
     "q_sim_ivf": q_sim_ivf,
     "q_sim_ivf_index": q_sim_ivf_index,
     "q_sim_index_exact": q_sim_index_exact,
@@ -1671,6 +1695,26 @@ ORACLE = {
     # q_sim_topk (any divergence means the index read path lost or
     # mis-scored a vector).
     "q_sim_index_exact": f"""
+        WITH scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                 {_DOT.format(a="q.embedding", b="c.embedding")} AS score
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5
+        ),
+        ranked AS (
+          SELECT q_id, c_id, score,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY score DESC, c_id ASC) AS rk
+          FROM scored
+        )
+        SELECT q_id, c_id, score, rk FROM ranked WHERE rk <= 5 ORDER BY q_id, rk
+    """,
+    # q_sim_ann_exact: bits=0 puts every vector in one SRP bucket, so
+    # the LSH candidate set is ALL pairs and the exact re-rank makes
+    # the output brute-force top-k — the same SQL as q_sim_topk (any
+    # divergence means the bucket fan-out/join/distinct lost a pair or
+    # the re-rank mis-scored one).
+    "q_sim_ann_exact": f"""
         WITH scored AS (
           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
                  {_DOT.format(a="q.embedding", b="c.embedding")} AS score
