@@ -935,3 +935,135 @@ def boosted_stumps(
         )
         .orderBy("round")
     )
+
+
+ALS_SCALE = 100   # rank-2 factor fixed point (see als_rank2's headroom note)
+ALS_CLAMP = 4     # factors clamped to [-ALS_CLAMP*S, ALS_CLAMP*S]
+
+
+def _als_solve(
+    ratings: DataFrame,
+    fixed: DataFrame,
+    solve_key: str,
+    fixed_key: str,
+    *,
+    scale: int = ALS_SCALE,
+    reg_scaled: int | None = None,
+    broadcast_fixed: bool = False,
+) -> DataFrame:
+    """One ALS half-round: hold ``fixed`` (fixed_key, f1, f2) constant and
+    solve every ``solve_key`` entity's rank-2 factor in closed form from
+    exact integer moments — Cramer's rule on the regularized 2x2 normal
+    equations, entirely in BIGINT fixed point so the alternation is
+    oracle-replayable round by round (the kmeans_fit discipline; the
+    double-division trick ols_fit_from_moments uses only works for a
+    TERMINAL projection, not state that feeds the next iteration).
+
+    Per entity with its rating rows joined to the fixed factors:
+
+        A  = [[sum f1*f1, sum f1*f2], [., sum f2*f2]]   (scale S^2)
+        B  = [sum r*f1, sum r*f2]                       (scale S)
+        Ab = floor(A / n) + REG*I ;  Bb = floor(B / n)  (mean-normalized)
+        f  = clamp(floor((adj(Ab) @ Bb) * S^2 / det(Ab)))  (scale S)
+
+    Mean normalization bounds every product under _floordiv's 2^53
+    guard regardless of entity degree (headroom at S=100, clamp 4S:
+    |Ab| <= 1.6e5+REG, |Bb| <= 2e3, det <= 5.2e10, numerator <= 6.4e12);
+    REG = S^2/10 (lambda = 0.1) keeps det >= REG^2 > 0 even for
+    single-rating entities (A is PSD, Cauchy-Schwarz survives the
+    floor within the REG margin), and det <= 0 raises rather than
+    folding garbage.  One equi-join + one map-side-combined shuffle per
+    half-round; the corpus never moves twice."""
+    if reg_scaled is None:
+        reg_scaled = scale * scale // 10
+    j = ratings.join(
+        F.broadcast(fixed) if broadcast_fixed else fixed, fixed_key
+    )
+    m = j.groupBy(solve_key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("f1") * F.col("f1")).alias("a11"),
+        F.sum(F.col("f1") * F.col("f2")).alias("a12"),
+        F.sum(F.col("f2") * F.col("f2")).alias("a22"),
+        F.sum(F.col("r") * F.col("f1")).alias("b1"),
+        F.sum(F.col("r") * F.col("f2")).alias("b2"),
+    )
+    reg = F.lit(reg_scaled).cast("bigint")
+    y = m.select(
+        solve_key,
+        "n",
+        (_floordiv(F.col("a11"), F.col("n")) + reg).alias("ab11"),
+        _floordiv(F.col("a12"), F.col("n")).alias("ab12"),
+        (_floordiv(F.col("a22"), F.col("n")) + reg).alias("ab22"),
+        _floordiv(F.col("b1"), F.col("n")).alias("bb1"),
+        _floordiv(F.col("b2"), F.col("n")).alias("bb2"),
+    )
+    det = F.col("ab11") * F.col("ab22") - F.col("ab12") * F.col("ab12")
+    det = F.when(
+        det > 0, det
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "als_rank2: non-positive determinant — the regularized "
+                "normal equations must be positive definite; state is "
+                "corrupt or REG was zeroed"
+            )
+        ).cast("bigint")
+    )
+    s2 = F.lit(scale * scale).cast("bigint")
+    lo = F.lit(-ALS_CLAMP * scale).cast("bigint")
+    hi = F.lit(ALS_CLAMP * scale).cast("bigint")
+
+    def _f(num: Column) -> Column:
+        return F.least(F.greatest(_floordiv(num * s2, det), lo), hi)
+
+    return y.select(
+        solve_key,
+        "n",
+        _f(F.col("ab22") * F.col("bb1") - F.col("ab12") * F.col("bb2"))
+        .alias("f1"),
+        _f(F.col("ab11") * F.col("bb2") - F.col("ab12") * F.col("bb1"))
+        .alias("f2"),
+    )
+
+
+def als_rank2(
+    ratings: DataFrame,
+    *,
+    n_rounds: int = 2,
+    scale: int = ALS_SCALE,
+    items_broadcastable: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Rank-2 alternating least squares over (user, item, r) BIGINT
+    ratings — the matrix-factorization recommender in exact fixed point
+    (round 11, VERDICT r10 item 7; completes the classical-ML family).
+
+    Item factors initialize deterministically (f1 = S, f2 spread by
+    item % 21 — symmetry breaking the oracle mirrors verbatim), then
+    ``n_rounds`` alternations of per-user and per-item closed-form
+    solves (:func:`_als_solve`). Every half-round is one equi-join +
+    one map-side-combined aggregate; factor tables are localCheckpointed
+    control-plane state exactly like kmeans_fit's centroids.  At 100 TB
+    the item table is typically broadcastable (catalog-sized) and the
+    user-side solve shuffles ratings by user once per round — the
+    standard distributed ALS shape.
+
+    Returns (user_factors, item_factors): (key, n, f1, f2) each."""
+    items = ratings.select(F.col("item")).distinct()
+    s = F.lit(scale).cast("bigint")
+    v = items.select(
+        "item",
+        F.lit(0).cast("bigint").alias("n"),
+        s.alias("f1"),
+        ((F.col("item") % 21 - 10) * (scale // 10)).cast("bigint").alias("f2"),
+    ).localCheckpoint()
+    u = None
+    for _ in range(n_rounds):
+        u = _als_solve(
+            ratings, v.select("item", "f1", "f2"), "user", "item",
+            scale=scale, broadcast_fixed=items_broadcastable,
+        ).localCheckpoint()
+        v = _als_solve(
+            ratings, u.select("user", "f1", "f2"), "item", "user",
+            scale=scale,
+        ).localCheckpoint()
+    return u, v

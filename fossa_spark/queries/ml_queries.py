@@ -888,3 +888,151 @@ ORACLE["q_anova"] = """
              AS f_stat
     FROM agg
 """
+
+
+def q_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-2 ALTERNATING LEAST SQUARES matrix factorization (round 11,
+    VERDICT r10 item 7 — ml.als_rank2, the one classical-ML member that
+    was missing): deterministic synthetic ratings over orders (user =
+    o_custkey, item = o_orderkey mod 40, rating = a user x item residue
+    pattern in 1..5), two alternations of per-entity closed-form Cramer
+    solves on the regularized 2x2 normal equations, ALL state in scale-
+    100 BIGINT fixed point with mean-normalized moments (bounded under
+    the 2^53 floordiv guard regardless of entity degree). Emits the
+    final item factors with membership and the per-item exact integer
+    SSE of the fitted model. The oracle unrolls all four half-round
+    solves verbatim (the q_kmeans/q_pagerank discipline); any drift in
+    a join, a floor, a clamp, or a tie moves a cell."""
+    o = load(spark, sf_dir, "orders")
+    ratings = o.select(
+        F.col("o_custkey").alias("user"),
+        (F.col("o_orderkey") % 40).alias("item"),
+        (
+            ((F.col("o_custkey") % 7 + 1) * (F.col("o_orderkey") % 40 % 5 + 1))
+            % 5 + 1
+        ).cast("bigint").alias("r"),
+    )
+    u, v = ml.als_rank2(ratings, n_rounds=2)
+    s2 = F.lit(ml.ALS_SCALE * ml.ALS_SCALE).cast("bigint")
+    err = (
+        ratings.join(F.broadcast(v.select("item", "f1", "f2")), "item")
+        .join(
+            u.select(
+                "user",
+                F.col("f1").alias("u1"),
+                F.col("f2").alias("u2"),
+            ),
+            "user",
+        )
+        .select(
+            "item",
+            (
+                F.col("r") * s2
+                - (F.col("u1") * F.col("f1") + F.col("u2") * F.col("f2"))
+            ).alias("e"),
+        )
+        .groupBy("item")
+        .agg(F.sum(F.col("e") * F.col("e")).alias("sse"))
+    )
+    return (
+        v.join(err, "item")
+        .select("item", F.col("n").alias("n_ratings"), "f1", "f2", "sse")
+        .orderBy("item")
+    )
+
+
+def _als_fdiv(x: str, n: str) -> str:
+    """floor(x / n) in DuckDB over BIGINTs — the ml._floordiv twin."""
+    return f"(({x}) - (((({x}) % ({n})) + ({n})) % ({n}))) // ({n})"
+
+
+def _als_solve_sql(name: str, solve_key: str, fixed: str, fixed_key: str,
+                   scale: int) -> str:
+    """One unrolled ALS half-round (moments -> mean-normalize + REG ->
+    Cramer + clamp), mirroring ml._als_solve's integer ops verbatim."""
+    reg = scale * scale // 10
+    s2 = scale * scale
+    lo, hi = -4 * scale, 4 * scale
+    f1num = "(ab22 * bb1 - ab12 * bb2)"
+    f2num = "(ab11 * bb2 - ab12 * bb1)"
+    det = "(ab11 * ab22 - ab12 * ab12)"
+    return f"""x{name} AS MATERIALIZED (
+          SELECT {solve_key} AS k, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(f1 * f1) AS BIGINT) AS a11,
+                 CAST(SUM(f1 * f2) AS BIGINT) AS a12,
+                 CAST(SUM(f2 * f2) AS BIGINT) AS a22,
+                 CAST(SUM(r * f1) AS BIGINT) AS b1,
+                 CAST(SUM(r * f2) AS BIGINT) AS b2
+          FROM ratings JOIN {fixed} USING ({fixed_key})
+          GROUP BY {solve_key}
+        ),
+        y{name} AS (
+          SELECT k, n,
+                 {_als_fdiv('a11', 'n')} + {reg} AS ab11,
+                 {_als_fdiv('a12', 'n')} AS ab12,
+                 {_als_fdiv('a22', 'n')} + {reg} AS ab22,
+                 {_als_fdiv('b1', 'n')} AS bb1,
+                 {_als_fdiv('b2', 'n')} AS bb2
+          FROM x{name}
+        ),
+        {name} AS MATERIALIZED (
+          SELECT k AS {solve_key}, n,
+                 LEAST(GREATEST(
+                   {_als_fdiv(f'{f1num} * {s2}', det)}, {lo}), {hi}) AS f1,
+                 LEAST(GREATEST(
+                   {_als_fdiv(f'{f2num} * {s2}', det)}, {lo}), {hi}) AS f2
+          FROM y{name}
+        )"""
+
+
+def _als_oracle(scale: int = 100) -> str:
+    half = [
+        _als_solve_sql("u1", "u", "v0", "item", scale),
+        _als_solve_sql("v1", "item", "u1r", "u", scale),
+        _als_solve_sql("u2", "u", "v1r", "item", scale),
+        _als_solve_sql("v2", "item", "u2r", "u", scale),
+    ]
+    # each solve joins ratings USING(key): expose the previous factor
+    # table under the RATINGS key name (u / item) it joins on
+    renames = """u1r AS (SELECT u, f1, f2 FROM u1),
+        v1r AS (SELECT item, f1, f2 FROM v1),
+        u2r AS (SELECT u, f1, f2 FROM u2)"""
+    s2 = scale * scale
+    return f"""
+        WITH ratings AS MATERIALIZED (
+          SELECT o_custkey AS u, o_orderkey % 40 AS item,
+                 CAST(((o_custkey % 7 + 1) * (o_orderkey % 40 % 5 + 1)) % 5
+                      + 1 AS BIGINT) AS r
+          FROM orders
+        ),
+        v0 AS (
+          SELECT item, CAST({scale} AS BIGINT) AS f1,
+                 CAST((item % 21 - 10) * {scale // 10} AS BIGINT) AS f2
+          FROM (SELECT DISTINCT item FROM ratings)
+        ),
+        {half[0]},
+        u1r AS (SELECT u, f1, f2 FROM u1),
+        {half[1]},
+        v1r AS (SELECT item, f1, f2 FROM v1),
+        {half[2]},
+        u2r AS (SELECT u, f1, f2 FROM u2),
+        {half[3]},
+        err AS (
+          SELECT r.item,
+                 CAST(SUM(
+                   (r.r * {s2} - (uu.f1 * vv.f1 + uu.f2 * vv.f2))
+                   * (r.r * {s2} - (uu.f1 * vv.f1 + uu.f2 * vv.f2))
+                 ) AS BIGINT) AS sse
+          FROM ratings r
+          JOIN v2 vv USING (item)
+          JOIN u2 uu ON r.u = uu.u
+          GROUP BY r.item
+        )
+        SELECT v2.item AS item, v2.n AS n_ratings, v2.f1 AS f1,
+               v2.f2 AS f2, err.sse AS sse
+        FROM v2 JOIN err USING (item)
+        ORDER BY item"""
+
+
+QUERIES["q_als"] = q_als
+ORACLE["q_als"] = _als_oracle()
