@@ -717,6 +717,61 @@ def q_evolve_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO the versioned table (round 11, versioned.py
+    merge_into — the Delta MERGE shape, completing the lakehouse DML
+    surface): v1 commits keys ≡0 (mod 3), then a RAW source (keys ≡0
+    mod 2, payload o_custkey+5e5, NO _op column) merges with
+    delete_condition = key ≡0 (mod 10) — matched rows update, unmatched
+    insert, matched+condition tombstone, and unmatched+condition rows
+    are DROPPED (no phantom delete may reach the change feed).  The
+    emitted relation is the (v1, v2] change feed grouped by class and
+    status, so the oracle checks MERGE's op resolution itself
+    set-theoretically from orders: update = ≡0 (mod 6) surviving the
+    delete slice with the new payload; delete = ≡0 (mod 30) carrying
+    the PRE-image; insert = even, ≢0 (mod 3), surviving.  One as-of
+    fold + one key-only membership join + an O(source) commit — the
+    same table-side cost Delta's MERGE pays in its rewrite step."""
+    import os as _os
+    import tempfile as _tf
+
+    from fossa_spark import versioned as V
+    from fossa_spark.sources import stage_files
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+
+    def _build(into: str) -> None:
+        tbl = _os.path.join(into, "tbl")
+        V.init_table(tbl, key=["o_orderkey"])
+        V.commit(
+            tbl,
+            base.filter(k % 3 == 0).withColumn(V.OP_COL, F.lit(V.UPSERT)),
+            expect_version=0,
+        )
+        src = base.filter(k % 2 == 0).withColumn(
+            "o_custkey", F.col("o_custkey") + 500_000
+        )
+        V.merge_into(spark, tbl, src, delete_condition=(k % 10 == 0))
+
+    out_dir = _tf.mkdtemp(prefix="fossa_vmerge_")
+    stage_files(base, out_dir, cache_prefix="vchain_merge",
+                params=["vchain_merge_v1"], build=_build)
+    tbl = _os.path.join(out_dir, "tbl")
+    feed = V.change_feed(spark, tbl, 1, 2)
+    return (
+        feed.groupBy("change", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("o_custkey").alias("cust_sum"),
+        )
+        .orderBy("change", "o_orderstatus")
+    )
+
+
 def q_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-DRIVEN materialized-view maintenance (round 10 — the
     change-data-feed consumer): a per-status aggregate view (count,
@@ -788,6 +843,7 @@ QUERIES = {
     "q_restore": q_restore,
     "q_change_feed": q_change_feed,
     "q_evolve_versioned": q_evolve_versioned,
+    "q_merge_versioned": q_merge_versioned,
     "q_view_maintain": q_view_maintain,
     "q_join_dpp": q_join_dpp,
     "q_csv_roundtrip": q_csv_roundtrip,
@@ -901,6 +957,34 @@ ORACLE = {
                CAST(COALESCE(SUM(p), 0) AS BIGINT)
         FROM a2 GROUP BY s
         ORDER BY version, o_orderstatus
+    """,
+    # MERGE op resolution, set-theoretically: v1 = keys %3=0; source =
+    # even keys with cust+5e5; delete slice = %10=0 on the source.
+    # update  = matched (%6=0) surviving the delete slice, NEW payload;
+    # delete  = matched AND %10=0 (i.e. %30=0), PRE-image payload;
+    # insert  = even, not %3=0, surviving the delete slice, new payload;
+    # unmatched delete-slice rows must NOT appear at all
+    "q_merge_versioned": """
+        WITH ch AS (
+          SELECT 'update' AS change, o_orderkey, o_custkey + 500000 AS c,
+                 o_orderstatus
+          FROM orders
+          WHERE o_orderkey % 6 = 0 AND o_orderkey % 10 <> 0
+          UNION ALL
+          SELECT 'delete', o_orderkey, o_custkey, o_orderstatus
+          FROM orders WHERE o_orderkey % 30 = 0
+          UNION ALL
+          SELECT 'insert', o_orderkey, o_custkey + 500000, o_orderstatus
+          FROM orders
+          WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+            AND o_orderkey % 10 <> 0
+        )
+        SELECT change, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(c) AS BIGINT) AS cust_sum
+        FROM ch GROUP BY change, o_orderstatus
+        ORDER BY change, o_orderstatus
     """,
     # net changes in (v1, v3]: inserts = keys arriving at v2/v3; update =
     # the v2 payload rewrite that SURVIVES v3's tombstones; deletes carry

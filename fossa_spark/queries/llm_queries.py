@@ -1075,7 +1075,7 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 11: the greedy encode loop equals sequential one-pass-per-rank
     rewriting (see _bpe_tokenize_oracle), which unrolls to SQL; pytest
     additionally pins the encoding round-trip."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), spark)
     # train-once / tokenize-per-batch, the operational shape (a deployment
     # persists the merge table; the 8-row list is control-plane-sized) —
     # mirrors q_dedup_incremental's build-once index caching
@@ -1096,8 +1096,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     item 4): every round is deterministic (argmax tie-break count desc,
     left asc, right asc; greedy left-to-right apply), so the 8 rounds
     unroll as chained CTEs — the q_pagerank/q_kmeans discipline; known-
-    corpus merges additionally asserted in tests/test_llm.py."""
-    d = load(spark, sf_dir, "documents")
+    corpus merges additionally asserted in tests/test_llm.py.
+    spread(): the one corpus pass (tokenize + word-type count) is
+    CPU-bound per doc and the fixture scan yields 1-2 partitions
+    (sf1 isolated warm 12.9 s -> see BENCHLOG r11)."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
     return X.bpe_train(d, n_merges=8).orderBy("merge_rank")
 
 

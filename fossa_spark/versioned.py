@@ -572,3 +572,74 @@ def restore(
     # the feed nets one row per key by construction and the op column is
     # literal — skip the validator's extra aggregate over the changes
     return commit(path, inverse, expect_version=cur, tag=tag, validate=False)
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    *,
+    delete_condition=None,
+    insert_when_delete_unmatched: bool = False,
+    tag: str | None = None,
+) -> int:
+    """MERGE a source relation into the table as one commit — the
+    Delta/Iceberg ``MERGE INTO`` shape, resolved against current state:
+
+      * source key matches an existing row  -> upsert (UPDATE)
+      * source key absent from the table    -> upsert (INSERT)
+      * ``delete_condition`` true on a MATCHED source row -> tombstone
+        (WHEN MATCHED AND cond THEN DELETE); on an unmatched row the
+        delete is a no-op and is dropped (committing a tombstone for an
+        absent key would be harmless to the fold but pollutes the
+        change feed with phantom deletes).
+
+    ``source`` carries the key + payload columns (NO _op column — op
+    resolution is exactly what MERGE does for you; producers that
+    already know their ops call :func:`commit` directly). Each source
+    key must appear at most once (commit's validator enforces it).
+
+    Scale shape: ONE as-of fold (partition-pruned to checkpoint + tail
+    deltas) + ONE left join of the source against the current MEMBERSHIP
+    (key columns only — payloads never join), then a plain commit of the
+    O(source) resolution. Delta's MERGE pays the same table-side cost in
+    its file-rewrite step; the append-only chain here pays it only in
+    the key join. ``tag`` passes through for idempotent replays.
+
+    Returns the new version number (or the tag's recorded version)."""
+    meta = _read_meta(path)
+    key = list(meta["key"])
+    if tag is not None and tag in meta.get("tags", {}):
+        return int(meta["tags"][tag])
+    if OP_COL in source.columns:
+        raise ValueError(
+            f"merge_into resolves ops itself — source must not carry "
+            f"{OP_COL!r} (use commit() for pre-resolved changes)"
+        )
+    cur_keys = read_as_of(spark, path).select(*key).withColumn(
+        "_matched", F.lit(True)
+    )
+    j = source.join(cur_keys, key, "left")
+    matched = F.col("_matched").isNotNull()
+    if delete_condition is not None:
+        op = (
+            F.when(delete_condition & matched, F.lit(DELETE))
+            .when(delete_condition, F.lit(None).cast("string"))  # drop
+            .otherwise(F.lit(UPSERT))
+        )
+    else:
+        op = F.lit(UPSERT)
+    resolved = (
+        j.withColumn(OP_COL, op)
+        .filter(F.col(OP_COL).isNotNull())
+        .drop("_matched")
+    )
+    if insert_when_delete_unmatched and delete_condition is not None:
+        # WHEN NOT MATCHED AND delete-cond rows become inserts instead of
+        # no-ops (some pipelines upsert-then-retract in one batch)
+        resolved = j.withColumn(
+            OP_COL,
+            F.when(delete_condition & matched, F.lit(DELETE))
+            .otherwise(F.lit(UPSERT)),
+        ).drop("_matched")
+    return commit(path, resolved, tag=tag)

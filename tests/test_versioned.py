@@ -444,3 +444,32 @@ def test_change_feed_across_evolution_boundary(spark, tbl):
         (r.k, r.payload, r.score)
         for r in V.read_as_of(spark, tbl, 3).collect()
     } == {(1, "a", None), (2, "b", None), (4, "z", None)}
+
+
+def test_merge_into_resolves_ops(spark, tbl):
+    """MERGE INTO (round 11): matched -> update, unmatched -> insert,
+    matched + delete_condition -> tombstone, unmatched + delete
+    condition -> dropped (no phantom delete in the change feed)."""
+    V.commit(tbl, _mk(spark, [(1, "a", "u"), (2, "b", "u")]))
+    src = spark.createDataFrame(
+        [(1, "A"), (3, "c"), (2, "DEL"), (9, "DEL")],
+        "k long, payload string",
+    )
+    v = V.merge_into(
+        spark, tbl, src, delete_condition=F.col("payload") == "DEL"
+    )
+    assert v == 2
+    assert _rows(V.read_as_of(spark, tbl)) == {(1, "A"), (3, "c")}
+    # no phantom delete for the unmatched key 9
+    feed = V.change_feed(spark, tbl, 1, 2)
+    assert {(r.change, r.k) for r in feed.collect()} == {
+        ("update", 1), ("insert", 3), ("delete", 2),
+    }
+    # a source carrying _op is refused — MERGE resolves ops itself
+    with pytest.raises(ValueError, match="resolves ops itself"):
+        V.merge_into(spark, tbl, _mk(spark, [(5, "e", "u")]))
+    # idempotent replay via tag
+    src2 = spark.createDataFrame([(4, "d")], "k long, payload string")
+    v2 = V.merge_into(spark, tbl, src2, tag="batch-42")
+    assert V.merge_into(spark, tbl, src2, tag="batch-42") == v2
+    assert V.current_version(tbl) == v2
