@@ -244,6 +244,13 @@ ACCEPTED_SMELLS: dict[str, dict[str, str]] = {
         "|corpus| x |queries| with constant queries is row-linear — the "
         "corpus-scale paths are q_sim_ann/q_sim_ivf/q_sim_pq",
     },
+    "q_als_recommend": {
+        "cartesian": "recommendation serving by design: the build side "
+        "is the 40-item factor table (item = o_orderkey % 40, bounded by "
+        "construction) broadcast against the <=20 queried users' factors "
+        "— the product is catalog x queried-users, control-plane sized; "
+        "the only corpus-sized input is the seen-pairs anti-join",
+    },
     "q_rank_fusion": {
         "cartesian": "same fixed query-vector build side as q_sim_topk "
         "inside the dense-retrieval leg; the fusion join itself is "

@@ -985,7 +985,10 @@ def _als_solve_sql(name: str, solve_key: str, fixed: str, fixed_key: str,
         )"""
 
 
-def _als_oracle(scale: int = 100) -> str:
+def _als_ctes(scale: int = 100) -> str:
+    """The shared unrolled ALS CTE chain (ratings -> v0 -> u1 -> v1 ->
+    u2 -> v2) — q_als's factor/SSE check and q_als_recommend's top-k
+    both select from it, so the two oracles cannot drift."""
     half = [
         _als_solve_sql("u1", "u", "v0", "item", scale),
         _als_solve_sql("v1", "item", "u1r", "u", scale),
@@ -994,10 +997,6 @@ def _als_oracle(scale: int = 100) -> str:
     ]
     # each solve joins ratings USING(key): expose the previous factor
     # table under the RATINGS key name (u / item) it joins on
-    renames = """u1r AS (SELECT u, f1, f2 FROM u1),
-        v1r AS (SELECT item, f1, f2 FROM v1),
-        u2r AS (SELECT u, f1, f2 FROM u2)"""
-    s2 = scale * scale
     return f"""
         WITH ratings AS MATERIALIZED (
           SELECT o_custkey AS u, o_orderkey % 40 AS item,
@@ -1016,7 +1015,12 @@ def _als_oracle(scale: int = 100) -> str:
         v1r AS (SELECT item, f1, f2 FROM v1),
         {half[2]},
         u2r AS (SELECT u, f1, f2 FROM u2),
-        {half[3]},
+        {half[3]}"""
+
+
+def _als_oracle(scale: int = 100) -> str:
+    s2 = scale * scale
+    return f"""{_als_ctes(scale)},
         err AS (
           SELECT r.item,
                  CAST(SUM(
@@ -1036,3 +1040,78 @@ def _als_oracle(scale: int = 100) -> str:
 
 QUERIES["q_als"] = q_als
 ORACLE["q_als"] = _als_oracle()
+
+
+def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECOMMENDATION serving on the ALS factors (round 11 — the
+    consumer half of q_als): for the first 20 users, score every item
+    as the exact integer dot product of the round-2 factors, ANTI-join
+    away items the user already rated, and keep the top-3 unseen items
+    per user (score desc, item asc — fully deterministic).  The
+    candidate relation is |users_queried| x |items| (control-plane
+    sized: both factor tables are broadcast); the only corpus-sized
+    input is the seen-pairs anti-join, one shuffle.  The oracle shares
+    q_als's unrolled factor CTE chain verbatim, so serving sits under
+    the same hash gate as training."""
+    o = load(spark, sf_dir, "orders")
+    ratings = o.select(
+        F.col("o_custkey").alias("user"),
+        (F.col("o_orderkey") % 40).alias("item"),
+        (
+            ((F.col("o_custkey") % 7 + 1) * (F.col("o_orderkey") % 40 % 5 + 1))
+            % 5 + 1
+        ).cast("bigint").alias("r"),
+    )
+    u, v = ml.als_rank2(ratings, n_rounds=2)
+    qu = u.filter(F.col("user") < 20).select(
+        "user", F.col("f1").alias("u1"), F.col("f2").alias("u2")
+    )
+    cand = qu.crossJoin(
+        F.broadcast(v.select("item", "f1", "f2"))
+    ).select(
+        "user", "item",
+        (F.col("u1") * F.col("f1") + F.col("u2") * F.col("f2"))
+        .alias("pred_q"),
+    )
+    seen = ratings.select("user", "item").distinct()
+    unseen = cand.join(seen, ["user", "item"], "left_anti")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user").orderBy(
+        F.col("pred_q").desc(), F.col("item").asc()
+    )
+    return (
+        unseen.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("user", "item", "pred_q", "rk")
+        .orderBy("user", "rk")
+    )
+
+
+def _als_recommend_oracle(scale: int = 100) -> str:
+    return f"""{_als_ctes(scale)},
+        cand AS (
+          SELECT uu.u AS "user", vv.item,
+                 uu.f1 * vv.f1 + uu.f2 * vv.f2 AS pred_q
+          FROM u2 uu CROSS JOIN v2 vv
+          WHERE uu.u < 20
+        ),
+        unseen AS (
+          SELECT c.* FROM cand c
+          WHERE NOT EXISTS (
+            SELECT 1 FROM ratings s
+            WHERE s.u = c."user" AND s.item = c.item
+          )
+        ),
+        ranked AS (
+          SELECT "user", item, pred_q,
+                 row_number() OVER (PARTITION BY "user"
+                                    ORDER BY pred_q DESC, item ASC) AS rk
+          FROM unseen
+        )
+        SELECT "user", item, pred_q, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 3 ORDER BY "user", rk"""
+
+
+QUERIES["q_als_recommend"] = q_als_recommend
+ORACLE["q_als_recommend"] = _als_recommend_oracle()
