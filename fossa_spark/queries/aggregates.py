@@ -103,6 +103,47 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTNESS-ON-DEMAND probe of the GK quantile sketch (round 11 —
+    the q_sim_index_exact idiom applied to percentile_approx): at
+    ``accuracy`` >= the largest group the Greenwald-Khanna sketch's rank
+    error is ZERO, and Spark's discrete-rank convention was verified to
+    match DuckDB's ``quantile_disc`` on boundary cases (n = 4, 5, 7,
+    10, 100, 101 at p in {0, .1, .25, .5, .75, .9, .99, 1}), so the
+    sketch path must reproduce the exact discrete quantiles cell for
+    cell.  accuracy = 1e8 holds exactness through roughly sf200-sized
+    groups; this is the VERIFICATION configuration — the production
+    sketch path (bounded state, map-side merge) stays covered by
+    q_agg_approx_quantile's rows-only row + the rank-error pytest
+    bound.  Quantiles over exact integer cents so no double noise
+    enters the hash."""
+    li = load(spark, sf_dir, "lineitem")
+    acc = F.lit(100_000_000)
+    ps = F.array(*(F.lit(p) for p in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)))
+    return (
+        li.select(
+            "l_returnflag",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            cents("l_extendedprice").alias("price_c"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.percentile_approx("qty", ps, acc).alias("_q"),
+            F.percentile_approx("price_c", ps, acc).alias("_p"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            *[F.col("_q")[i].alias(f"qty_p{int(p*100)}")
+              for i, p in enumerate((0.1, 0.25, 0.5, 0.75, 0.9, 0.99))],
+            *[F.col("_p")[i].alias(f"price_c_p{int(p*100)}")
+              for i, p in enumerate((0.1, 0.25, 0.5, 0.75, 0.9, 0.99))],
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles via Spark's mergeable Greenwald-Khanna sketch
     (percentile_approx, accuracy 10000) — the 100 TB quantile path: one
@@ -682,6 +723,7 @@ QUERIES = {
     "q_agg_distinct": q_agg_distinct,
     "q_agg_approx": q_agg_approx,
     "q_agg_approx_quantile": q_agg_approx_quantile,
+    "q_agg_quantile_exact": q_agg_quantile_exact,
     "q_agg_mode": q_agg_mode,
     "q_agg_rollup": q_agg_rollup,
     "q_agg_having": q_agg_having,
@@ -689,6 +731,26 @@ QUERIES = {
 }
 
 ORACLE = {
+    # exactness probe: accuracy >= |group| zeroes the GK rank error and
+    # Spark's discrete-rank convention equals quantile_disc (boundary
+    # cases pinned in the query docstring) — the oracle is the exact
+    # discrete quantile over the same integer domains
+    "q_agg_quantile_exact": """
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               quantile_disc(CAST(l_quantity AS BIGINT), 0.1) AS qty_p10,
+               quantile_disc(CAST(l_quantity AS BIGINT), 0.25) AS qty_p25,
+               quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS qty_p50,
+               quantile_disc(CAST(l_quantity AS BIGINT), 0.75) AS qty_p75,
+               quantile_disc(CAST(l_quantity AS BIGINT), 0.9) AS qty_p90,
+               quantile_disc(CAST(l_quantity AS BIGINT), 0.99) AS qty_p99,
+               quantile_disc(CAST(ROUND((l_extendedprice) * 100.0) AS BIGINT), 0.1) AS price_c_p10,
+               quantile_disc(CAST(ROUND((l_extendedprice) * 100.0) AS BIGINT), 0.25) AS price_c_p25,
+               quantile_disc(CAST(ROUND((l_extendedprice) * 100.0) AS BIGINT), 0.5) AS price_c_p50,
+               quantile_disc(CAST(ROUND((l_extendedprice) * 100.0) AS BIGINT), 0.75) AS price_c_p75,
+               quantile_disc(CAST(ROUND((l_extendedprice) * 100.0) AS BIGINT), 0.9) AS price_c_p90,
+               quantile_disc(CAST(ROUND((l_extendedprice) * 100.0) AS BIGINT), 0.99) AS price_c_p99
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "q_agg_mode": """
         WITH counts AS (
           SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
