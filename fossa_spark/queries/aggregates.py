@@ -111,14 +111,23 @@ def q_agg_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     match DuckDB's ``quantile_disc`` on boundary cases (n = 4, 5, 7,
     10, 100, 101 at p in {0, .1, .25, .5, .75, .9, .99, 1}), so the
     sketch path must reproduce the exact discrete quantiles cell for
-    cell.  accuracy = 1e8 holds exactness through roughly sf200-sized
-    groups; this is the VERIFICATION configuration — the production
-    sketch path (bounded state, map-side merge) stays covered by
-    q_agg_approx_quantile's rows-only row + the rank-error pytest
-    bound.  Quantiles over exact integer cents so no double noise
-    enters the hash."""
-    li = load(spark, sf_dir, "lineitem")
-    acc = F.lit(100_000_000)
+    cell.  accuracy = 1e6 gives rank error eps*n < 1 (i.e. exact)
+    through million-row groups, and the probed slice is pinned by a
+    PUSHED key filter (l_orderkey <= 60000 — the whole corpus at the
+    sf0.01 driver scale, a constant-size prefix beyond), so the probe's
+    cost is flat in sf like the 5-query ANN exactness probes (the first
+    cut ran the sketch over the full corpus at accuracy 1e8: exact
+    through sf200 but the full O(n) buffer — sf10 isolated warm 297 s —
+    for no extra verification value; the exactness gate only needs to
+    hold where the hash is checked).  This is the VERIFICATION
+    configuration — the production sketch path (bounded state, map-side
+    merge, full corpus) stays covered by q_agg_approx_quantile's
+    rows-only row + the rank-error pytest bound.  Quantiles over exact
+    integer cents so no double noise enters the hash."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") <= 60_000
+    )
+    acc = F.lit(1_000_000)
     ps = F.array(*(F.lit(p) for p in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)))
     return (
         li.select(
@@ -749,7 +758,8 @@ ORACLE = {
                quantile_disc(CAST(ROUND((l_extendedprice) * 100.0) AS BIGINT), 0.75) AS price_c_p75,
                quantile_disc(CAST(ROUND((l_extendedprice) * 100.0) AS BIGINT), 0.9) AS price_c_p90,
                quantile_disc(CAST(ROUND((l_extendedprice) * 100.0) AS BIGINT), 0.99) AS price_c_p99
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        FROM lineitem WHERE l_orderkey <= 60000
+        GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "q_agg_mode": """
         WITH counts AS (
