@@ -772,6 +772,52 @@ def q_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clone_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE of the versioned table (round 11, versioned.py
+    clone_table — the Delta CLONE shape): the shared three-commit chain
+    is forked ZERO-COPY (every delta/checkpoint file hard-linked,
+    O(files) metadata work), then the fork alone advances with a v4
+    that tombstones keys ≡3 (mod 9).  Emits the per-status audit of the
+    SOURCE at v3 and the CLONE at v4 under one ``side`` label: the
+    source cells must equal the unforked q_time_travel v3 state (a
+    clone that leaked its divergent commit back moves them) and the
+    clone cells must reflect exactly the extra tombstones (a fork that
+    lost shared history moves those).  The staged chain is hard-linked
+    per run, so the fork mutates only this run's copy."""
+    from fossa_spark import versioned as V
+
+    tbl = _staged_version_chain(spark, sf_dir, vacuum=False)
+    fork = tbl + "_fork"
+    V.clone_table(tbl, fork)
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    V.commit(
+        fork,
+        base.filter(k % 9 == 3).withColumn(V.OP_COL, F.lit(V.DELETE)),
+        expect_version=3,
+    )
+
+    def audit(path: str, v: int, side: str) -> DataFrame:
+        return (
+            V.read_as_of(spark, path, v)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.sum("o_custkey").alias("cust_sum"),
+            )
+            .withColumn("side", F.lit(side))
+        )
+
+    return (
+        audit(tbl, 3, "source").unionByName(audit(fork, 4, "clone"))
+        .select("side", "o_orderstatus", "n_rows", "key_sum", "cust_sum")
+        .orderBy("side", "o_orderstatus")
+    )
+
+
 def q_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-DRIVEN materialized-view maintenance (round 10 — the
     change-data-feed consumer): a per-status aggregate view (count,
@@ -844,6 +890,7 @@ QUERIES = {
     "q_change_feed": q_change_feed,
     "q_evolve_versioned": q_evolve_versioned,
     "q_merge_versioned": q_merge_versioned,
+    "q_clone_versioned": q_clone_versioned,
     "q_view_maintain": q_view_maintain,
     "q_join_dpp": q_join_dpp,
     "q_csv_roundtrip": q_csv_roundtrip,
@@ -957,6 +1004,32 @@ ORACLE = {
                CAST(COALESCE(SUM(p), 0) AS BIGINT)
         FROM a2 GROUP BY s
         ORDER BY version, o_orderstatus
+    """,
+    # clone fork: source@3 = the q_time_travel v3 derivation; clone@4 =
+    # the same state minus the %9=3 tombstones (dead %9=3 keys net out)
+    "q_clone_versioned": """
+        WITH a3 AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 9 = 0 AND o_orderkey % 12 <> 0
+                      THEN o_custkey + 1000000 ELSE o_custkey END AS c,
+                 o_orderstatus
+          FROM orders
+          WHERE o_orderkey % 3 IN (0, 1, 2) AND o_orderkey % 12 <> 0
+            AND o_orderkey % 15 <> 6
+        )
+        SELECT 'source' AS side, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(c) AS BIGINT) AS cust_sum
+        FROM a3 GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'clone', o_orderstatus,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(o_orderkey) AS BIGINT),
+               CAST(SUM(c) AS BIGINT)
+        FROM a3 WHERE o_orderkey % 9 <> 3
+        GROUP BY o_orderstatus
+        ORDER BY side, o_orderstatus
     """,
     # MERGE op resolution, set-theoretically: v1 = keys %3=0; source =
     # even keys with cust+5e5; delete slice = %10=0 on the source.

@@ -643,3 +643,45 @@ def merge_into(
             .otherwise(F.lit(UPSERT)),
         ).drop("_matched")
     return commit(path, resolved, tag=tag)
+
+
+def clone_table(src: str, dst: str) -> int:
+    """SHALLOW CLONE (the Delta CLONE shape): fork ``src``'s entire
+    version chain into a new independent table at ``dst`` by
+    HARD-LINKING every delta/checkpoint file — O(files) metadata work,
+    zero bytes copied.  Safe because the chain is append-only: committed
+    files are immutable, so two tables sharing inodes can never observe
+    each other's writes; post-clone commits create NEW version
+    directories under their own root, and vacuum on either side only
+    unlinks its own directory entries (the shared inode survives until
+    the last link drops).  Meta is copied wholesale — including
+    idempotence tags, since the clone IS a fork of the producer history
+    (a replayed batch already folded into the source must dedupe in the
+    clone too).  Creation is exclusive (O_CREAT|O_EXCL via init-style
+    meta write): cloning onto an existing table refuses loudly.
+
+    Returns the cloned table's current version."""
+    meta = _read_meta(src)
+    os.makedirs(os.path.join(dst, "delta"), exist_ok=True)
+    os.makedirs(os.path.join(dst, "ckpt"), exist_ok=True)
+    # exclusive meta creation FIRST: if dst is already a table this
+    # raises before any files land
+    fd = os.open(_meta_path(dst), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        for sub in ("delta", "ckpt"):
+            for _ver, d in _version_dirs(os.path.join(src, sub)):
+                sdir = os.path.join(src, sub, d)
+                ddir = os.path.join(dst, sub, d)
+                os.makedirs(ddir, exist_ok=True)
+                for fn in os.listdir(sdir):
+                    sf_, df_ = os.path.join(sdir, fn), os.path.join(ddir, fn)
+                    try:
+                        os.link(sf_, df_)
+                    except OSError:
+                        shutil.copy2(sf_, df_)  # cross-device fallback
+    except BaseException:
+        shutil.rmtree(dst, ignore_errors=True)
+        raise
+    return int(meta["current"])

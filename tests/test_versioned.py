@@ -473,3 +473,36 @@ def test_merge_into_resolves_ops(spark, tbl):
     v2 = V.merge_into(spark, tbl, src2, tag="batch-42")
     assert V.merge_into(spark, tbl, src2, tag="batch-42") == v2
     assert V.current_version(tbl) == v2
+
+
+def test_clone_table_is_independent_fork(spark, tbl, tmp_path):
+    """SHALLOW CLONE (round 11): zero-copy fork — identical reads at
+    clone time, then fully independent evolution; vacuuming the clone
+    never destroys source data (shared inodes survive until the last
+    link drops)."""
+    V.commit(tbl, _mk(spark, [(1, "a", "u"), (2, "b", "u")]))
+    V.commit(tbl, _mk(spark, [(2, "B", "u"), (3, "c", "u")]))
+    V.checkpoint(spark, tbl, 1)
+    dst = str(tmp_path / "fork")
+    assert V.clone_table(tbl, dst) == 2
+    assert _rows(V.read_as_of(spark, dst)) == _rows(V.read_as_of(spark, tbl))
+    assert _rows(V.read_as_of(spark, dst, 1)) == {(1, "a"), (2, "b")}
+    # diverge: the clone advances, the source does not
+    V.commit(dst, _mk(spark, [(1, None, "d"), (9, "z", "u")]))
+    assert V.current_version(dst) == 3
+    assert V.current_version(tbl) == 2
+    assert _rows(V.read_as_of(spark, dst)) == {(2, "B"), (3, "c"), (9, "z")}
+    assert _rows(V.read_as_of(spark, tbl)) == {(1, "a"), (2, "B"), (3, "c")}
+    # idempotence tags travel with the fork
+    V.commit(tbl, _mk(spark, [(7, "t", "u")]), tag="b7")
+    dst2 = str(tmp_path / "fork2")
+    V.clone_table(tbl, dst2)
+    assert V.commit(dst2, _mk(spark, [(7, "t", "u")]), tag="b7") == 3
+    assert V.current_version(dst2) == 3  # replay deduped, no new commit
+    # vacuum on the clone leaves the source readable
+    V.checkpoint(spark, dst, 3)
+    V.vacuum(dst)
+    assert _rows(V.read_as_of(spark, tbl, 1)) == {(1, "a"), (2, "b")}
+    # cloning onto an existing table refuses
+    with pytest.raises(FileExistsError):
+        V.clone_table(tbl, dst)
