@@ -7,7 +7,7 @@ double PageRank never could; see graph.py's determinism contract).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fossa_spark import graph as G
@@ -362,3 +362,99 @@ ORACLE = {
         ORDER BY pr_scaled DESC, node ASC LIMIT 20
     """,
 }
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (round 11, graph.py hits — completing
+    the spectral pair with q_pagerank) over the DIRECTED customer →
+    supplier purchase arcs: two iterations of hub/authority mutual
+    reinforcement, L∞-normalized to 1e4 fixed point with exact integer
+    division (the L2 norm's sqrt would round differently per engine).
+    Emits the top-15 of each side under one ``kind`` label.  Per
+    iteration: two equi-joins of the node-sized score vector against
+    the persisted edge list + two map-side-combined groupBys + two
+    1-row max broadcasts — the edge relation never re-shuffles.  The
+    oracle unrolls both iterations (the q_pagerank discipline)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            F.col("l_suppkey").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    hubs, auths = G.hits(e, iters=2)
+
+    def top(df: DataFrame, kind: str, prefix: str) -> DataFrame:
+        w = Window.orderBy(F.col("score_scaled").desc(), F.col("node").asc())
+        return (
+            df.orderBy(F.col("score_scaled").desc(), F.col("node").asc())
+            .limit(15)
+            .select(
+                F.lit(kind).alias("kind"),
+                F.concat(F.lit(prefix), F.col("node").cast("string"))
+                .alias("node"),
+                "score_scaled",
+                F.row_number().over(w).cast("long").alias("rk"),
+            )
+        )
+
+    return (
+        top(hubs, "hub", "C").unionByName(top(auths, "authority", "S"))
+        .orderBy("kind", "rk")
+    )
+
+
+def _hits_oracle(iters: int = 2, scale: int = 10_000) -> str:
+    ctes = ["""e AS MATERIALIZED (
+          SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )""", f"""h0 AS (
+          SELECT src AS node, CAST({scale} AS BIGINT) AS s
+          FROM (SELECT DISTINCT src FROM e)
+        )"""]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i}r AS MATERIALIZED (
+          SELECT e.dst AS node, CAST(SUM(h.s) AS BIGINT) AS raw
+          FROM e JOIN {prev_h} h ON e.src = h.node GROUP BY e.dst
+        ),
+        a{i} AS MATERIALIZED (
+          SELECT node,
+                 (raw * {scale}) // (SELECT MAX(raw) FROM a{i}r) AS s
+          FROM a{i}r
+        ),
+        h{i}r AS MATERIALIZED (
+          SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS raw
+          FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+        ),
+        h{i} AS MATERIALIZED (
+          SELECT node,
+                 (raw * {scale}) // (SELECT MAX(raw) FROM h{i}r) AS s
+          FROM h{i}r
+        )""")
+        prev_h = f"h{i}"
+    sep = ",\n        "
+    body = sep.join(ctes)
+    return f"""
+        WITH {body}
+        SELECT kind, node, score_scaled, rk FROM (
+          SELECT 'hub' AS kind, 'C' || CAST(node AS VARCHAR) AS node,
+                 s AS score_scaled,
+                 row_number() OVER (ORDER BY s DESC, node ASC) AS rk
+          FROM h{iters}
+        ) WHERE rk <= 15
+        UNION ALL
+        SELECT kind, node, score_scaled, rk FROM (
+          SELECT 'authority' AS kind, 'S' || CAST(node AS VARCHAR) AS node,
+                 s AS score_scaled,
+                 row_number() OVER (ORDER BY s DESC, node ASC) AS rk
+          FROM a{iters}
+        ) WHERE rk <= 15
+        ORDER BY kind, rk"""
+
+
+QUERIES["q_hits"] = q_hits
+ORACLE["q_hits"] = _hits_oracle()
