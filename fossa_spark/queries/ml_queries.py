@@ -1115,3 +1115,70 @@ def _als_recommend_oracle(scale: int = 100) -> str:
 
 QUERIES["q_als_recommend"] = q_als_recommend
 ORACLE["q_als_recommend"] = _als_recommend_oracle()
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMOOTHED TARGET ENCODING (m-estimate, m=20) of a categorical
+    feature — the standard high-cardinality-category representation a
+    training-data pipeline materializes before model fitting:
+    enc(brand) = (sum_y + m * global_mean) / (n + m), shrinking rare
+    brands toward the corpus mean.  y = the return indicator; category
+    = p_brand (via one broadcast dim join).  All math in exact integer
+    ppm with two staged floor divisions (ml._floordiv headroom: sum_y *
+    1e6 <= 6e13 at sf10), so the encoding table hash-matches the oracle
+    bit for bit.  Scale shape: one broadcast join + ONE map-side-
+    combined groupBy; the encoding table is category-sized and would
+    broadcast back onto the corpus for application."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_returnflag") == "R").cast("bigint").alias("y")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = F.lit(20).cast("bigint")
+    ppm = F.lit(1_000_000).cast("bigint")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    tot = j.agg(
+        F.sum("y").alias("ty"), F.count(F.lit(1)).alias("tn")
+    ).select(ml._floordiv(F.col("ty") * ppm, F.col("tn")).alias("gm_ppm"))
+    enc = (
+        j.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sum_y"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p_brand",
+            "n",
+            "sum_y",
+            F.col("gm_ppm"),
+            ml._floordiv(
+                F.col("sum_y") * ppm + m * F.col("gm_ppm"),
+                F.col("n") + m,
+            ).alias("enc_ppm"),
+        )
+    )
+    return enc.orderBy("p_brand")
+
+
+ORACLE["q_target_encode"] = """
+    WITH j AS (
+      SELECT p_brand, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    tot AS (
+      SELECT (SUM(y) * 1000000
+              - (((SUM(y) * 1000000) % COUNT(*) + COUNT(*)) % COUNT(*)))
+             // COUNT(*) AS gm_ppm
+      FROM j
+    )
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(gm_ppm AS BIGINT) AS gm_ppm,
+           CAST(
+             ((SUM(y) * 1000000 + 20 * gm_ppm)
+              - (((SUM(y) * 1000000 + 20 * gm_ppm) % (COUNT(*) + 20)
+                  + (COUNT(*) + 20)) % (COUNT(*) + 20)))
+             // (COUNT(*) + 20)
+           AS BIGINT) AS enc_ppm
+    FROM j CROSS JOIN tot
+    GROUP BY p_brand, gm_ppm
+    ORDER BY p_brand
+"""
+QUERIES["q_target_encode"] = q_target_encode
