@@ -407,3 +407,101 @@ def test_phash_banding_pigeonhole(h, flips):
     hamming = bin(h ^ g).count("1")
     if hamming <= 3:
         assert any(a == b for a, b in zip(bands_h, bands_g))
+
+
+# -- the BPE oracle-equivalence lemma (round 11, _bpe_tokenize_oracle):
+# one greedy pass per rank in rank order == the lowest-rank-first encode
+# loop, BECAUSE a single greedy pass of (l, r) leaves no (l, r)
+# occurrence and later ranks can never recreate one (their merged
+# symbols are new; l/r of rank k can only be built by ranks < k).
+
+
+def _bpe_greedy_pass(syms, l, r):
+    """One left-to-right greedy application of merge (l, r) — the exact
+    rule llm/text.py bpe_train folds and bpe_apply's encode scans."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_train_ref(word_counts, k):
+    """Reference trainer: argmax pair (count desc, l asc, r asc), greedy
+    rewrite — mirrors bpe_train; returns (merges, final word table)."""
+    tbl = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(k):
+        counts = {}
+        for w, syms in tbl.items():
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + word_counts[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        tbl = {w: _bpe_greedy_pass(s, *best) for w, s in tbl.items()}
+    return merges, tbl
+
+
+def _bpe_encode_lowest_rank_first(word, merges):
+    """bpe_apply's encode loop: repeatedly apply the lowest-rank pair
+    present, one full greedy pass per iteration."""
+    rank = {m: i for i, m in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        for pair in zip(syms, syms[1:]):
+            rk = rank.get(pair)
+            if rk is not None and (best is None or rk < best[0]):
+                best = (rk, pair)
+        if best is None:
+            break
+        syms = _bpe_greedy_pass(syms, *best[1])
+    return syms
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=12),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_sequential_passes_equal_encode_loop(words, k):
+    """The lemma the tokenize oracle stands on: encoding by one greedy
+    pass per TRAINED rank in rank order equals the lowest-rank-first
+    loop — and equals the trainer's own final word table."""
+    wc = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    merges, final_tbl = _bpe_train_ref(wc, k)
+    for w in wc:
+        seq = list(w)
+        for m in merges:
+            seq = _bpe_greedy_pass(seq, *m)
+        loop = _bpe_encode_lowest_rank_first(w, merges)
+        assert seq == loop, (w, merges, seq, loop)
+        assert seq == final_tbl[w], (w, merges)
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+             min_size=2, max_size=30),
+    st.sampled_from([("a", "b"), ("a", "a"), ("ab", "a"), ("b", "ba")]),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_greedy_pass_leaves_no_occurrence(syms, pair):
+    """A single greedy pass of (l, r) leaves NO adjacent (l, r) — the
+    reason no rank ever needs a second pass (checked for l == r runs,
+    overlapping-shape symbols, and merged-symbol operands alike)."""
+    out = _bpe_greedy_pass(list(syms), *pair)
+    assert all(
+        not (x == pair[0] and y == pair[1]) for x, y in zip(out, out[1:])
+    ), (syms, pair, out)
