@@ -662,26 +662,30 @@ def clone_table(src: str, dst: str) -> int:
 
     Returns the cloned table's current version."""
     meta = _read_meta(src)
+    if os.path.exists(_meta_path(dst)):
+        # early, friendly form of the O_EXCL refusal below (which still
+        # guards the race) — no files land on an existing table
+        raise FileExistsError(f"clone target is already a table: {dst}")
     os.makedirs(os.path.join(dst, "delta"), exist_ok=True)
     os.makedirs(os.path.join(dst, "ckpt"), exist_ok=True)
-    # exclusive meta creation FIRST: if dst is already a table this
-    # raises before any files land
+    # files FIRST, meta LAST: _meta.json is the commit point (the same
+    # ordering commit() uses — data then meta swap), so a crash mid-link
+    # leaves only an unreferenced directory tree, never a meta that
+    # points at missing files
+    for sub in ("delta", "ckpt"):
+        for _ver, d in _version_dirs(os.path.join(src, sub)):
+            sdir = os.path.join(src, sub, d)
+            ddir = os.path.join(dst, sub, d)
+            os.makedirs(ddir, exist_ok=True)
+            for fn in os.listdir(sdir):
+                sf_, df_ = os.path.join(sdir, fn), os.path.join(ddir, fn)
+                try:
+                    os.link(sf_, df_)
+                except FileExistsError:
+                    pass  # re-run over a crashed orphan: same inode
+                except OSError:
+                    shutil.copy2(sf_, df_)  # cross-device fallback
     fd = os.open(_meta_path(dst), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f, indent=1, sort_keys=True)
-        for sub in ("delta", "ckpt"):
-            for _ver, d in _version_dirs(os.path.join(src, sub)):
-                sdir = os.path.join(src, sub, d)
-                ddir = os.path.join(dst, sub, d)
-                os.makedirs(ddir, exist_ok=True)
-                for fn in os.listdir(sdir):
-                    sf_, df_ = os.path.join(sdir, fn), os.path.join(ddir, fn)
-                    try:
-                        os.link(sf_, df_)
-                    except OSError:
-                        shutil.copy2(sf_, df_)  # cross-device fallback
-    except BaseException:
-        shutil.rmtree(dst, ignore_errors=True)
-        raise
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
     return int(meta["current"])

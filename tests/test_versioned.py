@@ -506,3 +506,21 @@ def test_clone_table_is_independent_fork(spark, tbl, tmp_path):
     # cloning onto an existing table refuses
     with pytest.raises(FileExistsError):
         V.clone_table(tbl, dst)
+
+
+def test_clone_table_crash_resume_and_meta_last(spark, tbl, tmp_path):
+    """Meta is the clone's commit point: a crash mid-link leaves only an
+    unreferenced tree (no _meta.json), and re-running the clone
+    completes over the orphan."""
+    import os
+
+    V.commit(tbl, _mk(spark, [(1, "a", "u"), (2, "b", "u")]))
+    dst = str(tmp_path / "crashed")
+    # simulate the crash: files linked, meta never written
+    os.makedirs(os.path.join(dst, "delta", "v=1"))
+    src_dir = os.path.join(tbl, "delta", "v=1")
+    for fn in os.listdir(src_dir):
+        os.link(os.path.join(src_dir, fn), os.path.join(dst, "delta", "v=1", fn))
+    assert not os.path.exists(os.path.join(dst, "_meta.json"))
+    assert V.clone_table(tbl, dst) == 1  # resumes over the orphan links
+    assert _rows(V.read_as_of(spark, dst)) == {(1, "a"), (2, "b")}
