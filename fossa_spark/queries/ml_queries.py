@@ -1073,7 +1073,13 @@ def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("u1") * F.col("f1") + F.col("u2") * F.col("f2"))
         .alias("pred_q"),
     )
-    seen = ratings.select("user", "item").distinct()
+    # only the QUERIED users' history can match the anti-join — filter
+    # before the distinct so the shuffle carries ~|queried|x|items| rows,
+    # not the corpus (sf10 isolated warm 19.6 s -> the scan is then the
+    # only corpus-sized stage)
+    seen = (
+        ratings.filter(F.col("user") < 20).select("user", "item").distinct()
+    )
     unseen = cand.join(seen, ["user", "item"], "left_anti")
     from pyspark.sql.window import Window as W
 
