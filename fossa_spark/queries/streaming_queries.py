@@ -1445,3 +1445,108 @@ ORACLE = {
 }
 
 ORACLE["q_stream_linreg"] = _ML_ORACLE["q_linreg"]
+
+
+def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MERGE INTO the versioned table (round 11 — the
+    op-resolution composition of q_stream_versioned: micro-batches
+    arrive as RAW rows with no _op column and versioned.merge_into
+    resolves them against current state inside foreachBatch, with
+    TAGGED idempotent commits).  Seed v1 = even keys; batch 1 merges
+    keys ≡0 (mod 3) at o_custkey+2e5 with delete-condition ≡0 (mod 12);
+    batch 2 merges keys ≡0 (mod 5) at o_custkey+4e5 with delete-
+    condition ≡0 (mod 20).  The sequence exercises every MERGE edge in
+    a stream: matched updates, unmatched inserts, matched deletes, and
+    UNMATCHED delete-slice rows (keys ≡0 mod 60 — tombstoned at batch 1,
+    so batch 2's delete of them must DROP, not commit a phantom).  The
+    oracle derives the final membership/payload set-theoretically:
+    membership = (even ∪ ≡0 mod 3 ∪ ≡0 mod 5) minus (≡0 mod 12 ∪ ≡0
+    mod 20); payload precedence batch2 > batch1 > seed.  Per batch:
+    one as-of fold + one key-only membership join + an O(batch) commit
+    — the streaming upsert shape that needs no lakehouse dependency."""
+    import tempfile
+
+    from fossa_spark import versioned as V
+
+    o = load(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_custkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+
+    tbl = os.path.join(tempfile.mkdtemp(prefix="fossa_smerge_"), "tbl")
+    V.init_table(tbl, key=["o_orderkey"])
+    V.commit(tbl, base.filter(k % 2 == 0).withColumn(V.OP_COL, F.lit(V.UPSERT)),
+             expect_version=0)
+
+    b1 = base.filter(k % 3 == 0).withColumn(
+        "o_custkey", F.col("o_custkey") + 200_000
+    )
+    b2 = base.filter(k % 5 == 0).withColumn(
+        "o_custkey", F.col("o_custkey") + 400_000
+    )
+    feed = tempfile.mkdtemp(prefix="fossa_smerge_feed_")
+
+    def _build_feed(into: str) -> None:
+        w = _feed_writer(into)
+        w(b1, 1)
+        w(b2, 2)
+
+    _staged_feed(base, feed, "smerge_feed", _build_feed)
+
+    dels = [k % 12 == 0, k % 20 == 0]
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id >= len(dels):
+            raise ValueError(
+                f"q_stream_merge: unexpected micro-batch {batch_id} — "
+                "the staged feed writes exactly two files"
+            )
+        V.merge_into(
+            spark, tbl, batch_df,
+            delete_condition=dels[batch_id], tag=f"mb{batch_id}",
+        )
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_apply)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        V.read_as_of(spark, tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("o_custkey").alias("cust_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+QUERIES["q_stream_merge"] = q_stream_merge
+ORACLE["q_stream_merge"] = """
+    WITH m AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 400000
+                  WHEN o_orderkey % 3 = 0 THEN o_custkey + 200000
+                  ELSE o_custkey END AS c,
+             o_orderstatus AS s
+      FROM orders
+      WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0 OR o_orderkey % 5 = 0)
+        AND o_orderkey % 12 <> 0 AND o_orderkey % 20 <> 0
+    )
+    SELECT s AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(c) AS BIGINT) AS cust_sum
+    FROM m GROUP BY s ORDER BY s
+"""

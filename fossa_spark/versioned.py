@@ -642,7 +642,21 @@ def merge_into(
             F.when(delete_condition & matched, F.lit(DELETE))
             .otherwise(F.lit(UPSERT)),
         ).drop("_matched")
-    return commit(path, resolved, tag=tag)
+    # validate key uniqueness on the SOURCE relation (no join), not on
+    # the resolved one: commit's validator would replay the as-of fold +
+    # membership join a second time (one fold per batch, not two —
+    # q_stream_merge sf10 profiling), and the op column here is safe by
+    # construction (literal whens), which is the other half of what the
+    # validator checks
+    dup = source.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.struct(*key))).alias("d")
+    ).first()["d"]
+    if dup:
+        raise ValueError(
+            f"invalid merge source: {dup} duplicated key rows "
+            "(one row per key per merge)"
+        )
+    return commit(path, resolved, tag=tag, validate=False)
 
 
 def clone_table(src: str, dst: str) -> int:
