@@ -609,12 +609,18 @@ def merge_into(
     Returns the new version number (or the tag's recorded version)."""
     meta = _read_meta(path)
     key = list(meta["key"])
+    cur = int(meta["current"])
     if tag is not None and tag in meta.get("tags", {}):
         return int(meta["tags"][tag])
     if OP_COL in source.columns:
         raise ValueError(
             f"merge_into resolves ops itself — source must not carry "
             f"{OP_COL!r} (use commit() for pre-resolved changes)"
+        )
+    if "_matched" in source.columns:
+        raise ValueError(
+            "merge_into reserves the column name '_matched' for its "
+            "membership flag — rename it in the source"
         )
     cur_keys = read_as_of(spark, path).select(*key).withColumn(
         "_matched", F.lit(True)
@@ -656,7 +662,13 @@ def merge_into(
             f"invalid merge source: {dup} duplicated key rows "
             "(one row per key per merge)"
         )
-    return commit(path, resolved, tag=tag, validate=False)
+    # CAS on the version we RESOLVED against: if another writer advanced
+    # the table between the as-of fold and this commit, the resolution
+    # is stale — fail loudly instead of folding a lost update (the
+    # single-writer assumption made checkable)
+    return commit(
+        path, resolved, expect_version=cur, tag=tag, validate=False
+    )
 
 
 def clone_table(src: str, dst: str) -> int:
