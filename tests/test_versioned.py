@@ -524,3 +524,39 @@ def test_clone_table_crash_resume_and_meta_last(spark, tbl, tmp_path):
     assert not os.path.exists(os.path.join(dst, "_meta.json"))
     assert V.clone_table(tbl, dst) == 1  # resumes over the orphan links
     assert _rows(V.read_as_of(spark, dst)) == {(1, "a"), (2, "b")}
+
+
+def test_fold_matches_dict_model_random_chains(spark, tmp_path):
+    """Model-based check of the latest-wins fold: random commit chains
+    (upserts/tombstones over a small key domain, including delete-then-
+    reinsert, re-deletes of absent keys, and payload rewrites) replayed
+    against a plain dict; read_as_of must equal the model AT EVERY
+    VERSION. Seeded stdlib randomness — deterministic, no hypothesis
+    Spark-fixture interplay."""
+    import random
+
+    rng = random.Random(0xF055A)
+    for case in range(6):
+        path = str(tmp_path / f"t{case}")
+        V.init_table(path, key=["k"])
+        model: dict[int, str] = {}
+        states = [dict(model)]
+        n_commits = rng.randint(1, 4)
+        for _ in range(n_commits):
+            keys = rng.sample(range(8), rng.randint(1, 6))
+            rows = []
+            for kk in keys:
+                if rng.random() < 0.3:
+                    rows.append((kk, None, "d"))
+                    model.pop(kk, None)
+                else:
+                    pay = f"p{rng.randint(0, 99)}"
+                    rows.append((kk, pay, "u"))
+                    model[kk] = pay
+            V.commit(path, _mk(spark, rows))
+            states.append(dict(model))
+        for v, expect in enumerate(states):
+            got = {
+                r.k: r.payload for r in V.read_as_of(spark, path, v).collect()
+            }
+            assert got == expect, (case, v, got, expect)
