@@ -244,6 +244,12 @@ ACCEPTED_SMELLS: dict[str, dict[str, str]] = {
         "|corpus| x |queries| with constant queries is row-linear — the "
         "corpus-scale paths are q_sim_ann/q_sim_ivf/q_sim_pq",
     },
+    "q_knn_classify": {
+        "cartesian": "the q_sim_topk shape: build side is the fixed "
+        "query set (vec_id < 25, broadcast); |corpus| x |queries| with "
+        "constant queries is row-linear — at corpus scale the neighbor "
+        "search swaps to the exactness-gated IVF/LSH paths",
+    },
     "q_als_recommend": {
         "cartesian": "recommendation serving by design: the build side "
         "is the 40-item factor table (item = o_orderkey % 40, bounded by "

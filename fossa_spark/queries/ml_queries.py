@@ -1188,3 +1188,98 @@ ORACLE["q_target_encode"] = """
     ORDER BY p_brand
 """
 QUERIES["q_target_encode"] = q_target_encode
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NEAREST-NEIGHBOR CLASSIFICATION (round 11 — the lazy-learning
+    member of the classical-ML family): the 25 lowest-id embeddings are
+    classified by majority vote of their k=5 exact-cosine neighbors
+    among all OTHER vectors, ties to the smallest label (fully
+    deterministic: scores rounded 6 dp with candidate-id tie-break, the
+    brute_force_topk contract).  Emits per query the true label, the
+    vote, its count, and correctness.  Scale shape: the 25-query side
+    broadcasts into one narrow candidate pass (the q_sim_topk plan); at
+    corpus scale the neighbor search swaps to the IVF/LSH paths, whose
+    exactness gates (q_sim_index_exact / q_sim_ann_exact) certify the
+    same re-rank math this vote consumes."""
+    from fossa_spark.llm import similarity as S
+    from pyspark.sql.window import Window as W
+
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    q = e.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    nn = S.brute_force_topk(q, c, k=5)
+    votes = (
+        nn.join(
+            e.select(F.col("vec_id").alias("c_id"),
+                     F.col("label").alias("n_label")),
+            "c_id",
+        )
+        .groupBy("q_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.col("n_votes").desc(), F.col("n_label").asc()
+    )
+    pred = (
+        votes.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("q_id", F.col("n_label").alias("predicted"),
+                F.col("n_votes").cast("bigint").alias("n_votes"))
+    )
+    truth = e.select(F.col("vec_id").alias("q_id"),
+                     F.col("label").alias("true_label"))
+    return (
+        pred.join(truth, "q_id")
+        .select(
+            "q_id", "true_label", "predicted", "n_votes",
+            (F.col("predicted") == F.col("true_label")).cast("long")
+            .alias("correct"),
+        )
+        .orderBy("q_id")
+    )
+
+
+ORACLE["q_knn_classify"] = """
+    WITH scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS n_label,
+  round(
+    list_reduce(list_prepend(0.0, list_transform(list_zip(q.embedding, c.embedding),
+        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+      (acc, x) -> acc + x)
+    / ( sqrt(list_reduce(list_prepend(0.0, list_transform(q.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))
+      * sqrt(list_reduce(list_prepend(0.0, list_transform(c.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x)) ),
+  6) AS score
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 25
+    ),
+    top5 AS (
+      SELECT q_id, n_label FROM (
+        SELECT q_id, n_label, row_number() OVER (
+          PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rk
+        FROM scored
+      ) WHERE rk <= 5
+    ),
+    votes AS (
+      SELECT q_id, n_label, CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM top5 GROUP BY q_id, n_label
+    ),
+    pred AS (
+      SELECT q_id, n_label AS predicted, n_votes FROM (
+        SELECT q_id, n_label, n_votes, row_number() OVER (
+          PARTITION BY q_id ORDER BY n_votes DESC, n_label ASC) AS rk
+        FROM votes
+      ) WHERE rk = 1
+    )
+    SELECT p.q_id AS q_id, e.label AS true_label, p.predicted AS predicted,
+           p.n_votes AS n_votes,
+           CAST(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END AS BIGINT)
+             AS correct
+    FROM pred p JOIN embeddings e ON p.q_id = e.vec_id
+    ORDER BY q_id
+"""
+QUERIES["q_knn_classify"] = q_knn_classify
