@@ -1283,3 +1283,107 @@ ORACLE["q_knn_classify"] = """
     ORDER BY q_id
 """
 QUERIES["q_knn_classify"] = q_knn_classify
+
+
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER EVALUATION METRICS (round 11 — the measurement half
+    every trained component needs): per-class true/false positives,
+    false negatives, and precision / recall / F1 over the Naive Bayes
+    language classifier's per-document predictions.  Each ratio is ONE
+    IEEE division of exact integer counts (F1 composed as
+    2*tp / (2*tp + fp + fn), still a single division), so the metric
+    table hash-matches bit for bit.  Scale shape: rides q_nb_classify's
+    one-pass training + scoring; the metrics themselves are two tiny
+    aggregations over the class-squared confusion grain.  The oracle
+    wraps the SAME end-to-end NB SQL derivation, so a drift anywhere in
+    train/score/vote moves a metric cell."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    pred = ml.nb_train_score(d, vocab_k=200)
+    per_class = pred.select(
+        F.col("true_label"), F.col("predicted")
+    ).localCheckpoint()
+    classes = (
+        per_class.select(F.col("true_label").alias("cls"))
+        .union(per_class.select("predicted"))
+        .distinct()
+    )
+    tp = per_class.filter(F.col("true_label") == F.col("predicted")) \
+        .groupBy(F.col("true_label").alias("cls")) \
+        .agg(F.count(F.lit(1)).alias("tp"))
+    fp = per_class.filter(F.col("true_label") != F.col("predicted")) \
+        .groupBy(F.col("predicted").alias("cls")) \
+        .agg(F.count(F.lit(1)).alias("fp"))
+    fn = per_class.filter(F.col("true_label") != F.col("predicted")) \
+        .groupBy(F.col("true_label").alias("cls")) \
+        .agg(F.count(F.lit(1)).alias("fn"))
+    j = (
+        classes.join(tp, "cls", "left").join(fp, "cls", "left")
+        .join(fn, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce("fp", F.lit(0)).cast("bigint").alias("fp"),
+            F.coalesce("fn", F.lit(0)).cast("bigint").alias("fn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.round(F.col("tp").cast("double")
+                / (F.col("tp") + F.col("fp")).cast("double"), 8),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.round(F.col("tp").cast("double")
+                / (F.col("tp") + F.col("fn")).cast("double"), 8),
+    )
+    f1 = F.when(
+        F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        F.round(
+            (F.lit(2) * F.col("tp")).cast("double")
+            / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"))
+            .cast("double"),
+            8,
+        ),
+    )
+    return j.select(
+        "cls", "tp", "fp", "fn",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    ).orderBy("cls")
+
+
+ORACLE["q_eval_metrics"] = f"""
+    WITH conf AS ({ORACLE["q_nb_classify"]}),
+    classes AS (
+      SELECT DISTINCT true_label AS cls FROM conf
+      UNION SELECT DISTINCT predicted FROM conf
+    ),
+    agg AS (
+      SELECT c.cls,
+        CAST(COALESCE(SUM(CASE WHEN f.true_label = f.predicted
+                               THEN f.n_docs END), 0) AS BIGINT) AS tp,
+        CAST(COALESCE(SUM(CASE WHEN f.true_label <> f.predicted
+                                AND f.predicted = c.cls
+                               THEN f.n_docs END), 0) AS BIGINT) AS fp,
+        CAST(COALESCE(SUM(CASE WHEN f.true_label <> f.predicted
+                                AND f.true_label = c.cls
+                               THEN f.n_docs END), 0) AS BIGINT) AS fn
+      FROM classes c LEFT JOIN conf f
+        ON (f.true_label = c.cls AND f.predicted = c.cls)
+        OR (f.true_label <> f.predicted
+            AND (f.predicted = c.cls OR f.true_label = c.cls))
+      GROUP BY c.cls
+    )
+    SELECT cls, tp, fp, fn,
+      CASE WHEN tp + fp > 0
+           THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 8)
+      END AS precision,
+      CASE WHEN tp + fn > 0
+           THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 8)
+      END AS recall,
+      CASE WHEN 2 * tp + fp + fn > 0
+           THEN round(CAST(2 * tp AS DOUBLE)
+                      / CAST(2 * tp + fp + fn AS DOUBLE), 8)
+      END AS f1
+    FROM agg ORDER BY cls
+"""
+QUERIES["q_eval_metrics"] = q_eval_metrics
