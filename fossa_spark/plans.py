@@ -244,6 +244,15 @@ ACCEPTED_SMELLS: dict[str, dict[str, str]] = {
         "|corpus| x |queries| with constant queries is row-linear — the "
         "corpus-scale paths are q_sim_ann/q_sim_ivf/q_sim_pq",
     },
+    "q_eval_auc": {
+        "corpus-window": "the rank window runs over the distinct-"
+        "probability relation, and prob_fp is hard-CLAMPED to [0, 1e6] "
+        "by score_quality_lr — a value-domain bound independent of "
+        "corpus size (the q_stump histogram argument); the corpus pays "
+        "one map-side-combined groupBy(prob_fp)",
+        "single-partition-exchange": "same bounded distinct-probability "
+        "relation feeding the window and the final 1-row statistic",
+    },
     "q_knn_classify": {
         "cartesian": "the q_sim_topk shape: build side is the fixed "
         "query set (vec_id < 25, broadcast); |corpus| x |queries| with "

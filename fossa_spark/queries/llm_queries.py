@@ -2213,3 +2213,106 @@ ORACLE = {
         FROM documents GROUP BY source ORDER BY source
     """,
 }
+
+
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the trained quality classifier (round 11 — the
+    ranking-quality complement of q_eval_metrics' thresholded
+    precision/recall): Mann-Whitney U over the hard-sigmoid probability,
+    ties at half credit via average ranks.  Everything stays exact
+    integers until ONE final division: the score relation groups by
+    prob_fp (CLAMPED to [0, 1e6] by construction, so the rank window
+    runs over a value-domain-sized relation regardless of corpus size —
+    the q_stump histogram argument), strictly-below cumulative counts
+    give each tie group's min+max rank, and
+    auc = (sum_pos(min_rn + max_rn) - n_pos(n_pos+1)) / (2 n_pos n_neg).
+    The oracle wraps q_quality_model's FULL unrolled-GD derivation, so a
+    drift anywhere in training, scoring, clamping, or ranking moves the
+    statistic."""
+    import os
+    import tempfile
+
+    from pyspark.sql.window import Window as W
+
+    from fossa_spark.sources import stage_files
+
+    d = load(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="fossa_qlr_auc_")
+
+    def _build(into: str) -> None:
+        w, mt = CL.train_quality_lr(d, label=(F.col("n_chars") >= 300), iters=3)
+        w.coalesce(1).write.mode("overwrite").parquet(os.path.join(into, "w"))
+        mt.coalesce(1).write.mode("overwrite").parquet(os.path.join(into, "m"))
+
+    # same cache key as q_quality_model: one shared trained model
+    stage_files(d, work, cache_prefix="quality_lr",
+                params=["quality_lr_v1", 3, 256, 300], build=_build)
+    w = spark.read.parquet(os.path.join(work, "w"))
+    mt = spark.read.parquet(os.path.join(work, "m")).agg(
+        F.min("mt").alias("mt")
+    )
+    sl = (
+        CL.score_quality_lr(d, w, mt)
+        .join(
+            d.select(
+                "doc_id",
+                (F.col("n_chars") >= 300).cast("long").alias("label"),
+            ),
+            "doc_id",
+        )
+        .select(F.col("prob_fp").alias("p"), "label")
+    )
+    g = sl.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_tot"), F.sum("label").alias("np")
+    )
+    wb = W.orderBy("p").rowsBetween(W.unboundedPreceding, -1)
+    r = g.select(
+        "p", "n_tot", "np",
+        F.coalesce(F.sum("n_tot").over(wb), F.lit(0)).alias("cb"),
+    )
+    t = r.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum(F.col("n_tot") - F.col("np")).alias("n_neg"),
+        F.sum(
+            F.col("np") * (F.lit(2) * F.col("cb") + 1 + F.col("n_tot"))
+        ).alias("s2"),
+    )
+    num2 = F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return t.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        num2.cast("bigint").alias("auc_num2"),
+        F.round(
+            num2.cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            8,
+        ).alias("auc"),
+    )
+
+
+ORACLE["q_eval_auc"] = f"""
+    WITH scored AS ({ORACLE["q_quality_model"]}),
+    g AS (
+      SELECT prob_fp AS p, CAST(COUNT(*) AS BIGINT) AS n_tot,
+             CAST(SUM(label) AS BIGINT) AS np
+      FROM scored GROUP BY prob_fp
+    ),
+    r AS (
+      SELECT p, n_tot, np,
+             COALESCE(SUM(n_tot) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(SUM(n_tot - np) AS BIGINT) AS n_neg,
+             CAST(SUM(np * (2 * cb + 1 + n_tot)) AS BIGINT) AS s2
+      FROM r
+    )
+    SELECT n_pos, n_neg,
+           CAST(s2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num2,
+           round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * n_neg AS DOUBLE), 8) AS auc
+    FROM t
+"""
+QUERIES["q_eval_auc"] = q_eval_auc
