@@ -301,18 +301,17 @@ def all_queries() -> dict[str, QueryFn]:
     ] + [n for n in expensive_tail if n in merged and _pin(n)]
     backed = [n for n in merged if n in oracles]
     # Stable sort (registration order breaks ties):
-    #   changed-this-round (0) → oldest verified round first (1, 2, ...)
-    #   with never-driver-verified NEW queries slotted after critically
-    #   stale signal but before fresh signal: when more queries compete
-    #   than the driver's 50-row cap, green rows that have aged past the
-    #   staleness horizon must win the slots (new queries have full
-    #   pytest parity locally and rotate forward next round — their
-    #   driver row can wait one round; a 5-round-old green row cannot).
-    #   The old fixed 1.5 hardcoded "stalest round is r1"; with the
-    #   stalest cohort now at r5, 1.5 front-ran the drain (r10 verdict
-    #   item 2).
-    new_key = max_round - _ROWS_ONLY_STALE_AFTER + 0.5
-    backed.sort(key=lambda n: 0 if n in changed else last.get(n, new_key))
+    #   changed-this-round (0) → never-driver-verified (0.5) → oldest
+    #   verified round first (1, 2, ...).  A never-hash-checked
+    #   oracle-backed query is a strictly bigger risk than ANY aged
+    #   green row — its oracle has never been exercised by the real
+    #   driver at all — so it sorts ahead of every once-green cohort
+    #   (r11 verdict item 1: the previous aging key
+    #   `max_round - _ROWS_ONLY_STALE_AFTER + 0.5` moved WITH the
+    #   stale-cohort drain, deferring the 12 round-11 additions to
+    #   positions 53-64 in the simulated r12 window and plausibly
+    #   forever while 50-wide cohorts kept draining).
+    backed.sort(key=lambda n: 0 if n in changed else last.get(n, 0.5))
     out = {n: merged[n] for n in pin_rows_only}
     out.update({n: merged[n] for n in retire_errs if n in merged})
     out.update({n: merged[n] for n in backed})

@@ -107,6 +107,24 @@ def test_registration_order_contract():
     assert all(n in _ORACLES for n in backed_block), (
         "a rows-only query interrupts the oracle-backed block"
     )
+    # round 12 (r11 verdict item 1): within the oracle-backed block,
+    # every never-driver-hash-checked query precedes every once-green
+    # query (CHANGED_IN-pending excepted — those legitimately front-run
+    # everything).  A never-verified oracle is a strictly bigger risk
+    # than any aged green row; the old aging key deferred r11's 12 new
+    # queries past the 50-slot window indefinitely.
+    from fossa_spark.queries import CHANGED_IN, _last_verified_round
+
+    last = _last_verified_round()
+    nonchanged = [n for n in backed_block if n not in CHANGED_IN]
+    first_green = next(
+        (i for i, n in enumerate(nonchanged) if n in last), len(nonchanged)
+    )
+    laggards = [n for n in nonchanged[first_green:] if n not in last]
+    assert not laggards, (
+        f"never-driver-verified oracle queries sorted after green ones: "
+        f"{laggards}"
+    )
     _assert_expensive_last_within_block(names, pin)
 
 
