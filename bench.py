@@ -4,10 +4,16 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 Output contract (one JSON object per line):
   - {"detail_cold": {q: sec, ...}}                 cold per-query map
   - {"detail_warm_part": i, "queries": {...}}      warm map, 60-query chunks
-  - FINAL line, totals only (~150 bytes — the driver tail-captures ~2 KB
+  - {"detail_norm_part": i, "queries": {...}}      warm map in CALIB UNITS
+    (per-query warm seconds divided by the nearest interleaved
+    calibration probe — host-independent; round 12, VERDICT r11 item 5:
+    the quiet-host convention was breached two rounds running, so the
+    artifact of record now carries its own normalization)
+  - FINAL line, totals only (~250 bytes — the driver tail-captures ~2 KB
     of stdout, so the last line must never carry the per-query map):
     {"metric", "value", "unit", "cold_total", "warm_total", "n_queries",
-     "warm_mean", "sf"}
+     "warm_mean", "calib_s", "calib_probes", "calib_drift",
+     "warm_total_norm", "warm_mean_norm", "sf"}
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver-side collect — what a cluster run would do). JVM/codegen warmup is a
@@ -67,11 +73,33 @@ def main() -> None:
     # cold = first run (codegen + plan compile + execute); warm = second run
     # (execute only). Warm is the round-over-round comparable number — cold
     # is dominated by per-plan codegen noise at this tiny per-query scale.
+    #
+    # INTERLEAVED calibration (round 12): one probe before every
+    # _CALIB_EVERY-query block of the warm pass (plus one after the last
+    # block), so each query gets a LOCAL host-speed reading taken within
+    # seconds of its own run — the startup-only calib of rounds 5-11
+    # couldn't see mid-run host drift (BENCH_r10/r11 were recorded on
+    # hosts that slowed ~20% while the sweep ran).  norm[q] = warm[q] /
+    # mean(block probe, next probe) is in CALIB UNITS (dimensionless
+    # multiples of the fixed 10^7-row aggregate) and comparable across
+    # rounds regardless of host.
+    _CALIB_EVERY = 30
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name in sorted(queries):
+    probes: list[float] = []
+    names = sorted(queries)
+    block_of: dict[str, int] = {}
+    for i, name in enumerate(names):
+        if i % _CALIB_EVERY == 0:
+            probes.append(_calib_once())
+        block_of[name] = len(probes) - 1
         timings[name] = round(run(name), 4)
         warm[name] = round(run(name), 4)
+    probes.append(_calib_once())  # closing probe bounds the last block
+    norm = {
+        n: round(2.0 * warm[n] / (probes[b] + probes[b + 1]), 4)
+        for n, b in block_of.items()
+    }
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -92,6 +120,15 @@ def main() -> None:
                 separators=(",", ":"),
             )
         )
+    norm_items = sorted(norm.items())
+    for i in range(0, len(norm_items), 60):
+        chunk = dict(norm_items[i : i + 60])
+        print(
+            json.dumps(
+                {"detail_norm_part": i // 60, "queries": chunk},
+                separators=(",", ":"),
+            )
+        )
     print(
         json.dumps(
             {
@@ -105,6 +142,14 @@ def main() -> None:
                 "n_queries": len(warm),
                 "warm_mean": round(sum(warm.values()) / len(warm), 4),
                 "calib_s": calib_s,
+                # interleaved-probe stats + normalized totals (round 12):
+                # drift = max/min probe exposes within-run host swings;
+                # warm_total_norm is the host-independent headline.
+                "calib_probes": len(probes),
+                "calib_med": round(sorted(probes)[len(probes) // 2], 4),
+                "calib_drift": round(max(probes) / min(probes), 3),
+                "warm_total_norm": round(sum(norm.values()), 2),
+                "warm_mean_norm": round(sum(norm.values()) / len(norm), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
             separators=(",", ":"),

@@ -1338,15 +1338,36 @@ def simhash(col: Column | str, bits: int = 64) -> Column:
 
 
 def simhash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    bit_source: str = "xxhash64",
 ) -> DataFrame:
     """SimHash signatures via explode → per-bit vote sums → assemble.
 
     Same result as the array-fold :func:`simhash` but with flat aggregates
     (cheap codegen, partial aggregation before one shuffle on the id) —
-    the formulation to use on a corpus."""
+    the formulation to use on a corpus.
+
+    ``bit_source``: ``"xxhash64"`` (default; JVM-only, fastest) or
+    ``"md5"`` — 60 usable bits from the first 15 hex chars of
+    md5(token), the engine-portable hash both Spark
+    (``conv(substring(md5(t),1,15),16,10)``) and DuckDB
+    (``CAST('0x'||substr(md5(t),1,15) AS BIGINT)``) compute
+    identically, which is what lets q_dedup_simhash run under the
+    value-hash oracle (round 12; the last deterministic rows-only
+    query).  md5 requires ``bits <= 60``."""
+    if bit_source == "md5":
+        if bits > 60:
+            raise ValueError("md5 bit source provides 60 usable bits")
+        hash_expr = F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long")
+    elif bit_source == "xxhash64":
+        hash_expr = F.xxhash64("_t")
+    else:
+        raise ValueError(f"unknown bit_source: {bit_source!r}")
     ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
-    h = ex.select(id_col, F.xxhash64("_t").alias("_h"))
+    h = ex.select(id_col, hash_expr.alias("_h"))
     votes = h.groupBy(id_col).agg(
         *[
             F.sum(
@@ -1371,6 +1392,7 @@ def staged_simhash_table(
     id_col: str = "doc_id",
     bits: int = 64,
     cache_root: str | None = None,
+    bit_source: str = "xxhash64",
 ) -> DataFrame:
     """:func:`simhash_table`, staged to parquet once per corpus
     fingerprint (round 8) — the staged_shingle_rows idea for the SimHash
@@ -1387,14 +1409,14 @@ def staged_simhash_table(
     out = tempfile.mkdtemp(prefix="fossa_simhash_")
 
     def build(into: str) -> None:
-        simhash_table(df, text_col, id_col, bits).write.mode(
+        simhash_table(df, text_col, id_col, bits, bit_source).write.mode(
             "overwrite"
         ).parquet(into)
 
     stage_files(
         df, out,
         cache_prefix="simhash_tab",
-        params=["simhash_tab_v1", bits, text_col, id_col],
+        params=["simhash_tab_v1", bits, text_col, id_col, bit_source],
         build=build,
         cache_root=cache_root,
     )
@@ -1407,21 +1429,23 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     sigs: DataFrame | None = None,
+    bits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, banded: split the 64-bit
-    signature into (max_hamming+1) chunks — by pigeonhole, any pair within
-    the radius agrees EXACTLY on at least one chunk — equi-join per chunk,
-    then verify with bit_count. Exact (no recall loss) and turns the O(n²)
-    cross join into hash joins on chunk values, the same reducer-bounded
-    shape as LSH banding. This is the formulation that survives a corpus
-    that doesn't fit one machine.
+    """Near-dup pairs by SimHash Hamming distance, banded: split the
+    ``bits``-bit signature into (max_hamming+1) chunks — by pigeonhole,
+    any pair within the radius agrees EXACTLY on at least one chunk —
+    equi-join per chunk, then verify with bit_count. Exact (no recall
+    loss) and turns the O(n²) cross join into hash joins on chunk
+    values, the same reducer-bounded shape as LSH banding. This is the
+    formulation that survives a corpus that doesn't fit one machine.
 
     ``sigs``: optional pre-computed (id_col, sig) table (e.g.
     :func:`staged_simhash_table`) — OVERRIDES text_col entirely when
     given (the sh_rows convention: the caller owns signature semantics
-    and must cover df exactly)."""
+    and must cover df exactly).  ``bits`` must match the signature
+    width used to build ``sigs`` (60 for the md5 bit source)."""
     chunks = max_hamming + 1
-    width = 64 // chunks
+    width = bits // chunks
     if sigs is None:
         sigs = simhash_table(df, text_col, id_col)
     sigs = sigs.select(F.col(id_col).alias("_id"), "sig")

@@ -103,18 +103,63 @@ def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs, Hamming ≤ 3 (rows-only: xxhash64). The
+    """SimHash-60 near-dup pairs, Hamming ≤ 3, md5 bit source — oracle-
+    backed (round 12; was the last deterministic rows-only query).  The
     tight radius matters on a small-vocabulary corpus where token-multiset
     profiles are globally similar.
 
+    Signature bits come from the first 15 hex chars of md5(token) (60
+    bits both engines compute identically — conv(…,16,10) in Spark,
+    CAST('0x'||… AS BIGINT) in DuckDB), per-bit majority votes over the
+    token multiset, banded pigeonhole join at radius 3 (4 chunks × 15
+    bits).  The oracle states the banding-free O(n²) form — pigeonhole
+    guarantees the banded join finds EXACTLY the pairs within the
+    radius, so both forms are the same relation; n² is fine at the
+    oracle's sf0.01 (500 docs) while the banded join is what runs at
+    corpus scale.
+
     Round 8: the signature table is staged per corpus fingerprint
-    (staged_simhash_table — the 64-aggregate signature pass costs ~2.5 s
+    (staged_simhash_table — the 60-aggregate signature pass costs ~2.5 s
     of codegen+compute per run for per-corpus-snapshot state); the
     banded pigeonhole join then runs over a 2-column parquet read."""
     d = spread(load(spark, sf_dir, "documents"), spark)
     return D.simhash_pairs(
-        d, max_hamming=3, sigs=D.staged_simhash_table(d)
+        d,
+        max_hamming=3,
+        sigs=D.staged_simhash_table(d, bits=60, bit_source="md5"),
+        bits=60,
     ).orderBy("id_a", "id_b")
+
+
+def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    """Banding-free SimHash oracle: explode tokens → 60 per-bit vote
+    aggregates → assemble the signature → all-pairs Hamming filter
+    (equivalent to the banded join by pigeonhole exactness)."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b})"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(t.token), 1, 15)) AS BIGINT) AS h
+          FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
+        ), votes AS (
+          SELECT doc_id, {votes} FROM tok GROUP BY doc_id
+        ), sig AS (
+          SELECT doc_id, {sig} AS sig FROM votes
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
 
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1473,6 +1518,7 @@ ORACLE = {
     "q_rank_fusion": _RANK_FUSION_SQL,
     "q_bpe_train": _bpe_train_oracle(8),
     "q_bpe_tokenize": _bpe_tokenize_oracle(4),
+    "q_dedup_simhash": _simhash_oracle(60, 3),
     # one fixed-point GD iteration of the hashed-feature logistic
     # regression (llm/classifier.py): logits, hard-sigmoid error,
     # per-bucket gradient, floor-division weight step — all integers, so

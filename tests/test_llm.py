@@ -158,6 +158,42 @@ def test_simhash_matches_unbanded(docs):
     assert banded == brute
 
 
+def test_simhash_md5_source_matches_unbanded(docs):
+    """The md5 bit source (round 12, the oracle-backed q_dedup_simhash
+    configuration: 60 bits, radius 3 → 4 chunks × 15 bits) must keep the
+    pigeonhole exactness of the banded join, and must refuse widths the
+    15-hex-char hash can't fill."""
+    import pytest as _pytest
+
+    sample = docs.filter("doc_id < 100")
+    sigs = D.simhash_table(sample, bits=60, bit_source="md5")
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_pairs(
+            sample, max_hamming=3,
+            sigs=sigs.selectExpr("doc_id", "sig"), bits=60,
+        ).collect()
+    }
+    s = sigs.selectExpr("doc_id as _id", "sig")
+    a = s.selectExpr("_id id_a", "sig sig_a")
+    b = s.selectExpr("_id id_b", "sig sig_b")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter("id_a < id_b")
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter("hamming <= 3")
+        .collect()
+    }
+    assert banded == brute
+    # every md5 signature fits in 60 bits (no sign-bit surprises)
+    assert sigs.filter("sig < 0 or sig >= 1152921504606846976").count() == 0
+    with _pytest.raises(ValueError):
+        D.simhash_table(sample, bits=64, bit_source="md5")
+    with _pytest.raises(ValueError):
+        D.simhash_table(sample, bit_source="sha1")
+
+
 def test_brute_force_topk_contract(vecs):
     q = vecs.filter("vec_id < 3").selectExpr("vec_id q_id", "embedding q_vec")
     c = vecs.selectExpr("vec_id c_id", "embedding c_vec")
