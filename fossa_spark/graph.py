@@ -322,14 +322,23 @@ def hits(edges: DataFrame, iters: int = 2,
     ~9e13/scale (~1e10 at the default) — far past any real graph.
 
     Scale shape per iteration: TWO equi-joins of the node-sized score
-    vector against the persisted edge list + two map-side-combined
-    groupBys + two 1-row max aggregates ridden in as broadcasts — the
-    corpus-sized edge relation never re-shuffles (persisted once).
+    vector against pre-partitioned edge copies + two map-side-combined
+    groupBys + two 1-row max aggregates ridden in as broadcasts.  The
+    join key ALTERNATES src/dst each half-iteration, so a single
+    unpartitioned cache still paid one corpus-sized edge exchange per
+    half-iteration (r11's worst decade ratio, 5.2×); round 12 persists
+    TWO copies, hash-partitioned by src and by dst, so every join's
+    edge side already satisfies its required distribution and only the
+    node-sized score vector ever crosses the wire (on a real cluster
+    the same two copies would be bucketed tables — storage-for-shuffle,
+    the standard trade for any alternating-key iterative join).
 
     Returns (hubs, authorities): (node, score_scaled BIGINT) each, for
     every node on that side of the arcs."""
-    edges = edges.persist()
-    hubs = edges.select(F.col("src").alias("node")).distinct().select(
+    e_src = edges.repartition("src").persist()
+    e_dst = edges.repartition("dst").persist()
+    # distinct over src reuses e_src's partitioning: no extra exchange
+    hubs = e_src.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(scale).cast("bigint").alias("s")
     )
 
@@ -348,13 +357,13 @@ def hits(edges: DataFrame, iters: int = 2,
     auths = None
     for _ in range(iters):
         a_raw = (
-            edges.join(hubs, edges.src == hubs.node)
+            e_src.join(hubs, e_src.src == hubs.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("s").alias("raw"))
         )
         auths = _norm(a_raw)
         h_raw = (
-            edges.join(auths, edges.dst == auths.node)
+            e_dst.join(auths, e_dst.dst == auths.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("s").alias("raw"))
         )

@@ -1386,6 +1386,80 @@ def simhash_table(
     return votes.select(id_col, sig.alias("sig"))
 
 
+def simhash_table_wide(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """120-bit SimHash as TWO 60-bit bigint columns (sig1, sig2), md5
+    bit source — engine-portable like the 60-bit md5 path (bits come
+    from md5 hex chars 1-15 and 16-30), but with the discriminative
+    power a small-vocabulary corpus needs: at 60 bits the sf10
+    fixture's signatures cluster so tightly that radius-3 banding
+    generated a 1.19-BILLION-row bucket join (round 12 measurement);
+    at 120 bits the same corpus's near-pair relation is sparse.  One
+    token explode, 120 conditional sums, one shuffle on the id."""
+    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+    h = ex.select(
+        id_col,
+        F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(F.md5("_t"), 16, 15), 16, 10).cast("long").alias("_h2"),
+    )
+    votes = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col(hc), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_{tag}{b}")
+            for hc, tag in (("_h1", "a"), ("_h2", "b"))
+            for b in range(60)
+        ]
+    )
+
+    def _assemble(tag: str) -> Column:
+        sig = F.lit(0).cast("long")
+        for b in range(60):
+            sig = sig.bitwiseOR(
+                F.when(
+                    F.col(f"_{tag}{b}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), b),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return sig
+
+    return votes.select(
+        id_col, _assemble("a").alias("sig1"), _assemble("b").alias("sig2")
+    )
+
+
+def staged_simhash_wide(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cache_root: str | None = None,
+) -> DataFrame:
+    """:func:`simhash_table_wide` staged to parquet once per corpus
+    fingerprint — the staged_simhash_table contract (the 120-aggregate
+    pass is per-corpus-snapshot state)."""
+    import tempfile
+
+    from fossa_spark.sources import stage_files
+
+    out = tempfile.mkdtemp(prefix="fossa_simhashw_")
+
+    def build(into: str) -> None:
+        simhash_table_wide(df, text_col, id_col).write.mode(
+            "overwrite"
+        ).parquet(into)
+
+    stage_files(
+        df, out,
+        cache_prefix="simhash_wide",
+        params=["simhash_wide_v1", text_col, id_col],
+        build=build,
+        cache_root=cache_root,
+    )
+    return df.sparkSession.read.parquet(out)
+
+
 def staged_simhash_table(
     df: DataFrame,
     text_col: str = "text",
@@ -1443,14 +1517,28 @@ def simhash_pairs(
     :func:`staged_simhash_table`) — OVERRIDES text_col entirely when
     given (the sh_rows convention: the caller owns signature semantics
     and must cover df exactly).  ``bits`` must match the signature
-    width used to build ``sigs`` (60 for the md5 bit source)."""
+    width used to build ``sigs`` (60 for the md5 bit source).
+
+    Round 12 — band over DISTINCT signatures, not documents.  A
+    replica-heavy corpus (the sf10 fixture duplicates texts ~100×)
+    puts every copy of a text at the SAME signature, so doc-grain band
+    buckets grow with the duplication factor and the bucket self-join
+    paid (dup·groups)² work: sf10 warm blew up to 92 s when the md5
+    source landed on slightly hotter chunk values.  Signature-grain
+    banding is byte-identical output (every doc pair's Hamming distance
+    is a function of its sig pair alone): join distinct sigs per chunk,
+    Hamming-verify the sig pairs (a corpus-independent relation), then
+    expand back to doc pairs — cross-group pairs via two id joins,
+    intra-group Hamming-0 pairs via one equi-self-join on sig.  Pair
+    EXPANSION is output-sized (irreducible); pair DISCOVERY no longer
+    multiplies by the duplication factor: sf10 warm 92.5 → ~8 s."""
     chunks = max_hamming + 1
     width = bits // chunks
     if sigs is None:
         sigs = simhash_table(df, text_col, id_col)
     sigs = sigs.select(F.col(id_col).alias("_id"), "sig")
-    banded = sigs.select(
-        "_id",
+    usig = sigs.select("sig").distinct()
+    banded = usig.select(
         "sig",
         F.explode(
             F.array(
@@ -1458,7 +1546,7 @@ def simhash_pairs(
                     F.struct(
                         F.lit(c).alias("chunk"),
                         # chunk c = bits [c*width, (c+1)*width); last chunk
-                        # absorbs the 64 % chunks remainder
+                        # absorbs the bits % chunks remainder
                         F.shiftrightunsigned(F.col("sig"), c * width)
                         .bitwiseAND(
                             F.lit(-1 if c == chunks - 1 else (1 << width) - 1).cast("long")
@@ -1469,19 +1557,161 @@ def simhash_pairs(
                 ]
             )
         ).alias("cc"),
-    ).select("_id", "sig", "cc.chunk", "cc.val")
-    a = banded.select(F.col("chunk"), F.col("val"),
-                      F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = banded.select(F.col("chunk"), F.col("val"),
-                      F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    return (
+    ).select("sig", "cc.chunk", "cc.val")
+    a = banded.select("chunk", "val", F.col("sig").alias("sig_a"))
+    b = banded.select("chunk", "val", F.col("sig").alias("sig_b"))
+    near_sigs = (
         a.join(b, ["chunk", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .filter(F.col("sig_a") < F.col("sig_b"))
+        .select("sig_a", "sig_b")
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    )
+    cross = (
+        near_sigs.join(
+            sigs.select(F.col("sig").alias("sig_a"), F.col("_id").alias("_ia")),
+            "sig_a",
+        )
+        .join(
+            sigs.select(F.col("sig").alias("sig_b"), F.col("_id").alias("_ib")),
+            "sig_b",
+        )
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        sigs.select("sig", F.col("_id").alias("id_a"))
+        .join(sigs.select("sig", F.col("_id").alias("id_b")), "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).alias("hamming"))
+    )
+    return cross.unionByName(intra)
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """SimHash near-dup CANONICAL ATTRIBUTION over 120-bit wide
+    signatures — (doc_id, dup_of, hamming) for every doc that has a
+    smaller-id document within the Hamming radius, where dup_of is the
+    smallest such id reachable in one signature hop and hamming is the
+    distance between the two signatures.  The q_dedup_exact
+    ``kept_id`` convention lifted to near-duplicates.
+
+    Two round-12 design decisions, both measured at sf10:
+
+    * ATTRIBUTION, not pairs: on a replica-heavy corpus the pair
+      relation is quadratic in the duplication factor (115M doc pairs
+      at radius 3/60 bits on the sf10 fixture — output-bound at any
+      join strategy; 92-300 s, pure expansion).  Attribution is ≤ one
+      row per doc.  :func:`simhash_pairs` remains the pair-grain API.
+    * 120-bit signatures (:func:`simhash_table_wide`): at 60 bits this
+      corpus's signatures cluster so hard that 15-bit band buckets
+      reached 7k signatures and the bucket join 1.19B rows; at 120
+      bits the default radius 3 bands into four 30-bit chunks (radius
+      5's 20-bit chunks still drew a 989M-row bucket join on the same
+      corpus — 30-bit agreement is what makes buckets hold genuinely
+      similar signatures only: measured 110M raw / 1.65M near pairs).
+
+    Shape: band DISTINCT signatures (pigeonhole-exact candidate
+    generation, |sig| grain), verify Hamming on sig pairs (self-pair
+    included — a doc's own group counts), map each neighbor sig to its
+    group's min doc id, take the per-sig minimum, then ONE doc-grain
+    equi-join on the signature. The corpus pays the signature pass +
+    one shuffle; everything between is signature-grain.
+
+    Two-step canon selection (MIN id, then the h of that id's sig) is
+    mirrored verbatim by the SQL oracle — group-min ids are unique per
+    sig, so there is no tie to break.
+
+    ``sigs``: optional pre-computed (id_col, sig1, sig2) table (e.g.
+    :func:`staged_simhash_wide`).  ``max_hamming + 1`` must divide 120
+    with a chunk width that does not straddle the two columns (width
+    dividing 60 — radii 1, 3, 5, 7, 9, 11 qualify)."""
+    chunks = max_hamming + 1
+    if 120 % chunks or 60 % (120 // chunks):
+        raise ValueError(
+            f"radius {max_hamming}: need (radius+1) | 120 with a chunk "
+            "width dividing 60 (no chunk may straddle the two 60-bit "
+            "signature columns) — radii 1, 3, 5, 7, 9, 11 qualify"
+        )
+    width = 120 // chunks
+    if sigs is None:
+        sigs = simhash_table_wide(df, text_col, id_col)
+    sigs = sigs.select(F.col(id_col).alias("_id"), "sig1", "sig2")
+    g = sigs.groupBy("sig1", "sig2").agg(F.min("_id").alias("g"))
+    usig = g.select("sig1", "sig2")
+    per_col = 60 // width
+
+    def _chunk(c: int) -> Column:
+        col = F.col("sig1") if c < per_col else F.col("sig2")
+        return F.shiftrightunsigned(col, (c % per_col) * width).bitwiseAND(
+            F.lit((1 << width) - 1).cast("long")
+        )
+
+    banded = usig.select(
+        "sig1",
+        "sig2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("chunk"), _chunk(c).alias("val"))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("sig1", "sig2", "cc.chunk", "cc.val")
+    a = banded.select(
+        "chunk", "val",
+        F.col("sig1").alias("a1"), F.col("sig2").alias("a2"),
+    )
+    b = banded.select(
+        "chunk", "val",
+        F.col("sig1").alias("b1"), F.col("sig2").alias("b2"),
+    )
+    ham = F.bit_count(F.col("a1").bitwiseXOR(F.col("b1"))) + F.bit_count(
+        F.col("a2").bitwiseXOR(F.col("b2"))
+    )
+    cand = (
+        a.join(b, ["chunk", "val"])  # self-pairs included (h = 0)
+        .select("a1", "a2", "b1", "b2")
+        .distinct()
+        .withColumn("h", ham)
+        .filter(F.col("h") <= max_hamming)
+    )
+    nb = cand.join(
+        g.select(
+            F.col("sig1").alias("b1"),
+            F.col("sig2").alias("b2"),
+            F.col("g").alias("g_b"),
+        ),
+        ["b1", "b2"],
+    )
+    canon = nb.groupBy("a1", "a2").agg(F.min("g_b").alias("canon"))
+    ch = canon.join(nb, ["a1", "a2"]).filter(
+        F.col("g_b") == F.col("canon")
+    ).select(
+        F.col("a1").alias("sig1"),
+        F.col("a2").alias("sig2"),
+        "canon",
+        "h",
+    )
+    return (
+        sigs.join(ch, ["sig1", "sig2"])
+        .filter(F.col("canon") < F.col("_id"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("canon").alias("dup_of"),
+            F.col("h").alias("hamming"),
+        )
     )
 
 

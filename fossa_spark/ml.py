@@ -615,6 +615,113 @@ def decision_stump(
     )
 
 
+def tree_depth2(
+    df: DataFrame, x1_col: str, x2_col: str, label_col: str
+) -> DataFrame:
+    """Depth-2 CART over two integer features — :func:`decision_stump`'s
+    value-domain histogram machinery extended one level (VERDICT r11
+    item 6): the root picks the best (feature, threshold) Gini split
+    across BOTH features, then each branch re-runs the same candidate
+    search restricted to its side, yielding a real two-level tree (up
+    to 4 leaves) with every count exact.
+
+    Scale shape: the corpus is scanned ONCE into the JOINT histogram
+    groupBy(x1, x2) → (n0, n1) — |X1|·|X2| rows, control-plane for
+    binned/integer features at any corpus size (the XGBoost histogram
+    discipline; eagerly checkpointed so the five downstream candidate
+    aggregations replay a ≤ few-hundred-row relation, not the corpus).
+    Root/branch marginal histograms, prefix sums, and argmins all run
+    on that relation; the root choice (3 scalars) is the only
+    driver-side collect.  Branch membership is decided by the ROOT
+    feature alone, so each branch's conditional histogram is a SLICE of
+    the joint histogram — no second corpus pass, which is what makes
+    one more level (depth 3 = 4 more slices) the same cost shape.
+
+    Determinism: weighted-Gini numerator from exact integer counts,
+    identical IEEE expression tree per engine, argmin tie-break
+    (impurity ASC, feature ASC, threshold ASC) — the q_stump oracle
+    discipline.  A branch whose candidate set is empty (single distinct
+    value on both features) contributes no row.
+
+    Returns up to 3 rows: (node ∈ root/left/right, feature 1|2,
+    threshold, n_left, n_right, left_class, right_class, impurity)."""
+    joint = (
+        df.groupBy(F.col(x1_col).alias("x1"), F.col(x2_col).alias("x2"))
+        .agg(
+            F.sum(1 - F.col(label_col)).alias("n0"),
+            F.sum(label_col).alias("n1"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _candidates(hist: DataFrame) -> DataFrame:
+        cands = None
+        for fi, feat in ((1, "x1"), (2, "x2")):
+            h = hist.groupBy(F.col(feat).alias("x")).agg(
+                F.sum("n0").alias("n0"), F.sum("n1").alias("n1")
+            )
+            w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+            cum = h.select(
+                "x",
+                F.sum("n0").over(w).alias("l0"),
+                F.sum("n1").over(w).alias("l1"),
+            )
+            tot = h.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
+            c = (
+                cum.crossJoin(F.broadcast(tot))
+                .select(
+                    F.lit(fi).alias("feature"),
+                    F.col("x").alias("threshold"),
+                    "l0",
+                    "l1",
+                    (F.col("t0") - F.col("l0")).alias("r0"),
+                    (F.col("t1") - F.col("l1")).alias("r1"),
+                )
+                .filter((F.col("r0") + F.col("r1")) > 0)
+            )
+            cands = c if cands is None else cands.unionByName(c)
+        nl = (F.col("l0") + F.col("l1")).cast("double")
+        nr = (F.col("r0") + F.col("r1")).cast("double")
+        l0d, l1d = F.col("l0").cast("double"), F.col("l1").cast("double")
+        r0d, r1d = F.col("r0").cast("double"), F.col("r1").cast("double")
+        imp = (nl * nl - l0d * l0d - l1d * l1d) / nl + (
+            nr * nr - r0d * r0d - r1d * r1d
+        ) / nr
+        return cands.withColumn("impurity", imp)
+
+    def _best(hist: DataFrame, node: str) -> DataFrame:
+        return (
+            _candidates(hist)
+            .orderBy(
+                F.col("impurity").asc(),
+                F.col("feature").asc(),
+                F.col("threshold").asc(),
+            )
+            .limit(1)
+            .select(
+                F.lit(node).alias("node"),
+                "feature",
+                "threshold",
+                (F.col("l0") + F.col("l1")).alias("n_left"),
+                (F.col("r0") + F.col("r1")).alias("n_right"),
+                F.when(F.col("l1") > F.col("l0"), F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("left_class"),
+                F.when(F.col("r1") > F.col("r0"), F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("right_class"),
+                F.round(F.col("impurity"), 8).alias("impurity"),
+            )
+        )
+
+    root = _best(joint, "root")
+    r = root.collect()[0]  # 3 scalars: the tree's control-plane state
+    f_col = "x1" if r.feature == 1 else "x2"
+    left = _best(joint.filter(F.col(f_col) <= r.threshold), "left")
+    right = _best(joint.filter(F.col(f_col) > r.threshold), "right")
+    return root.unionByName(left).unionByName(right)
+
+
 def bagged_stumps(
     df: DataFrame,
     x_col: str,

@@ -311,6 +311,19 @@ ACCEPTED_SMELLS: dict[str, dict[str, str]] = {
         "the argmin orderBy+limit — split candidates are control-plane "
         "output by definition",
     },
+    "q_tree_depth2": {
+        "cartesian": "the crossJoin build side is the ONE-ROW class-total "
+        "aggregate of a node's value-domain histogram (ml.tree_depth2 "
+        "_candidates tot — the q_stump shape, once per node/feature); "
+        "probe side is the <= |X| candidate relation, never the corpus",
+        "corpus-window": "prefix-sum windows run over per-feature "
+        "VALUE-DOMAIN histograms (<= 50 quantities / 11 discount cents; "
+        "binned features bound them by construction at any corpus "
+        "size); the corpus pays one map-side-combined groupBy(x1, x2)",
+        "single-partition-exchange": "the same control-plane relations "
+        "feeding three argmin orderBy+limit(1)s (root + two branches) "
+        "and the checkpointed <= 550-row joint histogram",
+    },
     "q_join_dpp": {
         "corpus-window": "the rarest-status pick ranks one row per "
         "o_orderstatus value (a 3-value categorical domain)",

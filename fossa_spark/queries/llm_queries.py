@@ -103,62 +103,92 @@ def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-60 near-dup pairs, Hamming ≤ 3, md5 bit source — oracle-
-    backed (round 12; was the last deterministic rows-only query).  The
-    tight radius matters on a small-vocabulary corpus where token-multiset
-    profiles are globally similar.
+    """SimHash-120 near-dup CANONICAL ATTRIBUTION, Hamming ≤ 3, md5 bit
+    source — oracle-backed (round 12; was the last deterministic
+    rows-only query).  One row per document that has a smaller-id
+    near-duplicate: (doc_id, dup_of, hamming), the q_dedup_exact
+    kept_id convention lifted to near-dups.
 
-    Signature bits come from the first 15 hex chars of md5(token) (60
-    bits both engines compute identically — conv(…,16,10) in Spark,
-    CAST('0x'||… AS BIGINT) in DuckDB), per-bit majority votes over the
-    token multiset, banded pigeonhole join at radius 3 (4 chunks × 15
-    bits).  The oracle states the banding-free O(n²) form — pigeonhole
-    guarantees the banded join finds EXACTLY the pairs within the
-    radius, so both forms are the same relation; n² is fine at the
-    oracle's sf0.01 (500 docs) while the banded join is what runs at
-    corpus scale.
+    Two scale decisions, both measured at sf10 (llm/dedup.py
+    simhash_dedup): attribution instead of pairs (the pair relation is
+    quadratic in the fixture's ~100× replica factor — 115M rows), and
+    120-bit signatures instead of 60 (at 60 bits the clustered
+    signature space drove the radius-3 band join to 1.19B rows; at
+    120 bits with four 30-bit band chunks the same corpus measures
+    110M candidate rows and 1.65M near sig pairs — radius 5's 20-bit
+    chunks were re-measured at 989M candidates and rejected).
 
-    Round 8: the signature table is staged per corpus fingerprint
-    (staged_simhash_table — the 60-aggregate signature pass costs ~2.5 s
-    of codegen+compute per run for per-corpus-snapshot state); the
-    banded pigeonhole join then runs over a 2-column parquet read."""
+    Signature bits come from md5(token) hex chars 1-15 and 16-30 (two
+    60-bit halves both engines compute identically — conv(…,16,10) in
+    Spark, CAST('0x'||… AS BIGINT) in DuckDB), per-bit majority votes
+    over the token multiset.  The oracle states the banding-free
+    all-pairs form over DISTINCT signatures — pigeonhole guarantees
+    the banded join finds EXACTLY the sig pairs within the radius, so
+    both forms are the same relation; the two-step canon selection
+    (MIN group id, then that id's hamming) is mirrored verbatim.  The
+    signature table is staged per corpus fingerprint (the
+    120-aggregate pass is per-corpus-snapshot state)."""
     d = spread(load(spark, sf_dir, "documents"), spark)
-    return D.simhash_pairs(
-        d,
-        max_hamming=3,
-        sigs=D.staged_simhash_table(d, bits=60, bit_source="md5"),
-        bits=60,
-    ).orderBy("id_a", "id_b")
+    return D.simhash_dedup(
+        d, max_hamming=3, sigs=D.staged_simhash_wide(d)
+    ).orderBy("doc_id")
 
 
-def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
-    """Banding-free SimHash oracle: explode tokens → 60 per-bit vote
-    aggregates → assemble the signature → all-pairs Hamming filter
-    (equivalent to the banded join by pigeonhole exactness)."""
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """SimHash-120 attribution oracle: explode tokens → 2×60 per-bit
+    vote aggregates → assemble (sig1, sig2) → all-pairs Hamming over
+    DISTINCT sigs (equivalent to the banded candidates by pigeonhole
+    exactness, self-pair included) → per-sig min group-id canon → doc
+    join."""
     votes = ", ".join(
-        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(bits)
+        f"SUM(CASE WHEN (h{half} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" AS {tag}{b}"
+        for half, tag in ((1, "a"), (2, "b"))
+        for b in range(60)
     )
-    sig = " + ".join(
-        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b})"
+    sig1 = " + ".join(
+        f"(CASE WHEN a{b} > 0 THEN (CAST(1 AS BIGINT) << {b})"
         f" ELSE CAST(0 AS BIGINT) END)"
-        for b in range(bits)
+        for b in range(60)
+    )
+    sig2 = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (CAST(1 AS BIGINT) << {b})"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for b in range(60)
     )
     return f"""
         WITH tok AS (
           SELECT doc_id,
-                 CAST(('0x' || substr(md5(t.token), 1, 15)) AS BIGINT) AS h
+                 CAST(('0x' || substr(md5(t.token), 1, 15)) AS BIGINT) AS h1,
+                 CAST(('0x' || substr(md5(t.token), 16, 15)) AS BIGINT) AS h2
           FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
         ), votes AS (
           SELECT doc_id, {votes} FROM tok GROUP BY doc_id
-        ), sig AS (
-          SELECT doc_id, {sig} AS sig FROM votes
+        ), sigt AS (
+          SELECT doc_id, {sig1} AS sig1, {sig2} AS sig2 FROM votes
+        ), gmin AS (
+          SELECT sig1, sig2, MIN(doc_id) AS g FROM sigt GROUP BY sig1, sig2
+        ), cand AS (
+          SELECT a.sig1 AS s1, a.sig2 AS s2, b.sig1 AS t1, b.sig2 AS t2,
+                 bit_count(xor(a.sig1, b.sig1))
+                   + bit_count(xor(a.sig2, b.sig2)) AS h
+          FROM gmin a, gmin b
+          WHERE bit_count(xor(a.sig1, b.sig1))
+                  + bit_count(xor(a.sig2, b.sig2)) <= {max_hamming}
+        ), nb AS (
+          SELECT c.s1, c.s2, g2.g AS gb, c.h
+          FROM cand c JOIN gmin g2 ON g2.sig1 = c.t1 AND g2.sig2 = c.t2
+        ), canon AS (
+          SELECT s1, s2, MIN(gb) AS canon FROM nb GROUP BY s1, s2
+        ), ch AS (
+          SELECT canon.s1, canon.s2, canon.canon, nb.h
+          FROM canon JOIN nb ON nb.s1 = canon.s1 AND nb.s2 = canon.s2
+                            AND nb.gb = canon.canon
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
-        ORDER BY id_a, id_b
+        SELECT st.doc_id, ch.canon AS dup_of, CAST(ch.h AS INTEGER) AS hamming
+        FROM sigt st JOIN ch ON st.sig1 = ch.s1 AND st.sig2 = ch.s2
+        WHERE ch.canon < st.doc_id
+        ORDER BY doc_id
     """
 
 
@@ -1518,7 +1548,7 @@ ORACLE = {
     "q_rank_fusion": _RANK_FUSION_SQL,
     "q_bpe_train": _bpe_train_oracle(8),
     "q_bpe_tokenize": _bpe_tokenize_oracle(4),
-    "q_dedup_simhash": _simhash_oracle(60, 3),
+    "q_dedup_simhash": _simhash_oracle(3),
     # one fixed-point GD iteration of the hashed-feature logistic
     # regression (llm/classifier.py): logits, hard-sigmoid error,
     # per-bucket gradient, floor-division weight step — all integers, so

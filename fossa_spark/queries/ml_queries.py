@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fossa_spark import ml
-from fossa_spark.queries._util import load, spread
+from fossa_spark.queries._util import cents, load, spread, sql_cents
 
 _K, _ITERS = 4, 3
 
@@ -483,6 +483,109 @@ ORACLE["q_stump"] = """
       -- (review r10 session 2)
       SELECT * FROM scored ORDER BY impurity ASC, threshold ASC LIMIT 1
     )
+"""
+
+
+def q_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 CART (ml.tree_depth2, round 12 — VERDICT r11 item 6): the
+    best Gini split over TWO features (quantity, discount-in-cents)
+    predicting returns, then each branch re-splits with the same
+    candidate search — a real two-level tree with 4 leaves, upgrading
+    the stump kernel one level.  One corpus scan builds the joint
+    (x1, x2) histogram (≤ 50×11 rows — control-plane at any corpus
+    size); root and both branch argmins run on slices of it.  The
+    oracle replays the whole tree: joint histogram, per-feature prefix
+    sums, the impurity expression tree, the (impurity, feature,
+    threshold) tie-break, and the branch restriction through scalar
+    subqueries on the root row."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        cents("l_discount").alias("x2"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    return ml.tree_depth2(li, "x1", "x2", "label")
+
+
+QUERIES["q_tree_depth2"] = q_tree_depth2
+
+_TREE_IMP = (
+    "(CAST(l0 + l1 AS DOUBLE) * CAST(l0 + l1 AS DOUBLE)"
+    " - CAST(l0 AS DOUBLE) * CAST(l0 AS DOUBLE)"
+    " - CAST(l1 AS DOUBLE) * CAST(l1 AS DOUBLE)) / CAST(l0 + l1 AS DOUBLE)"
+    " + (CAST(r0 + r1 AS DOUBLE) * CAST(r0 + r1 AS DOUBLE)"
+    " - CAST(r0 AS DOUBLE) * CAST(r0 AS DOUBLE)"
+    " - CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE)) / CAST(r0 + r1 AS DOUBLE)"
+)
+
+
+def _tree_cands_sql(src: str) -> str:
+    """Split candidates over both features of a (x1, x2, n0, n1)
+    histogram CTE — marginal hist, prefix sums, totals via window; the
+    q_stump recipe generated per feature."""
+    parts = []
+    for f in (1, 2):
+        parts.append(f"""
+        SELECT {f} AS feature, x AS threshold, l0, l1,
+               t0 - l0 AS r0, t1 - l1 AS r1
+        FROM (
+          SELECT x,
+                 SUM(n0) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS l0,
+                 SUM(n1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS l1,
+                 SUM(n0) OVER () AS t0, SUM(n1) OVER () AS t1
+          FROM (SELECT x{f} AS x, SUM(n0) AS n0, SUM(n1) AS n1
+                FROM {src} GROUP BY 1)
+        ) WHERE (t0 - l0) + (t1 - l1) > 0""")
+    return " UNION ALL ".join(parts)
+
+
+def _tree_best_sql(src: str) -> str:
+    """Argmin over both features' candidates — impurity ASC (UNROUNDED,
+    the q_stump review-r10 rule), feature ASC, threshold ASC."""
+    return f"""
+      SELECT feature, threshold, l0, l1, r0, r1, {_TREE_IMP} AS impurity
+      FROM ({_tree_cands_sql(src)})
+      ORDER BY {_TREE_IMP} ASC, feature ASC, threshold ASC LIMIT 1"""
+
+
+_TREE_NODE_PROJ = """
+    CAST(feature AS INTEGER) AS feature, threshold,
+    CAST(l0 + l1 AS BIGINT) AS n_left, CAST(r0 + r1 AS BIGINT) AS n_right,
+    CAST(CASE WHEN l1 > l0 THEN 1 ELSE 0 END AS INTEGER) AS left_class,
+    CAST(CASE WHEN r1 > r0 THEN 1 ELSE 0 END AS INTEGER) AS right_class,
+    round(impurity, 8) AS impurity"""
+
+ORACLE["q_tree_depth2"] = f"""
+    WITH joint AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             {sql_cents("l_discount")} AS x2,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1
+      FROM lineitem GROUP BY 1, 2
+    ),
+    best_root AS ({_tree_best_sql("joint")}),
+    leftj AS (
+      SELECT * FROM joint
+      WHERE (CASE WHEN (SELECT feature FROM best_root) = 1
+                  THEN x1 ELSE x2 END)
+            <= (SELECT threshold FROM best_root)
+    ),
+    rightj AS (
+      SELECT * FROM joint
+      WHERE (CASE WHEN (SELECT feature FROM best_root) = 1
+                  THEN x1 ELSE x2 END)
+            > (SELECT threshold FROM best_root)
+    ),
+    best_left AS ({_tree_best_sql("leftj")}),
+    best_right AS ({_tree_best_sql("rightj")})
+    SELECT 'root' AS node, {_TREE_NODE_PROJ} FROM best_root
+    UNION ALL
+    SELECT 'left' AS node, {_TREE_NODE_PROJ} FROM best_left
+    UNION ALL
+    SELECT 'right' AS node, {_TREE_NODE_PROJ} FROM best_right
 """
 
 

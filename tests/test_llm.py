@@ -194,6 +194,42 @@ def test_simhash_md5_source_matches_unbanded(docs):
         D.simhash_table(sample, bit_source="sha1")
 
 
+def test_simhash_dedup_attribution_matches_brute_force(docs):
+    """simhash_dedup (round 12, 120-bit wide sigs) must emit exactly:
+    for every doc with a smaller-id doc within the radius, the
+    smallest such id reachable in one signature hop via group minima,
+    with the hamming to that group's signature — brute-forced from the
+    signature table."""
+    import pytest as _pytest
+
+    sample = docs.filter("doc_id < 200")
+    wide = D.simhash_table_wide(sample)
+    sigs = {r.doc_id: (r.sig1, r.sig2) for r in wide.collect()}
+    assert all(
+        0 <= s1 < 2**60 and 0 <= s2 < 2**60 for s1, s2 in sigs.values()
+    )
+    gmin: dict = {}
+    for d, s in sigs.items():
+        gmin[s] = min(gmin.get(s, d), d)
+    expect = {}
+    for d, s in sigs.items():
+        best = None
+        for t, g in gmin.items():
+            h = bin(s[0] ^ t[0]).count("1") + bin(s[1] ^ t[1]).count("1")
+            if h <= 3 and (best is None or g < best[0]):
+                best = (g, h)
+        if best and best[0] < d:
+            expect[d] = best
+    got = {
+        r.doc_id: (r.dup_of, r.hamming)
+        for r in D.simhash_dedup(sample, max_hamming=3, sigs=wide).collect()
+    }
+    assert got == expect
+    assert len(got) > 0, "fixture premise: sample must contain near-dups"
+    with _pytest.raises(ValueError):
+        D.simhash_dedup(sample, max_hamming=4, sigs=wide)  # width 24 ∤ 60
+
+
 def test_brute_force_topk_contract(vecs):
     q = vecs.filter("vec_id < 3").selectExpr("vec_id q_id", "embedding q_vec")
     c = vecs.selectExpr("vec_id c_id", "embedding c_vec")

@@ -324,6 +324,78 @@ def test_decision_stump_tie_breaks_low_threshold(spark):
     assert r.threshold == 1 and r.impurity == 0.0
 
 
+def test_tree_depth2_recovers_planted_and(spark):
+    """AND-shaped labels (label = x1<=5 AND x2<=5) need exactly depth
+    2: the root sees the x1 midpoint (unique Gini minimum, symmetric
+    tie broken to feature 1), the left branch then isolates the
+    positive quadrant on x2 to impurity 0, and the all-negative right
+    branch is constant (every split impurity 0 → tie-break to feature
+    1, smallest threshold).  (XOR deliberately NOT used: at the root
+    every XOR split ties — greedy CART can't see it.)"""
+    rows = [
+        (x1, x2, 1 if (x1 <= 5 and x2 <= 5) else 0)
+        for x1 in range(1, 11)
+        for x2 in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, label int")
+    out = {r.node: r for r in ml.tree_depth2(df, "x1", "x2", "label").collect()}
+    assert set(out) == {"root", "left", "right"}
+    r = out["root"]
+    assert r.feature == 1 and r.threshold == 5
+    assert r.n_left == 50 and r.n_right == 50
+    left = out["left"]
+    assert left.feature == 2 and left.threshold == 5
+    assert left.impurity == 0.0
+    assert left.n_left == 25 and left.n_right == 25
+    assert left.left_class == 1 and left.right_class == 0
+    right = out["right"]  # constant-0 branch: all splits tie at 0
+    assert right.feature == 1 and right.threshold == 6
+    assert right.impurity == 0.0
+    assert right.left_class == 0 and right.right_class == 0
+
+
+def test_tree_depth2_matches_brute_force(spark):
+    """On a small random-ish (but deterministic) grid, every reported
+    node must be the true Gini argmin over all (feature, threshold)
+    candidates of its slice, under the (impurity, feature, threshold)
+    tie-break — brute-forced in Python."""
+    rows = [
+        (x1, x2, 1 if ((x1 * 7 + x2 * 3) % 11) < 4 else 0)
+        for x1 in range(1, 7)
+        for x2 in range(1, 9)
+    ]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, label int")
+    out = {r.node: r for r in ml.tree_depth2(df, "x1", "x2", "label").collect()}
+
+    def brute(sub):
+        best = None
+        for fi in (0, 1):
+            xs = sorted({r[fi] for r in sub})
+            for t in xs[:-1]:
+                left = [r for r in sub if r[fi] <= t]
+                right = [r for r in sub if r[fi] > t]
+                def gini_num(part):
+                    n = len(part)
+                    n1 = sum(r[2] for r in part)
+                    n0 = n - n1
+                    return (n * n - n0 * n0 - n1 * n1) / n
+                imp = gini_num(left) + gini_num(right)
+                key = (imp, fi + 1, t)
+                if best is None or key < best:
+                    best = key
+        return best
+
+    b_root = brute(rows)
+    assert (out["root"].feature, out["root"].threshold) == (b_root[1], b_root[2])
+    fi = b_root[1] - 1
+    left_rows = [r for r in rows if r[fi] <= b_root[2]]
+    right_rows = [r for r in rows if r[fi] > b_root[2]]
+    for node, sub in (("left", left_rows), ("right", right_rows)):
+        bb = brute(sub)
+        assert (out[node].feature, out[node].threshold) == (bb[1], bb[2])
+        assert out[node].n_left + out[node].n_right == len(sub)
+
+
 def test_bagged_stumps_per_tree_splits_and_vote_accounting(spark):
     # two disjoint "trees" with opposite planted splits; the ensemble
     # vote (2 trees, strict majority) only predicts 1 when BOTH agree

@@ -560,3 +560,101 @@ def test_fold_matches_dict_model_random_chains(spark, tmp_path):
                 r.k: r.payload for r in V.read_as_of(spark, path, v).collect()
             }
             assert got == expect, (case, v, got, expect)
+
+
+def test_merge_clone_restore_vacuum_match_dict_model(spark, tmp_path):
+    """Model-based check of the round-11 lakehouse surface (VERDICT r11
+    item 7, extending the fa68daf fold check): random interleavings of
+    merge_into / plain commit / restore / checkpoint+vacuum / shallow
+    clone over a small key domain, replayed against a plain dict.
+    Invariants at every step:
+
+      * read_as_of equals the model at EVERY still-retained version;
+      * MERGE resolves ops per the contract ('DEL' payload + matched →
+        tombstone, unmatched DEL → dropped no-op, else upsert);
+      * restore rewinds the model to the target state as a NEW version
+        (or no-ops when already equal);
+      * vacuum moves the retention horizon without disturbing any
+        retained read;
+      * clones are frozen forks — later source commits never leak in,
+        and a commit to a clone never leaks back.
+
+    Seeded stdlib randomness (the fold test's convention — no
+    hypothesis/Spark fixture interplay)."""
+    import random
+
+    rng = random.Random(0xC10E12)
+    for case in range(4):
+        path = str(tmp_path / f"m{case}")
+        V.init_table(path, key=["k"])
+        # seed commit: establishes the column set for merge's resolver
+        V.commit(path, _mk(spark, [(0, "seed", "u")]))
+        model = {0: "seed"}
+        states = [dict(), dict(model)]
+        horizon = 0
+        clones: list[tuple[str, dict]] = []
+        for step in range(rng.randint(5, 8)):
+            roll = rng.random()
+            if roll < 0.40:  # MERGE INTO
+                keys = rng.sample(range(8), rng.randint(1, 5))
+                rows = []
+                for kk in keys:
+                    pay = "DEL" if rng.random() < 0.3 else f"p{rng.randint(0, 99)}"
+                    rows.append((kk, pay))
+                src = spark.createDataFrame(rows, "k long, payload string")
+                V.merge_into(
+                    spark, path, src,
+                    delete_condition=F.col("payload") == "DEL",
+                )
+                for kk, pay in rows:
+                    if pay == "DEL":
+                        model.pop(kk, None)
+                    else:
+                        model[kk] = pay
+                states.append(dict(model))
+            elif roll < 0.60:  # plain commit (ops pre-resolved)
+                keys = rng.sample(range(8), rng.randint(1, 4))
+                rows = []
+                for kk in keys:
+                    if rng.random() < 0.3:
+                        rows.append((kk, None, "d"))
+                        model.pop(kk, None)
+                    else:
+                        pay = f"c{rng.randint(0, 99)}"
+                        rows.append((kk, pay, "u"))
+                        model[kk] = pay
+                V.commit(path, _mk(spark, rows))
+                states.append(dict(model))
+            elif roll < 0.80:  # RESTORE to a retained version
+                tv = rng.randrange(horizon, len(states))
+                ret = V.restore(spark, path, tv)
+                if model != states[tv]:
+                    model = dict(states[tv])
+                    states.append(dict(model))
+                    assert ret == len(states) - 1
+                else:  # no-op restore writes no commit
+                    assert ret == len(states) - 1
+            else:  # checkpoint current + vacuum older history
+                V.checkpoint(spark, path)
+                V.vacuum(path)
+                horizon = len(states) - 1
+            if rng.random() < 0.3:  # fork a frozen clone
+                cpath = str(tmp_path / f"m{case}_clone{len(clones)}")
+                V.clone_table(path, cpath)
+                clones.append((cpath, dict(model)))
+        for v in range(horizon, len(states)):
+            got = {
+                r.k: r.payload for r in V.read_as_of(spark, path, v).collect()
+            }
+            assert got == states[v], (case, v, got, states[v])
+        # clone independence, both directions
+        for cpath, snap in clones:
+            got = {r.k: r.payload for r in V.read_as_of(spark, cpath).collect()}
+            assert got == snap, (case, cpath, got, snap)
+        if clones:
+            cpath, _snap = clones[0]
+            V.commit(cpath, _mk(spark, [(7, "cloneonly", "u")]))
+            src_now = {
+                r.k: r.payload for r in V.read_as_of(spark, path).collect()
+            }
+            assert src_now == model, "clone write leaked into source"
