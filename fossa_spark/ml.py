@@ -722,6 +722,142 @@ def tree_depth2(
     return root.unionByName(left).unionByName(right)
 
 
+def forest_depth2(
+    df: DataFrame, x1_col: str, x2_col: str, label_col: str, tree_col: str
+) -> DataFrame:
+    """A bagged FOREST of depth-2 CART trees — :func:`tree_depth2`
+    vectorized across disjoint hash-partition bags (the
+    :func:`bagged_stumps` subbagging discipline: each tree trains on
+    its own deterministic slice, the variant both engines replay).
+
+    Fully distributed — no per-tree driver round-trip: ONE corpus
+    groupBy(tree, x1, x2) builds every tree's joint histogram together
+    (map-side combined; |trees|·|X1|·|X2| rows, control-plane for
+    binned features), per-tree root argmins run as row_number windows
+    PARTITIONED BY tree over the candidate relation, the branch
+    restriction is a broadcast join of the n_trees root rules back
+    onto the joint histogram, and per-(tree, branch) argmins window by
+    (tree, side).  Adding trees changes NO shuffle — the corpus pays
+    the same single pass at any forest size, which is the property
+    that matters at 100 TB.
+
+    Determinism: the q_stump impurity expression tree and the
+    (impurity, feature, threshold) tie-break, per tree.  Branches with
+    no candidate (single distinct value on both features) contribute
+    no row.
+
+    Returns up to 3·n_trees rows: (tree, node ∈ root/left/right,
+    feature 1|2, threshold, n_left, n_right, left_class, right_class,
+    impurity)."""
+    joint = (
+        df.groupBy(
+            F.col(tree_col).alias("tree"),
+            F.col(x1_col).alias("x1"),
+            F.col(x2_col).alias("x2"),
+        )
+        .agg(
+            F.sum(1 - F.col(label_col)).alias("n0"),
+            F.sum(label_col).alias("n1"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _cands(hist: DataFrame, keys: list[str]) -> DataFrame:
+        out = None
+        for fi, feat in ((1, "x1"), (2, "x2")):
+            m = hist.groupBy(*keys, F.col(feat).alias("x")).agg(
+                F.sum("n0").alias("n0"), F.sum("n1").alias("n1")
+            )
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy("x")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            cum = m.select(
+                *keys,
+                "x",
+                F.sum("n0").over(w).alias("l0"),
+                F.sum("n1").over(w).alias("l1"),
+            )
+            tot = m.groupBy(*keys).agg(
+                F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+            )
+            c = (
+                cum.join(F.broadcast(tot), keys)
+                .select(
+                    *keys,
+                    F.lit(fi).alias("feature"),
+                    F.col("x").alias("threshold"),
+                    "l0",
+                    "l1",
+                    (F.col("t0") - F.col("l0")).alias("r0"),
+                    (F.col("t1") - F.col("l1")).alias("r1"),
+                )
+                .filter((F.col("r0") + F.col("r1")) > 0)
+            )
+            out = c if out is None else out.unionByName(c)
+        nl = (F.col("l0") + F.col("l1")).cast("double")
+        nr = (F.col("r0") + F.col("r1")).cast("double")
+        l0d, l1d = F.col("l0").cast("double"), F.col("l1").cast("double")
+        r0d, r1d = F.col("r0").cast("double"), F.col("r1").cast("double")
+        imp = (nl * nl - l0d * l0d - l1d * l1d) / nl + (
+            nr * nr - r0d * r0d - r1d * r1d
+        ) / nr
+        return out.withColumn("impurity", imp)
+
+    def _best(cands: DataFrame, keys: list[str]) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("impurity").asc(),
+            F.col("feature").asc(),
+            F.col("threshold").asc(),
+        )
+        return (
+            cands.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                *keys,
+                "feature",
+                "threshold",
+                (F.col("l0") + F.col("l1")).alias("n_left"),
+                (F.col("r0") + F.col("r1")).alias("n_right"),
+                F.when(F.col("l1") > F.col("l0"), F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("left_class"),
+                F.when(F.col("r1") > F.col("r0"), F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("right_class"),
+                F.round(F.col("impurity"), 8).alias("impurity"),
+            )
+        )
+
+    roots = _best(_cands(joint, ["tree"]), ["tree"])
+    rules = roots.select("tree", "feature", "threshold")
+    sided = joint.join(F.broadcast(rules), "tree").withColumn(
+        "side",
+        F.when(
+            ((F.col("feature") == 1) & (F.col("x1") <= F.col("threshold")))
+            | ((F.col("feature") == 2) & (F.col("x2") <= F.col("threshold"))),
+            F.lit("left"),
+        ).otherwise(F.lit("right")),
+    ).drop("feature", "threshold")
+    branches = _best(_cands(sided, ["tree", "side"]), ["tree", "side"])
+    return (
+        roots.withColumn("node", F.lit("root"))
+        .select(
+            "tree", "node", "feature", "threshold", "n_left", "n_right",
+            "left_class", "right_class", "impurity",
+        )
+        .unionByName(
+            branches.select(
+                "tree",
+                F.col("side").alias("node"),
+                "feature", "threshold", "n_left", "n_right",
+                "left_class", "right_class", "impurity",
+            )
+        )
+    )
+
+
 def bagged_stumps(
     df: DataFrame,
     x_col: str,

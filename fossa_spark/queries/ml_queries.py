@@ -589,6 +589,113 @@ ORACLE["q_tree_depth2"] = f"""
 """
 
 
+def q_forest_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bagged FOREST of four depth-2 CART trees (ml.forest_depth2,
+    round 12): each tree trains on its own deterministic md5
+    hash-partition of lineitem (the q_bagged_stumps subbagging slice),
+    learning a root + two branch Gini splits over (quantity,
+    discount-cents) predicting returns.  Fully distributed: ONE corpus
+    groupBy(tree, x1, x2) builds all four joint histograms together;
+    every argmin is a row_number window partitioned by tree (or
+    tree × branch) over control-plane candidate relations — adding
+    trees changes no shuffle.  The oracle replays all 12 nodes:
+    per-tree windows, the branch restriction through a root-rule join,
+    and the (impurity, feature, threshold) tie-break."""
+    li = load(spark, sf_dir, "lineitem").select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 4
+        ).alias("tree"),
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        cents("l_discount").alias("x2"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    return ml.forest_depth2(li, "x1", "x2", "label", "tree")
+
+
+QUERIES["q_forest_depth2"] = q_forest_depth2
+
+
+def _forest_cands_sql(src: str, keys: str) -> str:
+    """Per-partition split candidates over both features of a
+    (keys…, x1, x2, n0, n1) histogram CTE — the _tree_cands_sql recipe
+    with every window PARTITIONED BY the bagging keys."""
+    parts = []
+    for f in (1, 2):
+        parts.append(f"""
+        SELECT {keys}, {f} AS feature, x AS threshold, l0, l1,
+               t0 - l0 AS r0, t1 - l1 AS r1
+        FROM (
+          SELECT {keys}, x,
+                 SUM(n0) OVER (PARTITION BY {keys} ORDER BY x
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS l0,
+                 SUM(n1) OVER (PARTITION BY {keys} ORDER BY x
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS l1,
+                 SUM(n0) OVER (PARTITION BY {keys}) AS t0,
+                 SUM(n1) OVER (PARTITION BY {keys}) AS t1
+          FROM (SELECT {keys}, x{f} AS x, SUM(n0) AS n0, SUM(n1) AS n1
+                FROM {src} GROUP BY {keys}, x)
+        ) WHERE (t0 - l0) + (t1 - l1) > 0""")
+    return " UNION ALL ".join(parts)
+
+
+def _forest_best_sql(src: str, keys: str) -> str:
+    """Per-partition argmin — row_number over (impurity ASC UNROUNDED,
+    feature ASC, threshold ASC) within the bagging keys."""
+    return f"""
+      SELECT {keys}, feature, threshold, l0, l1, r0, r1, impurity
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY {keys}
+                    ORDER BY impurity ASC, feature ASC, threshold ASC) AS rn
+        FROM (SELECT *, {_TREE_IMP} AS impurity
+              FROM ({_forest_cands_sql(src, keys)}))
+      ) WHERE rn = 1"""
+
+
+ORACLE["q_forest_depth2"] = f"""
+    WITH joint AS MATERIALIZED (
+      SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                                   || CAST(l_linenumber AS VARCHAR)),
+                   1, 2)) AS INTEGER) % 4 AS tree,
+             CAST(l_quantity AS BIGINT) AS x1,
+             {sql_cents("l_discount")} AS x2,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1
+      FROM lineitem GROUP BY 1, 2, 3
+    ),
+    best_root AS MATERIALIZED ({_forest_best_sql("joint", "tree")}),
+    sided AS MATERIALIZED (
+      SELECT j.tree, j.x1, j.x2, j.n0, j.n1,
+             CASE WHEN (r.feature = 1 AND j.x1 <= r.threshold)
+                    OR (r.feature = 2 AND j.x2 <= r.threshold)
+                  THEN 'left' ELSE 'right' END AS side
+      FROM joint j JOIN best_root r ON j.tree = r.tree
+    ),
+    best_branch AS ({_forest_best_sql("sided", "tree, side")})
+    SELECT tree, 'root' AS node, {_TREE_NODE_PROJ} FROM best_root
+    UNION ALL
+    SELECT tree, side AS node, {_TREE_NODE_PROJ} FROM best_branch
+"""
+
+
 def q_bagged_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BAGGED decision-stump ensemble (ml.bagged_stumps): four trees,
     each trained on its own deterministic md5 hash-partition of lineitem

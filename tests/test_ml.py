@@ -396,6 +396,40 @@ def test_tree_depth2_matches_brute_force(spark):
         assert out[node].n_left + out[node].n_right == len(sub)
 
 
+def test_forest_depth2_trees_equal_per_slice_tree_depth2(spark):
+    """Each forest tree must be EXACTLY what tree_depth2 learns on that
+    tree's slice alone — the windowed-per-tree argmin and the
+    collect-free branch restriction must not change any split."""
+    rows = []
+    for t in range(3):
+        for x1 in range(1, 7):
+            for x2 in range(1, 6):
+                # different planted structure per slice
+                lab = 1 if (x1 <= 2 + t and x2 <= 3) else 0
+                rows.append((t, x1, x2, lab))
+    df = spark.createDataFrame(rows, "tree int, x1 long, x2 long, label int")
+    forest = {
+        (r.tree, r.node): (
+            r.feature, r.threshold, r.n_left, r.n_right,
+            r.left_class, r.right_class, r.impurity,
+        )
+        for r in ml.forest_depth2(df, "x1", "x2", "label", "tree").collect()
+    }
+    for t in range(3):
+        single = {
+            r.node: (
+                r.feature, r.threshold, r.n_left, r.n_right,
+                r.left_class, r.right_class, r.impurity,
+            )
+            for r in ml.tree_depth2(
+                df.filter(F.col("tree") == t), "x1", "x2", "label"
+            ).collect()
+        }
+        for node, want in single.items():
+            assert forest[(t, node)] == want, (t, node)
+    assert len(forest) == 9
+
+
 def test_bagged_stumps_per_tree_splits_and_vote_accounting(spark):
     # two disjoint "trees" with opposite planted splits; the ensemble
     # vote (2 trees, strict majority) only predicts 1 when BOTH agree
