@@ -749,7 +749,18 @@ def forest_depth2(
     Returns up to 3·n_trees rows: (tree, node ∈ root/left/right,
     feature 1|2, threshold, n_left, n_right, left_class, right_class,
     impurity)."""
-    joint = (
+    return _forest_from_joint(
+        _forest_joint(df, x1_col, x2_col, label_col, tree_col)
+    )
+
+
+def _forest_joint(
+    df: DataFrame, x1_col: str, x2_col: str, label_col: str, tree_col: str
+) -> DataFrame:
+    """The forest's ONE corpus pass: joint per-tree value-domain
+    histogram, eagerly checkpointed (control-plane sized for binned
+    features; every downstream stage replays this, never the corpus)."""
+    return (
         df.groupBy(
             F.col(tree_col).alias("tree"),
             F.col(x1_col).alias("x1"),
@@ -761,6 +772,12 @@ def forest_depth2(
         )
         .localCheckpoint(eager=True)
     )
+
+
+def _forest_from_joint(joint: DataFrame) -> DataFrame:
+    """Forest training given the checkpointed joint histogram — split
+    out so :func:`forest_vote` can reuse one corpus pass for both
+    training and the vote accounting."""
 
     def _cands(hist: DataFrame, keys: list[str]) -> DataFrame:
         out = None
@@ -854,6 +871,110 @@ def forest_depth2(
                 "feature", "threshold", "n_left", "n_right",
                 "left_class", "right_class", "impurity",
             )
+        )
+    )
+
+
+def forest_vote(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    label_col: str,
+    tree_col: str,
+    n_trees: int,
+) -> DataFrame:
+    """Ensemble inference accounting for the depth-2 forest — every row
+    scored by ALL trees with a strict-majority vote, per-tree own-slice
+    accuracy plus ensemble accuracy, exact integers throughout (the
+    :func:`bagged_stumps` accounting upgraded to depth-2 rules).
+
+    The scale trick: a depth-2 prediction depends only on (x1, x2), so
+    the ENTIRE vote pass runs on the checkpointed joint histogram —
+    per-cell predictions weighted by the cell's (n0, n1) — and the
+    corpus is scanned exactly once (the histogram build shared with
+    training).  bagged_stumps pays a map-only corpus pass for its
+    vote; here even that disappears: cells × trees ≤ |X1|·|X2|·n_trees
+    rows of control-plane work.
+
+    Refuses degenerate ensembles loudly (a tree missing a root or a
+    branch would silently mis-vote — the advisor-r10 bagged_stumps
+    rule; with both branch rules present every cell inner-joins).
+
+    Returns one row per tree: (tree, n_rows, n_correct_tree,
+    n_rows_total, n_correct_ensemble) — ensemble totals repeated on
+    every row for hash checking; majority = strictly more 1-votes than
+    0-votes."""
+    joint = _forest_joint(df, x1_col, x2_col, label_col, tree_col)
+    forest = _forest_from_joint(joint).localCheckpoint()  # ≤ 3·n_trees rows
+    n_nodes = forest.count()
+    if n_nodes != 3 * n_trees:
+        raise ValueError(
+            f"forest_vote: expected {3 * n_trees} nodes "
+            f"({n_trees} trees × root/left/right), got {n_nodes} — a "
+            "degenerate slice produced no split; refusing to vote with "
+            "a silently shrunken ensemble"
+        )
+    roots = forest.filter(F.col("node") == "root").select(
+        "tree", F.col("feature").alias("rf"), F.col("threshold").alias("rt")
+    )
+    branches = forest.filter(F.col("node") != "root").select(
+        "tree",
+        F.col("node").alias("side"),
+        F.col("feature").alias("bf"),
+        F.col("threshold").alias("bt"),
+        "left_class",
+        "right_class",
+    )
+
+    def _pred(cells: DataFrame) -> DataFrame:
+        """(… , tree, x1, x2) → + side, pred — root rule picks the
+        branch, the branch rule picks the class."""
+        sided = cells.join(F.broadcast(roots), "tree").withColumn(
+            "side",
+            F.when(
+                ((F.col("rf") == 1) & (F.col("x1") <= F.col("rt")))
+                | ((F.col("rf") == 2) & (F.col("x2") <= F.col("rt"))),
+                F.lit("left"),
+            ).otherwise(F.lit("right")),
+        ).drop("rf", "rt")
+        return sided.join(F.broadcast(branches), ["tree", "side"]).withColumn(
+            "pred",
+            F.when(
+                ((F.col("bf") == 1) & (F.col("x1") <= F.col("bt")))
+                | ((F.col("bf") == 2) & (F.col("x2") <= F.col("bt"))),
+                F.col("left_class"),
+            ).otherwise(F.col("right_class")),
+        ).drop("bf", "bt", "left_class", "right_class", "side")
+
+    own = _pred(joint)  # per-cell own-tree prediction
+    # ensemble vote per DISTINCT (x1, x2): every tree scores every cell
+    cells = joint.select("x1", "x2").distinct()
+    evote = (
+        _pred(cells.crossJoin(F.broadcast(roots.select("tree"))))
+        .groupBy("x1", "x2")
+        .agg(
+            (F.sum("pred") * 2 > F.lit(n_trees)).cast("int").alias("epred")
+        )
+    )
+    scored = own.join(evote, ["x1", "x2"])
+    per_tree = scored.groupBy("tree").agg(
+        F.sum(F.col("n0") + F.col("n1")).alias("n_rows"),
+        F.sum(
+            F.when(F.col("pred") == 1, F.col("n1")).otherwise(F.col("n0"))
+        ).alias("n_correct_tree"),
+        F.sum(
+            F.when(F.col("epred") == 1, F.col("n1")).otherwise(F.col("n0"))
+        ).alias("n_correct_ens_part"),
+    )
+    totals = per_tree.agg(
+        F.sum("n_rows").alias("n_rows_total"),
+        F.sum("n_correct_ens_part").alias("n_correct_ensemble"),
+    )
+    return (
+        per_tree.crossJoin(F.broadcast(totals))
+        .select(
+            "tree", "n_rows", "n_correct_tree",
+            "n_rows_total", "n_correct_ensemble",
         )
     )
 

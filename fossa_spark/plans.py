@@ -324,6 +324,15 @@ ACCEPTED_SMELLS: dict[str, dict[str, str]] = {
         "feeding three argmin orderBy+limit(1)s (root + two branches) "
         "and the checkpointed <= 550-row joint histogram",
     },
+    "q_forest_vote": {
+        "cartesian": "the deliberate cells × trees expansion: the build "
+        "side is the n_trees-row root-rule relation (4 rows, fixed by "
+        "the bagging scheme) crossed with the DISTINCT (x1, x2) "
+        "value-domain cells (<= 550 by the quantity/discount domains; "
+        "binned features bound it at any corpus size) so every tree "
+        "scores every cell — the ensemble-vote grid is control-plane "
+        "by construction, and the corpus never joins it (ml.forest_vote)",
+    },
     "q_join_dpp": {
         "corpus-window": "the rarest-status pick ranks one row per "
         "o_orderstatus value (a 3-value categorical domain)",

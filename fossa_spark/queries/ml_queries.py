@@ -668,8 +668,7 @@ def _forest_best_sql(src: str, keys: str) -> str:
       ) WHERE rn = 1"""
 
 
-ORACLE["q_forest_depth2"] = f"""
-    WITH joint AS MATERIALIZED (
+_FOREST_CTES = f"""joint AS MATERIALIZED (
       SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
                                    || CAST(l_linenumber AS VARCHAR)),
                    1, 2)) AS INTEGER) % 4 AS tree,
@@ -689,10 +688,105 @@ ORACLE["q_forest_depth2"] = f"""
                   THEN 'left' ELSE 'right' END AS side
       FROM joint j JOIN best_root r ON j.tree = r.tree
     ),
-    best_branch AS ({_forest_best_sql("sided", "tree, side")})
+    best_branch AS MATERIALIZED ({_forest_best_sql("sided", "tree, side")})"""
+
+ORACLE["q_forest_depth2"] = f"""
+    WITH {_FOREST_CTES}
     SELECT tree, 'root' AS node, {_TREE_NODE_PROJ} FROM best_root
     UNION ALL
     SELECT tree, side AS node, {_TREE_NODE_PROJ} FROM best_branch
+"""
+
+
+def q_forest_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble inference for the depth-2 forest (ml.forest_vote, round
+    12): every lineitem row scored by all four depth-2 trees with a
+    strict-majority vote — per-tree own-slice accuracy + exact
+    ensemble accounting, the q_bagged_stumps accounting upgraded to
+    real trees.  The whole vote pass runs on the joint value-domain
+    histogram (a depth-2 prediction depends only on (x1, x2), so
+    per-cell predictions weighted by the cell's class counts are
+    exact): the corpus is scanned ONCE, shared with training; even
+    bagged_stumps' map-only vote pass disappears.  The oracle replays
+    training via the q_forest_depth2 CTEs, then the cell-grain vote."""
+    li = load(spark, sf_dir, "lineitem").select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 4
+        ).alias("tree"),
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        cents("l_discount").alias("x2"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    return ml.forest_vote(li, "x1", "x2", "label", "tree", n_trees=4)
+
+
+QUERIES["q_forest_vote"] = q_forest_vote
+
+ORACLE["q_forest_vote"] = f"""
+    WITH {_FOREST_CTES},
+    own AS (
+      SELECT s.tree, s.x1, s.x2, s.n0, s.n1,
+             CASE WHEN (bb.feature = 1 AND s.x1 <= bb.threshold)
+                    OR (bb.feature = 2 AND s.x2 <= bb.threshold)
+                  THEN (CASE WHEN bb.l1 > bb.l0 THEN 1 ELSE 0 END)
+                  ELSE (CASE WHEN bb.r1 > bb.r0 THEN 1 ELSE 0 END)
+             END AS pred
+      FROM sided s
+      JOIN best_branch bb ON bb.tree = s.tree AND bb.side = s.side
+    ),
+    cells AS (SELECT DISTINCT x1, x2 FROM joint),
+    allpred AS (
+      SELECT c.x1, c.x2, r.tree,
+             CASE WHEN (bb.feature = 1 AND c.x1 <= bb.threshold)
+                    OR (bb.feature = 2 AND c.x2 <= bb.threshold)
+                  THEN (CASE WHEN bb.l1 > bb.l0 THEN 1 ELSE 0 END)
+                  ELSE (CASE WHEN bb.r1 > bb.r0 THEN 1 ELSE 0 END)
+             END AS pred
+      FROM cells c
+      JOIN best_root r ON TRUE
+      JOIN best_branch bb ON bb.tree = r.tree
+           AND bb.side = CASE WHEN (r.feature = 1 AND c.x1 <= r.threshold)
+                                OR (r.feature = 2 AND c.x2 <= r.threshold)
+                              THEN 'left' ELSE 'right' END
+    ),
+    evote AS (
+      SELECT x1, x2, CASE WHEN SUM(pred) * 2 > 4 THEN 1 ELSE 0 END AS epred
+      FROM allpred GROUP BY x1, x2
+    ),
+    scored AS (
+      SELECT o.tree, o.n0, o.n1, o.pred, e.epred
+      FROM own o JOIN evote e ON o.x1 = e.x1 AND o.x2 = e.x2
+    ),
+    per_tree AS (
+      SELECT tree,
+             CAST(SUM(n0 + n1) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN pred = 1 THEN n1 ELSE n0 END) AS BIGINT)
+               AS n_correct_tree,
+             CAST(SUM(CASE WHEN epred = 1 THEN n1 ELSE n0 END) AS BIGINT)
+               AS ens_part
+      FROM scored GROUP BY tree
+    )
+    SELECT tree, n_rows, n_correct_tree,
+           CAST((SELECT SUM(n_rows) FROM per_tree) AS BIGINT)
+             AS n_rows_total,
+           CAST((SELECT SUM(ens_part) FROM per_tree) AS BIGINT)
+             AS n_correct_ensemble
+    FROM per_tree ORDER BY tree
 """
 
 

@@ -430,6 +430,63 @@ def test_forest_depth2_trees_equal_per_slice_tree_depth2(spark):
     assert len(forest) == 9
 
 
+def test_forest_vote_matches_python_replay(spark):
+    """forest_vote's accounting must equal a Python replay: score every
+    row by every tree's (root → branch → class) rule chain, strict
+    majority over n_trees, count exact corrects per tree and overall."""
+    rows = []
+    for t in range(2):
+        for x1 in range(1, 7):
+            for x2 in range(1, 6):
+                lab = 1 if (x1 <= 3) != (t == 1 and x2 <= 2) else 0
+                rows.append((t, x1, x2, lab))
+    df = spark.createDataFrame(rows, "tree int, x1 long, x2 long, label int")
+    trees = {}
+    for r in ml.forest_depth2(df, "x1", "x2", "label", "tree").collect():
+        trees.setdefault(r.tree, {})[r.node] = r
+
+    def predict(t, x1, x2):
+        root = trees[t]["root"]
+        side = (
+            "left"
+            if (x1 if root.feature == 1 else x2) <= root.threshold
+            else "right"
+        )
+        b = trees[t][side]
+        go_left = (x1 if b.feature == 1 else x2) <= b.threshold
+        return b.left_class if go_left else b.right_class
+
+    exp_tree = {t: [0, 0] for t in trees}  # n_rows, n_correct
+    exp_ens = 0
+    for t, x1, x2, lab in rows:
+        exp_tree[t][0] += 1
+        exp_tree[t][1] += predict(t, x1, x2) == lab
+        votes = sum(predict(tt, x1, x2) for tt in trees)
+        exp_ens += (1 if votes * 2 > len(trees) else 0) == lab
+    got = {
+        r.tree: r
+        for r in ml.forest_vote(
+            df, "x1", "x2", "label", "tree", n_trees=2
+        ).collect()
+    }
+    for t in trees:
+        assert got[t].n_rows == exp_tree[t][0]
+        assert got[t].n_correct_tree == exp_tree[t][1]
+    assert got[0].n_rows_total == len(rows)
+    assert got[0].n_correct_ensemble == exp_ens
+    # degenerate ensemble refused: a slice with one distinct value on
+    # both features yields no split for that tree
+    bad = df.unionByName(
+        spark.createDataFrame(
+            [(9, 1, 1, 0)] * 4, "tree int, x1 long, x2 long, label int"
+        )
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shrunken ensemble"):
+        ml.forest_vote(bad, "x1", "x2", "label", "tree", n_trees=3)
+
+
 def test_bagged_stumps_per_tree_splits_and_vote_accounting(spark):
     # two disjoint "trees" with opposite planted splits; the ensemble
     # vote (2 trees, strict majority) only predicts 1 when BOTH agree
