@@ -178,6 +178,108 @@ def lm_score(docs: DataFrame, vocab_k: int = 100, id_col: str = "doc_id",
     )
 
 
+_OOV = "\x01oov"  # sentinel outside any whitespace-token alphabet
+
+
+def lm_bigram_score(docs: DataFrame, vocab_k: int = 100,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document BIGRAM language-model score (round 12) — one Markov
+    order above :func:`lm_score`, the form whose perplexity ranking
+    actually separates fluent text from token soup (CCNet uses a KenLM
+    5-gram; the bigram keeps the same plumbing SQL-checkable).
+
+    Model: tokens outside the top-``vocab_k`` unigram vocabulary map to
+    one OOV symbol FIRST (the open-vocabulary trick that bounds every
+    model table), then add-one-smoothed bigram probabilities
+    P(w2 | w1) = (c(w1,w2) + 1) / (c(w1,·) + V) over the mapped
+    alphabet, V = its distinct-symbol count.  Trained on the corpus
+    itself, so after mapping every document bigram exists in the model
+    — no unseen-pair branch.  Log-probs are rounded to 8 dp and scaled
+    to exact 1e8-integers (the lm_score convention: the per-doc sum
+    must be an order-independent bigint); docs with < 2 tokens have no
+    bigram and contribute no row.
+
+    Scale shape: one explode for the unigram vocabulary (top-K
+    broadcast back), one per-doc bigram explode built from the token
+    ARRAY (transform over index pairs — no positional self-join), one
+    (doc, w1, w2) groupBy; every model table is ≤ (K+1)² rows and
+    rides broadcast joins.  The corpus never reshuffles for the model."""
+    base = docs.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    uni = docs.select(F.explode(tokens(text_col)).alias("token"))
+    counts = uni.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = (
+        counts.orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(vocab_k)
+        .select("token")
+    )
+    muni = uni.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(True))), "token", "left"
+    ).select(
+        F.when(F.col("_in"), F.col("token")).otherwise(F.lit(_OOV)).alias("m")
+    )
+    v_total = muni.agg(
+        F.count_distinct("m").cast("double").alias("v_total")
+    )
+    bi = base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+    for side in ("w1", "w2"):
+        bi = bi.join(
+            F.broadcast(
+                vocab.select(F.col("token").alias(side))
+                .withColumn(f"_in{side}", F.lit(True))
+            ),
+            side,
+            "left",
+        ).withColumn(
+            f"m{side[1]}",
+            F.when(F.col(f"_in{side}"), F.col(side)).otherwise(F.lit(_OOV)),
+        ).drop(side, f"_in{side}")
+    cb = bi.groupBy("m1", "m2").agg(F.count(F.lit(1)).alias("cb"))
+    cl = cb.groupBy("m1").agg(F.sum("cb").alias("cl"))
+    lm = (
+        cb.join(F.broadcast(cl), "m1")
+        .crossJoin(F.broadcast(v_total))
+        .select(
+            "m1",
+            "m2",
+            F.round(
+                F.log(
+                    (F.col("cb").cast("double") + 1.0)
+                    / (F.col("cl").cast("double") + F.col("v_total"))
+                )
+                * 1e8
+            ).cast("bigint").alias("lp"),
+        )
+    )
+    dbg = bi.groupBy(id_col, "m1", "m2").agg(F.count(F.lit(1)).alias("n"))
+    scored = dbg.join(F.broadcast(lm), ["m1", "m2"])
+    return scored.groupBy(id_col).agg(
+        F.sum("n").alias("n_bigrams"),
+        F.sum(
+            F.when(
+                (F.col("m1") == _OOV) | (F.col("m2") == _OOV), F.col("n")
+            ).otherwise(F.lit(0))
+        ).alias("n_oov_bigrams"),
+        F.sum(F.col("n") * F.col("lp")).alias("sum_lp"),
+        F.round(
+            F.sum(F.col("n") * F.col("lp")).cast("double")
+            / F.sum("n").cast("double")
+            / 1e8,
+            8,
+        ).alias("avg_logprob"),
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Top-``k`` terms per document by TF-IDF.

@@ -743,6 +743,18 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.lm_score(d, vocab_k=100).orderBy("doc_id")
 
 
+def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score per document (round 12,
+    llm/text.py lm_bigram_score) — one Markov order above q_lm_score:
+    top-100-vocabulary OOV mapping first, then add-one-smoothed
+    P(w2|w1) over the mapped alphabet, per-token log-probs as exact
+    1e8-scaled integers, one double division at the end.  The corpus
+    pays one vocabulary explode and one (doc, w1, w2) groupBy; every
+    model table is vocabulary-bounded and broadcast."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    return X.lm_bigram_score(d, vocab_k=100).orderBy("doc_id")
+
+
 def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch under an EXACT oracle — possible because the hash
     rows use md5 bucketing, which both engines compute identically (the
@@ -1218,6 +1230,7 @@ QUERIES = {
     "q_audio_fingerprint": q_audio_fingerprint,
     "q_video_fingerprint": q_video_fingerprint,
     "q_lm_score": q_lm_score,
+    "q_lm_bigram": q_lm_bigram,
     "q_sketch_cms": q_sketch_cms,
     "q_embed_standardize": q_embed_standardize,
     "q_dedup_substring": q_dedup_substring,
@@ -2241,6 +2254,59 @@ ORACLE = {
                round(CAST(SUM(n * lp) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
                      / 1e8, 8) AS avg_logprob
         FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    "q_lm_bigram": """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS tl FROM documents
+        ),
+        uni AS (
+          SELECT t.token
+          FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
+        ),
+        counts AS (SELECT token, COUNT(*) AS freq FROM uni GROUP BY token),
+        vocab AS (SELECT token FROM counts
+                  ORDER BY freq DESC, token ASC LIMIT 100),
+        muni AS (
+          SELECT CASE WHEN v.token IS NOT NULL THEN u.token
+                      ELSE chr(1) || 'oov' END AS m
+          FROM uni u LEFT JOIN vocab v ON u.token = v.token
+        ),
+        vt AS (SELECT CAST(COUNT(DISTINCT m) AS DOUBLE) AS v_total FROM muni),
+        bi AS (
+          SELECT doc_id,
+                 CASE WHEN v1.token IS NOT NULL THEN w1
+                      ELSE chr(1) || 'oov' END AS m1,
+                 CASE WHEN v2.token IS NOT NULL THEN w2
+                      ELSE chr(1) || 'oov' END AS m2
+          FROM (
+            SELECT doc_id, tl[p] AS w1, tl[p + 1] AS w2
+            FROM toks, unnest(generate_series(1, len(tl) - 1)) AS g(p)
+            WHERE len(tl) >= 2
+          )
+          LEFT JOIN vocab v1 ON w1 = v1.token
+          LEFT JOIN vocab v2 ON w2 = v2.token
+        ),
+        cb AS (SELECT m1, m2, COUNT(*) AS cb FROM bi GROUP BY m1, m2),
+        cl AS (SELECT m1, SUM(cb) AS cl FROM cb GROUP BY m1),
+        lm AS (
+          SELECT cb.m1, cb.m2,
+                 CAST(round(ln((CAST(cb.cb AS DOUBLE) + 1.0)
+                               / (CAST(cl.cl AS DOUBLE)
+                                  + (SELECT v_total FROM vt))) * 1e8)
+                      AS BIGINT) AS lp
+          FROM cb JOIN cl USING (m1)
+        ),
+        dbg AS (SELECT doc_id, m1, m2, COUNT(*) AS n
+                FROM bi GROUP BY doc_id, m1, m2)
+        SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN m1 = chr(1) || 'oov'
+                               OR m2 = chr(1) || 'oov'
+                             THEN n ELSE 0 END) AS BIGINT) AS n_oov_bigrams,
+               CAST(SUM(n * lp) AS BIGINT) AS sum_lp,
+               round(CAST(SUM(n * lp) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                     / 1e8, 8) AS avg_logprob
+        FROM dbg JOIN lm USING (m1, m2) GROUP BY doc_id ORDER BY doc_id
     """,
     "q_text_stats": """
         SELECT source, COUNT(*) AS n_docs,

@@ -1002,3 +1002,50 @@ def test_video_fingerprint_is_stable_and_distinct(spark):
     h2 = {r.media_id: r.phash for r in M.video_fingerprint(base).collect()}
     assert h == h2
     assert len(set(h.values())) == 8
+
+
+def test_lm_bigram_matches_python_replay(spark):
+    """lm_bigram_score (round 12) vs a pure-Python replay on a tiny
+    corpus with a forced OOV (vocab_k below the distinct-token count):
+    same bigram counts, same add-one log-probs (1e8-int convention),
+    same per-doc sums; a 1-token doc contributes no row."""
+    import math
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "cat and dog and cat"),
+        (4, "zzz"),               # single token: no bigram, no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 6
+    out = {r.doc_id: r for r in X.lm_bigram_score(df, vocab_k=k).collect()}
+    assert 4 not in out and set(out) == {1, 2, 3}
+
+    toks = {d: t.lower().split(" ") for d, t in rows}
+    uni: dict = {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+    vocab = {w for w, _ in sorted(uni.items(), key=lambda x: (-x[1], x[0]))[:k]}
+    OOV = "\x01oov"
+    m = lambda w: w if w in vocab else OOV  # noqa: E731
+    v_total = len({m(w) for t in toks.values() for w in t})
+    cb: dict = {}
+    for t in toks.values():
+        for a, b in zip(t, t[1:]):
+            cb[(m(a), m(b))] = cb.get((m(a), m(b)), 0) + 1
+    cl: dict = {}
+    for (a, _b), n in cb.items():
+        cl[a] = cl.get(a, 0) + n
+    lp = {
+        pair: round(math.log((n + 1.0) / (cl[pair[0]] + float(v_total))) * 1e8)
+        for pair, n in cb.items()
+    }
+    for d in (1, 2, 3):
+        grams = [(m(a), m(b)) for a, b in zip(toks[d], toks[d][1:])]
+        assert out[d].n_bigrams == len(grams)
+        assert out[d].n_oov_bigrams == sum(
+            1 for a, b in grams if OOV in (a, b)
+        )
+        assert out[d].sum_lp == sum(lp[g] for g in grams), d
