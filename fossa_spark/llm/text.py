@@ -261,22 +261,104 @@ def lm_bigram_score(docs: DataFrame, vocab_k: int = 100,
             ).cast("bigint").alias("lp"),
         )
     )
-    dbg = bi.groupBy(id_col, "m1", "m2").agg(F.count(F.lit(1)).alias("n"))
-    scored = dbg.join(F.broadcast(lm), ["m1", "m2"])
+    # Score the exploded stream directly: the LM is broadcast, so the
+    # join is map-side and the ONLY corpus shuffle is the final
+    # map-side-combined groupBy to DOC grain.  (The first cut staged an
+    # intermediate (doc, w1, w2) relation — nearly bigram-grain, since
+    # most bigrams are unique within a doc — and paid a second ~corpus
+    # shuffle for it: sf10 warm 38.8 s; this shape ~halves it.)
+    scored = bi.join(F.broadcast(lm), ["m1", "m2"])
     return scored.groupBy(id_col).agg(
-        F.sum("n").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_bigrams"),
         F.sum(
             F.when(
-                (F.col("m1") == _OOV) | (F.col("m2") == _OOV), F.col("n")
+                (F.col("m1") == _OOV) | (F.col("m2") == _OOV), F.lit(1)
             ).otherwise(F.lit(0))
         ).alias("n_oov_bigrams"),
-        F.sum(F.col("n") * F.col("lp")).alias("sum_lp"),
+        F.sum("lp").alias("sum_lp"),
         F.round(
-            F.sum(F.col("n") * F.col("lp")).cast("double")
-            / F.sum("n").cast("double")
+            F.sum("lp").cast("double")
+            / F.count(F.lit(1)).cast("double")
             / 1e8,
             8,
         ).alias("avg_logprob"),
+    )
+
+
+def domain_kl(docs: DataFrame, by: str = "source", vocab_k: int = 100,
+              text_col: str = "text") -> DataFrame:
+    """Per-domain KL divergence KL(P_domain ‖ P_corpus) over the
+    add-one-smoothed top-``vocab_k`` unigram distributions — the
+    domain-shift / mixture-drift signal a curation pipeline watches
+    when reweighting sources (round 12).
+
+    Exactness: each vocabulary term's contribution
+    p_d·(ln p_d − ln p_c) is ONE identical IEEE expression tree per
+    engine, rounded to an exact 1e8-scaled integer BEFORE the sum — so
+    the per-domain total is an order-independent bigint (the lm_score
+    log convention applied termwise; a raw double Σ would not be
+    associative).  Absent-in-domain vocabulary still contributes
+    (add-one gives it mass), so the sum runs over the full
+    (domain × mapped-vocab) grid.
+
+    Scale shape: one corpus explode → token counts; the top-K vocab +
+    OOV mapping bounds every downstream relation at (K+1)·|domains|
+    rows; the grid is a cross join of two control-plane relations.
+    Returns (domain, n_tokens, kl_scaled, kl) ordered by domain."""
+    uni = docs.select(
+        F.col(by).alias("domain"), F.explode(tokens(text_col)).alias("token")
+    )
+    counts = uni.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = (
+        counts.orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(vocab_k)
+        .select("token")
+    )
+    mapped = uni.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(True))), "token", "left"
+    ).select(
+        "domain",
+        F.when(F.col("_in"), F.col("token")).otherwise(F.lit(_OOV)).alias("m"),
+    )
+    cd = mapped.groupBy("domain", "m").agg(F.count(F.lit(1)).alias("cd"))
+    cc = mapped.groupBy("m").agg(F.count(F.lit(1)).alias("cc"))
+    nd = mapped.groupBy("domain").agg(F.count(F.lit(1)).alias("nd"))
+    scal = cc.agg(
+        F.sum("cc").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("v_total"),
+    )
+    grid = (
+        nd.crossJoin(F.broadcast(cc))
+        .join(cd, ["domain", "m"], "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "domain",
+            "nd",
+            (
+                (F.coalesce("cd", F.lit(0)).cast("double") + 1.0)
+                / (F.col("nd").cast("double") + F.col("v_total"))
+            ).alias("pd"),
+            (
+                (F.col("cc").cast("double") + 1.0)
+                / (F.col("n_total") + F.col("v_total"))
+            ).alias("pc"),
+        )
+    )
+    term = F.round(
+        F.col("pd") * (F.log("pd") - F.log("pc")) * 1e8
+    ).cast("bigint")
+    return (
+        grid.groupBy("domain")
+        .agg(
+            F.max("nd").alias("n_tokens"),
+            F.sum(term).alias("kl_scaled"),
+        )
+        .select(
+            "domain",
+            "n_tokens",
+            "kl_scaled",
+            F.round(F.col("kl_scaled").cast("double") / 1e8, 8).alias("kl"),
+        )
     )
 
 

@@ -755,6 +755,18 @@ def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.lm_bigram_score(d, vocab_k=100).orderBy("doc_id")
 
 
+def q_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence against the corpus unigram distribution
+    (round 12, llm/text.py domain_kl) — the domain-shift signal for
+    mixture curation: add-one-smoothed top-100-vocab distributions,
+    each KL term rounded to an exact 1e8-integer before the bigint sum
+    (order-independent; a raw double Σ is not associative).  Every
+    model relation is vocabulary-bounded; the corpus pays one explode
+    + one (domain, token) groupBy."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    return X.domain_kl(d, by="source", vocab_k=100).orderBy("domain")
+
+
 def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch under an EXACT oracle — possible because the hash
     rows use md5 bucketing, which both engines compute identically (the
@@ -1231,6 +1243,7 @@ QUERIES = {
     "q_video_fingerprint": q_video_fingerprint,
     "q_lm_score": q_lm_score,
     "q_lm_bigram": q_lm_bigram,
+    "q_domain_kl": q_domain_kl,
     "q_sketch_cms": q_sketch_cms,
     "q_embed_standardize": q_embed_standardize,
     "q_dedup_substring": q_dedup_substring,
@@ -2307,6 +2320,42 @@ ORACLE = {
                round(CAST(SUM(n * lp) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
                      / 1e8, 8) AS avg_logprob
         FROM dbg JOIN lm USING (m1, m2) GROUP BY doc_id ORDER BY doc_id
+    """,
+    "q_domain_kl": """
+        WITH uni AS (
+          SELECT source AS domain, t.token
+          FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
+        ),
+        counts AS (SELECT token, COUNT(*) AS freq FROM uni GROUP BY token),
+        vocab AS (SELECT token FROM counts
+                  ORDER BY freq DESC, token ASC LIMIT 100),
+        mapped AS (
+          SELECT domain, CASE WHEN v.token IS NOT NULL THEN u.token
+                              ELSE chr(1) || 'oov' END AS m
+          FROM uni u LEFT JOIN vocab v ON u.token = v.token
+        ),
+        cd AS (SELECT domain, m, COUNT(*) AS cd FROM mapped GROUP BY 1, 2),
+        cc AS (SELECT m, COUNT(*) AS cc FROM mapped GROUP BY m),
+        nd AS (SELECT domain, COUNT(*) AS nd FROM mapped GROUP BY domain),
+        scal AS (SELECT CAST(SUM(cc) AS DOUBLE) AS n_total,
+                        CAST(COUNT(*) AS DOUBLE) AS v_total FROM cc),
+        grid AS (
+          SELECT n.domain, n.nd,
+                 (CAST(COALESCE(d.cd, 0) AS DOUBLE) + 1.0)
+                   / (CAST(n.nd AS DOUBLE) + s.v_total) AS pd,
+                 (CAST(c.cc AS DOUBLE) + 1.0)
+                   / (s.n_total + s.v_total) AS pc
+          FROM nd n
+          CROSS JOIN cc c
+          LEFT JOIN cd d ON d.domain = n.domain AND d.m = c.m
+          CROSS JOIN scal s
+        )
+        SELECT domain, CAST(MAX(nd) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(round(pd * (ln(pd) - ln(pc)) * 1e8) AS BIGINT))
+                    AS BIGINT) AS kl_scaled,
+               round(CAST(SUM(CAST(round(pd * (ln(pd) - ln(pc)) * 1e8)
+                                   AS BIGINT)) AS DOUBLE) / 1e8, 8) AS kl
+        FROM grid GROUP BY domain ORDER BY domain
     """,
     "q_text_stats": """
         SELECT source, COUNT(*) AS n_docs,

@@ -1049,3 +1049,50 @@ def test_lm_bigram_matches_python_replay(spark):
             1 for a, b in grams if OOV in (a, b)
         )
         assert out[d].sum_lp == sum(lp[g] for g in grams), d
+
+
+def test_domain_kl_matches_python_replay(spark):
+    """domain_kl (round 12) vs a pure-Python replay: same grid, same
+    termwise-rounded 1e8-int KL contributions, same totals; a domain
+    whose distribution IS the corpus scores ~0, a disjoint-vocabulary
+    domain scores clearly higher."""
+    import math
+
+    rows = (
+        [(i, "alpha beta gamma delta", "a") for i in range(8)]
+        + [(100 + i, "alpha beta gamma delta", "b") for i in range(8)]
+        + [(200 + i, "omega psi chi phi", "c") for i in range(8)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.domain: r for r in X.domain_kl(df, vocab_k=6).collect()}
+
+    toks = [(s, w) for _d, t, s in rows for w in t.lower().split(" ")]
+    uni: dict = {}
+    for _s, w in toks:
+        uni[w] = uni.get(w, 0) + 1
+    vocab = {w for w, _ in sorted(uni.items(), key=lambda x: (-x[1], x[0]))[:6]}
+    OOV = "\x01oov"
+    m = lambda w: w if w in vocab else OOV  # noqa: E731
+    mtoks = [(s, m(w)) for s, w in toks]
+    cc: dict = {}
+    cd: dict = {}
+    nd: dict = {}
+    for s, w in mtoks:
+        cc[w] = cc.get(w, 0) + 1
+        cd[(s, w)] = cd.get((s, w), 0) + 1
+        nd[s] = nd.get(s, 0) + 1
+    n_total, v_total = float(len(mtoks)), float(len(cc))
+    for s in nd:
+        kl = 0
+        for w, c in cc.items():
+            pd = (float(cd.get((s, w), 0)) + 1.0) / (float(nd[s]) + v_total)
+            pc = (float(c) + 1.0) / (n_total + v_total)
+            kl += round(pd * (math.log(pd) - math.log(pc)) * 1e8)
+        assert out[s].kl_scaled == kl, s
+        assert out[s].n_tokens == nd[s]
+    # a and b are identical halves of the corpus, c is disjoint: the
+    # disjoint domain must diverge strictly more (add-one smoothing
+    # gives a/b real mass too — absent c-vocabulary still costs them —
+    # so the right invariant is ordering, not orders of magnitude)
+    assert out["a"].kl_scaled == out["b"].kl_scaled
+    assert out["c"].kl_scaled > out["a"].kl_scaled
