@@ -372,3 +372,89 @@ def hits(edges: DataFrame, iters: int = 2,
         hubs.select("node", F.col("s").alias("score_scaled")),
         auths.select("node", F.col("s").alias("score_scaled")),
     )
+
+
+def triangles(
+    edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Exact triangle counting + global clustering coefficient over an
+    undirected simple graph given as canonical (a < b) pairs — the
+    degree-ordered orientation algorithm (each edge points from its
+    lower-(degree, id) endpoint to the higher one, so every node's
+    out-degree is O(√m) on any graph and the wedge join's fan-out is
+    bounded no matter how skewed the degree distribution: the classic
+    MapReduce triangle-counting discipline).
+
+    Per triangle {u, v, w} exactly ONE oriented wedge u→v, u→w with
+    ord(v) < ord(w) exists and is closed by the oriented edge v→w, so
+    counts are exact with no dedup pass.  Scale shape: degree = one
+    groupBy over 2m endpoint rows; the wedge join and the closing join
+    are equi-joins on node ids; total wedge work is Σ out-deg² ≤
+    O(m^1.5).
+
+    Returns one row per node that participates in ≥ 1 triangle:
+    (node, n_tri) with the graph totals repeated on every row
+    (n_triangles, n_wedges = Σ C(deg,2), gcc = 3·triangles/wedges
+    rounded 8 dp) for hash checking."""
+    p = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    deg = (
+        p.select(F.col("a").alias("node"))
+        .unionAll(p.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    j = (
+        p.join(deg.select(F.col("node").alias("a"),
+                          F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    )
+    o1 = o.select(F.col("src"), F.col("dst").alias("v"),
+                  F.col("dst_deg").alias("vdeg"))
+    o2 = o.select(F.col("src"), F.col("dst").alias("w"),
+                  F.col("dst_deg").alias("wdeg"))
+    wedge = o1.join(o2, "src").filter(
+        (F.col("vdeg") < F.col("wdeg"))
+        | ((F.col("vdeg") == F.col("wdeg")) & (F.col("v") < F.col("w")))
+    )
+    tri = wedge.join(
+        o.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    ).select(F.col("src").alias("u"), "v", "w")
+    pern = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    totals = tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        F.broadcast(
+            deg.agg(
+                F.sum(F.expr("(deg * (deg - 1)) div 2"))
+                .alias("n_wedges")
+            )
+        )
+    )
+    return (
+        pern.crossJoin(F.broadcast(totals))
+        .select(
+            "node",
+            "n_tri",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"),
+                8,
+            ).alias("gcc"),
+        )
+    )

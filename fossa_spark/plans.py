@@ -324,6 +324,13 @@ ACCEPTED_SMELLS: dict[str, dict[str, str]] = {
         "feeding three argmin orderBy+limit(1)s (root + two branches) "
         "and the checkpointed <= 550-row joint histogram",
     },
+    "q_dedup_triangles": {
+        "cartesian": "two ONE-ROW broadcast ride-alongs: the triangle "
+        "total joined with the Σ C(deg,2) wedge total, and that 1-row "
+        "totals relation repeated onto the per-node counts for hash "
+        "checking (graph.triangles) — the q_stump tot-broadcast shape, "
+        "never a data-sized build side",
+    },
     "q_forest_vote": {
         "cartesian": "the deliberate cells × trees expansion: the build "
         "side is the n_trees-row root-rule relation (4 rows, fixed by "

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fossa_spark import graph as G
 from fossa_spark.llm import classifier as CL
 from fossa_spark.llm import dedup as D
 from fossa_spark.llm import multimodal as M
@@ -190,6 +191,27 @@ def _simhash_oracle(max_hamming: int = 3) -> str:
         WHERE ch.canon < st.doc_id
         ORDER BY doc_id
     """
+
+
+def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + global clustering coefficient of the
+    NEAR-DUP PAIR GRAPH (round 12, graph.py triangles) — how cliquish
+    the duplicate clusters are: a high gcc says near-dup pairs close
+    into transitive groups (safe to collapse via connected components),
+    a low one says chains (collapse loses distinct documents).
+
+    Uses the DEGREE-ORDERED orientation (each edge points to its
+    higher-(degree, id) endpoint, out-degree O(√m) on any graph) — the
+    skew refinement q_triangles' id-ordered census defers; per-node
+    counts come free because each triangle is materialized exactly
+    once.  Edge substrate = staged_ngram_pairs (the q_dedup_ngram
+    relation, df ≤ 100 capped); the oracle replays pairs + orientation
+    + wedge-close joins."""
+    d = load(spark, sf_dir, "documents")
+    pairs = D.staged_ngram_pairs(d, k=5, min_jaccard=0.5, max_df=100).select(
+        "id_a", "id_b"
+    )
+    return G.triangles(pairs).orderBy("node")
 
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1303,6 +1325,7 @@ QUERIES = {
     "q_dedup_consensus": q_dedup_consensus,
     "q_dedup_containment": q_dedup_containment,
     "q_dedup_boilerplate": q_dedup_boilerplate,
+    "q_dedup_triangles": q_dedup_triangles,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embed": q_dedup_embed,
     "q_dedup_incremental": q_dedup_incremental,
@@ -1870,6 +1893,84 @@ ORACLE = {
         WHERE CAST(n_inter AS DOUBLE)
                  / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
         ORDER BY id_a, id_b
+    """,
+    # q_dedup_ngram's pair chain + degree-ordered triangle census: the
+    # orientation, wedge join, closing join, per-node explode, and the
+    # Σ C(deg,2) wedge total all replayed relationally
+    "q_dedup_triangles": """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ),
+        sh0 AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(t[gs : gs + 4], ' ') AS shingle
+          FROM toks JOIN generate_series(1, 100000) AS g(gs)
+            ON gs <= greatest(len(t) - 4, 1)
+        ),
+        sh AS (
+          SELECT sh0.* FROM sh0
+          JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100)
+            USING (shingle)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a AS a, id_b AS b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(n_inter AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+        ),
+        deg AS (
+          SELECT node, COUNT(*) AS deg
+          FROM (SELECT a AS node FROM pairs
+                UNION ALL SELECT b AS node FROM pairs)
+          GROUP BY node
+        ),
+        o AS (
+          SELECT CASE WHEN da.deg < db.deg
+                        OR (da.deg = db.deg AND p.a < p.b)
+                      THEN p.a ELSE p.b END AS src,
+                 CASE WHEN da.deg < db.deg
+                        OR (da.deg = db.deg AND p.a < p.b)
+                      THEN p.b ELSE p.a END AS dst,
+                 CASE WHEN da.deg < db.deg
+                        OR (da.deg = db.deg AND p.a < p.b)
+                      THEN db.deg ELSE da.deg END AS dst_deg
+          FROM pairs p
+          JOIN deg da ON da.node = p.a
+          JOIN deg db ON db.node = p.b
+        ),
+        tri AS (
+          SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+          FROM o o1
+          JOIN o o2 ON o1.src = o2.src
+            AND (o1.dst_deg < o2.dst_deg
+                 OR (o1.dst_deg = o2.dst_deg AND o1.dst < o2.dst))
+          JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+        ),
+        pern AS (
+          SELECT node, COUNT(*) AS n_tri
+          FROM (SELECT u AS node FROM tri
+                UNION ALL SELECT v AS node FROM tri
+                UNION ALL SELECT w AS node FROM tri)
+          GROUP BY node
+        ),
+        tot AS (
+          SELECT (SELECT COUNT(*) FROM tri) AS n_triangles,
+                 (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT)
+                  FROM deg) AS n_wedges
+        )
+        SELECT node, CAST(n_tri AS BIGINT) AS n_tri,
+               CAST(n_triangles AS BIGINT) AS n_triangles, n_wedges,
+               round(3.0 * CAST(n_triangles AS DOUBLE)
+                     / CAST(n_wedges AS DOUBLE), 8) AS gcc
+        FROM pern CROSS JOIN tot ORDER BY node
     """,
     # q_dedup_ngram's CTE chain + per-pair exact cosine via the q_sim_topk
     # _DOT convention — the lexical pair relation is identical, so the

@@ -564,3 +564,39 @@ def test_anova_f_statistic_separates_group_means(spark):
     ).write.parquet(os.path.join(d2, "lineitem.parquet"))
     out2 = MQ.q_anova(spark, d2).collect()[0]
     assert out2.f_stat is not None and out2.f_stat > 1000.0
+
+
+def test_graph_triangles_per_node_matches_brute_force(spark):
+    """Degree-oriented per-node triangle counts (graph.triangles, round
+    12) vs itertools brute force on a planted graph with a hub (the
+    case degree orientation exists for), a 4-clique, and a chain."""
+    import itertools
+
+    from fossa_spark import graph as G
+
+    edges = (
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)]  # 4-clique
+        + [(10, i) for i in range(20, 30)]                # hub, no closure
+        + [(20, 21), (50, 51), (51, 52)]                  # one closed wedge
+    )
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    df = spark.createDataFrame(canon, "id_a long, id_b long")
+    eset = set(canon)
+    nodes = sorted({x for e in canon for x in e})
+    exp: dict = {}
+    n_tri = 0
+    for a, b, c in itertools.combinations(nodes, 3):
+        if ((a, b) in eset and (b, c) in eset and (a, c) in eset):
+            n_tri += 1
+            for x in (a, b, c):
+                exp[x] = exp.get(x, 0) + 1
+    deg: dict = {}
+    for a, b in canon:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    n_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    out = {r.node: r for r in G.triangles(df).collect()}
+    assert {n: r.n_tri for n, r in out.items()} == exp
+    row = next(iter(out.values()))
+    assert row.n_triangles == n_tri and row.n_wedges == n_wedges
+    assert abs(row.gcc - 3.0 * n_tri / n_wedges) < 1e-8
