@@ -324,6 +324,21 @@ ACCEPTED_SMELLS: dict[str, dict[str, str]] = {
         "feeding three argmin orderBy+limit(1)s (root + two branches) "
         "and the checkpointed <= 550-row joint histogram",
     },
+    "q_eval_ndcg": {
+        "cartesian": "the q_sim_topk shape: build side is the fixed "
+        "query set (vec_id < 20, broadcast) of the brute-force ranking "
+        "being evaluated; |corpus| x |queries| with constant queries is "
+        "row-linear, and everything after the top-10 cut is 200 rows",
+    },
+    "q_domain_kl": {
+        "cartesian": "the deliberate (domain × mapped-vocab) KL grid: "
+        "build side is the per-symbol corpus-count relation (≤ vocab_k "
+        "+ 1 rows, bounded by the top-K cut at any corpus size), probe "
+        "side the per-domain totals (one row per source — a fixed "
+        "taxonomy, never per-document); absent-in-domain vocabulary "
+        "must still contribute add-one mass, so the full grid IS the "
+        "operator (llm/text.py domain_kl)",
+    },
     "q_dedup_triangles": {
         "cartesian": "two ONE-ROW broadcast ride-alongs: the triangle "
         "total joined with the Σ C(deg,2) wedge total, and that 1-row "
