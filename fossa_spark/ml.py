@@ -653,6 +653,13 @@ def tree_depth2(
         )
         .localCheckpoint(eager=True)
     )
+    return _tree_from_joint(joint)
+
+
+def _tree_from_joint(joint: DataFrame) -> DataFrame:
+    """One depth-2 tree from a checkpointed (x1, x2, n0, n1) histogram —
+    n0/n1 may be plain counts (tree_depth2) or boosting WEIGHTS
+    (boosted_trees_depth2); the split math only ever sees the sums."""
 
     def _candidates(hist: DataFrame) -> DataFrame:
         cands = None
@@ -976,6 +983,146 @@ def forest_vote(
             "tree", "n_rows", "n_correct_tree",
             "n_rows_total", "n_correct_ensemble",
         )
+    )
+
+
+def boosted_trees_depth2(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    label_col: str,
+    rounds: int = 2,
+) -> DataFrame:
+    """Discrete AdaBoost over DEPTH-2 CART trees — the
+    :func:`boosted_stumps` integer schedule (misclassified weight ×3
+    per round, Laplace-smoothed log-odds alphas as 1e8-scaled BIGINTs,
+    strict-positive ensemble vote) with :func:`tree_depth2` as the
+    weak learner, upgrading the boosting kernel from stumps to real
+    CART steps (VERDICT r11 item 6's optional half).
+
+    The decisive structural fact: a depth-2 prediction depends only on
+    (x1, x2), so every row in a histogram CELL shares the same
+    prediction HISTORY and therefore the same weight at every round —
+    boosting state lives entirely on the joint value-domain histogram.
+    After the ONE corpus groupBy, training, reweighting, alpha
+    computation, and the final ensemble accounting are all
+    control-plane (≤ |X1|·|X2| cells per pass); boosted_stumps by
+    contrast re-scans the corpus-sized (x, label, w) frame each round.
+    Weights grow ≤ 3^rounds — bounded for shallow ensembles.
+
+    Alphas are computed as Spark expressions (one JVM ln each, the
+    ALPHA_SCALE convention) and re-embedded as literals in the vote;
+    tree rules are collected per round (3 rows — control-plane, the
+    tree_depth2 root-collect convention).  Raises on a degenerate
+    round (a branch with no split candidate would silently mis-vote).
+
+    Returns rounds×3 rows: (round, node, feature, threshold, n_left,
+    n_right, left_class, right_class, impurity) — n_*/impurity are the
+    round's WEIGHTED masses — plus the round's correct_w / wrong_w /
+    alpha_scaled and the exact unweighted ensemble accounting
+    (n_rows_total, n_correct_ensemble) repeated on every row."""
+    cells = (
+        df.groupBy(F.col(x1_col).alias("x1"), F.col(x2_col).alias("x2"))
+        .agg(
+            F.sum(1 - F.col(label_col)).alias("n0"),
+            F.sum(label_col).alias("n1"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = cells
+    model = None
+    pred_exprs: list = []
+    alpha_vals: list[int] = []
+    for t in range(rounds):
+        tree = _tree_from_joint(w).localCheckpoint()  # ≤ 3 rows
+        rules = {r["node"]: r for r in tree.collect()}
+        if set(rules) != {"root", "left", "right"}:
+            raise ValueError(
+                f"boosted_trees_depth2: round {t} tree is degenerate "
+                f"(nodes {sorted(rules)}) — a missing branch would "
+                "silently mis-vote"
+            )
+
+        def _leaf(b) -> Column:
+            go_left = (
+                F.col("x1") if b["feature"] == 1 else F.col("x2")
+            ) <= F.lit(b["threshold"])
+            return F.when(go_left, F.lit(b["left_class"])).otherwise(
+                F.lit(b["right_class"])
+            )
+
+        root = rules["root"]
+        on_left = (
+            F.col("x1") if root["feature"] == 1 else F.col("x2")
+        ) <= F.lit(root["threshold"])
+        pred = F.when(on_left, _leaf(rules["left"])).otherwise(
+            _leaf(rules["right"])
+        )
+        pred_exprs.append(pred)
+        stats = (
+            w.withColumn("_p", pred)
+            .agg(
+                F.sum(
+                    F.when(F.col("_p") == 1, F.col("n1")).otherwise(F.col("n0"))
+                ).alias("correct_w"),
+                F.sum(
+                    F.when(F.col("_p") == 1, F.col("n0")).otherwise(F.col("n1"))
+                ).alias("wrong_w"),
+            )
+            .withColumn(
+                "alpha_scaled",
+                F.round(
+                    F.log(
+                        (F.col("correct_w").cast("double") + 1.0)
+                        / (F.col("wrong_w").cast("double") + 1.0)
+                    )
+                    / 2.0
+                    * F.lit(float(ALPHA_SCALE))
+                ).cast("bigint"),
+            )
+            .localCheckpoint()  # one row
+        )
+        alpha_vals.append(stats.collect()[0]["alpha_scaled"])
+        round_rows = tree.withColumn("round", F.lit(t)).crossJoin(
+            F.broadcast(stats)
+        )
+        model = round_rows if model is None else model.unionByName(round_rows)
+        w = (
+            w.withColumn("_p", pred)
+            .select(
+                "x1",
+                "x2",
+                F.when(F.col("_p") == 1, F.col("n0") * 3)
+                .otherwise(F.col("n0"))
+                .alias("n0"),
+                F.when(F.col("_p") == 0, F.col("n1") * 3)
+                .otherwise(F.col("n1"))
+                .alias("n1"),
+            )
+            .localCheckpoint(eager=True)  # cell-grain: cheap by design
+        )
+    score = None
+    for a, p in zip(alpha_vals, pred_exprs):
+        term = (p * 2 - 1).cast("bigint") * F.lit(int(a))
+        score = term if score is None else score + term
+    ens = (
+        cells.withColumn("_ep", (score > 0).cast("int"))
+        .agg(
+            F.sum(F.col("n0") + F.col("n1")).alias("n_rows_total"),
+            F.sum(
+                F.when(F.col("_ep") == 1, F.col("n1")).otherwise(F.col("n0"))
+            ).alias("n_correct_ensemble"),
+        )
+    )
+    return (
+        model.crossJoin(F.broadcast(ens))
+        .select(
+            "round", "node", "feature", "threshold", "n_left", "n_right",
+            "left_class", "right_class", "impurity",
+            "correct_w", "wrong_w", "alpha_scaled",
+            "n_rows_total", "n_correct_ensemble",
+        )
+        .orderBy("round", "node")
     )
 
 

@@ -324,6 +324,20 @@ ACCEPTED_SMELLS: dict[str, dict[str, str]] = {
         "feeding three argmin orderBy+limit(1)s (root + two branches) "
         "and the checkpointed <= 550-row joint histogram",
     },
+    "q_boost_tree2": {
+        "cartesian": "one-row broadcast ride-alongs only: each round's "
+        "(correct_w, wrong_w, alpha) single-row stats joined onto that "
+        "round's 3 tree-node rows, and the 1-row ensemble accounting "
+        "repeated onto the 6-row model (ml.boosted_trees_depth2 — all "
+        "boosting state lives on the <= 550-cell value-domain "
+        "histogram; the corpus is scanned once)",
+        "corpus-window": "the q_tree_depth2 prefix-sum windows over "
+        "per-feature VALUE-DOMAIN histograms, once per round/branch — "
+        "bounded by the binned feature domains at any corpus size",
+        "single-partition-exchange": "the same control-plane candidate "
+        "relations feeding six argmin orderBy+limit(1)s (2 rounds x "
+        "root/left/right) and the checkpointed cell frame",
+    },
     "q_eval_ndcg": {
         "cartesian": "the q_sim_topk shape: build side is the fixed "
         "query set (vec_id < 20, broadcast) of the brute-force ranking "

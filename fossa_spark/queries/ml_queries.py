@@ -1067,6 +1067,125 @@ ORACLE["q_boosted_stumps"] = f"""
 """
 
 
+def q_boost_tree2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete AdaBoost over DEPTH-2 CART trees (ml.boosted_trees_depth2,
+    round 12 — the boosting kernel upgraded from stumps to real CART
+    steps): two rounds over (quantity, discount-cents) predicting
+    returns, misclassified weight ×3, Laplace-smoothed 1e8-int alphas,
+    strict-positive ensemble vote.  A depth-2 prediction depends only
+    on (x1, x2), so every boosting pass after the ONE corpus groupBy
+    runs on the ≤ 550-cell joint histogram — training, reweighting,
+    alphas, and the final unweighted ensemble accounting are all
+    control-plane.  The oracle unrolls both rounds: weighted tree CTEs
+    (the q_tree_depth2 chain per round), cell predictions through
+    scalar subqueries, the exact weight update, and the vote."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        cents("l_discount").alias("x2"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    return ml.boosted_trees_depth2(li, "x1", "x2", "label", rounds=2)
+
+
+QUERIES["q_boost_tree2"] = q_boost_tree2
+
+
+def _boost_leaf_sql(best: str, var: str) -> str:
+    """Leaf class of branch CTE ``best`` for the cell row aliased
+    ``var`` — branch feature/threshold/classes via scalar subqueries."""
+    return f"""(CASE WHEN (CASE WHEN (SELECT feature FROM {best}) = 1
+                           THEN {var}.x1 ELSE {var}.x2 END)
+                      <= (SELECT threshold FROM {best})
+                 THEN (SELECT CASE WHEN l1 > l0 THEN 1 ELSE 0 END
+                       FROM {best})
+                 ELSE (SELECT CASE WHEN r1 > r0 THEN 1 ELSE 0 END
+                       FROM {best}) END)"""
+
+
+def _boost_round_sql(t: int) -> str:
+    """One boosting round: weighted depth-2 tree on j{t}, cell
+    predictions, weighted error counts + alpha, and the ×3 reweight
+    into j{t+1}."""
+    side = (
+        f"(CASE WHEN (SELECT feature FROM best_root_{t}) = 1"
+        f" THEN x1 ELSE x2 END) <= (SELECT threshold FROM best_root_{t})"
+    )
+    jside = (
+        f"(CASE WHEN (SELECT feature FROM best_root_{t}) = 1"
+        f" THEN j.x1 ELSE j.x2 END) <= (SELECT threshold FROM best_root_{t})"
+    )
+    return f"""best_root_{t} AS MATERIALIZED ({_tree_best_sql(f"j{t}")}),
+    left{t} AS (SELECT * FROM j{t} WHERE {side}),
+    right{t} AS (SELECT * FROM j{t} WHERE NOT ({side})),
+    best_left_{t} AS MATERIALIZED ({_tree_best_sql(f"left{t}")}),
+    best_right_{t} AS MATERIALIZED ({_tree_best_sql(f"right{t}")}),
+    pred{t} AS MATERIALIZED (
+      SELECT j.x1, j.x2, j.n0, j.n1,
+             CASE WHEN {jside}
+                  THEN {_boost_leaf_sql(f"best_left_{t}", "j")}
+                  ELSE {_boost_leaf_sql(f"best_right_{t}", "j")}
+             END AS p
+      FROM j{t} j
+    ),
+    e{t} AS (
+      SELECT CAST(SUM(CASE WHEN p = 1 THEN n1 ELSE n0 END) AS BIGINT)
+               AS correct_w,
+             CAST(SUM(CASE WHEN p = 1 THEN n0 ELSE n1 END) AS BIGINT)
+               AS wrong_w
+      FROM pred{t}
+    ),
+    a{t} AS (
+      SELECT correct_w, wrong_w,
+             CAST(round(ln((CAST(correct_w AS DOUBLE) + 1.0)
+                           / (CAST(wrong_w AS DOUBLE) + 1.0))
+                        / 2.0 * 1e8) AS BIGINT) AS alpha_scaled
+      FROM e{t}
+    ),
+    j{t + 1} AS MATERIALIZED (
+      SELECT x1, x2,
+             CASE WHEN p = 1 THEN n0 * 3 ELSE n0 END AS n0,
+             CASE WHEN p = 0 THEN n1 * 3 ELSE n1 END AS n1
+      FROM pred{t}
+    )"""
+
+
+_BOOST_FINAL_ROWS = "\n    UNION ALL\n".join(
+    f"""    SELECT CAST({t} AS INTEGER) AS round, '{node}' AS node,
+           {_TREE_NODE_PROJ},
+           a{t}.correct_w, a{t}.wrong_w, a{t}.alpha_scaled,
+           ens.n_rows_total, ens.n_correct_ensemble
+    FROM best_{cte}_{t} CROSS JOIN a{t} CROSS JOIN ens"""
+    for t in (0, 1)
+    for node, cte in (("root", "root"), ("left", "left"), ("right", "right"))
+)
+
+ORACLE["q_boost_tree2"] = f"""
+    WITH j0 AS MATERIALIZED (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             {sql_cents("l_discount")} AS x2,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1
+      FROM lineitem GROUP BY 1, 2
+    ),
+    {_boost_round_sql(0)},
+    {_boost_round_sql(1)},
+    ens AS (
+      SELECT CAST(SUM(p0.n0 + p0.n1) AS BIGINT) AS n_rows_total,
+             CAST(SUM(CASE WHEN
+                 (CAST(p0.p * 2 - 1 AS BIGINT)
+                    * (SELECT alpha_scaled FROM a0))
+               + (CAST(p1.p * 2 - 1 AS BIGINT)
+                    * (SELECT alpha_scaled FROM a1)) > 0
+               THEN p0.n1 ELSE p0.n0 END) AS BIGINT) AS n_correct_ensemble
+      FROM pred0 p0 JOIN pred1 p1 USING (x1, x2)
+    )
+{_BOOST_FINAL_ROWS}
+    ORDER BY round, node
+"""
+
+
 def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA from exact integer moments: does mean line price
     differ across return-flag groups? Per-group (n, sum, sum-of-squares)

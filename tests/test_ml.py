@@ -600,3 +600,95 @@ def test_graph_triangles_per_node_matches_brute_force(spark):
     row = next(iter(out.values()))
     assert row.n_triangles == n_tri and row.n_wedges == n_wedges
     assert abs(row.gcc - 3.0 * n_tri / n_wedges) < 1e-8
+
+
+def test_boosted_trees_depth2_matches_python_replay(spark):
+    """boosted_trees_depth2 vs a full Python replay on a small grid:
+    per-round tree predictions drive the same x3 reweight, alphas match
+    the 1e8-int log-odds convention, and the strict-majority ensemble
+    accounting is exact.  Uses a pattern a single depth-2 tree cannot
+    fully fit so round 2 actually changes weights."""
+    import math
+
+    rows = [
+        (x1, x2, 1 if ((x1 <= 3) and (x2 <= 3)) or x1 >= 6 else 0)
+        for x1 in range(1, 8)
+        for x2 in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, label int")
+    out = ml.boosted_trees_depth2(df, "x1", "x2", "label", rounds=2)
+    got = {(r.round, r.node): r for r in out.collect()}
+    assert set(got) == {(t, n) for t in (0, 1)
+                        for n in ("root", "left", "right")}
+
+    # Python replay at cell grain
+    cells = {}
+    for x1, x2, lab in rows:
+        c = cells.setdefault((x1, x2), [0, 0])
+        c[lab] += 1
+    w = {k: list(v) for k, v in cells.items()}
+
+    def best_split(hist):
+        # hist: {(x1,x2): [w0,w1]} -> (feature, threshold) argmin
+        best = None
+        for fi in (0, 1):
+            xs = sorted({k[fi] for k in hist})
+            for t in xs[:-1]:
+                l0 = sum(v[0] for k, v in hist.items() if k[fi] <= t)
+                l1 = sum(v[1] for k, v in hist.items() if k[fi] <= t)
+                r0 = sum(v[0] for k, v in hist.items() if k[fi] > t)
+                r1 = sum(v[1] for k, v in hist.items() if k[fi] > t)
+                nl, nr = l0 + l1, r0 + r1
+                if nr == 0:
+                    continue
+                imp = (nl * nl - l0 * l0 - l1 * l1) / nl + (
+                    nr * nr - r0 * r0 - r1 * r1) / nr
+                key = (imp, fi + 1, t)
+                if best is None or key < best[0:3]:
+                    best = (imp, fi + 1, t, l0, l1, r0, r1)
+        return best
+
+    alphas, preds = [], []
+    for t in (0, 1):
+        root = best_split(w)
+        fi = root[1] - 1
+        left = {k: v for k, v in w.items() if k[fi] <= root[2]}
+        right = {k: v for k, v in w.items() if k[fi] > root[2]}
+        bl, br = best_split(left), best_split(right)
+        assert (got[(t, "root")].feature, got[(t, "root")].threshold) == \
+            (root[1], root[2]), t
+        assert (got[(t, "left")].feature, got[(t, "left")].threshold) == \
+            (bl[1], bl[2]), t
+        assert (got[(t, "right")].feature, got[(t, "right")].threshold) == \
+            (br[1], br[2]), t
+
+        def pred(k):
+            b = bl if k[fi] <= root[2] else br
+            bfi = b[1] - 1
+            if k[bfi] <= b[2]:
+                return 1 if b[4] > b[3] else 0
+            return 1 if b[6] > b[5] else 0
+
+        p = {k: pred(k) for k in w}
+        preds.append(p)
+        cw = sum(v[1] if p[k] == 1 else v[0] for k, v in w.items())
+        ww = sum(v[0] if p[k] == 1 else v[1] for k, v in w.items())
+        a = round(math.log((cw + 1.0) / (ww + 1.0)) / 2.0 * 1e8)
+        alphas.append(a)
+        assert got[(t, "root")].correct_w == cw
+        assert got[(t, "root")].wrong_w == ww
+        assert got[(t, "root")].alpha_scaled == a, t
+        w = {
+            k: [v[0] * 3 if p[k] == 1 else v[0],
+                v[1] * 3 if p[k] == 0 else v[1]]
+            for k, v in w.items()
+        }
+    n_total = sum(sum(v) for v in cells.values())
+    n_corr = 0
+    for k, v in cells.items():
+        score = sum(a * (2 * p[k] - 1) for a, p in zip(alphas, preds))
+        ep = 1 if score > 0 else 0
+        n_corr += v[1] if ep == 1 else v[0]
+    anyrow = got[(0, "root")]
+    assert anyrow.n_rows_total == n_total
+    assert anyrow.n_correct_ensemble == n_corr
