@@ -692,3 +692,55 @@ def test_boosted_trees_depth2_matches_python_replay(spark):
     anyrow = got[(0, "root")]
     assert anyrow.n_rows_total == n_total
     assert anyrow.n_correct_ensemble == n_corr
+
+
+def test_tree_depth2_random_grids_match_brute_force(spark):
+    """Seeded random label grids (the fa68daf model-based convention):
+    tree_depth2's root and branch argmins must equal the Python brute
+    force under the (impurity, feature, threshold) tie-break on every
+    chain — catches tie-break drift the fixed planted grids can't."""
+    import random
+
+    def brute(sub):
+        best = None
+        for fi in (0, 1):
+            xs = sorted({r[fi] for r in sub})
+            for t in xs[:-1]:
+                left = [r for r in sub if r[fi] <= t]
+                right = [r for r in sub if r[fi] > t]
+
+                def g(part):
+                    n = len(part)
+                    n1 = sum(r[2] for r in part)
+                    n0 = n - n1
+                    return (n * n - n0 * n0 - n1 * n1) / n
+
+                key = (g(left) + g(right), fi + 1, t)
+                if best is None or key < best:
+                    best = key
+        return best
+
+    rng = random.Random(0x12EE)
+    for case in range(3):
+        rows = [
+            (x1, x2, rng.randint(0, 1))
+            for x1 in range(1, rng.randint(4, 7))
+            for x2 in range(1, rng.randint(4, 7))
+            for _ in range(rng.randint(1, 3))
+        ]
+        df = spark.createDataFrame(rows, "x1 long, x2 long, label int")
+        out = {r.node: r for r in
+               ml.tree_depth2(df, "x1", "x2", "label").collect()}
+        b = brute(rows)
+        assert (out["root"].feature, out["root"].threshold) == (b[1], b[2]), case
+        fi = b[1] - 1
+        for node, sub in (
+            ("left", [r for r in rows if r[fi] <= b[2]]),
+            ("right", [r for r in rows if r[fi] > b[2]]),
+        ):
+            bb = brute(sub)
+            if bb is None:
+                assert node not in out, (case, node)
+            else:
+                assert (out[node].feature, out[node].threshold) == \
+                    (bb[1], bb[2]), (case, node)
