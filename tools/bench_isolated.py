@@ -57,6 +57,12 @@ DEFAULT_QUERIES = [
     "q_split_train",
     "q_multimodal",
     "q_sql_q21",
+    # round-12 additions worth tracking (decade ledger in BENCHLOG.md)
+    "q_dedup_simhash",
+    "q_lm_bigram",
+    "q_boost_tree2",
+    "q_forest_vote",
+    "q_hits",
     "q_agg_basic",  # fast canary — now honestly cold (see WARMUP_QUERY)
 ]
 
