@@ -67,6 +67,30 @@ def main() -> None:
         ).save()
         return time.perf_counter() - t0
 
+    def _block_reset() -> None:
+        """Drop accumulated JVM state at each calibration boundary
+        (round 13, VERDICT r12 item 1): the interleaved probes of round
+        12 normalized for host SPEED but not for in-suite STATE —
+        localCheckpoint()ed relations and df.persist() blocks from ~250
+        predecessor queries accumulate in the block manager, slowing
+        real queries while the codegen-only probe stays fast, so the
+        alphabetically-late tail read 2-6x its isolated cost
+        (q_view_maintain 8.41 calib-units in-suite vs 2.33 s isolated).
+        clearCache() empties the SQL CacheManager; the persistent-RDD
+        sweep catches localCheckpoint blocks (not CacheManager-tracked);
+        the GC pair lets the ContextCleaner reap unreferenced broadcast
+        state.  Everything swept is per-query-internal — cross-query
+        staging is parquet-on-disk (stage_files) and unaffected."""
+        spark.catalog.clearCache()
+        sc = spark.sparkContext
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+        import gc
+
+        gc.collect()  # drop py4j refs first so JVM GC can collect them
+        sc._jvm.System.gc()
+
     calib_runs = sorted(_calib_once() for _ in range(3))
     calib_s = round(calib_runs[1], 4)
 
@@ -91,10 +115,12 @@ def main() -> None:
     block_of: dict[str, int] = {}
     for i, name in enumerate(names):
         if i % _CALIB_EVERY == 0:
+            _block_reset()
             probes.append(_calib_once())
         block_of[name] = len(probes) - 1
         timings[name] = round(run(name), 4)
         warm[name] = round(run(name), 4)
+    _block_reset()
     probes.append(_calib_once())  # closing probe bounds the last block
     norm = {
         n: round(2.0 * warm[n] / (probes[b] + probes[b + 1]), 4)

@@ -368,6 +368,12 @@ def hits(edges: DataFrame, iters: int = 2,
             .agg(F.sum("s").alias("raw"))
         )
         hubs = _norm(h_raw)
+    # _norm localCheckpoints every node-sized score relation, so the
+    # returned frames no longer reference the edge plans — drop both
+    # cached copies now instead of leaking 2x the edge list per call
+    # (ADVICE r12)
+    e_src.unpersist()
+    e_dst.unpersist()
     return (
         hubs.select("node", F.col("s").alias("score_scaled")),
         auths.select("node", F.col("s").alias("score_scaled")),

@@ -1535,7 +1535,10 @@ def simhash_pairs(
     chunks = max_hamming + 1
     width = bits // chunks
     if sigs is None:
-        sigs = simhash_table(df, text_col, id_col)
+        # forward bits so the banding widths below match the signature
+        # actually built (ADVICE r12: bits=60 silently got a 64-bit
+        # table — output stayed exact, semantics didn't)
+        sigs = simhash_table(df, text_col, id_col, bits=bits)
     sigs = sigs.select(F.col(id_col).alias("_id"), "sig")
     usig = sigs.select("sig").distinct()
     banded = usig.select(

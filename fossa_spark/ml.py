@@ -722,7 +722,17 @@ def _tree_from_joint(joint: DataFrame) -> DataFrame:
         )
 
     root = _best(joint, "root")
-    r = root.collect()[0]  # 3 scalars: the tree's control-plane state
+    rows = root.collect()  # 3 scalars: the tree's control-plane state
+    if not rows:
+        # a joint histogram with one distinct value on both features
+        # has no candidate split at all — fail loudly (ADVICE r12: the
+        # bare IndexError here preempted boosted_trees_depth2's own
+        # degenerate-round ValueError)
+        raise ValueError(
+            "tree_depth2: no candidate root split — both features are "
+            "constant over the training slice"
+        )
+    r = rows[0]
     f_col = "x1" if r.feature == 1 else "x2"
     left = _best(joint.filter(F.col(f_col) <= r.threshold), "left")
     right = _best(joint.filter(F.col(f_col) > r.threshold), "right")

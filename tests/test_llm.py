@@ -1098,7 +1098,7 @@ def test_domain_kl_matches_python_replay(spark):
     assert out["c"].kl_scaled > out["a"].kl_scaled
 
 
-def test_eval_ndcg_perfect_and_zero_retrieval(spark):
+def test_eval_ndcg_perfect_and_zero_retrieval(spark, tmp_path):
     """NDCG@10 sanity on planted geometry: tight same-label clusters →
     every query's top-k is all-relevant (ndcg = 1.0 over the truncated
     ideal); a singleton label has IDCG 0 → ndcg NULL.  Uses the
@@ -1141,3 +1141,26 @@ def test_eval_ndcg_perfect_and_zero_retrieval(spark):
     # label 0 (11 same-cluster members fill the list)
     bad = got.filter("q_label <> c_label").count()
     assert bad == 0
+    # End-to-end through the REGISTERED query (ADVICE r12: the docstring
+    # promised this; now the body delivers): plant the frame as an
+    # embeddings.parquet fixture, add a singleton-label query (vec 15,
+    # label 7, orthogonal direction — never enters a cluster's top-10)
+    # so the IDCG-0 → NULL path is exercised too.
+    from fossa_spark.queries.llm_queries import q_eval_ndcg
+
+    df.unionByName(
+        spark.createDataFrame(
+            [(15, [0.0, 0.0, 10.0], 7)],
+            "vec_id long, embedding array<double>, label int",
+        )
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r.q_id: r for r in q_eval_ndcg(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == set(range(12)) | {15}
+    for qid in range(12):
+        # 12-member label → ideal depth 10; top-10 all relevant
+        assert out[qid].ndcg == 1.0, qid
+        assert out[qid].n_rel_topk == 10
+    assert out[15].ndcg is None  # singleton label: IDCG 0 → NULL
+    assert out[15].idcg_scaled == 0
