@@ -2361,3 +2361,124 @@ def _setsim_core(tok: DataFrame, t: float, l: int = 4) -> DataFrame:
         )
     )
     return inter
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_tokens: int = 16,
+    max_df: int = 100,
+) -> DataFrame:
+    """CROSS-document exact-substring dedup (round 13 — the Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    capability, re-expressed relationally): every maximal token span of
+    length ≥ ``min_tokens`` shared verbatim between two DIFFERENT
+    documents, as (id_a, id_b, start_a, start_b, span_tokens) with
+    1-based token positions.  This is the contamination/memorization
+    vector the near-dup family (document-grain Jaccard/MinHash/SimHash)
+    cannot see: a 200-token quote inside two otherwise-unrelated
+    documents.
+
+    Algorithm — fixed-k-gram anchors instead of a suffix array (the
+    suffix array is a single-machine construction; anchors are three
+    hash shuffles):
+
+    1. EXACT-DUP COLLAPSE: group by text, keep min(id) as the
+       representative.  Replica-heavy corpora put every copy of a text
+       at the same anchors, so span discovery at document grain would
+       pay (replicas)² per shared span — the round-12 simhash lesson
+       (92.5 s → 8 s) applied from the start.  At 100 TB the same step
+       is the exact-dedup pass the pipeline runs anyway.
+    2. ANCHORS: every k-token window (1-based pos), hashed to the
+       engine-portable 60-bit md5 prefix
+       (``conv(substring(md5(gram),1,15),16,10)`` — the q_dedup_simhash
+       convention, identical in DuckDB).  A pure narrow pass: split +
+       transform/slice + posexplode, whole-stage codegen, no Python.
+    3. HOT-ANCHOR CAP: anchors occurring more than ``max_df`` times in
+       the distinct-text corpus are dropped (boilerplate k-grams shared
+       by 10⁶ docs would otherwise create a 10¹² match blow-up — the
+       q_dedup_ngram cap discipline, here on total occurrences, which
+       bounds the self-join at max_df² rows per anchor).
+    4. MATCHES: equi-self-join on the anchor hash (id_a < id_b).
+       Match volume is Σ_anchor occ² — reducer fan-in bounded by the
+       cap, never corpus².
+    5. MAXIMAL SPANS: two matches on the same pair extend the same
+       shared span iff they sit on the same DIAGONAL (pos_a - pos_b)
+       at consecutive positions — the classic gaps-and-islands:
+       island = pos_a - row_number() within (pair, diagonal), then one
+       groupBy; a run of m consecutive k-gram matches is a shared span
+       of m + k - 1 tokens.  The window partitions by (id_a, id_b,
+       diagonal) — match grain, bounded, never corpus grain.
+
+    Exact: any two docs sharing a ≥ min_tokens verbatim token run share
+    all its k-gram anchors consecutively on one diagonal, so recall is
+    100% over the capped anchor universe (md5-collision probability
+    ~2⁻⁶⁰ per anchor pair, and the SQL oracle uses the identical hash,
+    so outputs are bit-identical regardless).
+
+    Docs shorter than k tokens carry no anchor and never pair.
+    """
+    reps = df.groupBy(F.col(text_col).alias("_text")).agg(
+        F.min(id_col).alias("rep_id")
+    )
+    toks = reps.select(
+        "rep_id", F.split(F.lower(F.col("_text")), " ").alias("_t")
+    ).filter(F.size("_t") >= k)
+    grams = toks.select(
+        "rep_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(_t) - {k - 1}),"
+                f" i -> array_join(slice(_t, i, {k}), ' '))"
+            )
+        ).alias("pos0", "_gram"),
+    ).select(
+        "rep_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.conv(F.substring(F.md5("_gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    # anchors feed three consumers (the cap aggregate + both join
+    # sides): persist once, checkpoint the (small) span set eagerly,
+    # release the cache before returning — the ngram_jaccard_pairs
+    # staging pattern
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    kept = grams.join(
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") <= max_df)
+        .select("h"),
+        "h",
+    )
+    a = kept.select(
+        "h", F.col("rep_id").alias("id_a"), F.col("pos").alias("pos_a")
+    )
+    b = kept.select(
+        "h", F.col("rep_id").alias("id_b"), F.col("pos").alias("pos_b")
+    )
+    m = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos_a", "pos_b")
+        .withColumn("_diag", F.col("pos_a") - F.col("pos_b"))
+    )
+    w = W.partitionBy("id_a", "id_b", "_diag").orderBy("pos_a")
+    isl = m.withColumn("_grp", F.col("pos_a") - F.row_number().over(w))
+    spans = (
+        isl.groupBy("id_a", "id_b", "_diag", "_grp")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + F.lit(k))
+            .cast("long")
+            .alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+        .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
+        .localCheckpoint(eager=True)
+    )
+    grams.unpersist()
+    return spans

@@ -1207,3 +1207,140 @@ def refine_ivf_centroids(
     for r in rows:
         out[r["cluster"], r["pos"]] = r["v"] / float(ml.KMEANS_SCALE)
     return out
+
+
+def srp_planes_md5(bits: int, tables: int, dim: int) -> list[list[list[float]]]:
+    """Engine-independent SRP hyperplanes (round 13, the ANN recall
+    accounting): plane[t][b][i] = +1.0 if the 60-bit md5 prefix of
+    ``srp_{t}_{b}|{i}`` is odd else -1.0 — computed ONCE in Python
+    (hashlib) and pasted as LITERALS into both the Spark plan and the
+    DuckDB oracle (the _NDCG_DISC discipline: no runtime hash parity to
+    defend).  Deterministic constants, data-independent, so the "seeded
+    index" is just these numbers."""
+    out = []
+    for t in range(tables):
+        rows = []
+        for b in range(bits):
+            rows.append(
+                [
+                    1.0
+                    if int(
+                        hashlib.md5(f"srp_{t}_{b}|{i}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    % 2
+                    == 1
+                    else -1.0
+                    for i in range(dim)
+                ]
+            )
+        out.append(rows)
+    return out
+
+
+def srp_sigs_md5(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Long-form SRP signatures (id, tbl, sig) under the md5-literal
+    planes — the ORACLE-REPLAYABLE twin of srp_buckets (same Charikar
+    construction, but every projection is a sequential JVM array fold
+    over literal ±1 planes, so DuckDB's list_reduce replays it
+    bit-for-bit: identical fold order ⇒ identical IEEE double ⇒
+    identical sign).  Per row: tables × bits folds of dim multiplies —
+    a narrow codegen pass, no shuffle, no Python."""
+    planes = srp_planes_md5(bits, tables, dim)
+    # fixture embeddings are float32: both engines fold in DOUBLE
+    # (oracle: CAST(p[1] AS DOUBLE)) or near-zero projections could
+    # disagree in sign
+    v = _as_double(F.col(vec_col))
+
+    def proj(plane: list[float]) -> Column:
+        lit = F.array(*[F.lit(x) for x in plane])
+        return F.aggregate(
+            F.zip_with(v, lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig_cols = []
+    for t in range(tables):
+        sig = F.lit(0).cast("long")
+        for b in range(bits):
+            sig = sig + F.when(
+                proj(planes[t][b]) > 0.0, F.lit(2**b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        sig_cols.append(F.struct(F.lit(t).alias("tbl"), sig.alias("sig")))
+    return df.select(
+        F.col(id_col), F.explode(F.array(*sig_cols)).alias("_ts")
+    ).select(id_col, F.col("_ts.tbl").alias("tbl"), F.col("_ts.sig").alias("sig"))
+
+
+def rerank_pairs(
+    pairs: DataFrame,
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k re-rank of candidate (q_id, c_id) pairs against
+    an embeddings table — the shared tail of every ANN read path (6-dp
+    rounded score, ties to smaller candidate id; the brute_force_topk
+    conventions).  The pair relation is post-candidate-generation
+    (orders of magnitude smaller than queries × corpus), so two id
+    joins, one window at pair grain."""
+    ea = emb.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_vq"))
+    eb = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("_vc"))
+    scored = (
+        pairs.join(ea, "q_id")
+        .join(eb, "c_id")
+        .withColumn("score", F.round(cosine(F.col("_vq"), F.col("_vc")), 6))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "score", "rk")
+    )
+
+
+def staged_brute_topk(
+    emb: DataFrame,
+    n_q: int = 20,
+    k: int = 10,
+    cache_root: str | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k for queries vec_id < n_q, staged to
+    parquet once per corpus fingerprint (round 13, VERDICT r12 item 7):
+    the exact ranking is per-corpus-snapshot state every ranking
+    consumer (NDCG eval, ANN recall accounting) re-derives identically,
+    so it is materialized once and hard-linked per run — the
+    staged_simhash_table contract.  Only sound for an emb read directly
+    from files (fingerprint covers input files + analyzed plan)."""
+    import tempfile
+
+    from fossa_spark.sources import stage_files
+
+    out = tempfile.mkdtemp(prefix="fossa_brutetopk_")
+
+    def build(into: str) -> None:
+        q = emb.filter(F.col("vec_id") < n_q).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        c = emb.select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+        )
+        brute_force_topk(q, c, k=k).write.mode("overwrite").parquet(into)
+
+    stage_files(
+        emb, out,
+        cache_prefix="brute_topk",
+        params=["brute_topk_v1", n_q, k],
+        build=build,
+        cache_root=cache_root,
+    )
+    return emb.sparkSession.read.parquet(out)

@@ -135,6 +135,26 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document exact-substring dedup (round 13 — the Lee et al.
+    2022 suffix-array capability as fixed-k-gram anchors): every maximal
+    token span of ≥ 16 tokens shared verbatim between two different
+    documents, (id_a, id_b, start_a, start_b, span_tokens), 1-based
+    positions at distinct-text-representative grain (exact replicas are
+    collapsed to min-id first, so span discovery never pays the replica-
+    quadratic the round-12 simhash redesign measured).  Anchors are
+    8-token windows under the engine-portable 60-bit md5 prefix hash,
+    occurrence-capped at 100 (boilerplate bound); consecutive anchor
+    matches on one (pair, diagonal) merge into maximal spans by
+    gaps-and-islands.  See llm/dedup.py shared_span_pairs for the full
+    scale argument; the oracle replays anchor → cap → join → island →
+    span verbatim on the same hash."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    return D.shared_span_pairs(
+        d, k=8, min_tokens=16, max_df=100
+    ).orderBy("id_a", "id_b", "start_a", "start_b")
+
+
 def _simhash_oracle(max_hamming: int = 3) -> str:
     """SimHash-120 attribution oracle: explode tokens → 2×60 per-bit
     vote aggregates → assemble (sig1, sig2) → all-pairs Hamming over
@@ -465,18 +485,17 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     so DCG and IDCG are exact bigint sums; IDCG uses the true ideal
     (min(label size − 1, 10) top slots all relevant); the single
     double division happens at the end (NULL when a label is a
-    singleton).  Scale shape: the ranking is the broadcast-query
-    brute-force pass; everything after is 200 rows."""
+    singleton).  Scale shape (round 13, VERDICT r12 item 7): the exact
+    ranking rides the staged per-corpus-snapshot artifact
+    (S.staged_brute_topk, shared with q_sim_recall) — the brute-force
+    pass is paid once per corpus fingerprint instead of per eval run;
+    everything downstream is 200 rows.  Output and oracle unchanged."""
     e = spread(load(spark, sf_dir, "embeddings"), spark)
     q = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_vec"),
         F.col("label").alias("q_label"),
     )
-    c = e.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
-    )
-    top = S.brute_force_topk(q.select("q_id", "q_vec"), c, k=_NDCG_K)
+    top = S.staged_brute_topk(e, n_q=20, k=_NDCG_K)
     clab = e.select(
         F.col("vec_id").alias("c_id"), F.col("label").alias("c_label")
     )
@@ -735,6 +754,137 @@ def q_sim_index_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.orderBy("q_id", "rk")
+
+
+# ANN recall-accounting configuration (round 13, VERDICT r12 item 4):
+# production-GEOMETRY configs measured for exact recall@10 against the
+# brute-force ranking, under the full hash-checked oracle.
+_RECALL_NQ = 20
+_RECALL_K = 10
+_RECALL_IVF_CELLS = 16   # q_sim_ivf's n_centroids
+_RECALL_IVF_ITERS = 2
+_RECALL_NPROBE = 4       # q_sim_ivf's production nprobe
+_RECALL_BITS = 4         # q_sim_ann's production bits
+_RECALL_TABLES = 8       # q_sim_ann's production tables
+_RECALL_DIM = 64
+
+
+def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT RECALL@10 of the two approximate similarity read paths at
+    production geometry, against the brute-force ranking — turning
+    "approx by design" from unmeasured into a hash-checked number
+    (round 13, VERDICT r12 item 4).  Output: one row per (path, query):
+    (path, q_id, n_cand, n_hits, recall_at_10).
+
+    Both legs are the ORACLE-REPLAYABLE twins of the production
+    operators — same geometry, engine-portable seeds — so DuckDB
+    replays candidate generation, re-rank and the recall join
+    bit-for-bit:
+
+    * ``ivf_nprobe4``: coarse quantizer = fixed-point Lloyd's k-means
+      (ml.kmeans_fit, the q_kmeans contract: lowest-id init, integer
+      distances, ties to smaller cluster), 16 cells / 2 iterations;
+      queries probe their 4 nearest cells; exact cosine re-rank top-10
+      (6-dp, ties to smaller id).  Same shape as S.ivf_topk(16, 4) —
+      the quantizer differs only in its oracle-replayable init/update
+      discipline.
+    * ``srp_lsh_b4x8``: Charikar SRP-LSH, 4 bits × 8 tables (the
+      q_sim_ann config), hyperplanes = md5-derived ±1 LITERALS shared
+      with the oracle (S.srp_planes_md5 — the _NDCG_DISC discipline),
+      signatures as sequential JVM folds DuckDB's list_reduce replays
+      exactly; candidates = any shared (table, bucket); same re-rank.
+
+    The recall join itself is the measurement: hits = |ANN top-10 ∩
+    brute top-10| per query.  The brute ranking rides the staged
+    per-corpus artifact (S.staged_brute_topk) shared with q_eval_ndcg.
+    Scale shape: both candidate generators are the bounded-bucket
+    plans of their production twins; the re-rank and recall joins run
+    at candidate/top-k grain, never corpus²."""
+    from pyspark.sql import Window as W
+
+    from fossa_spark import ml
+
+    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    brute = S.staged_brute_topk(e, n_q=_RECALL_NQ, k=_RECALL_K).select(
+        "q_id", "c_id"
+    )
+    qids = e.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("q_id")
+    )
+
+    # --- IVF leg: oracle-replayable coarse quantizer + nprobe probe ---
+    vecs = ml.quantize_vectors(e)
+    cents, assign = ml.kmeans_fit(
+        vecs, k=_RECALL_IVF_CELLS, iters=_RECALL_IVF_ITERS
+    )
+    qe = vecs.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("q_id"), F.posexplode("qv").alias("pos", "qval")
+    )
+    qd = qe.join(cents, "pos").groupBy("q_id", "cluster").agg(
+        F.sum(
+            (F.col("qval") - F.col("v")) * (F.col("qval") - F.col("v"))
+        ).alias("dist")
+    )
+    wq = W.partitionBy("q_id").orderBy(
+        F.col("dist").asc(), F.col("cluster").asc()
+    )
+    probed = (
+        qd.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _RECALL_NPROBE)
+        .select("q_id", "cluster")
+    )
+    ivf_cand = (
+        probed.join(
+            assign.select(F.col("vec_id").alias("c_id"), "cluster"), "cluster"
+        )
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+    )
+
+    # --- SRP-LSH leg: md5-literal hyperplanes, shared-bucket candidates ---
+    sigs = S.srp_sigs_md5(
+        e, "vec_id", "embedding",
+        bits=_RECALL_BITS, tables=_RECALL_TABLES, dim=_RECALL_DIM,
+    )
+    qs = sigs.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("q_id"), "tbl", "sig"
+    )
+    cs = sigs.select(F.col("vec_id").alias("c_id"), "tbl", "sig")
+    lsh_cand = (
+        qs.join(cs, ["tbl", "sig"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+
+    def leg(path: str, cand: DataFrame) -> DataFrame:
+        top = S.rerank_pairs(cand, e, k=_RECALL_K)
+        n_cand = cand.groupBy("q_id").agg(F.count(F.lit(1)).alias("_nc"))
+        n_hits = (
+            top.join(brute, ["q_id", "c_id"])
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("_nh"))
+        )
+        return (
+            qids.join(n_cand, "q_id", "left")
+            .join(n_hits, "q_id", "left")
+            .select(
+                F.lit(path).alias("path"),
+                "q_id",
+                F.coalesce("_nc", F.lit(0)).cast("long").alias("n_cand"),
+                F.coalesce("_nh", F.lit(0)).cast("long").alias("n_hits"),
+            )
+        )
+
+    return (
+        leg("ivf_nprobe4", ivf_cand)
+        .unionByName(leg("srp_lsh_b4x8", lsh_cand))
+        .withColumn(
+            "recall_at_10",
+            F.col("n_hits").cast("double") / F.lit(float(_RECALL_K)),
+        )
+        .orderBy("path", "q_id")
+    )
 
 
 def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1327,6 +1477,7 @@ QUERIES = {
     "q_dedup_boilerplate": q_dedup_boilerplate,
     "q_dedup_triangles": q_dedup_triangles,
     "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_span": q_dedup_span,
     "q_dedup_embed": q_dedup_embed,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_incremental_exact": q_dedup_incremental_exact,
@@ -1339,6 +1490,7 @@ QUERIES = {
     "q_sim_ivf": q_sim_ivf,
     "q_sim_ivf_index": q_sim_ivf_index,
     "q_sim_index_exact": q_sim_index_exact,
+    "q_sim_recall": q_sim_recall,
     "q_sim_pq_exact": q_sim_pq_exact,
     "q_sim_pca_ivf": q_sim_pca_ivf,
     "q_sim_pq": q_sim_pq,
@@ -1387,6 +1539,114 @@ _LR_ITER = """z{t} AS (
           SELECT f, CAST(w - (g - (((g % k) + k) % k)) // k AS BIGINT) AS w
           FROM w{p} JOIN g{t} USING (f) CROSS JOIN c
         )"""
+
+def _sim_recall_sql() -> str:
+    """q_sim_recall's oracle: the shared fixed-point k-means CTE chain
+    (ml_queries._kmeans_cte_chain — bit-identical quantizer replay) +
+    nprobe cell probe + md5-literal SRP signatures (the same
+    S.srp_planes_md5 constants pasted as list literals) + the _DOT
+    cosine re-rank + the recall join, all in one WITH-list."""
+    from fossa_spark import ml as _ml
+    from fossa_spark.queries.ml_queries import _kmeans_cte_chain
+
+    nq, topk = _RECALL_NQ, _RECALL_K
+    fin = _RECALL_IVF_ITERS + 1
+    planes = S.srp_planes_md5(_RECALL_BITS, _RECALL_TABLES, _RECALL_DIM)
+
+    def fold(plane: list[float]) -> str:
+        lits = ", ".join(repr(x) for x in plane)
+        return (
+            "list_reduce(list_prepend(0.0, list_transform("
+            f"list_zip(embedding, [{lits}]), "
+            "p -> CAST(p[1] AS DOUBLE) * p[2])), (acc, x) -> acc + x)"
+        )
+
+    sig_cols = ",\n                 ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN {fold(planes[t][b])} > 0.0 THEN {2 ** b} ELSE 0 END)"
+            for b in range(_RECALL_BITS)
+        )
+        + f") AS sig_{t}"
+        for t in range(_RECALL_TABLES)
+    )
+    sig_union = "\n          UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, sig_{t} AS sig FROM sigs"
+        for t in range(_RECALL_TABLES)
+    )
+    dot = _DOT.format(a="qe.embedding", b="ce.embedding")
+
+    def rerank(cand: str) -> str:
+        return f"""(
+          SELECT q_id, c_id FROM (
+            SELECT c.q_id, c.c_id,
+                   row_number() OVER (PARTITION BY c.q_id
+                     ORDER BY {dot} DESC, c.c_id ASC) AS rk
+            FROM {cand} c
+            JOIN embeddings qe ON qe.vec_id = c.q_id
+            JOIN embeddings ce ON ce.vec_id = c.c_id
+          ) WHERE rk <= {topk}
+        )"""
+
+    def leg(path: str, cand: str, top: str) -> str:
+        return f"""
+          SELECT '{path}' AS path, q.q_id,
+                 COALESCE(nc.n, 0) AS n_cand, COALESCE(nh.n, 0) AS n_hits
+          FROM qids q
+          LEFT JOIN (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM {cand} GROUP BY q_id) nc USING (q_id)
+          LEFT JOIN (SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM {top} t JOIN brute b
+                       ON t.q_id = b.q_id AND t.c_id = b.c_id
+                     GROUP BY t.q_id) nh USING (q_id)"""
+
+    chain = _kmeans_cte_chain(
+        _RECALL_IVF_CELLS, _RECALL_IVF_ITERS, _ml.KMEANS_SCALE
+    )
+    return f"""{chain},
+        probed AS (
+          SELECT vec_id AS q_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM d{fin} WHERE vec_id < {nq}
+          ) WHERE rn <= {_RECALL_NPROBE}
+        ),
+        ivf_cand AS MATERIALIZED (
+          SELECT p.q_id, a.vec_id AS c_id
+          FROM probed p JOIN a{fin} a USING (cluster)
+          WHERE a.vec_id <> p.q_id
+        ),
+        sigs AS MATERIALIZED (
+          SELECT vec_id, {sig_cols}
+          FROM embeddings
+        ),
+        sig_long AS MATERIALIZED ({sig_union}),
+        lsh_cand AS MATERIALIZED (
+          SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+          FROM sig_long a JOIN sig_long b
+            ON a.tbl = b.tbl AND a.sig = b.sig
+          WHERE a.vec_id < {nq} AND b.vec_id <> a.vec_id
+        ),
+        brute AS MATERIALIZED (
+          SELECT q_id, c_id FROM (
+            SELECT qe.vec_id AS q_id, ce.vec_id AS c_id,
+                   row_number() OVER (PARTITION BY qe.vec_id
+                     ORDER BY {dot} DESC, ce.vec_id ASC) AS rk
+            FROM embeddings qe JOIN embeddings ce ON qe.vec_id <> ce.vec_id
+            WHERE qe.vec_id < {nq}
+          ) WHERE rk <= {topk}
+        ),
+        ivf_top AS {rerank("ivf_cand")},
+        lsh_top AS {rerank("lsh_cand")},
+        qids AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < {nq}),
+        legs AS ({leg("ivf_nprobe4", "ivf_cand", "ivf_top")}
+          UNION ALL {leg("srp_lsh_b4x8", "lsh_cand", "lsh_top")}
+        )
+        SELECT path, q_id, n_cand, n_hits,
+               CAST(n_hits AS DOUBLE) / {float(topk)} AS recall_at_10
+        FROM legs ORDER BY path, q_id"""
+
 
 _DOT = """
   round(
@@ -1686,6 +1946,54 @@ ORACLE = {
     "q_bpe_train": _bpe_train_oracle(8),
     "q_bpe_tokenize": _bpe_tokenize_oracle(4),
     "q_dedup_simhash": _simhash_oracle(3),
+    # cross-document exact-substring spans: exact-dup collapse →
+    # 8-token anchors under the portable md5-60-bit hash →
+    # occurrence cap 100 → anchor self-join → per-(pair, diagonal)
+    # gaps-and-islands → maximal spans ≥ 16 tokens — the
+    # shared_span_pairs pipeline replayed verbatim
+    "q_dedup_span": """
+        WITH reps AS (
+          SELECT text, MIN(doc_id) AS rep_id FROM documents GROUP BY text
+        ),
+        toks AS (
+          SELECT rep_id, string_split(lower(text), ' ') AS t FROM reps
+        ),
+        grams AS (
+          SELECT rep_id, gs AS pos,
+                 CAST(('0x' || substr(
+                   md5(array_to_string(t[gs : gs + 7], ' ')), 1, 15)
+                 ) AS BIGINT) AS h
+          FROM toks JOIN generate_series(1, 100000) AS g(gs)
+            ON gs <= len(t) - 7
+        ),
+        kept AS (
+          SELECT grams.* FROM grams
+          JOIN (SELECT h FROM grams GROUP BY h HAVING COUNT(*) <= 100)
+            USING (h)
+        ),
+        m AS (
+          SELECT a.rep_id AS id_a, b.rep_id AS id_b,
+                 a.pos AS pos_a, b.pos AS pos_b
+          FROM kept a JOIN kept b ON a.h = b.h AND a.rep_id < b.rep_id
+        ),
+        isl AS (
+          SELECT id_a, id_b, pos_a, pos_b,
+                 pos_a - ROW_NUMBER() OVER (
+                   PARTITION BY id_a, id_b, (pos_a - pos_b)
+                   ORDER BY pos_a
+                 ) AS grp
+          FROM m
+        ),
+        sp AS (
+          SELECT id_a, id_b,
+                 MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+                 CAST(MAX(pos_a) - MIN(pos_a) + 8 AS BIGINT) AS span_tokens
+          FROM isl GROUP BY id_a, id_b, (pos_a - pos_b), grp
+        )
+        SELECT id_a, id_b, start_a, start_b, span_tokens
+        FROM sp WHERE span_tokens >= 16
+        ORDER BY id_a, id_b, start_a, start_b
+    """,
     # one fixed-point GD iteration of the hashed-feature logistic
     # regression (llm/classifier.py): logits, hard-sigmoid error,
     # per-bucket gradient, floor-division weight step — all integers, so
@@ -2092,6 +2400,7 @@ ORACLE = {
         WHERE {_DOT.format(a="a.embedding", b="b.embedding")} >= 0.35
         ORDER BY label, id_a, id_b
     """,
+    "q_sim_recall": _sim_recall_sql(),
     "q_sim_topk": f"""
         WITH scored AS (
           SELECT q.vec_id AS q_id, c.vec_id AS c_id,

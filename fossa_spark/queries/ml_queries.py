@@ -97,10 +97,14 @@ QUERIES = {
 }
 
 
-def _kmeans_unrolled_sql(k: int, iters: int, scale: int) -> str:
-    """Unrolled Lloyd's iterations as chained MATERIALIZED CTEs (the
-    q_kcore discipline — each round references the previous twice, so
-    inlining would blow up exponentially). Exploded long form throughout;
+def _kmeans_cte_chain(k: int, iters: int, scale: int) -> str:
+    """The unrolled-Lloyd's CTE chain WITHOUT the final SELECT — ends at
+    ``c{iters}`` (final centroids) and ``a{iters+1}`` (closing
+    assignment), so other oracle-backed consumers (q_sim_recall's IVF
+    leg, round 13) can extend the same WITH-list instead of duplicating
+    the fixed-point replay.  Chained MATERIALIZED CTEs (the q_kcore
+    discipline — each round references the previous twice, so inlining
+    would blow up exponentially); exploded long form throughout;
     floor-div via the two-engine-safe modulus form (ml._floordiv)."""
     head = f"""
         WITH q AS MATERIALIZED (
@@ -172,7 +176,17 @@ def _kmeans_unrolled_sql(k: int, iters: int, scale: int) -> str:
                                       ORDER BY dist, cluster) AS rn
             FROM d{fin}
           ) WHERE rn = 1
-        ),
+        )""")
+    return "".join(parts)
+
+
+def _kmeans_unrolled_sql(k: int, iters: int, scale: int) -> str:
+    """q_kmeans's full oracle: the shared CTE chain + centroid/stats
+    final select."""
+    fin = iters + 1
+    return (
+        _kmeans_cte_chain(k, iters, scale)
+        + f""",
         stats AS (
           SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
                  CAST(SUM(dist) AS BIGINT) AS inertia
@@ -183,8 +197,8 @@ def _kmeans_unrolled_sql(k: int, iters: int, scale: int) -> str:
                COALESCE(s.n_members, 0) AS n_members,
                COALESCE(s.inertia, 0) AS inertia
         FROM c{iters} c LEFT JOIN stats s USING (cluster)
-        ORDER BY c.cluster, c.pos""")
-    return "".join(parts)
+        ORDER BY c.cluster, c.pos"""
+    )
 
 
 ORACLE = {

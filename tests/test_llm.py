@@ -1164,3 +1164,142 @@ def test_eval_ndcg_perfect_and_zero_retrieval(spark, tmp_path):
         assert out[qid].n_rel_topk == 10
     assert out[15].ndcg is None  # singleton label: IDCG 0 → NULL
     assert out[15].idcg_scaled == 0
+
+
+def test_shared_span_pairs_planted_geometry(spark):
+    """shared_span_pairs on planted docs: a 20-token verbatim run is
+    recovered as ONE maximal span with exact 1-based positions; two
+    disjoint runs give two rows; a sub-threshold run gives none; exact
+    replicas collapse to the min-id representative before pairing."""
+    w = [f"w{i}" for i in range(40)]
+    base = w[:30]                       # doc 0: tokens w0..w29
+    shared = base[5:25]                 # 20-token run at doc0 pos 6..25
+    doc1 = ["p1", "p2", "p3", "p4", "p5"] + shared + ["s1", "s2"]
+    # doc 4 shares TWO disjoint 16-token runs with doc 0
+    doc4 = base[0:16] + ["gapx"] + base[14:30]
+    # doc 5 shares only 10 tokens (< 16): filtered out
+    doc5 = ["q1", "q2"] + base[20:30] + ["q3"]
+    rows = [
+        (0, " ".join(base)),
+        (1, " ".join(doc1)),
+        (2, " ".join(base)),            # exact replica of doc 0
+        (3, " ".join(f"z{i}" for i in range(20))),
+        (4, " ".join(doc4)),
+        (5, " ".join(doc5)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.shared_span_pairs(df, k=8, min_tokens=16).orderBy(
+        "id_a", "id_b", "start_a"
+    )
+    got = [tuple(r) for r in out.collect()]
+    # replica doc 2 never appears (collapsed into rep 0); doc 5's
+    # 10-token overlap is sub-threshold; doc 3 matches nothing
+    assert got == [
+        (0, 1, 6, 6, 20),
+        # doc4 run 1: base[0:16] at doc0 pos 1..16, doc4 pos 1..16
+        (0, 4, 1, 1, 16),
+        # doc4 run 2: base[14:30] at doc0 pos 15..30, doc4 pos 18..33
+        (0, 4, 15, 18, 16),
+    ]
+    # every doc pair with a shared ≥16-token run shares all its 8-gram
+    # anchors; doc1's span also pairs with the replica-collapsed rep
+    # only once — rerun with replicas dropped up front must be identical
+    out2 = D.shared_span_pairs(df.filter("doc_id <> 2"), k=8, min_tokens=16)
+    assert sorted(tuple(r) for r in out2.collect()) == sorted(got)
+
+
+def test_shared_span_pairs_hot_anchor_cap(spark):
+    """The occurrence cap drops boilerplate anchors: with max_df below
+    the anchor's occurrence count the span disappears; with a generous
+    cap it is found."""
+    shared = [f"b{i}" for i in range(20)]
+    rows = [(i, " ".join([f"u{i}x{j}" for j in range(3)] + shared))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # every anchor inside the shared run occurs 6 times (once per doc)
+    generous = D.shared_span_pairs(df, k=8, min_tokens=16, max_df=10)
+    assert generous.count() == 15  # C(6,2) pairs, one span each
+    capped = D.shared_span_pairs(df, k=8, min_tokens=16, max_df=5)
+    assert capped.count() == 0
+
+
+def test_shared_span_pairs_short_docs_and_nulls(spark):
+    """Docs shorter than k tokens carry no anchors; the pipeline
+    tolerates them (and they never pair)."""
+    rows = [(0, "a b c"), (1, "a b c"), (2, " ".join(f"m{i}" for i in range(20)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert D.shared_span_pairs(df, k=8, min_tokens=16).count() == 0
+
+
+def test_srp_sigs_md5_matches_python(spark):
+    """The JVM fold signatures must equal a pure-Python replay of the
+    same md5-literal planes (left-to-right fold, sign of the double
+    projection) — the engine-portability contract q_sim_recall's oracle
+    leans on."""
+    import numpy as np
+
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        "vec_id < 8"
+    )
+    got = {
+        (r.vec_id, r.tbl): r.sig
+        for r in S.srp_sigs_md5(
+            vecs, "vec_id", "embedding", bits=4, tables=3, dim=64
+        ).collect()
+    }
+    planes = S.srp_planes_md5(4, 3, 64)
+    rows = vecs.select("vec_id", "embedding").collect()
+    for r in rows:
+        v = [float(np.float32(x)) for x in r.embedding]
+        for t in range(3):
+            sig = 0
+            for b in range(4):
+                acc = 0.0
+                for x, y in zip(v, planes[t][b]):
+                    acc = acc + x * y
+                if acc > 0.0:
+                    sig += 2**b
+            assert got[(r.vec_id, t)] == sig, (r.vec_id, t)
+
+
+def test_sim_recall_invariants(spark):
+    """q_sim_recall output invariants on the fixture: one row per
+    (path, query), hits ≤ min(k, n_cand), recall in [0, 1], and both
+    approximate paths recover a nontrivial share of the exact top-10
+    (the planted-cluster fixture makes near neighbors easy)."""
+    from fossa_spark.queries.llm_queries import q_sim_recall
+
+    out = q_sim_recall(spark, SF_DIR).collect()
+    assert len(out) == 40  # 2 paths x 20 queries
+    by_path: dict[str, list] = {}
+    for r in out:
+        assert 0 <= r.n_hits <= 10
+        assert r.n_hits <= r.n_cand
+        assert r.recall_at_10 == r.n_hits / 10.0
+        by_path.setdefault(r.path, []).append(r)
+    assert set(by_path) == {"ivf_nprobe4", "srp_lsh_b4x8"}
+    for path, rows in by_path.items():
+        mean_recall = sum(r.n_hits for r in rows) / (10.0 * len(rows))
+        assert mean_recall >= 0.3, (path, mean_recall)
+
+
+def test_staged_brute_topk_identical_to_direct(spark):
+    """The staged ranking artifact must be row-identical to a direct
+    brute_force_topk run (same conventions), and a second call must be
+    served from the stage cache with identical bytes."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter("vec_id < 20").selectExpr("vec_id q_id", "embedding q_vec")
+    c = e.selectExpr("vec_id c_id", "embedding c_vec")
+    direct = {
+        (r.q_id, r.c_id, r.score, r.rk)
+        for r in S.brute_force_topk(q, c, k=10).collect()
+    }
+    s1 = {
+        (r.q_id, r.c_id, r.score, r.rk)
+        for r in S.staged_brute_topk(e, n_q=20, k=10).collect()
+    }
+    s2 = {
+        (r.q_id, r.c_id, r.score, r.rk)
+        for r in S.staged_brute_topk(e, n_q=20, k=10).collect()
+    }
+    assert direct == s1 == s2
