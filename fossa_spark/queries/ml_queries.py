@@ -1824,3 +1824,160 @@ ORACLE["q_eval_metrics"] = f"""
     FROM agg ORDER BY cls
 """
 QUERIES["q_eval_metrics"] = q_eval_metrics
+
+
+def q_gbt_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares gradient-boosted depth-2 regression trees
+    (ml.gbt_depth2, round 13 — the kernel above AdaBoost): two rounds
+    over (quantity, discount-cents) predicting whole-currency
+    extendedprice.  One corpus groupBy into the (x1, x2, n, Σy, Σy²)
+    joint histogram; F0, both trees' splits/leaf values, residual
+    updates and the exact-bigint SSE ledger all run at cell grain.
+    The oracle unrolls both rounds with the shared regression-tree
+    argmin CTEs."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        cents("l_discount").alias("x2"),
+        F.round(F.col("l_extendedprice")).cast("bigint").alias("y"),
+    )
+    return ml.gbt_depth2(li, "x1", "x2", "y", rounds=2)
+
+
+QUERIES["q_gbt_depth2"] = q_gbt_depth2
+
+
+def _fdiv_sql(s: str, n: str) -> str:
+    """Exact floor(s / n) in SQL — the ml._floordiv modulus form
+    (negative-numerator safe, identical in both engines)."""
+    return (
+        f"CAST((({s}) - (((({s}) % ({n})) + ({n})) % ({n})))"
+        f" // ({n}) AS BIGINT)"
+    )
+
+
+def _reg_cands_sql(src: str) -> str:
+    """Regression split candidates over both features of a
+    (x1, x2, n, rs) residual histogram — the _tree_cands_sql recipe
+    with (count, residual-sum) in place of class counts."""
+    parts = []
+    for f in (1, 2):
+        parts.append(f"""
+        SELECT {f} AS feature, x AS threshold, ln, ls,
+               tn - ln AS rn, ts - ls AS rsum
+        FROM (
+          SELECT x,
+                 SUM(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS ln,
+                 SUM(rs) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS ls,
+                 SUM(n) OVER () AS tn, SUM(rs) OVER () AS ts
+          FROM (SELECT x{f} AS x, SUM(n) AS n, SUM(rs) AS rs
+                FROM {src} GROUP BY 1)
+        ) WHERE tn - ln > 0""")
+    return " UNION ALL ".join(parts)
+
+
+_REG_SCORE = """-( (CAST(ls AS DOUBLE) * CAST(ls AS DOUBLE))
+                     / CAST(ln AS DOUBLE)
+                 + (CAST(rsum AS DOUBLE) * CAST(rsum AS DOUBLE))
+                     / CAST(rn AS DOUBLE) )"""
+
+
+def _reg_best_sql(src: str) -> str:
+    """Argmin over both features' regression candidates — score ASC
+    (UNROUNDED, the q_stump rule), feature ASC, threshold ASC."""
+    return f"""
+      SELECT feature, threshold, ln, ls, rn, rsum, {_REG_SCORE} AS score
+      FROM ({_reg_cands_sql(src)})
+      ORDER BY {_REG_SCORE} ASC, feature ASC, threshold ASC LIMIT 1"""
+
+
+def _gbt_leaf_sql(best: str) -> str:
+    """Leaf VALUE (floor-division residual mean) of branch CTE ``best``
+    for the current row's (x1, x2)."""
+    return f"""(CASE WHEN (CASE WHEN (SELECT feature FROM {best}) = 1
+                           THEN x1 ELSE x2 END)
+                      <= (SELECT threshold FROM {best})
+                 THEN (SELECT {_fdiv_sql("ls", "ln")} FROM {best})
+                 ELSE (SELECT {_fdiv_sql("rsum", "rn")} FROM {best}) END)"""
+
+
+def _gbt_round_sql(t: int) -> str:
+    """One GBT round: residual histogram from st{t}, depth-2 regression
+    tree, per-cell prediction update into st{t+1}, exact SSE."""
+    side = (
+        f"(CASE WHEN (SELECT feature FROM gbest_root_{t}) = 1"
+        f" THEN x1 ELSE x2 END) <= (SELECT threshold FROM gbest_root_{t})"
+    )
+    return f"""j{t} AS MATERIALIZED (
+      SELECT x1, x2, n, s - n * pred AS rs FROM st{t}
+    ),
+    gbest_root_{t} AS MATERIALIZED ({_reg_best_sql(f"j{t}")}),
+    gleft{t} AS (SELECT * FROM j{t} WHERE {side}),
+    gright{t} AS (SELECT * FROM j{t} WHERE NOT ({side})),
+    gbest_left_{t} AS MATERIALIZED ({_reg_best_sql(f"gleft{t}")}),
+    gbest_right_{t} AS MATERIALIZED ({_reg_best_sql(f"gright{t}")}),
+    st{t + 1} AS MATERIALIZED (
+      SELECT x1, x2, n, s, s2,
+             pred + (CASE WHEN {side}
+                          THEN {_gbt_leaf_sql(f"gbest_left_{t}")}
+                          ELSE {_gbt_leaf_sql(f"gbest_right_{t}")} END)
+               AS pred
+      FROM st{t}
+    ),
+    sse{t} AS (
+      SELECT CAST(SUM(s2 - 2 * pred * s + n * pred * pred) AS BIGINT) AS v
+      FROM st{t + 1}
+    )"""
+
+
+_REG_NODE_PROJ = f"""
+    CAST(feature AS INTEGER) AS feature, threshold,
+    CAST(ln AS BIGINT) AS n_left, CAST(rn AS BIGINT) AS n_right,
+    {_fdiv_sql("ls", "ln")} AS value_left,
+    {_fdiv_sql("rsum", "rn")} AS value_right,
+    round(score, 8) AS score"""
+
+
+def _gbt_unrolled_sql(rounds: int) -> str:
+    selects = []
+    for t in range(rounds):
+        for node, best in (
+            ("root", f"gbest_root_{t}"),
+            ("left", f"gbest_left_{t}"),
+            ("right", f"gbest_right_{t}"),
+        ):
+            selects.append(f"""
+      SELECT {t} AS round, '{node}' AS node, {_REG_NODE_PROJ},
+             (SELECT v FROM sse{t}) AS sse_after,
+             (SELECT v FROM f0) AS f0,
+             (SELECT v FROM sse_init) AS sse_init
+      FROM {best}""")
+    rounds_sql = ",\n    ".join(_gbt_round_sql(t) for t in range(rounds))
+    return f"""
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             {sql_cents("l_discount")} AS x2,
+             CAST(round(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    cells AS MATERIALIZED (
+      SELECT x1, x2, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s,
+             CAST(SUM(y * y) AS BIGINT) AS s2
+      FROM base GROUP BY 1, 2
+    ),
+    f0 AS (SELECT {_fdiv_sql("SUM(s)", "SUM(n)")} AS v FROM cells),
+    st0 AS MATERIALIZED (
+      SELECT x1, x2, n, s, s2, (SELECT v FROM f0) AS pred FROM cells
+    ),
+    sse_init AS (
+      SELECT CAST(SUM(s2 - 2 * pred * s + n * pred * pred) AS BIGINT) AS v
+      FROM st0
+    ),
+    {rounds_sql}
+    {" UNION ALL ".join(selects)}
+    ORDER BY round, node"""
+
+
+ORACLE["q_gbt_depth2"] = _gbt_unrolled_sql(2)

@@ -744,3 +744,118 @@ def test_tree_depth2_random_grids_match_brute_force(spark):
             else:
                 assert (out[node].feature, out[node].threshold) == \
                     (bb[1], bb[2]), (case, node)
+
+
+def _gbt_python_replay(rows, rounds=2):
+    """Pure-Python replay of ml.gbt_depth2's contract: cell histogram,
+    floor-div F0, per-round least-squares depth-2 tree (argmin of
+    -(Sl^2/nl + Sr^2/nr), ties feature then threshold), floor-div leaf
+    values, exact SSE ledger."""
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0, 0])  # (x1,x2) -> [n, s, s2]
+    for x1, x2, y in rows:
+        c = cells[(x1, x2)]
+        c[0] += 1
+        c[1] += y
+        c[2] += y * y
+    tn = sum(c[0] for c in cells.values())
+    ts = sum(c[1] for c in cells.values())
+    f0 = ts // tn
+    pred = {k: f0 for k in cells}
+
+    def sse():
+        return sum(
+            c[2] - 2 * pred[k] * c[1] + c[0] * pred[k] * pred[k]
+            for k, c in cells.items()
+        )
+
+    def best(keys):
+        cands = []
+        for fi in (1, 2):
+            hist = defaultdict(lambda: [0, 0])
+            for k in keys:
+                x = k[0] if fi == 1 else k[1]
+                hist[x][0] += cells[k][0]
+                hist[x][1] += cells[k][1] - cells[k][0] * pred[k]
+            xs = sorted(hist)
+            tn_ = sum(hist[x][0] for x in xs)
+            ts_ = sum(hist[x][1] for x in xs)
+            ln = ls = 0
+            for x in xs:
+                ln += hist[x][0]
+                ls += hist[x][1]
+                rn, rs = tn_ - ln, ts_ - ls
+                if rn <= 0:
+                    continue
+                score = -(
+                    float(ls) * float(ls) / float(ln)
+                    + float(rs) * float(rs) / float(rn)
+                )
+                cands.append((score, fi, x, ln, rn, ls // ln, rs // rn))
+        return min(cands)
+
+    model, sses = [], [sse()]
+    for t in range(rounds):
+        keys = list(cells)
+        root = best(keys)
+        fcol = 0 if root[1] == 1 else 1
+        lkeys = [k for k in keys if k[fcol] <= root[2]]
+        rkeys = [k for k in keys if k[fcol] > root[2]]
+        lb, rb = best(lkeys), best(rkeys)
+        for node, b in (("root", root), ("left", lb), ("right", rb)):
+            model.append(
+                (t, node, b[1], b[2], b[3], b[4], b[5], b[6])
+            )
+        for k in cells:
+            b = lb if k[fcol] <= root[2] else rb
+            bf = 0 if b[1] == 1 else 1
+            pred[k] += b[5] if k[bf] <= b[2] else b[6]
+        sses.append(sse())
+    return f0, sses, model
+
+
+def test_gbt_depth2_matches_python_replay(spark):
+    """ml.gbt_depth2 on a planted frame (negative residuals included,
+    exercising the negative-numerator floor division) must equal the
+    pure-Python replay row for row, and SSE must strictly decrease."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        x1 = rng.randrange(4)
+        x2 = rng.randrange(5)
+        y = 100 * x1 + 17 * (x2 >= 3) + rng.randrange(-8, 9)
+        rows.append((x1, x2, y))
+    f0, sses, model = _gbt_python_replay(rows, rounds=2)
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    got = ml.gbt_depth2(df, "x1", "x2", "y", rounds=2).collect()
+    assert len(got) == 6
+    for r in got:
+        assert r.f0 == f0 and r.sse_init == sses[0]
+        assert r.sse_after == sses[1 + r["round"]]
+    got_model = [
+        (
+            r["round"], r.node, r.feature, r.threshold,
+            r.n_left, r.n_right, r.value_left, r.value_right,
+        )
+        for r in got
+    ]
+    order = {"root": 0, "left": 1, "right": 2}
+    model_sorted = sorted(model, key=lambda m: (m[0], order[m[1]]))
+    got_sorted = sorted(got_model, key=lambda m: (m[0], order[m[1]]))
+    assert got_sorted == model_sorted
+    assert sses[0] > sses[1] > sses[2]
+
+
+def test_gbt_depth2_degenerate_raises(spark):
+    """Constant features must fail loudly (the boosted_trees_depth2
+    convention), not emit a silent IndexError or a rootless model."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 1, v) for v in (5, 9, 13)], "x1 long, x2 long, y long"
+    )
+    with _pytest.raises(ValueError, match="constant"):
+        ml.gbt_depth2(df, "x1", "x2", "y", rounds=1)
