@@ -2482,3 +2482,46 @@ def shared_span_pairs(
     )
     grams.unpersist()
     return spans
+
+
+def minhash_universal_candidates(
+    sh_rows: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Banded LSH candidate pairs over :func:`minhash_signatures_universal`
+    signatures — the engine-auditable MinHash chain's candidate stage,
+    factored out (round 13) so both the full verify query
+    (q_dedup_minhash_exact) and the recall-accounting query
+    (q_dedup_recall) share one definition.  Band keys are the raw
+    signature pairs (rows-per-band = num_hashes / n_bands = 2); the
+    self-join is banded, so reducer fan-in is bounded by band-bucket
+    size.  Returns DISTINCT (id_a, id_b), id_a < id_b."""
+    r = num_hashes // n_bands
+    if r != 2:
+        raise ValueError("minhash_universal_candidates: expects 2 rows/band")
+    sigs = minhash_signatures_universal(sh_rows, id_col, num_hashes)
+    bands = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.element_at("minhash", 2 * j + 1).alias("s0"),
+                        F.element_at("minhash", 2 * j + 2).alias("s1"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.j", "bb.s0", "bb.s1")
+    a = bands.select("j", "s0", "s1", F.col(id_col).alias("id_a"))
+    b = bands.select("j", "s0", "s1", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["j", "s0", "s1"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -1209,28 +1209,30 @@ def refine_ivf_centroids(
     return out
 
 
-def srp_planes_md5(bits: int, tables: int, dim: int) -> list[list[list[float]]]:
+def srp_planes_md5(bits: int, tables: int, dim: int) -> list[list[list[int]]]:
     """Engine-independent SRP hyperplanes (round 13, the ANN recall
-    accounting): plane[t][b][i] = +1.0 if the 60-bit md5 prefix of
-    ``srp_{t}_{b}|{i}`` is odd else -1.0 — computed ONCE in Python
+    accounting): plane[t][b][i] = +1 if the 60-bit md5 prefix of
+    ``srp_{t}_{b}|{i}`` is odd else -1 — computed ONCE in Python
     (hashlib) and pasted as LITERALS into both the Spark plan and the
     DuckDB oracle (the _NDCG_DISC discipline: no runtime hash parity to
-    defend).  Deterministic constants, data-independent, so the "seeded
-    index" is just these numbers."""
+    defend).  INTEGER ±1, because the signature math runs on quantized
+    vectors in exact int64 (see srp_sigs_md5) — order-independent, so
+    neither engine needs a pinned fold order.  Deterministic constants,
+    data-independent: the "seeded index" is just these numbers."""
     out = []
     for t in range(tables):
         rows = []
         for b in range(bits):
             rows.append(
                 [
-                    1.0
+                    1
                     if int(
                         hashlib.md5(f"srp_{t}_{b}|{i}".encode()).hexdigest()[:15],
                         16,
                     )
                     % 2
                     == 1
-                    else -1.0
+                    else -1
                     for i in range(dim)
                 ]
             )
@@ -1248,36 +1250,53 @@ def srp_sigs_md5(
 ) -> DataFrame:
     """Long-form SRP signatures (id, tbl, sig) under the md5-literal
     planes — the ORACLE-REPLAYABLE twin of srp_buckets (same Charikar
-    construction, but every projection is a sequential JVM array fold
-    over literal ±1 planes, so DuckDB's list_reduce replays it
-    bit-for-bit: identical fold order ⇒ identical IEEE double ⇒
-    identical sign).  Per row: tables × bits folds of dim multiplies —
-    a narrow codegen pass, no shuffle, no Python."""
+    construction).  The projection runs on the KMEANS_SCALE-quantized
+    vector in EXACT int64 (quantize_vectors convention: one identical
+    IEEE round per element, then pure integer dot products) — so the
+    sign is order-independent and any evaluation strategy agrees:
+    here one Arrow-batched numpy int64 matmul per batch (the
+    srp_buckets fast path; a first cut as tables×bits JVM higher-order
+    folds measured 44 s warm at sf1 — HOF lambdas are interpreted
+    per element, ~100M evals); DuckDB replays with list folds.
+    Headroom: |proj| ≤ dim · scale · max|x| ≈ 6.4e6 per bit — int64
+    exact by orders of magnitude."""
+    import numpy as np
+    import pandas as pd
+
+    from fossa_spark import ml
+
     planes = srp_planes_md5(bits, tables, dim)
-    # fixture embeddings are float32: both engines fold in DOUBLE
-    # (oracle: CAST(p[1] AS DOUBLE)) or near-zero projections could
-    # disagree in sign
-    v = _as_double(F.col(vec_col))
+    # (dim, tables*bits) int64 plane matrix, column (t*bits + b)
+    mat = np.array(
+        [[planes[t][b][i] for t in range(tables) for b in range(bits)]
+         for i in range(dim)],
+        dtype=np.int64,
+    )
+    pow2 = np.array([2**b for b in range(bits)], dtype=np.int64)
 
-    def proj(plane: list[float]) -> Column:
-        lit = F.array(*[F.lit(x) for x in plane])
-        return F.aggregate(
-            F.zip_with(v, lit, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    qv = ml.quantize_vectors(df, vec_col=vec_col, id_col=id_col)
 
-    sig_cols = []
-    for t in range(tables):
-        sig = F.lit(0).cast("long")
-        for b in range(bits):
-            sig = sig + F.when(
-                proj(planes[t][b]) > 0.0, F.lit(2**b).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        sig_cols.append(F.struct(F.lit(t).alias("tbl"), sig.alias("sig")))
-    return df.select(
-        F.col(id_col), F.explode(F.array(*sig_cols)).alias("_ts")
-    ).select(id_col, F.col("_ts.tbl").alias("tbl"), F.col("_ts.sig").alias("sig"))
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            x = np.stack(pdf["qv"].to_numpy()).astype(np.int64)  # n×dim
+            proj = x @ mat  # n × (tables*bits), exact int64
+            bitsm = (proj > 0).astype(np.int64).reshape(
+                len(ids), tables, bits
+            )
+            sigs = (bitsm * pow2).sum(axis=2)  # n × tables
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, tables),
+                    "tbl": np.tile(np.arange(tables), len(ids)),
+                    "sig": sigs.reshape(-1),
+                }
+            )
+
+    id_type = dict(qv.dtypes)[id_col]
+    return qv.mapInPandas(
+        gen, f"`{id_col}` {id_type}, tbl int, sig bigint"
+    )
 
 
 def rerank_pairs(
@@ -1292,13 +1311,32 @@ def rerank_pairs(
     rounded score, ties to smaller candidate id; the brute_force_topk
     conventions).  The pair relation is post-candidate-generation
     (orders of magnitude smaller than queries × corpus), so two id
-    joins, one window at pair grain."""
+    joins, one window at pair grain.
+
+    The cosine itself runs as an Arrow-batched numpy pass that
+    replicates the JVM fold BIT-FOR-BIT: per-element float64 products
+    (identical IEEE multiplies), then np.cumsum — a strict left-to-right
+    recurrence, the same association order as F.aggregate's sequential
+    fold — with the 6-dp round applied JVM-side afterwards.  The HOF
+    fold interprets ~3 lambda calls per element; at sf10 the LSH leg's
+    candidate relation is millions of pairs × 64 dims and the fold
+    measured ~50 s of q_sim_recall's 66 s warm."""
+
+    @F.pandas_udf("double")
+    def _cos_seq(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        ma = np.vstack([np.asarray(v, dtype=np.float64) for v in sa])
+        mb = np.vstack([np.asarray(v, dtype=np.float64) for v in sb])
+        num = np.cumsum(ma * mb, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(ma * ma, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(mb * mb, axis=1)[:, -1])
+        return pd.Series(num / (na * nb))
+
     ea = emb.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_vq"))
     eb = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("_vc"))
     scored = (
         pairs.join(ea, "q_id")
         .join(eb, "c_id")
-        .withColumn("score", F.round(cosine(F.col("_vq"), F.col("_vc")), 6))
+        .withColumn("score", F.round(_cos_seq(F.col("_vq"), F.col("_vc")), 6))
     )
     w = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
     return (
@@ -1340,6 +1378,79 @@ def staged_brute_topk(
         emb, out,
         cache_prefix="brute_topk",
         params=["brute_topk_v1", n_q, k],
+        build=build,
+        cache_root=cache_root,
+    )
+    return emb.sparkSession.read.parquet(out)
+
+
+def staged_kmeans_index(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    cache_root: str | None = None,
+) -> "tuple[DataFrame, DataFrame]":
+    """The oracle-replayable IVF coarse index — fixed-point Lloyd's
+    centroids + the closing assignment (ml.kmeans_fit) — staged to
+    parquet once per corpus fingerprint (round 13): a production IVF
+    index is trained once and probed many times, so re-running the
+    k-means per query run measured 12 s of every warm q_sim_recall at
+    sf1 for bytes that never change per corpus snapshot.  Returns
+    (centroids, assignment) read back from the staged artifact."""
+    import os
+    import tempfile
+
+    from fossa_spark import ml
+    from fossa_spark.sources import stage_files
+
+    out = tempfile.mkdtemp(prefix="fossa_kmidx_")
+
+    def build(into: str) -> None:
+        vecs = ml.quantize_vectors(emb)
+        cents, assign = ml.kmeans_fit(vecs, k=k, iters=iters)
+        cents.write.mode("overwrite").parquet(os.path.join(into, "cents"))
+        assign.write.mode("overwrite").parquet(os.path.join(into, "assign"))
+
+    stage_files(
+        emb, out,
+        cache_prefix="kmeans_idx",
+        params=["kmeans_idx_v1", k, iters],
+        build=build,
+        cache_root=cache_root,
+    )
+    spark = emb.sparkSession
+    return (
+        spark.read.parquet(os.path.join(out, "cents")),
+        spark.read.parquet(os.path.join(out, "assign")),
+    )
+
+
+def staged_srp_sigs_md5(
+    emb: DataFrame,
+    bits: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+    cache_root: str | None = None,
+) -> DataFrame:
+    """:func:`srp_sigs_md5` staged to parquet once per corpus
+    fingerprint — the LSH signature table is per-corpus-snapshot index
+    state (and it feeds BOTH sides of the bucket self-join, which
+    otherwise recomputes the Arrow pass twice per run)."""
+    import tempfile
+
+    from fossa_spark.sources import stage_files
+
+    out = tempfile.mkdtemp(prefix="fossa_srpsigs_")
+
+    def build(into: str) -> None:
+        srp_sigs_md5(
+            emb, "vec_id", "embedding", bits=bits, tables=tables, dim=dim
+        ).write.mode("overwrite").parquet(into)
+
+    stage_files(
+        emb, out,
+        cache_prefix="srp_sigs",
+        params=["srp_sigs_v1", bits, tables, dim],
         build=build,
         cache_root=cache_root,
     )

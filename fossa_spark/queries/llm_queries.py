@@ -789,10 +789,12 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       the quantizer differs only in its oracle-replayable init/update
       discipline.
     * ``srp_lsh_b4x8``: Charikar SRP-LSH, 4 bits × 8 tables (the
-      q_sim_ann config), hyperplanes = md5-derived ±1 LITERALS shared
-      with the oracle (S.srp_planes_md5 — the _NDCG_DISC discipline),
-      signatures as sequential JVM folds DuckDB's list_reduce replays
-      exactly; candidates = any shared (table, bucket); same re-rank.
+      q_sim_ann config), hyperplanes = md5-derived ±1 INTEGER literals
+      shared with the oracle (S.srp_planes_md5 — the _NDCG_DISC
+      discipline); projections run on the quantized vector in exact
+      int64 (one Arrow numpy matmul Spark-side, list folds in DuckDB —
+      order-independent, no sign-parity risk); candidates = any shared
+      (table, bucket); same re-rank.
 
     The recall join itself is the measurement: hits = |ANN top-10 ∩
     brute top-10| per query.  The brute ranking rides the staged
@@ -812,10 +814,12 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id")
     )
 
-    # --- IVF leg: oracle-replayable coarse quantizer + nprobe probe ---
+    # --- IVF leg: oracle-replayable coarse quantizer + nprobe probe.
+    # Centroids + assignment are INDEX state (train once, probe many):
+    # staged per corpus fingerprint, like a production IVF build.
     vecs = ml.quantize_vectors(e)
-    cents, assign = ml.kmeans_fit(
-        vecs, k=_RECALL_IVF_CELLS, iters=_RECALL_IVF_ITERS
+    cents, assign = S.staged_kmeans_index(
+        e, k=_RECALL_IVF_CELLS, iters=_RECALL_IVF_ITERS
     )
     qe = vecs.filter(F.col("vec_id") < _RECALL_NQ).select(
         F.col("vec_id").alias("q_id"), F.posexplode("qv").alias("pos", "qval")
@@ -841,10 +845,11 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id")
     )
 
-    # --- SRP-LSH leg: md5-literal hyperplanes, shared-bucket candidates ---
-    sigs = S.srp_sigs_md5(
-        e, "vec_id", "embedding",
-        bits=_RECALL_BITS, tables=_RECALL_TABLES, dim=_RECALL_DIM,
+    # --- SRP-LSH leg: md5-literal hyperplanes, shared-bucket candidates.
+    # The signature table is index state too (and feeds both sides of
+    # the bucket self-join): staged per corpus fingerprint.
+    sigs = S.staged_srp_sigs_md5(
+        e, bits=_RECALL_BITS, tables=_RECALL_TABLES, dim=_RECALL_DIM
     )
     qs = sigs.filter(F.col("vec_id") < _RECALL_NQ).select(
         F.col("vec_id").alias("q_id"), "tbl", "sig"
@@ -1123,33 +1128,58 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_rows = d.select(
         "doc_id", F.explode(D.word_shingles("text", k=5)).alias("_sh")
     )
-    sigs = D.minhash_signatures_universal(sh_rows, "doc_id", num_hashes=16)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        F.element_at("minhash", 2 * j + 1).alias("s0"),
-                        F.element_at("minhash", 2 * j + 2).alias("s1"),
-                    )
-                    for j in range(8)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.j", "bb.s0", "bb.s1")
-    a = bands.select("j", "s0", "s1", F.col("doc_id").alias("id_a"))
-    b = bands.select("j", "s0", "s1", F.col("doc_id").alias("id_b"))
-    cands = (
-        a.join(b, ["j", "s0", "s1"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cands = D.minhash_universal_candidates(sh_rows, "doc_id", 16, 8)
     return D._jaccard_verify_rows(cands, sh_rows, "doc_id", 0.5).orderBy(
         "id_a", "id_b"
     )
+
+
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH RECALL accounting against the exact n-gram-Jaccard
+    ground truth (round 13, the dedup half of VERDICT r12 item 4 /
+    Missing 2): for every true near-dup pair (word-5-gram Jaccard ≥ 0.5
+    over the capped universe — the q_dedup_ngram relation), did the
+    banded universal-MinHash chain (16 hashes, 8 bands × 2 — the
+    q_dedup_near / q_dedup_minhash_exact geometry) surface it as a
+    CANDIDATE?  Output: one row per Jaccard decile (bucket 5 = [0.5,
+    0.6) … bucket 10 = exact dups) with (n_truth, n_found, recall) —
+    the measured LSH S-curve, fully hash-checked because every stage
+    (truth shingles, universal permutations, banding, the recall join)
+    is engine-replayable.  Scale shape: both inputs are the bounded
+    pair relations of their parent queries (hot-shingle cap / banded
+    buckets); the recall join runs at pair grain."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    truth = D.staged_ngram_pairs(d, k=5, min_jaccard=0.5, max_df=100).select(
+        "id_a", "id_b", "jaccard"
+    )
+    sh_rows = d.select(
+        "doc_id", F.explode(D.word_shingles("text", k=5)).alias("_sh")
+    )
+    cands = D.minhash_universal_candidates(sh_rows, "doc_id", 16, 8)
+    joined = truth.join(
+        cands.withColumn("_found", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    agg = (
+        joined.withColumn(
+            "jaccard_bucket", F.floor(F.col("jaccard") * 10).cast("int")
+        )
+        .groupBy("jaccard_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.coalesce(F.col("_found"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_found"),
+        )
+    )
+    return agg.select(
+        "jaccard_bucket",
+        "n_truth",
+        "n_found",
+        F.round(
+            F.col("n_found").cast("double") / F.col("n_truth").cast("double"),
+            8,
+        ).alias("recall"),
+    ).orderBy("jaccard_bucket")
 
 
 def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1478,6 +1508,7 @@ QUERIES = {
     "q_dedup_triangles": q_dedup_triangles,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_span": q_dedup_span,
+    "q_dedup_recall": q_dedup_recall,
     "q_dedup_embed": q_dedup_embed,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_incremental_exact": q_dedup_incremental_exact,
@@ -1553,18 +1584,22 @@ def _sim_recall_sql() -> str:
     fin = _RECALL_IVF_ITERS + 1
     planes = S.srp_planes_md5(_RECALL_BITS, _RECALL_TABLES, _RECALL_DIM)
 
-    def fold(plane: list[float]) -> str:
-        lits = ", ".join(repr(x) for x in plane)
+    def fold(plane: list[int]) -> str:
+        # EXACT int64 dot product over the quantized vector (the q CTE
+        # from the k-means chain) — order-independent, so list_sum is
+        # safe; the Spark side is a numpy int64 matmul of the same
+        # integers
+        lits = ", ".join(str(x) for x in plane)
         return (
-            "list_reduce(list_prepend(0.0, list_transform("
-            f"list_zip(embedding, [{lits}]), "
-            "p -> CAST(p[1] AS DOUBLE) * p[2])), (acc, x) -> acc + x)"
+            "CAST(list_sum(list_transform("
+            f"list_zip(qv, [{lits}]), "
+            "p -> p[1] * CAST(p[2] AS BIGINT))) AS BIGINT)"
         )
 
     sig_cols = ",\n                 ".join(
         "("
         + " + ".join(
-            f"(CASE WHEN {fold(planes[t][b])} > 0.0 THEN {2 ** b} ELSE 0 END)"
+            f"(CASE WHEN {fold(planes[t][b])} > 0 THEN {2 ** b} ELSE 0 END)"
             for b in range(_RECALL_BITS)
         )
         + f") AS sig_{t}"
@@ -1619,7 +1654,7 @@ def _sim_recall_sql() -> str:
         ),
         sigs AS MATERIALIZED (
           SELECT vec_id, {sig_cols}
-          FROM embeddings
+          FROM q
         ),
         sig_long AS MATERIALIZED ({sig_union}),
         lsh_cand AS MATERIALIZED (
@@ -2640,6 +2675,77 @@ ORACLE = {
         WHERE CAST(n_inter AS DOUBLE)
                  / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
         ORDER BY id_a, id_b
+    """.replace(
+        "__SEEDS__",
+        ", ".join(
+            f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.UNIVERSAL_AB)
+        ),
+    ),
+    # LSH S-curve recall accounting: the q_dedup_ngram truth CTEs +
+    # the q_dedup_minhash_exact candidate CTEs + one recall join,
+    # bucketed by Jaccard decile
+    "q_dedup_recall": """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ),
+        sh0 AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(t[gs : gs + 4], ' ') AS shingle
+          FROM toks JOIN generate_series(1, 100000) AS g(gs)
+            ON gs <= greatest(len(t) - 4, 1)
+        ),
+        shc AS (
+          SELECT sh0.* FROM sh0
+          JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100)
+            USING (shingle)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        truth AS (
+          SELECT id_a, id_b,
+                 CAST(n_inter AS DOUBLE)
+                   / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(n_inter AS DOUBLE)
+                   / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+        ),
+        base AS (
+          SELECT doc_id, shingle,
+                 CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+          FROM sh0
+        ),
+        seeds(i, a, b) AS (VALUES __SEEDS__),
+        sig AS (
+          SELECT doc_id, i, MIN((a * h + b) % 4294967311) AS s
+          FROM base CROSS JOIN seeds GROUP BY doc_id, i
+        ),
+        bands AS (
+          SELECT s0.doc_id, j.j, s0.s AS s0, s1.s AS s1
+          FROM generate_series(0, 7) j(j)
+          JOIN sig s0 ON s0.i = 2 * j.j
+          JOIN sig s1 ON s1.i = 2 * j.j + 1 AND s1.doc_id = s0.doc_id
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.j = b.j AND a.s0 = b.s0 AND a.s1 = b.s1
+               AND a.doc_id < b.doc_id
+        )
+        SELECT CAST(floor(t.jaccard * 10) AS INTEGER) AS jaccard_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_truth,
+               CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_found,
+               round(CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 8) AS recall
+        FROM truth t LEFT JOIN cands c
+          ON t.id_a = c.id_a AND t.id_b = c.id_b
+        GROUP BY 1 ORDER BY 1
     """.replace(
         "__SEEDS__",
         ", ".join(

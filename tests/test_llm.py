@@ -1232,11 +1232,11 @@ def test_shared_span_pairs_short_docs_and_nulls(spark):
 
 
 def test_srp_sigs_md5_matches_python(spark):
-    """The JVM fold signatures must equal a pure-Python replay of the
-    same md5-literal planes (left-to-right fold, sign of the double
-    projection) — the engine-portability contract q_sim_recall's oracle
-    leans on."""
-    import numpy as np
+    """The Arrow-matmul signatures must equal a pure-Python integer
+    replay of the same md5-literal planes over the quantized vector —
+    the engine-portability contract q_sim_recall's oracle leans on
+    (exact int64 dot products: order-independent by construction)."""
+    from fossa_spark import ml
 
     vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
         "vec_id < 8"
@@ -1248,16 +1248,16 @@ def test_srp_sigs_md5_matches_python(spark):
         ).collect()
     }
     planes = S.srp_planes_md5(4, 3, 64)
-    rows = vecs.select("vec_id", "embedding").collect()
+    rows = ml.quantize_vectors(vecs).collect()
+    assert all(isinstance(p, int) for p in planes[0][0])
     for r in rows:
-        v = [float(np.float32(x)) for x in r.embedding]
         for t in range(3):
             sig = 0
             for b in range(4):
-                acc = 0.0
-                for x, y in zip(v, planes[t][b]):
-                    acc = acc + x * y
-                if acc > 0.0:
+                proj = sum(
+                    int(x) * y for x, y in zip(r.qv, planes[t][b])
+                )
+                if proj > 0:
                     sig += 2**b
             assert got[(r.vec_id, t)] == sig, (r.vec_id, t)
 
@@ -1303,3 +1303,54 @@ def test_staged_brute_topk_identical_to_direct(spark):
         for r in S.staged_brute_topk(e, n_q=20, k=10).collect()
     }
     assert direct == s1 == s2
+
+
+def test_dedup_recall_s_curve_sanity(spark):
+    """q_dedup_recall invariants on the fixture: buckets are Jaccard
+    deciles >= 5, counts are consistent (0 <= n_found <= n_truth,
+    recall = n_found/n_truth), and the top bucket (near-exact dups,
+    j >= 0.9) sits far above the 8x2 banding knee (~0.35) so its
+    recall must be 1.0 — the S-curve's flat top."""
+    from fossa_spark.queries.llm_queries import q_dedup_recall
+
+    rows = q_dedup_recall(spark, SF_DIR).collect()
+    assert rows, "fixture must contain true near-dup pairs"
+    for r in rows:
+        assert 5 <= r.jaccard_bucket <= 10
+        assert 0 <= r.n_found <= r.n_truth
+        assert r.recall == round(r.n_found / r.n_truth, 8)
+    top = max(rows, key=lambda r: r.jaccard_bucket)
+    assert top.jaccard_bucket >= 9 and top.recall == 1.0
+
+
+def test_rerank_pairs_numpy_equals_jvm_fold(spark):
+    """rerank_pairs' Arrow cosine (cumsum = left-to-right recurrence)
+    must reproduce the JVM sequential fold EXACTLY — same rounded score
+    on every pair, same ranks — or q_sim_recall's oracle parity breaks."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = (
+        e.selectExpr("vec_id q_id")
+        .filter("q_id < 6")
+        .crossJoin(e.selectExpr("vec_id c_id").filter("c_id < 200"))
+        .filter("q_id <> c_id")
+    )
+    fast = {
+        (r.q_id, r.c_id): (r.score, r.rk)
+        for r in S.rerank_pairs(pairs, e, k=50).collect()
+    }
+    ea = e.selectExpr("vec_id q_id", "embedding _vq")
+    eb = e.selectExpr("vec_id c_id", "embedding _vc")
+    from pyspark.sql import Window as W
+
+    scored = (
+        pairs.join(ea, "q_id").join(eb, "c_id")
+        .withColumn("score", F.round(S.cosine(F.col("_vq"), F.col("_vc")), 6))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
+    slow = {
+        (r.q_id, r.c_id): (r.score, r.rk)
+        for r in scored.withColumn(
+            "rk", F.row_number().over(w).cast("long")
+        ).filter("rk <= 50").select("q_id", "c_id", "score", "rk").collect()
+    }
+    assert fast == slow
