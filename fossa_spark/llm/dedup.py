@@ -2363,6 +2363,72 @@ def _setsim_core(tok: DataFrame, t: float, l: int = 4) -> DataFrame:
     return inter
 
 
+def span_anchors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """(rep_id, pos, h) anchor rows for :func:`shared_span_pairs` —
+    exact-dup collapse to the min-id representative, then every k-token
+    window (1-based pos) under the engine-portable 60-bit md5 prefix
+    hash.  One narrow whole-stage-codegen pass; no shuffle beyond the
+    representative groupBy."""
+    reps = df.groupBy(F.col(text_col).alias("_text")).agg(
+        F.min(id_col).alias("rep_id")
+    )
+    toks = reps.select(
+        "rep_id", F.split(F.lower(F.col("_text")), " ").alias("_t")
+    ).filter(F.size("_t") >= k)
+    return toks.select(
+        "rep_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(_t) - {k - 1}),"
+                f" i -> array_join(slice(_t, i, {k}), ' '))"
+            )
+        ).alias("pos0", "_gram"),
+    ).select(
+        "rep_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.conv(F.substring(F.md5("_gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+
+
+def staged_span_anchors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    cache_root: str | None = None,
+) -> DataFrame:
+    """:func:`span_anchors` staged to parquet once per corpus
+    fingerprint — the anchor table is per-corpus-snapshot index state
+    (34.5M rows at sf10; rebuilding the gram strings + md5 every run
+    was the dominant cost of the first-cut q_dedup_span)."""
+    import tempfile
+
+    from fossa_spark.sources import stage_files
+
+    out = tempfile.mkdtemp(prefix="fossa_spananch_")
+
+    def build(into: str) -> None:
+        span_anchors(df, text_col, id_col, k).write.mode(
+            "overwrite"
+        ).parquet(into)
+
+    stage_files(
+        df, out,
+        cache_prefix="span_anchors",
+        params=["span_anchors_v1", k, text_col, id_col],
+        build=build,
+        cache_root=cache_root,
+    )
+    return df.sparkSession.read.parquet(out)
+
+
 def shared_span_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -2370,6 +2436,7 @@ def shared_span_pairs(
     k: int = 8,
     min_tokens: int = 16,
     max_df: int = 100,
+    anchors: DataFrame | None = None,
 ) -> DataFrame:
     """CROSS-document exact-substring dedup (round 13 — the Lee et al.
     2022 "Deduplicating Training Data Makes Language Models Better"
@@ -2419,55 +2486,51 @@ def shared_span_pairs(
     so outputs are bit-identical regardless).
 
     Docs shorter than k tokens carry no anchor and never pair.
+
+    Round-13 restructure (measured at sf10, 500k docs / 34.5M anchors):
+    the first cut shuffled the anchor relation FOUR times (occurrence
+    groupBy, cap join, both self-join sides) and rebuilt the gram
+    strings every run — the matches themselves are tiny (1.6M).  Now
+    match generation is ONE groupBy(h) with in-group pair expansion
+    (groups are cap-bounded, avg occupancy ~1.05, so the expansion is
+    O(anchors)), and ``anchors`` accepts the staged per-corpus table
+    (:func:`staged_span_anchors`) so warm runs skip the tokenize +
+    md5 narrow pass entirely — the staged_shingle_rows discipline.
     """
-    reps = df.groupBy(F.col(text_col).alias("_text")).agg(
-        F.min(id_col).alias("rep_id")
+    if anchors is None:
+        anchors = span_anchors(df, text_col, id_col, k)
+    groups = (
+        anchors.groupBy("h")
+        .agg(F.collect_list(F.struct("rep_id", "pos")).alias("g"))
+        .filter((F.size("g") >= 2) & (F.size("g") <= max_df))
     )
-    toks = reps.select(
-        "rep_id", F.split(F.lower(F.col("_text")), " ").alias("_t")
-    ).filter(F.size("_t") >= k)
-    grams = toks.select(
-        "rep_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(_t) - {k - 1}),"
-                f" i -> array_join(slice(_t, i, {k}), ' '))"
-            )
-        ).alias("pos0", "_gram"),
-    ).select(
-        "rep_id",
-        (F.col("pos0") + 1).cast("long").alias("pos"),
-        F.conv(F.substring(F.md5("_gram"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
-    # anchors feed three consumers (the cap aggregate + both join
-    # sides): persist once, checkpoint the (small) span set eagerly,
-    # release the cache before returning — the ngram_jaccard_pairs
-    # staging pattern
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
-    kept = grams.join(
-        grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("_occ"))
-        .filter(F.col("_occ") <= max_df)
-        .select("h"),
-        "h",
-    )
-    a = kept.select(
-        "h", F.col("rep_id").alias("id_a"), F.col("pos").alias("pos_a")
-    )
-    b = kept.select(
-        "h", F.col("rep_id").alias("id_b"), F.col("pos").alias("pos_b")
+    # every unordered element pair once, normalized to id_a < id_b with
+    # positions carried from the matching side; same-rep pairs (a gram
+    # repeated within one doc) drop — exactly the a⋈b equi-join's
+    # output, without the second shuffle
+    pair_expr = F.expr(
+        """
+        flatten(transform(g, (x, i) ->
+          filter(transform(slice(g, i + 2, size(g)), y ->
+            CASE
+              WHEN x.rep_id < y.rep_id THEN
+                struct(x.rep_id AS id_a, y.rep_id AS id_b,
+                       x.pos AS pos_a, y.pos AS pos_b)
+              WHEN x.rep_id > y.rep_id THEN
+                struct(y.rep_id AS id_a, x.rep_id AS id_b,
+                       y.pos AS pos_a, x.pos AS pos_b)
+            END),
+          p -> p IS NOT NULL)))
+        """
     )
     m = (
-        a.join(b, "h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "pos_a", "pos_b")
+        groups.select(F.explode(pair_expr).alias("p"))
+        .select("p.*")
         .withColumn("_diag", F.col("pos_a") - F.col("pos_b"))
     )
     w = W.partitionBy("id_a", "id_b", "_diag").orderBy("pos_a")
     isl = m.withColumn("_grp", F.col("pos_a") - F.row_number().over(w))
-    spans = (
+    return (
         isl.groupBy("id_a", "id_b", "_diag", "_grp")
         .agg(
             F.min("pos_a").alias("start_a"),
@@ -2478,10 +2541,7 @@ def shared_span_pairs(
         )
         .filter(F.col("span_tokens") >= min_tokens)
         .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
-        .localCheckpoint(eager=True)
     )
-    grams.unpersist()
-    return spans
 
 
 def minhash_universal_candidates(

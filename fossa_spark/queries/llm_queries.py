@@ -151,7 +151,8 @@ def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     span verbatim on the same hash."""
     d = spread(load(spark, sf_dir, "documents"), spark)
     return D.shared_span_pairs(
-        d, k=8, min_tokens=16, max_df=100
+        d, k=8, min_tokens=16, max_df=100,
+        anchors=D.staged_span_anchors(d, k=8),
     ).orderBy("id_a", "id_b", "start_a", "start_b")
 
 
