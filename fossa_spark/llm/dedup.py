@@ -2585,3 +2585,64 @@ def minhash_universal_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def cross_span_pairs(
+    anchors: DataFrame,
+    bench_pred: Column,
+    k: int = 8,
+    min_tokens: int = 16,
+    max_df: int = 100,
+) -> DataFrame:
+    """ASYMMETRIC shared-span detection (round 13): maximal verbatim
+    token spans ≥ ``min_tokens`` between a small BENCHMARK slice and
+    the rest of the corpus — the Lee et al. 2022 contamination use of
+    the suffix-array family, on the same fixed-k-gram anchor substrate
+    as :func:`shared_span_pairs` (pass the staged anchor table).
+
+    The asymmetry IS the plan: the benchmark anchor set is tiny, so it
+    broadcasts — a broadcast semi-join prunes the corpus anchors to
+    benchmark-colliding hashes BEFORE any shuffle (the corpus never
+    exchanges), the hot-anchor cap then runs on the pruned relation
+    (collision-sized, not corpus-sized), and islands/spans run at match
+    grain.  ``bench_pred`` is a boolean Column over the anchor table's
+    ``rep_id`` choosing the benchmark side.
+
+    Returns (bench_id, train_id, start_bench, start_train, span_tokens).
+    """
+    bench = anchors.filter(bench_pred).select(
+        F.col("rep_id").alias("bench_id"),
+        F.col("pos").alias("pos_b"),
+        "h",
+    )
+    train0 = anchors.filter(~bench_pred)
+    pruned = train0.join(F.broadcast(bench.select("h").distinct()), "h")
+    capped = pruned.join(
+        pruned.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") <= max_df)
+        .select("h"),
+        "h",
+    ).select(
+        F.col("rep_id").alias("train_id"), F.col("pos").alias("pos_t"), "h"
+    )
+    m = capped.join(F.broadcast(bench), "h").withColumn(
+        "_diag", F.col("pos_b") - F.col("pos_t")
+    )
+    w = W.partitionBy("bench_id", "train_id", "_diag").orderBy("pos_b")
+    isl = m.withColumn("_grp", F.col("pos_b") - F.row_number().over(w))
+    return (
+        isl.groupBy("bench_id", "train_id", "_diag", "_grp")
+        .agg(
+            F.min("pos_b").alias("start_bench"),
+            F.min("pos_t").alias("start_train"),
+            (F.max("pos_b") - F.min("pos_b") + F.lit(k))
+            .cast("long")
+            .alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+        .select(
+            "bench_id", "train_id", "start_bench", "start_train",
+            "span_tokens",
+        )
+    )

@@ -1135,6 +1135,26 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan at SPAN grain (round 13 — the Lee
+    et al. 2022 use case of the q_dedup_span substrate): every maximal
+    ≥ 16-token verbatim span shared between the held-out benchmark
+    slice (rep_id % 5 == 0, at distinct-text-representative grain) and
+    the training remainder.  The word-3-gram scan (q_contamination)
+    flags ANY shared phrase; this is the memorization-grade signal — a
+    contiguous quotation long enough to matter.  Plan: the benchmark
+    anchor set broadcasts; the corpus anchor table (staged, shared with
+    q_dedup_span) is pruned map-side to benchmark-colliding hashes
+    before any shuffle, so the corpus never exchanges (see
+    llm/dedup.py cross_span_pairs).  Oracle replays anchors → prune →
+    cap → join → islands verbatim."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    anchors = D.staged_span_anchors(d, k=8)
+    return D.cross_span_pairs(
+        anchors, F.col("rep_id") % 5 == 0, k=8, min_tokens=16, max_df=100
+    ).orderBy("bench_id", "train_id", "start_bench", "start_train")
+
+
 def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH RECALL accounting against the exact n-gram-Jaccard
     ground truth (round 13, the dedup half of VERDICT r12 item 4 /
@@ -1510,6 +1530,7 @@ QUERIES = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_span": q_dedup_span,
     "q_dedup_recall": q_dedup_recall,
+    "q_contamination_span": q_contamination_span,
     "q_dedup_embed": q_dedup_embed,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_incremental_exact": q_dedup_incremental_exact,
@@ -2682,6 +2703,60 @@ ORACLE = {
             f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.UNIVERSAL_AB)
         ),
     ),
+    # asymmetric span contamination: the q_dedup_span anchor CTEs with
+    # a benchmark/train split, train side pruned to benchmark hashes
+    # and capped, then the same diagonal islands
+    "q_contamination_span": """
+        WITH reps AS (
+          SELECT text, MIN(doc_id) AS rep_id FROM documents GROUP BY text
+        ),
+        toks AS (
+          SELECT rep_id, string_split(lower(text), ' ') AS t FROM reps
+        ),
+        grams AS (
+          SELECT rep_id, gs AS pos,
+                 CAST(('0x' || substr(
+                   md5(array_to_string(t[gs : gs + 7], ' ')), 1, 15)
+                 ) AS BIGINT) AS h
+          FROM toks JOIN generate_series(1, 100000) AS g(gs)
+            ON gs <= len(t) - 7
+        ),
+        bench AS (
+          SELECT rep_id AS bench_id, pos AS pos_b, h
+          FROM grams WHERE rep_id % 5 = 0
+        ),
+        train0 AS (SELECT * FROM grams WHERE rep_id % 5 <> 0),
+        pruned AS (
+          SELECT train0.* FROM train0
+          JOIN (SELECT DISTINCT h FROM bench) USING (h)
+        ),
+        capped AS (
+          SELECT rep_id AS train_id, pos AS pos_t, h FROM pruned
+          JOIN (SELECT h FROM pruned GROUP BY h HAVING COUNT(*) <= 100)
+            USING (h)
+        ),
+        m AS (
+          SELECT b.bench_id, c.train_id, b.pos_b, c.pos_t
+          FROM capped c JOIN bench b USING (h)
+        ),
+        isl AS (
+          SELECT bench_id, train_id, pos_b, pos_t,
+                 pos_b - ROW_NUMBER() OVER (
+                   PARTITION BY bench_id, train_id, (pos_b - pos_t)
+                   ORDER BY pos_b
+                 ) AS grp
+          FROM m
+        ),
+        sp AS (
+          SELECT bench_id, train_id,
+                 MIN(pos_b) AS start_bench, MIN(pos_t) AS start_train,
+                 CAST(MAX(pos_b) - MIN(pos_b) + 8 AS BIGINT) AS span_tokens
+          FROM isl GROUP BY bench_id, train_id, (pos_b - pos_t), grp
+        )
+        SELECT bench_id, train_id, start_bench, start_train, span_tokens
+        FROM sp WHERE span_tokens >= 16
+        ORDER BY bench_id, train_id, start_bench, start_train
+    """,
     # LSH S-curve recall accounting: the q_dedup_ngram truth CTEs +
     # the q_dedup_minhash_exact candidate CTEs + one recall join,
     # bucketed by Jaccard decile

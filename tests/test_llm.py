@@ -1354,3 +1354,25 @@ def test_rerank_pairs_numpy_equals_jvm_fold(spark):
         ).filter("rk <= 50").select("q_id", "c_id", "score", "rk").collect()
     }
     assert fast == slow
+
+
+def test_cross_span_pairs_planted_contamination(spark):
+    """cross_span_pairs finds the planted benchmark-side quotation with
+    exact positions, ignores train-train span pairs, and never reports
+    bench-bench pairs (only cross-side rows by construction)."""
+    w = [f"c{i}" for i in range(40)]
+    rows = [
+        (0, " ".join(w[:30])),                      # bench (0 % 5 == 0)
+        # train doc quoting bench tokens 5..24 after a 3-token prefix
+        (1, " ".join(["t1", "t2", "t3"] + w[5:25])),
+        # two train docs sharing a span with EACH OTHER only
+        (2, " ".join(f"x{i}" for i in range(25))),
+        (3, " ".join(["y0"] + [f"x{i}" for i in range(20)])),
+        (4, " ".join(f"z{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    anchors = D.span_anchors(df, "text", "doc_id", k=8)
+    out = D.cross_span_pairs(
+        anchors, F.col("rep_id") % 5 == 0, k=8, min_tokens=16
+    ).collect()
+    assert [tuple(r) for r in out] == [(0, 1, 6, 4, 20)]
