@@ -1600,7 +1600,8 @@ def _reg_tree_from_joint(joint: DataFrame) -> DataFrame:
     (feature, threshold) tie-break of the Gini family.  Leaf values are
     exact integer floor-division means (:func:`_floordiv`, negative-sum
     safe).  Returns 3 rows (root, left, right): (node, feature,
-    threshold, n_left, n_right, value_left, value_right, score)."""
+    threshold, n_left, n_right, value_left, value_right, sum_left,
+    sum_right)."""
 
     def _candidates(hist: DataFrame) -> DataFrame:
         cands = None
@@ -1651,7 +1652,14 @@ def _reg_tree_from_joint(joint: DataFrame) -> DataFrame:
                 F.col("rn").cast("bigint").alias("n_right"),
                 _floordiv(F.col("ls"), F.col("ln")).alias("value_left"),
                 _floordiv(F.col("rsum"), F.col("rn")).alias("value_right"),
-                F.round(F.col("score"), 8).alias("score"),
+                # the split SUMS, not the double score: at residual-sum
+                # magnitudes (~1e9+) round(score, 8) is past the double's
+                # ulp and Spark/DuckDB disagree in the last bit (caught
+                # by the sf0.001 parity sweep).  The argmin still runs
+                # on the raw double — bit-identical in both engines —
+                # but the OUTPUT is the exact integers it came from.
+                F.col("ls").cast("bigint").alias("sum_left"),
+                F.col("rsum").cast("bigint").alias("sum_right"),
             )
         )
 
@@ -1700,7 +1708,7 @@ def gbt_depth2(
     identical integers in both engines.
 
     Returns rounds×3 rows: (round, node, feature, threshold, n_left,
-    n_right, value_left, value_right, score) + the constant columns
+    n_right, value_left, value_right, sum_left, sum_right) + the constant columns
     (f0, sse_init) and the round's sse_after repeated per row."""
     cells = (
         df.groupBy(F.col(x1_col).alias("x1"), F.col(x2_col).alias("x2"))
@@ -1766,7 +1774,7 @@ def gbt_depth2(
         round_rows = tree.select(
             F.lit(t).alias("round"),
             "node", "feature", "threshold", "n_left", "n_right",
-            "value_left", "value_right", "score",
+            "value_left", "value_right", "sum_left", "sum_right",
             F.lit(sse_after).cast("bigint").alias("sse_after"),
         )
         model = round_rows if model is None else model.unionByName(round_rows)

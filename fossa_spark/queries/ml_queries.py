@@ -1931,12 +1931,17 @@ def _gbt_round_sql(t: int) -> str:
     )"""
 
 
+# the split SUMS, not round(score, 8): at residual-sum magnitude the
+# 8-dp round sits past the double ulp and the engines disagree in the
+# last bit (sf0.001 parity caught it); the argmin still compares the
+# raw doubles, which ARE bit-identical
 _REG_NODE_PROJ = f"""
     CAST(feature AS INTEGER) AS feature, threshold,
     CAST(ln AS BIGINT) AS n_left, CAST(rn AS BIGINT) AS n_right,
     {_fdiv_sql("ls", "ln")} AS value_left,
     {_fdiv_sql("rsum", "rn")} AS value_right,
-    round(score, 8) AS score"""
+    CAST(ls AS BIGINT) AS sum_left,
+    CAST(rsum AS BIGINT) AS sum_right"""
 
 
 def _gbt_unrolled_sql(rounds: int) -> str:
