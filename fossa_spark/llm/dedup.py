@@ -2646,3 +2646,56 @@ def cross_span_pairs(
             "span_tokens",
         )
     )
+
+
+def winnow_fingerprints(anchors: DataFrame, w: int = 9) -> DataFrame:
+    """WINNOWING fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm) over the k-gram anchor table
+    (:func:`span_anchors` / :func:`staged_span_anchors`): every window
+    of ``w`` consecutive anchors selects its minimum-hash anchor
+    (ties → rightmost position, the paper's rule), giving a fingerprint
+    density of ~2/(w+1) with the guarantee that any shared run of at
+    least w + k - 1 tokens shares a selected fingerprint.  This is the
+    sampled substrate a 100 TB pipeline indexes INSTEAD of every
+    anchor; with the q_dedup_span defaults (k=8, w=9) the guarantee
+    threshold equals its min_tokens=16.
+
+    Pure windowed selection: one window function over (doc, pos) with a
+    ROWS frame — no join, no explode; selection = lexicographic min of
+    struct(h, -pos) (min hash, ties to the LARGER position).  Docs with
+    fewer than w anchors contribute their global minimum (the
+    short-document rule, so every doc carries ≥ 1 fingerprint).
+
+    Returns DISTINCT (rep_id, pos, h) selected fingerprints."""
+    n_per = anchors.groupBy("rep_id").agg(
+        F.count(F.lit(1)).alias("_na")
+    )
+    a = anchors.join(n_per, "rep_id")
+    key = F.struct(F.col("h").alias("kh"), (-F.col("pos")).alias("kp"))
+    win = (
+        W.partitionBy("rep_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, w - 1)
+    )
+    long_sel = (
+        a.filter(F.col("_na") >= w)
+        .withColumn("_sel", F.min(key).over(win))
+        .withColumn("_cnt", F.count(F.lit(1)).over(win))
+        .filter(F.col("_cnt") == w)  # full windows only
+        .select(
+            "rep_id",
+            (-F.col("_sel.kp")).alias("pos"),
+            F.col("_sel.kh").alias("h"),
+        )
+    )
+    short_sel = (
+        a.filter(F.col("_na") < w)
+        .groupBy("rep_id")
+        .agg(F.min(key).alias("_sel"))
+        .select(
+            "rep_id",
+            (-F.col("_sel.kp")).alias("pos"),
+            F.col("_sel.kh").alias("h"),
+        )
+    )
+    return long_sel.unionByName(short_sel).distinct()

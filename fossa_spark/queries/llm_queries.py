@@ -1155,6 +1155,56 @@ def q_contamination_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bench_id", "train_id", "start_bench", "start_train")
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. SIGMOD 2003 —
+    the MOSS selection) over the staged anchor substrate shared with
+    q_dedup_span: per distinct-text document, the selected-fingerprint
+    count, density (≈ 2/(w+1)), and an md5 digest of the selected
+    (pos:hash) sequence — the sampled index a 100 TB pipeline stores
+    instead of every anchor, with the guarantee that any ≥ w+k-1 = 16
+    token shared run shares a fingerprint (matching q_dedup_span's
+    min_tokens).  One window pass over the anchor table; the oracle
+    replays the struct-min window selection, the rightmost-position
+    tie-break, and the short-document global-min rule verbatim."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    anchors = D.staged_span_anchors(d, k=8)
+    fp = D.winnow_fingerprints(anchors, w=9)
+    n_anchors = anchors.groupBy("rep_id").agg(
+        F.count(F.lit(1)).alias("n_anchors")
+    )
+    per = fp.groupBy("rep_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "h"))),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["pos"].cast("string"),
+                        s["h"].cast("string"),
+                    ),
+                ),
+                ",",
+            )
+        ).alias("fp_digest"),
+    )
+    return (
+        n_anchors.join(per, "rep_id")
+        .select(
+            F.col("rep_id").alias("doc_id"),
+            "n_anchors",
+            "n_fingerprints",
+            F.round(
+                F.col("n_fingerprints").cast("double")
+                / F.col("n_anchors").cast("double"),
+                8,
+            ).alias("density"),
+            "fp_digest",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH RECALL accounting against the exact n-gram-Jaccard
     ground truth (round 13, the dedup half of VERDICT r12 item 4 /
@@ -1531,6 +1581,7 @@ QUERIES = {
     "q_dedup_span": q_dedup_span,
     "q_dedup_recall": q_dedup_recall,
     "q_contamination_span": q_contamination_span,
+    "q_text_winnow": q_text_winnow,
     "q_dedup_embed": q_dedup_embed,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_incremental_exact": q_dedup_incremental_exact,
@@ -2703,6 +2754,68 @@ ORACLE = {
             f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.UNIVERSAL_AB)
         ),
     ),
+    # winnowing: struct-min window selection over the anchor CTEs
+    # (rightmost-position tie via -pos), short docs take the global
+    # min, per-doc digest of the (pos:hash) sequence
+    "q_text_winnow": """
+        WITH reps AS (
+          SELECT text, MIN(doc_id) AS rep_id FROM documents GROUP BY text
+        ),
+        toks AS (
+          SELECT rep_id, string_split(lower(text), ' ') AS t FROM reps
+        ),
+        grams AS (
+          SELECT rep_id, gs AS pos,
+                 CAST(('0x' || substr(
+                   md5(array_to_string(t[gs : gs + 7], ' ')), 1, 15)
+                 ) AS BIGINT) AS h
+          FROM toks JOIN generate_series(1, 100000) AS g(gs)
+            ON gs <= len(t) - 7
+        ),
+        nper AS (
+          SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS n_anchors
+          FROM grams GROUP BY rep_id
+        ),
+        longsel AS (
+          SELECT DISTINCT rep_id,
+                 -(sel.kp) AS pos, sel.kh AS h
+          FROM (
+            SELECT g.rep_id,
+                   MIN({'kh': g.h, 'kp': -g.pos}) OVER (
+                     PARTITION BY g.rep_id ORDER BY g.pos
+                     ROWS BETWEEN CURRENT ROW AND 8 FOLLOWING
+                   ) AS sel,
+                   COUNT(*) OVER (
+                     PARTITION BY g.rep_id ORDER BY g.pos
+                     ROWS BETWEEN CURRENT ROW AND 8 FOLLOWING
+                   ) AS cnt
+            FROM grams g JOIN nper USING (rep_id)
+            WHERE nper.n_anchors >= 9
+          ) WHERE cnt = 9
+        ),
+        shortsel AS (
+          SELECT g.rep_id,
+                 -(MIN({'kh': g.h, 'kp': -g.pos}).kp) AS pos,
+                 MIN({'kh': g.h, 'kp': -g.pos}).kh AS h
+          FROM grams g JOIN nper USING (rep_id)
+          WHERE nper.n_anchors < 9
+          GROUP BY g.rep_id
+        ),
+        fp AS (SELECT * FROM longsel UNION SELECT * FROM shortsel),
+        per AS (
+          SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+                 md5(string_agg(
+                   CAST(pos AS VARCHAR) || ':' || CAST(h AS VARCHAR),
+                   ',' ORDER BY pos)) AS fp_digest
+          FROM fp GROUP BY rep_id
+        )
+        SELECT n.rep_id AS doc_id, n.n_anchors, p.n_fingerprints,
+               round(CAST(p.n_fingerprints AS DOUBLE)
+                     / CAST(n.n_anchors AS DOUBLE), 8) AS density,
+               p.fp_digest
+        FROM nper n JOIN per p USING (rep_id)
+        ORDER BY doc_id
+    """,
     # asymmetric span contamination: the q_dedup_span anchor CTEs with
     # a benchmark/train split, train side pruned to benchmark hashes
     # and capped, then the same diagonal islands

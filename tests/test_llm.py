@@ -1376,3 +1376,29 @@ def test_cross_span_pairs_planted_contamination(spark):
         anchors, F.col("rep_id") % 5 == 0, k=8, min_tokens=16
     ).collect()
     assert [tuple(r) for r in out] == [(0, 1, 6, 4, 20)]
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing invariants (Schleimer et al. 2003): (1) GUARANTEE —
+    two docs sharing a verbatim run of >= w+k-1 tokens share at least
+    one selected fingerprint; (2) density ~ 2/(w+1) on random text;
+    (3) short docs (< w anchors) carry exactly one fingerprint."""
+    w = [f"g{i}" for i in range(60)]
+    rows = [
+        (0, " ".join(w[:40])),
+        # shares tokens 10..29 of doc 0 (20 tokens >= w+k-1 = 16)
+        (1, " ".join(["a1", "a2"] + w[10:30] + ["a3"])),
+        (2, " ".join(f"u{i}" for i in range(9))),   # 2 anchors < w
+        (3, " ".join(f"v{i}" for i in range(200))),  # density probe
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    anchors = D.span_anchors(df, "text", "doc_id", k=8)
+    fp = D.winnow_fingerprints(anchors, w=9)
+    by_doc: dict[int, set] = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.rep_id, set()).add(r.h)
+    assert by_doc[0] & by_doc[1], "guarantee violated: no shared fingerprint"
+    assert len(by_doc[2]) == 1  # short-doc global-min rule
+    n3 = anchors.filter("rep_id = 3").count()
+    dens = len(by_doc[3]) / n3
+    assert 0.1 < dens < 0.35, dens  # ~2/(w+1) = 0.2 on random text
