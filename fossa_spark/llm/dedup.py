@@ -2667,26 +2667,31 @@ def winnow_fingerprints(anchors: DataFrame, w: int = 9) -> DataFrame:
     short-document rule, so every doc carries ≥ 1 fingerprint).
 
     Returns DISTINCT (rep_id, pos, h) selected fingerprints."""
-    n_per = anchors.groupBy("rep_id").agg(
-        F.count(F.lit(1)).alias("_na")
-    )
-    a = anchors.join(n_per, "rep_id")
     key = F.struct(F.col("h").alias("kh"), (-F.col("pos")).alias("kp"))
     win = (
         W.partitionBy("rep_id")
         .orderBy("pos")
         .rowsBetween(W.currentRow, w - 1)
     )
-    long_sel = (
-        a.filter(F.col("_na") >= w)
-        .withColumn("_sel", F.min(key).over(win))
-        .withColumn("_cnt", F.count(F.lit(1)).over(win))
-        .filter(F.col("_cnt") == w)  # full windows only
-        .select(
-            "rep_id",
-            (-F.col("_sel.kp")).alias("pos"),
-            F.col("_sel.kh").alias("h"),
-        )
+    # per-doc anchor count from the SAME partitioning as the selection
+    # window — Spark plans all three functions over one sort exchange
+    # (a groupBy+join for the count was a second full shuffle of the
+    # 34.5M-row anchor table at sf10)
+    wall = W.partitionBy("rep_id")
+    a = anchors.select(
+        "rep_id",
+        "pos",
+        "h",
+        F.min(key).over(win).alias("_sel"),
+        F.count(F.lit(1)).over(win).alias("_cnt"),
+        F.count(F.lit(1)).over(wall).alias("_na"),
+    )
+    long_sel = a.filter(
+        (F.col("_na") >= w) & (F.col("_cnt") == w)  # full windows only
+    ).select(
+        "rep_id",
+        (-F.col("_sel.kp")).alias("pos"),
+        F.col("_sel.kh").alias("h"),
     )
     short_sel = (
         a.filter(F.col("_na") < w)
