@@ -1278,6 +1278,8 @@ def srp_sigs_md5(
 
     def gen(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # np.stack raises on an empty batch
+                continue
             ids = pdf[id_col].to_numpy()
             x = np.stack(pdf["qv"].to_numpy()).astype(np.int64)  # n×dim
             proj = x @ mat  # n × (tables*bits), exact int64
@@ -1324,6 +1326,8 @@ def rerank_pairs(
 
     @F.pandas_udf("double")
     def _cos_seq(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        if len(sa) == 0:  # np.vstack raises on an empty batch
+            return pd.Series([], dtype=np.float64)
         ma = np.vstack([np.asarray(v, dtype=np.float64) for v in sa])
         mb = np.vstack([np.asarray(v, dtype=np.float64) for v in sb])
         num = np.cumsum(ma * mb, axis=1)[:, -1]
