@@ -63,6 +63,13 @@ DEFAULT_QUERIES = [
     "q_boost_tree2",
     "q_forest_vote",
     "q_hits",
+    # round-13 additions worth tracking (decade ledger in BENCHLOG.md)
+    "q_dedup_span",
+    "q_text_winnow",
+    "q_sim_recall",
+    "q_dedup_recall",
+    "q_gbt_depth2",
+    "q_contamination_span",
     "q_agg_basic",  # fast canary — now honestly cold (see WARMUP_QUERY)
 ]
 
