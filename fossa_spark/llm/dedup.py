@@ -2491,18 +2491,39 @@ def shared_span_pairs(
     the first cut shuffled the anchor relation FOUR times (occurrence
     groupBy, cap join, both self-join sides) and rebuilt the gram
     strings every run — the matches themselves are tiny (1.6M).  Now
-    match generation is ONE groupBy(h) with in-group pair expansion
-    (groups are cap-bounded, avg occupancy ~1.05, so the expansion is
-    O(anchors)), and ``anchors`` accepts the staged per-corpus table
+    match generation is one count-gated groupBy(h) with in-group pair
+    expansion (groups are cap-bounded, avg occupancy ~1.05, so the
+    expansion is O(anchors); the count pass is map-side-combined so
+    only the full-anchor join exchange moves rows), and ``anchors``
+    accepts the staged per-corpus table
     (:func:`staged_span_anchors`) so warm runs skip the tokenize +
     md5 narrow pass entirely — the staged_shingle_rows discipline.
     """
     if anchors is None:
         anchors = span_anchors(df, text_col, id_col, k)
-    groups = (
+    # COUNT-FIRST cap (round 14 — the one r13 `weak`): the first form
+    # filtered size(g) AFTER collect_list, so a boilerplate anchor with
+    # 10⁸ occurrences at 100 TB (license headers, nav text) would
+    # materialize its full occurrence list in ONE aggregation buffer
+    # before the filter dropped it — executor OOM on a key the query
+    # discards anyway.  Count first instead (map-side-combined, the
+    # exchange carries (h, partial_count) not occurrence rows), keep
+    # only 2 ≤ occ ≤ max_df, and join anchors to the survivors BEFORE
+    # any list is built: the hot anchor's 10⁸ rows die in the join and
+    # never reach an aggregation buffer.  The join and the collect_list
+    # groupBy share one hash partitioning on h, so match generation
+    # still pays a single full anchor exchange — the shape
+    # cross_span_pairs used from day one.
+    ok_h = (
         anchors.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter((F.col("_occ") >= 2) & (F.col("_occ") <= max_df))
+        .select("h")
+    )
+    groups = (
+        anchors.join(ok_h, "h")
+        .groupBy("h")
         .agg(F.collect_list(F.struct("rep_id", "pos")).alias("g"))
-        .filter((F.size("g") >= 2) & (F.size("g") <= max_df))
     )
     # every unordered element pair once, normalized to id_a < id_b with
     # positions carried from the matching side; same-rep pairs (a gram

@@ -1223,6 +1223,33 @@ def test_shared_span_pairs_hot_anchor_cap(spark):
     assert capped.count() == 0
 
 
+def test_shared_span_pairs_cap_precedes_collect(spark):
+    """The hot-anchor cap must run BEFORE the occurrence lists are
+    built (r13 verdict's one `weak`): a boilerplate anchor with 10⁸
+    occurrences at 100 TB must die in the count-gated join, never
+    reaching a collect_list aggregation buffer.  Assert on the
+    optimized plan: the `_occ` count/filter subtree hangs UNDER the
+    collect_list aggregate (parents print before children in the tree
+    dump), and no post-aggregation filter on size(g) remains."""
+    shared = [f"b{i}" for i in range(20)]
+    rows = [(i, " ".join([f"u{i}x{j}" for j in range(3)] + shared))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.shared_span_pairs(df, k=8, min_tokens=16, max_df=5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_occ" in plan  # the count gate exists
+    # no Filter node on the materialized list's size (size(g…) also
+    # appears legitimately inside the pair-expansion lambda)
+    assert not [
+        ln for ln in plan.splitlines()
+        if "Filter" in ln and "size(g" in ln
+    ]
+    # the filter on _occ is a DESCENDANT of the collect_list aggregate:
+    # it executes first, so the hot anchor's rows never reach the
+    # list-building buffer
+    assert plan.index("collect_list") < plan.index("_occ")
+
+
 def test_shared_span_pairs_short_docs_and_nulls(spark):
     """Docs shorter than k tokens carry no anchors; the pipeline
     tolerates them (and they never pair)."""
