@@ -892,8 +892,8 @@ _GRAMS = """
   toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
   sh0 AS (
     SELECT DISTINCT doc_id, array_to_string(t[gs : gs + {km1}], ' ') AS gram
-    FROM toks JOIN generate_series(1, 100000) AS g(gs)
-      ON gs <= greatest(len(t) - {km1}, 1)
+    FROM (SELECT *, unnest(generate_series(1, greatest(len(t) - {km1}, 1))) AS gs
+                FROM toks) g
   )
 """
 
@@ -1299,8 +1299,8 @@ ORACLE = {
                       FROM documents),
         bi AS (
           SELECT doc_id, array_to_string(t[gs : gs + 1], ' ') AS g
-          FROM toks JOIN generate_series(1, 100000) AS s(gs)
-            ON gs <= greatest(len(t) - 1, 1)
+          FROM (SELECT *, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS gs
+                FROM toks) s
         ),
         bstats AS (SELECT doc_id, COUNT(*) AS nb, COUNT(DISTINCT g) AS nub
                    FROM bi GROUP BY doc_id),

@@ -2071,8 +2071,8 @@ ORACLE = {
                  CAST(('0x' || substr(
                    md5(array_to_string(t[gs : gs + 7], ' ')), 1, 15)
                  ) AS BIGINT) AS h
-          FROM toks JOIN generate_series(1, 100000) AS g(gs)
-            ON gs <= len(t) - 7
+          FROM (SELECT *, unnest(generate_series(1, len(t) - 7)) AS gs
+                FROM toks) g
         ),
         kept AS (
           SELECT grams.* FROM grams
@@ -2229,8 +2229,8 @@ ORACLE = {
         tok AS (
           SELECT DISTINCT doc_id,
                  array_to_string(t[gs : gs + 2], ' ') AS tok
-          FROM toks JOIN generate_series(1, 100000) AS g(gs)
-            ON gs <= greatest(len(t) - 2, 1)
+          FROM (SELECT *, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS gs
+                FROM toks) g
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
         inter AS (
@@ -2259,8 +2259,8 @@ ORACLE = {
         tok AS (
           SELECT DISTINCT doc_id,
                  array_to_string(t[gs : gs + 2], ' ') AS tok
-          FROM toks JOIN generate_series(1, 100000) AS g(gs)
-            ON gs <= greatest(len(t) - 2, 1)
+          FROM (SELECT *, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS gs
+                FROM toks) g
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
         inter AS (
@@ -2286,8 +2286,8 @@ ORACLE = {
         sh0 AS (
           SELECT DISTINCT doc_id,
                  array_to_string(t[gs : gs + 4], ' ') AS shingle
-          FROM toks JOIN generate_series(1, 100000) AS g(gs)
-            ON gs <= greatest(len(t) - 4, 1)
+          FROM (SELECT *, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS gs
+                FROM toks) g
         ),
         sh AS (  -- hot-shingle cap: drop shingles with document frequency > 100
           SELECT sh0.* FROM sh0
@@ -2320,8 +2320,8 @@ ORACLE = {
         sh0 AS (
           SELECT DISTINCT doc_id,
                  array_to_string(t[gs : gs + 4], ' ') AS shingle
-          FROM toks JOIN generate_series(1, 100000) AS g(gs)
-            ON gs <= greatest(len(t) - 4, 1)
+          FROM (SELECT *, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS gs
+                FROM toks) g
         ),
         sh AS (
           SELECT sh0.* FROM sh0
@@ -2399,8 +2399,8 @@ ORACLE = {
         sh0 AS (
           SELECT DISTINCT doc_id,
                  array_to_string(t[gs : gs + 4], ' ') AS shingle
-          FROM toks JOIN generate_series(1, 100000) AS g(gs)
-            ON gs <= greatest(len(t) - 4, 1)
+          FROM (SELECT *, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS gs
+                FROM toks) g
         ),
         sh AS (
           SELECT sh0.* FROM sh0
@@ -2471,8 +2471,8 @@ ORACLE = {
         sh0 AS (
           SELECT DISTINCT doc_id,
                  array_to_string(t[gs : gs + 4], ' ') AS shingle
-          FROM toks JOIN generate_series(1, 100000) AS g(gs)
-            ON gs <= greatest(len(t) - 4, 1)
+          FROM (SELECT *, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS gs
+                FROM toks) g
         ),
         sh AS (  -- hot-shingle cap: drop shingles with document frequency > 100
           SELECT sh0.* FROM sh0
@@ -2634,8 +2634,8 @@ ORACLE = {
         sh AS MATERIALIZED (  -- distinct 3-shingles, word_shingles rule:
           -- short docs yield one shingle of all their tokens
           SELECT DISTINCT doc, array_to_string(t[gs : gs + 2], ' ') AS term
-          FROM toks JOIN generate_series(1, 100000) AS g(gs)
-            ON gs <= greatest(len(t) - 2, 1)
+          FROM (SELECT *, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS gs
+                FROM toks) g
         ),
         n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs
               FROM documents),
@@ -2706,8 +2706,8 @@ ORACLE = {
         sh AS (
           SELECT DISTINCT doc_id,
                  array_to_string(t[gs : gs + 4], ' ') AS shingle
-          FROM toks JOIN generate_series(1, 100000) AS g(gs)
-            ON gs <= greatest(len(t) - 4, 1)
+          FROM (SELECT *, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS gs
+                FROM toks) g
         ),
         base AS (
           SELECT doc_id, shingle,
@@ -2769,8 +2769,8 @@ ORACLE = {
                  CAST(('0x' || substr(
                    md5(array_to_string(t[gs : gs + 7], ' ')), 1, 15)
                  ) AS BIGINT) AS h
-          FROM toks JOIN generate_series(1, 100000) AS g(gs)
-            ON gs <= len(t) - 7
+          FROM (SELECT *, unnest(generate_series(1, len(t) - 7)) AS gs
+                FROM toks) g
         ),
         nper AS (
           SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS n_anchors
@@ -2831,8 +2831,8 @@ ORACLE = {
                  CAST(('0x' || substr(
                    md5(array_to_string(t[gs : gs + 7], ' ')), 1, 15)
                  ) AS BIGINT) AS h
-          FROM toks JOIN generate_series(1, 100000) AS g(gs)
-            ON gs <= len(t) - 7
+          FROM (SELECT *, unnest(generate_series(1, len(t) - 7)) AS gs
+                FROM toks) g
         ),
         bench AS (
           SELECT rep_id AS bench_id, pos AS pos_b, h
@@ -2880,8 +2880,8 @@ ORACLE = {
         sh0 AS (
           SELECT DISTINCT doc_id,
                  array_to_string(t[gs : gs + 4], ' ') AS shingle
-          FROM toks JOIN generate_series(1, 100000) AS g(gs)
-            ON gs <= greatest(len(t) - 4, 1)
+          FROM (SELECT *, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS gs
+                FROM toks) g
         ),
         shc AS (
           SELECT sh0.* FROM sh0
@@ -2955,12 +2955,14 @@ ORACLE = {
         toks AS (
           SELECT doc_id, gs - 1 AS pos, a[gs] AS token,
                  CAST(len(a) AS BIGINT) AS n
-          FROM arr JOIN generate_series(1, 100000) g(gs) ON gs <= len(a)
+          FROM (SELECT *, unnest(generate_series(1, len(a))) AS gs
+                FROM arr) g
         ),
         starts AS (
           SELECT doc_id, gs - 1 AS start,
                  array_to_string(a[gs : gs + 7], ' ') AS gram
-          FROM arr JOIN generate_series(1, 100000) g(gs) ON gs <= len(a) - 7
+          FROM (SELECT *, unnest(generate_series(1, len(a) - 7)) AS gs
+                FROM arr) g
         ),
         firsts AS (
           SELECT doc_id, gram, MIN(start) AS first FROM starts GROUP BY 1, 2
