@@ -2629,6 +2629,17 @@ def cross_span_pairs(
     grain.  ``bench_pred`` is a boolean Column over the anchor table's
     ``rep_id`` choosing the benchmark side.
 
+    BLIND SPOT (by construction — ADVICE r13): the anchor table is at
+    distinct-text-representative grain, so a training document that is
+    an EXACT copy of a benchmark document collapsed into one rep before
+    this scan and no bench/train pair is emitted for it.  That is the
+    division of labor, not a loss: a full-document copy is precisely
+    what the exact-dedup pass (:func:`exact_dedup` / q_dedup_exact)
+    reports as a multi-copy hash group, and a contamination pipeline
+    unions that report with this one.  This scan exists for the case
+    exact dedup cannot see — a ≥ min_tokens quotation inside an
+    otherwise-different document.
+
     Returns (bench_id, train_id, start_bench, start_train, span_tokens).
     """
     bench = anchors.filter(bench_pred).select(

@@ -1702,10 +1702,13 @@ def gbt_depth2(
 
     Exactness: y must be integral (caller casts; here whole currency
     units).  Leaf values are floor-division means, so residual sums
-    stay exact bigints; SSE = Σs² − 2·Σ(pred·s) + Σ(n·pred²) is exact
-    int64 with ~10× headroom at sf10 (y ≤ 1.1e5, 6M rows → ≤ ~8e17);
-    the split score's double forms are identical IEEE expressions of
-    identical integers in both engines.
+    stay exact bigints; SSE = Σs² − 2·Σ(pred·s) + Σ(n·pred²) is
+    accumulated in DECIMAL(38,0) (matching the oracle's HUGEINT sum)
+    and range-checked against int64 before it is emitted — at sf10 the
+    total is ~8e17 with ~10× headroom, but the guard makes a larger
+    corpus fail loudly instead of wrapping (ADVICE r13); the split
+    score's double forms are identical IEEE expressions of identical
+    integers in both engines.
 
     Returns rounds×3 rows: (round, node, feature, threshold, n_left,
     n_right, value_left, value_right, sum_left, sum_right) + the constant columns
@@ -1726,14 +1729,28 @@ def gbt_depth2(
     )  # one scalar: control-plane
 
     def _sse(state: DataFrame) -> int:
+        # accumulate in DECIMAL(38,0): the bigint form wraps silently
+        # past int64 (~8e17 headroom at sf10 was documented but
+        # unguarded — ADVICE r13) while the DuckDB oracle sums in
+        # HUGEINT, so past the limit the engines would diverge without
+        # a trace.  Operands are cast BEFORE the products so no term
+        # overflows either; the one-row total is range-checked loudly.
+        d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
         row = state.agg(
             F.sum(
-                F.col("s2")
-                - 2 * F.col("pred") * F.col("s")
-                + F.col("n") * F.col("pred") * F.col("pred")
+                d(F.col("s2"))
+                - 2 * d(F.col("pred")) * d(F.col("s"))
+                + d(F.col("n")) * d(F.col("pred")) * d(F.col("pred"))
             ).alias("sse")
         ).collect()[0]
-        return int(row["sse"])
+        v = int(row["sse"])
+        if not -(2**63) <= v < 2**63:
+            raise ValueError(
+                f"gbt_depth2: SSE ledger {v} exceeds int64 — the "
+                "bigint output columns (and the oracle's HUGEINT→"
+                "BIGINT cast) cannot carry it exactly"
+            )
+        return v
 
     state = cells.withColumn("pred", F.lit(f0).cast("bigint"))
     sse_init = _sse(state)

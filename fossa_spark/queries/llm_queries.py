@@ -1146,7 +1146,12 @@ def q_contamination_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor set broadcasts; the corpus anchor table (staged, shared with
     q_dedup_span) is pruned map-side to benchmark-colliding hashes
     before any shuffle, so the corpus never exchanges (see
-    llm/dedup.py cross_span_pairs).  Oracle replays anchors → prune →
+    llm/dedup.py cross_span_pairs).  Scope (ADVICE r13): the scan runs
+    at distinct-text-representative grain, so a training doc that is an
+    exact COPY of a benchmark doc collapses into one rep and appears
+    here as no pair — full-copy contamination is q_dedup_exact's
+    multi-copy report; this query covers the embedded-quotation case
+    exact dedup cannot see.  Oracle replays anchors → prune →
     cap → join → islands verbatim."""
     d = spread(load(spark, sf_dir, "documents"), spark)
     anchors = D.staged_span_anchors(d, k=8)
