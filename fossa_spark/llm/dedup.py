@@ -2736,3 +2736,142 @@ def winnow_fingerprints(anchors: DataFrame, w: int = 9) -> DataFrame:
         )
     )
     return long_sel.unionByName(short_sel).distinct()
+
+
+def remove_shared_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_tokens: int = 16,
+    max_df: int = 100,
+    anchors: DataFrame | None = None,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """SPAN REMOVAL (round 14 — the intervention half of Lee et al.
+    2022, completing :func:`shared_span_pairs` the way q_pii_redact
+    completes q_pii_scan): for every shared span the detector reports,
+    keep the min-id occurrence and SPLICE the duplicated tokens out of
+    every other occurrence, re-emitting the rewritten document plus
+    removed-token accounting.
+
+    Keeper rule: shared_span_pairs normalizes pairs to id_a < id_b, so
+    the id_b-side occurrence of every reported span is the non-keeper —
+    a doc keeps a span iff it is the minimum id among the docs sharing
+    it (for any sharing set, every non-minimum doc is id_b at least in
+    its pair with the minimum).  A doc's removal set is the POSITION
+    UNION of all its non-keeper intervals [start_b, start_b +
+    span_tokens); overlapping intervals from different pairs just cover
+    the same positions twice.
+
+    Scale shape: the span relation is MATCH grain (tiny next to the
+    corpus) and collapses to one interval-array row per affected doc,
+    so the corpus-side work is an equi-join of the affected-doc slice
+    against that small relation — untouched documents never move.  The
+    splice itself is in-place per row: tokens are tagged with 1-based
+    positions by one ``transform`` and filtered by an ``exists`` over
+    the doc's own interval array (per-doc interval counts are span
+    counts, a handful — the interpreted-HOF cost the r13 Arrow lessons
+    warn about does not bite at that width).  No token-grain shuffle,
+    no window, no explode.
+
+    Returns one row per AFFECTED distinct-text representative:
+    (rep_id, n_tokens, removed_tokens, n_spans, new_text) where
+    n_spans counts removal intervals before the union and new_text is
+    the original-case text with removed positions spliced out
+    (token boundaries are whitespace, so positions found on the
+    lowercased stream align with the original).  Compose with the
+    exact-dedup attribution to fan the rewrite out to replicas."""
+    if spans is None:
+        spans = shared_span_pairs(
+            df, text_col, id_col, k, min_tokens, max_df, anchors=anchors
+        )
+    ivs = (
+        spans.select(
+            F.col("id_b").alias("rep_id"),
+            F.struct(
+                F.col("start_b").alias("s"),
+                (F.col("start_b") + F.col("span_tokens") - 1).alias("e"),
+            ).alias("iv"),
+        )
+        .groupBy("rep_id")
+        .agg(
+            F.collect_list("iv").alias("ivs"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+        )
+    )
+    reps = df.groupBy(text_col).agg(F.min(id_col).alias("rep_id"))
+    kept = F.expr(
+        """
+        filter(transform(_t, (tok, i) -> struct(tok AS tok,
+                                                CAST(i + 1 AS BIGINT) AS p)),
+               s -> NOT exists(ivs, v -> s.p >= v.s AND s.p <= v.e))
+        """
+    )
+    return (
+        reps.join(ivs, "rep_id")
+        .withColumn("_t", F.split(F.col(text_col), " "))
+        .select(
+            "rep_id",
+            F.size("_t").cast("long").alias("n_tokens"),
+            "n_spans",
+            kept.alias("_kept"),
+        )
+        .select(
+            "rep_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.size("_kept")).cast("long").alias(
+                "removed_tokens"
+            ),
+            "n_spans",
+            F.array_join(
+                F.expr("transform(_kept, s -> s.tok)"), " "
+            ).alias("new_text"),
+        )
+    )
+
+
+def winnow_span_candidates(
+    fingerprints: DataFrame, max_df: int = 100
+) -> DataFrame:
+    """Candidate anchor matches generated from WINNOWED fingerprints
+    (round 14 — :func:`winnow_fingerprints` as the index substrate
+    instead of the full anchor table, the ~2/(w+1)-density sampling a
+    100 TB pipeline actually stores): equi-join the fingerprint table
+    to itself on the hash, count-first hot-hash cap (the
+    shared_span_pairs r14 discipline — a boilerplate fingerprint dies
+    in the count gate before any pair is built), normalized to
+    id_a < id_b with the diagonal carried.
+
+    By the winnowing guarantee, any verbatim shared run of at least
+    w + k - 1 tokens selects at least one common fingerprint in both
+    documents at aligned positions, so every such span yields at least
+    one candidate on its diagonal — recall over the capped universe is
+    total at ≥ w + k - 1 tokens, measured (not assumed) by
+    q_dedup_span_winnow.
+
+    Returns (id_a, id_b, pos_a, pos_b, _diag)."""
+    ok_h = (
+        fingerprints.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter((F.col("_occ") >= 2) & (F.col("_occ") <= max_df))
+        .select("h")
+    )
+    fpk = fingerprints.join(ok_h, "h")
+    a = fpk.select(
+        "h", F.col("rep_id").alias("id_a"), F.col("pos").alias("pos_a")
+    )
+    b = fpk.select(
+        "h", F.col("rep_id").alias("id_b"), F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("_diag"),
+        )
+    )

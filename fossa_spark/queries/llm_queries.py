@@ -1258,6 +1258,98 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("jaccard_bucket")
 
 
+def q_dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN REMOVAL (round 14 — the intervention half of Lee et al.
+    2022, completing q_dedup_span the way q_pii_redact completes
+    q_pii_scan): every shared ≥ 16-token span keeps its min-id
+    occurrence and is SPLICED out of every other occurrence.  One row
+    per affected distinct-text representative: original token count,
+    removed-token count (position union of all non-keeper intervals,
+    so overlapping spans never double-count), removal-interval count,
+    and the md5 digest of the rewritten text.  Scale shape
+    (llm/dedup.py remove_shared_spans): the span relation is match
+    grain and collapses to one interval-array row per affected doc;
+    untouched documents never move, and the splice is an in-row
+    position filter — no token-grain shuffle.  The oracle replays the
+    span chain, then the splice at token grain (position ∈ interval
+    EXISTS, string_agg ORDER BY position)."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    out = D.remove_shared_spans(
+        d, k=8, min_tokens=16, max_df=100,
+        anchors=D.staged_span_anchors(d, k=8),
+    )
+    return out.select(
+        F.col("rep_id").alias("doc_id"),
+        "n_tokens",
+        "removed_tokens",
+        "n_spans",
+        F.md5("new_text").alias("new_digest"),
+    ).orderBy("doc_id")
+
+
+def q_dedup_span_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow-INDEXED span dedup recall (round 14 — VERDICT r13
+    Missing 2): candidate generation runs on the winnowed fingerprint
+    table (~2/(w+1) of all anchors — the substrate a 100 TB pipeline
+    stores, cutting the dominant match-generation shuffle ~4.5×)
+    instead of the full anchor table, and this query MEASURES what
+    that sampling costs against the full-anchor truth
+    (q_dedup_span's relation): per span-length bucket (16/32/64/128),
+    how many true shared spans have at least one winnowed candidate
+    on their diagonal inside the span.  The Schleimer et al. guarantee
+    says every shared run of ≥ w + k - 1 = 16 tokens selects a common
+    aligned fingerprint in both documents, so recall should measure
+    1.0 in every bucket — proven here the q_dedup_recall way, not
+    assumed.  Scale shape: fingerprint self-join is count-gated
+    (hot-hash cap before any pair), truth is computed only for the
+    accounting, the recall join runs at span grain."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    anchors = D.staged_span_anchors(d, k=8)
+    truth = D.shared_span_pairs(
+        d, k=8, min_tokens=16, max_df=100, anchors=anchors
+    )
+    cand = D.winnow_span_candidates(
+        D.winnow_fingerprints(anchors, w=9), max_df=100
+    )
+    hit = (
+        truth.join(cand, ["id_a", "id_b"])
+        .filter(
+            (F.col("_diag") == F.col("start_a") - F.col("start_b"))
+            & F.col("pos_a").between(
+                F.col("start_a"),
+                F.col("start_a") + F.col("span_tokens") - 8,
+            )
+        )
+        .select("id_a", "id_b", "start_a", "start_b")
+        .distinct()
+        .withColumn("_found", F.lit(1))
+    )
+    bk = truth.join(
+        hit, ["id_a", "id_b", "start_a", "start_b"], "left"
+    ).select(
+        F.when(F.col("span_tokens") < 32, 16)
+        .when(F.col("span_tokens") < 64, 32)
+        .when(F.col("span_tokens") < 128, 64)
+        .otherwise(128)
+        .cast("long")
+        .alias("len_bucket"),
+        F.coalesce(F.col("_found"), F.lit(0)).alias("_f"),
+    )
+    return (
+        bk.groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.sum("_f").cast("long").alias("n_found"),
+            F.round(
+                F.sum("_f").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                8,
+            ).alias("recall"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
 def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension z-score standardization of the embedding corpus — the
     feature-normalization pass before clustering/ANN training. Exactness
@@ -1584,6 +1676,8 @@ QUERIES = {
     "q_dedup_triangles": q_dedup_triangles,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_span": q_dedup_span,
+    "q_dedup_span_remove": q_dedup_span_remove,
+    "q_dedup_span_winnow": q_dedup_span_winnow,
     "q_dedup_recall": q_dedup_recall,
     "q_contamination_span": q_contamination_span,
     "q_text_winnow": q_text_winnow,
@@ -2106,6 +2200,198 @@ ORACLE = {
         SELECT id_a, id_b, start_a, start_b, span_tokens
         FROM sp WHERE span_tokens >= 16
         ORDER BY id_a, id_b, start_a, start_b
+    """,
+    # span removal: the q_dedup_span chain, then the splice — every
+    # id_b-side interval unions at position grain, kept tokens
+    # re-concatenate in order, digest compared
+    "q_dedup_span_remove": """
+        WITH reps AS (
+          SELECT text, MIN(doc_id) AS rep_id FROM documents GROUP BY text
+        ),
+        toks AS (
+          SELECT rep_id, string_split(lower(text), ' ') AS t FROM reps
+        ),
+        grams AS (
+          SELECT rep_id, gs AS pos,
+                 CAST(('0x' || substr(
+                   md5(array_to_string(t[gs : gs + 7], ' ')), 1, 15)
+                 ) AS BIGINT) AS h
+          FROM (SELECT *, unnest(generate_series(1, len(t) - 7)) AS gs
+                FROM toks) g
+        ),
+        kept AS (
+          SELECT grams.* FROM grams
+          JOIN (SELECT h FROM grams GROUP BY h HAVING COUNT(*) <= 100)
+            USING (h)
+        ),
+        m AS (
+          SELECT a.rep_id AS id_a, b.rep_id AS id_b,
+                 a.pos AS pos_a, b.pos AS pos_b
+          FROM kept a JOIN kept b ON a.h = b.h AND a.rep_id < b.rep_id
+        ),
+        isl AS (
+          SELECT id_a, id_b, pos_a, pos_b,
+                 pos_a - ROW_NUMBER() OVER (
+                   PARTITION BY id_a, id_b, (pos_a - pos_b)
+                   ORDER BY pos_a
+                 ) AS grp
+          FROM m
+        ),
+        sp AS (
+          SELECT id_a, id_b,
+                 MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+                 CAST(MAX(pos_a) - MIN(pos_a) + 8 AS BIGINT) AS span_tokens
+          FROM isl GROUP BY id_a, id_b, (pos_a - pos_b), grp
+        ),
+        rem AS (
+          SELECT id_b AS rep_id, start_b AS s,
+                 start_b + span_tokens - 1 AS e
+          FROM sp WHERE span_tokens >= 16
+        ),
+        nsp AS (
+          SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+          FROM rem GROUP BY rep_id
+        ),
+        otoks AS (
+          SELECT r.rep_id, string_split(r.text, ' ') AS ot
+          FROM reps r JOIN nsp USING (rep_id)
+        ),
+        tok AS (
+          SELECT rep_id, p, ot[p] AS tok
+          FROM (SELECT *, unnest(generate_series(1, len(ot))) AS p
+                FROM otoks) g
+        ),
+        marked AS (
+          SELECT t.rep_id, t.p, t.tok,
+                 EXISTS(SELECT 1 FROM rem r
+                        WHERE r.rep_id = t.rep_id
+                          AND t.p BETWEEN r.s AND r.e) AS rm
+          FROM tok t
+        ),
+        agg AS (
+          SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+                   AS removed_tokens,
+                 md5(COALESCE(string_agg(
+                   CASE WHEN NOT rm THEN tok END, ' ' ORDER BY p), ''))
+                   AS new_digest
+          FROM marked GROUP BY rep_id
+        )
+        SELECT a.rep_id AS doc_id, a.n_tokens, a.removed_tokens,
+               n.n_spans, a.new_digest
+        FROM agg a JOIN nsp n USING (rep_id)
+        ORDER BY doc_id
+    """,
+    # winnow-indexed span recall: the q_dedup_span truth chain + the
+    # q_text_winnow fingerprint chain + count-gated fingerprint
+    # self-join, aligned-diagonal hit test, per-length-bucket recall
+    "q_dedup_span_winnow": """
+        WITH reps AS (
+          SELECT text, MIN(doc_id) AS rep_id FROM documents GROUP BY text
+        ),
+        toks AS (
+          SELECT rep_id, string_split(lower(text), ' ') AS t FROM reps
+        ),
+        grams AS (
+          SELECT rep_id, gs AS pos,
+                 CAST(('0x' || substr(
+                   md5(array_to_string(t[gs : gs + 7], ' ')), 1, 15)
+                 ) AS BIGINT) AS h
+          FROM (SELECT *, unnest(generate_series(1, len(t) - 7)) AS gs
+                FROM toks) g
+        ),
+        kept AS (
+          SELECT grams.* FROM grams
+          JOIN (SELECT h FROM grams GROUP BY h HAVING COUNT(*) <= 100)
+            USING (h)
+        ),
+        m AS (
+          SELECT a.rep_id AS id_a, b.rep_id AS id_b,
+                 a.pos AS pos_a, b.pos AS pos_b
+          FROM kept a JOIN kept b ON a.h = b.h AND a.rep_id < b.rep_id
+        ),
+        isl AS (
+          SELECT id_a, id_b, pos_a, pos_b,
+                 pos_a - ROW_NUMBER() OVER (
+                   PARTITION BY id_a, id_b, (pos_a - pos_b)
+                   ORDER BY pos_a
+                 ) AS grp
+          FROM m
+        ),
+        spans AS (
+          SELECT id_a, id_b,
+                 MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+                 CAST(MAX(pos_a) - MIN(pos_a) + 8 AS BIGINT) AS span_tokens
+          FROM isl GROUP BY id_a, id_b, (pos_a - pos_b), grp
+        ),
+        truth AS (
+          SELECT id_a, id_b, start_a, start_b, span_tokens
+          FROM spans WHERE span_tokens >= 16
+        ),
+        nper AS (
+          SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS n_anchors
+          FROM grams GROUP BY rep_id
+        ),
+        longsel AS (
+          SELECT DISTINCT rep_id,
+                 -(sel.kp) AS pos, sel.kh AS h
+          FROM (
+            SELECT g.rep_id,
+                   MIN({'kh': g.h, 'kp': -g.pos}) OVER (
+                     PARTITION BY g.rep_id ORDER BY g.pos
+                     ROWS BETWEEN CURRENT ROW AND 8 FOLLOWING
+                   ) AS sel,
+                   COUNT(*) OVER (
+                     PARTITION BY g.rep_id ORDER BY g.pos
+                     ROWS BETWEEN CURRENT ROW AND 8 FOLLOWING
+                   ) AS cnt
+            FROM grams g JOIN nper USING (rep_id)
+            WHERE nper.n_anchors >= 9
+          ) WHERE cnt = 9
+        ),
+        shortsel AS (
+          SELECT g.rep_id,
+                 -(MIN({'kh': g.h, 'kp': -g.pos}).kp) AS pos,
+                 MIN({'kh': g.h, 'kp': -g.pos}).kh AS h
+          FROM grams g JOIN nper USING (rep_id)
+          WHERE nper.n_anchors < 9
+          GROUP BY g.rep_id
+        ),
+        fp AS (SELECT * FROM longsel UNION SELECT * FROM shortsel),
+        fpk AS (
+          SELECT fp.* FROM fp
+          JOIN (SELECT h FROM fp GROUP BY h
+                HAVING COUNT(*) BETWEEN 2 AND 100) USING (h)
+        ),
+        cand AS (
+          SELECT a.rep_id AS id_a, b.rep_id AS id_b,
+                 a.pos AS pos_a, b.pos AS pos_b
+          FROM fpk a JOIN fpk b ON a.h = b.h AND a.rep_id < b.rep_id
+        ),
+        hit AS (
+          SELECT DISTINCT t.id_a, t.id_b, t.start_a, t.start_b
+          FROM truth t JOIN cand c
+            ON c.id_a = t.id_a AND c.id_b = t.id_b
+           AND (c.pos_a - c.pos_b) = (t.start_a - t.start_b)
+           AND c.pos_a BETWEEN t.start_a
+                           AND t.start_a + t.span_tokens - 8
+        ),
+        bk AS (
+          SELECT CAST(CASE WHEN t.span_tokens < 32 THEN 16
+                           WHEN t.span_tokens < 64 THEN 32
+                           WHEN t.span_tokens < 128 THEN 64
+                           ELSE 128 END AS BIGINT) AS len_bucket,
+                 CASE WHEN h.id_a IS NOT NULL THEN 1 ELSE 0 END AS f
+          FROM truth t LEFT JOIN hit h
+            ON h.id_a = t.id_a AND h.id_b = t.id_b
+           AND h.start_a = t.start_a AND h.start_b = t.start_b
+        )
+        SELECT len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_truth,
+               CAST(SUM(f) AS BIGINT) AS n_found,
+               round(CAST(SUM(f) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 8)
+                 AS recall
+        FROM bk GROUP BY len_bucket ORDER BY len_bucket
     """,
     # one fixed-point GD iteration of the hashed-feature logistic
     # regression (llm/classifier.py): logits, hard-sigmoid error,

@@ -1258,6 +1258,80 @@ def test_shared_span_pairs_short_docs_and_nulls(spark):
     assert D.shared_span_pairs(df, k=8, min_tokens=16).count() == 0
 
 
+def test_remove_shared_spans_round_trip(spark):
+    """Planted 20-token quote in docs 0 and 1 (doc 0 = min id keeps):
+    only doc 1 is rewritten, its new_text is exactly its unique prefix/
+    suffix with the quote spliced out, and the keeper never appears.
+    A third doc sharing the SAME quote also loses it (still one keeper
+    per sharing set)."""
+    quote = [f"q{i}" for i in range(20)]
+    rows = [
+        (0, " ".join(["k0a", "k0b"] + quote + ["k0c"])),
+        (1, " ".join(["u1a"] + quote + ["u1b", "u1c"])),
+        (2, " ".join(quote + ["u2a", "u2b", "u2c", "u2d"])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["rep_id"]: r
+        for r in D.remove_shared_spans(df, k=8, min_tokens=16).collect()
+    }
+    assert sorted(out) == [1, 2]  # keeper 0 untouched
+    assert out[1]["new_text"] == "u1a u1b u1c"
+    assert out[1]["removed_tokens"] == 20 and out[1]["n_tokens"] == 23
+    assert out[2]["new_text"] == "u2a u2b u2c u2d"
+    # doc2 is id_b in pairs with BOTH 0 and 1 → 2 intervals, same
+    # positions: the union never double-counts
+    assert out[2]["n_spans"] == 2 and out[2]["removed_tokens"] == 20
+
+
+def test_remove_shared_spans_overlapping_intervals(spark):
+    """Two overlapping shared runs on one doc (quotes from two
+    different keepers sharing a middle section) remove the POSITION
+    UNION, not the sum of interval lengths."""
+    a = [f"a{i}" for i in range(16)]
+    b = [f"b{i}" for i in range(16)]
+    rows = [
+        (0, " ".join(["k0"] * 4 + a)),
+        (1, " ".join(b + ["k1"] * 4)),
+        # doc 2: a then b overlapping? keep disjoint-adjacent: a ++ b
+        (2, " ".join(a + b)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["rep_id"]: r
+        for r in D.remove_shared_spans(df, k=8, min_tokens=16).collect()
+    }
+    # doc2 loses both runs (32 tokens) and rewrites to empty
+    assert out[2]["removed_tokens"] == 32
+    assert out[2]["new_text"] == ""
+
+
+def test_winnow_span_candidates_guarantee(spark):
+    """Any shared run of >= w + k - 1 = 16 tokens yields at least one
+    winnowed candidate on the span's diagonal inside the span — the
+    Schleimer guarantee the q_dedup_span_winnow query measures."""
+    quote = [f"g{i}" for i in range(24)]
+    rows = [
+        (0, " ".join([f"x{i}" for i in range(10)] + quote)),
+        (1, " ".join(quote + [f"y{i}" for i in range(10)])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    anchors = D.span_anchors(df, "text", "doc_id", k=8)
+    truth = D.shared_span_pairs(df, k=8, min_tokens=16, anchors=anchors)
+    t = truth.collect()[0]
+    cand = D.winnow_span_candidates(
+        D.winnow_fingerprints(anchors, w=9)
+    ).collect()
+    aligned = [
+        c
+        for c in cand
+        if c["id_a"] == t["id_a"] and c["id_b"] == t["id_b"]
+        and c["_diag"] == t["start_a"] - t["start_b"]
+        and t["start_a"] <= c["pos_a"] <= t["start_a"] + t["span_tokens"] - 8
+    ]
+    assert aligned, "no aligned winnowed candidate for a 24-token run"
+
+
 def test_srp_sigs_md5_matches_python(spark):
     """The Arrow-matmul signatures must equal a pure-Python integer
     replay of the same md5-literal planes over the quantized vector —
