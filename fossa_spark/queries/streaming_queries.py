@@ -1187,7 +1187,239 @@ def _stream_kmeans_sql(k: int, batches: int, scale: int) -> str:
     return "".join(parts)
 
 
+def q_stream_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL cross-document span dedup (round 14 — VERDICT r13
+    item 6): the q_dedup_span capability run the way a 100 TB pipeline
+    actually runs it — new micro-batches PROBE a persisted anchor
+    index instead of re-scanning the corpus.  Base corpus (75% slice)
+    anchors are staged once; each arriving micro-batch computes
+    anchors for its own documents only, finds every maximal ≥ 16-token
+    span shared with ANY earlier document (base ∪ previously appended
+    batches), and appends its anchors for later batches.  Batch 2
+    re-emits the three lowest-id batch-1 documents under +10M ids, so
+    its output can only be right if the batch-1 anchor append landed
+    AND the probe saw it — the cross-batch premise the oracle checks.
+
+    Scale shape per batch (the cross_span_pairs asymmetry): the batch
+    anchor set is tiny and BROADCASTS; the corpus-sized index is
+    pruned map-side to batch-colliding hashes before any exchange and
+    the hot-anchor cap runs count-first on the pruned relation — the
+    index never shuffles, so per-batch cost is bounded by batch size,
+    not corpus size.  Anchors append at batch grain (marker-guarded
+    against foreachBatch replays); islands/spans run at match grain.
+
+    Oracle: the whole loop is md5-anchor arithmetic, so both batches
+    unroll in SQL — batch 1 vs base anchors, batch 2 vs base ∪
+    batch-1 anchors — the q_stream_ingest discipline."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from fossa_spark.llm import dedup as D
+    from fossa_spark.sources import stage_files
+
+    d = spread(load(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "text"
+    )
+    base = d.filter(F.col("doc_id") % 4 != 3)
+    b1 = d.filter(F.col("doc_id") % 8 == 3)
+    b2 = d.filter(F.col("doc_id") % 8 == 7)
+    planted = (
+        b1.orderBy("doc_id")
+        .limit(3)
+        .select((F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text")
+    )
+
+    # immutable base anchor table, staged per corpus fingerprint; the
+    # per-run APPENDS go to a fresh working dir so the cache never
+    # sees a mutated table
+    base_dir = tempfile.mkdtemp(prefix="fossa_sspan_base_")
+
+    def _build(into: str) -> None:
+        D.span_anchors(base, "text", "doc_id", 8).write.mode(
+            "overwrite"
+        ).parquet(into)
+
+    stage_files(
+        base, base_dir,
+        cache_prefix="sspan_base_anchors",
+        params=["sspan_base_v1", 8],
+        build=_build,
+    )
+    work_dir = tempfile.mkdtemp(prefix="fossa_sspan_work_")
+    feed = tempfile.mkdtemp(prefix="fossa_sspan_feed_")
+    out_dir = tempfile.mkdtemp(prefix="fossa_sspan_out_")
+    markers = tempfile.mkdtemp(prefix="fossa_sspan_mark_")
+
+    def _build_feed(into: str) -> None:
+        w = _feed_writer(into)
+        w(b1, 1)
+        w(b2.unionByName(planted), 2)
+
+    _staged_feed(d, feed, "sspan_feed", _build_feed)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(markers, f"done_b{batch_id}")
+        if os.path.exists(marker):
+            return
+        spark_b = batch_df.sparkSession
+        # batch anchors (rep grain within the batch), checkpointed so
+        # the probe, the broadcast prune, and the append all reuse one
+        # materialization
+        newa = D.span_anchors(batch_df, "text", "doc_id", 8).localCheckpoint(
+            eager=True
+        )
+        idx = spark_b.read.parquet(base_dir)
+        if any(n.endswith(".parquet") for n in os.listdir(work_dir)):
+            idx = idx.unionByName(spark_b.read.parquet(work_dir))
+        pruned = idx.join(F.broadcast(newa.select("h").distinct()), "h")
+        capped = pruned.join(
+            pruned.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") <= 100)
+            .select("h"),
+            "h",
+        ).select(
+            F.col("rep_id").alias("old_id"), F.col("pos").alias("pos_o"), "h"
+        )
+        newb = newa.select(
+            F.col("rep_id").alias("new_id"), F.col("pos").alias("pos_n"), "h"
+        )
+        m = capped.join(F.broadcast(newb), "h").withColumn(
+            "_diag", F.col("pos_n") - F.col("pos_o")
+        )
+        win = W.partitionBy("new_id", "old_id", "_diag").orderBy("pos_n")
+        isl = m.withColumn("_grp", F.col("pos_n") - F.row_number().over(win))
+        spans = (
+            isl.groupBy("new_id", "old_id", "_diag", "_grp")
+            .agg(
+                F.min("pos_n").alias("start_new"),
+                F.min("pos_o").alias("start_old"),
+                (F.max("pos_n") - F.min("pos_n") + F.lit(8))
+                .cast("long")
+                .alias("span_tokens"),
+            )
+            .filter(F.col("span_tokens") >= 16)
+            .select(
+                "new_id", "old_id", "start_new", "start_old", "span_tokens"
+            )
+        )
+        spans.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+        # append AFTER the probe result is on disk; guarded by the
+        # marker so a replay never double-appends
+        newa.write.mode("append").parquet(work_dir)
+        open(marker, "w").close()
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            F.col("batch_id").cast("long").alias("batch_id"),
+            "new_id",
+            "old_id",
+            "start_new",
+            "start_old",
+            "span_tokens",
+        )
+        .orderBy(
+            "batch_id", "new_id", "old_id", "start_new", "start_old"
+        )
+    )
+
+
+def _stream_span_sql() -> str:
+    """Two-batch unroll of q_stream_dedup_span: anchor CTEs per
+    relation, then the prune → cap → join → islands chain per batch,
+    batch 2's index = base ∪ batch-1 anchors."""
+
+    def anchors(name: str, rel: str) -> str:
+        return f"""
+        {name} AS (
+          SELECT rep_id, gs AS pos,
+                 CAST(('0x' || substr(
+                   md5(array_to_string(t[gs : gs + 7], ' ')), 1, 15)
+                 ) AS BIGINT) AS h
+          FROM (SELECT *, unnest(generate_series(1, len(t) - 7)) AS gs
+                FROM (SELECT rep_id, string_split(lower(text), ' ') AS t
+                      FROM (SELECT text, MIN(doc_id) AS rep_id
+                            FROM {rel} GROUP BY text)))
+        )"""
+
+    def match(i: int, idx: str, newa: str) -> str:
+        return f"""
+        pruned{i} AS (
+          SELECT x.* FROM {idx} x
+          JOIN (SELECT DISTINCT h FROM {newa}) USING (h)
+        ),
+        capped{i} AS (
+          SELECT rep_id AS old_id, pos AS pos_o, h FROM pruned{i}
+          JOIN (SELECT h FROM pruned{i} GROUP BY h HAVING COUNT(*) <= 100)
+            USING (h)
+        ),
+        mm{i} AS (
+          SELECT n.rep_id AS new_id, c.old_id, n.pos AS pos_n, c.pos_o
+          FROM capped{i} c JOIN {newa} n USING (h)
+        ),
+        isl{i} AS (
+          SELECT new_id, old_id, pos_n, pos_o,
+                 pos_n - ROW_NUMBER() OVER (
+                   PARTITION BY new_id, old_id, (pos_n - pos_o)
+                   ORDER BY pos_n
+                 ) AS grp
+          FROM mm{i}
+        ),
+        sp{i} AS (
+          SELECT new_id, old_id,
+                 MIN(pos_n) AS start_new, MIN(pos_o) AS start_old,
+                 CAST(MAX(pos_n) - MIN(pos_n) + 8 AS BIGINT) AS span_tokens
+          FROM isl{i} GROUP BY new_id, old_id, (pos_n - pos_o), grp
+        )"""
+
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3
+        ),
+        b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 8 = 3),
+        b2 AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 8 = 7
+          UNION ALL
+          SELECT doc_id + 10000000 AS doc_id, text
+          FROM (SELECT doc_id, text FROM documents WHERE doc_id % 8 = 3
+                ORDER BY doc_id LIMIT 3)
+        ),{anchors("a_base", "base")},{anchors("a_b1", "b1")},{anchors("a_b2", "b2")},
+        idx2 AS (SELECT * FROM a_base UNION ALL SELECT * FROM a_b1),
+        {match(1, "a_base", "a_b1").lstrip()},
+        {match(2, "idx2", "a_b2").lstrip()}
+        SELECT CAST(0 AS BIGINT) AS batch_id, new_id, old_id,
+               start_new, start_old, span_tokens
+        FROM sp1 WHERE span_tokens >= 16
+        UNION ALL
+        SELECT CAST(1 AS BIGINT) AS batch_id, new_id, old_id,
+               start_new, start_old, span_tokens
+        FROM sp2 WHERE span_tokens >= 16
+        ORDER BY batch_id, new_id, old_id, start_new, start_old
+    """
+
+
 QUERIES = {
+    "q_stream_dedup_span": q_stream_dedup_span,
     "q_stream_kmeans": q_stream_kmeans,
     "q_stream_linreg": q_stream_linreg,
     "q_stream_tumble": q_stream_tumble,
@@ -1210,6 +1442,7 @@ from fossa_spark.ml import KMEANS_SCALE as _KMEANS_SCALE  # noqa: E402
 from fossa_spark.queries.ml_queries import ORACLE as _ML_ORACLE  # noqa: E402
 
 ORACLE = {
+    "q_stream_dedup_span": _stream_span_sql(),
     "q_stream_kmeans": _stream_kmeans_sql(4, 3, _KMEANS_SCALE),
     # moments are additive, so the streamed fold must equal the one-shot
     # batch aggregate exactly: the oracle IS q_linreg's closed form

@@ -510,3 +510,30 @@ def test_stream_ingest_restart_resume(spark, tmp_path):
     }
     assert got == want
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_dedup_span_cross_batch(spark):
+    """q_stream_dedup_span: batch-2 re-emissions (+10M ids) of batch-1
+    documents must surface as full-length spans against their batch-1
+    originals — possible only if the batch-1 anchor append landed AND
+    the batch-2 probe read it.  Batch-1 rows only ever match the base
+    slice (nothing earlier exists)."""
+    from fossa_spark.queries.streaming_queries import q_stream_dedup_span
+
+    out = q_stream_dedup_span(spark, SF_DIR).collect()
+    assert len(out) > 0
+    planted = [r for r in out if r.new_id >= 10_000_000]
+    # every planted row that matched its original did so in batch 2,
+    # against a batch-1 id, starting at token 1 with the doc's full
+    # length (an exact copy shares one maximal full-doc span)
+    for r in planted:
+        assert r.batch_id == 1
+        assert r.old_id % 8 == 3 and r.old_id < 10_000_000
+        assert r.start_new == 1 and r.start_old == 1
+    # at least one planted doc is long enough to span (fixture docs
+    # average ~50 tokens; 3 are planted)
+    assert planted, out
+    # batch-1 matches (if any) are against the base slice only
+    for r in out:
+        if r.batch_id == 0:
+            assert r.old_id % 4 != 3
