@@ -136,6 +136,30 @@ def main() -> None:
     # so it always survives the tail capture.  The warm per-query map is
     # split across several lines so at least the tail-most chunks survive
     # too (alphabetically-late queries were the only ones visible in r03).
+    # Also WRITE the full per-query map to a file (VERDICT r13 item 7):
+    # the driver's stdout tail keeps only the last ~80 numbers, which
+    # limited r13's regression triage to a 36-query overlap.  The file
+    # survives whole, so round-over-round diffs can cover every query.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(
+                {
+                    "sf": sf,
+                    "calib_probes": [round(p, 4) for p in probes],
+                    "cold": timings,
+                    "warm": warm,
+                    "norm": norm,
+                },
+                fh,
+                separators=(",", ":"),
+                sort_keys=True,
+            )
+    except OSError:
+        pass  # a read-only checkout must not kill the bench run
     print(json.dumps({"detail_cold": timings}, separators=(",", ":")))
     warm_items = sorted(warm.items())
     for i in range(0, len(warm_items), 60):
