@@ -83,6 +83,68 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.contamination_check(train, bench, k=3).orderBy("doc_id")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECONTAMINATION manifest at DOC grain (round 14): every training
+    document (doc_id % 5 != 0) that must be dropped before training
+    because it leaks the held-out benchmark slice, with the evidence —
+    the operational union of the two contamination detectors, closing
+    the scope split the span scan documents (ADVICE r13):
+
+    - ``exact_bench``: the doc's text collapses to a benchmark-side
+      representative (rep_id % 5 == 0) — a verbatim full-document copy
+      of a benchmark doc, the case the rep-grain span scan cannot emit
+      by construction (it sees one collapsed rep).
+    - span evidence: the doc's representative shares a ≥ 32-token
+      verbatim span with a benchmark rep (cross_span_pairs at a
+      stricter threshold than q_contamination_span's 16 — removal
+      wants higher precision than scanning).
+
+    Scale shape: the span side is the broadcast-pruned asymmetric scan
+    (the corpus anchor table never exchanges); the exact side is the
+    one groupBy(text) the exact-dedup pass already pays, joined back
+    at digest grain; the final left join runs at doc grain against a
+    match-grain aggregate."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    anchors = D.staged_span_anchors(d, k=8)
+    spans = D.cross_span_pairs(
+        anchors, F.col("rep_id") % 5 == 0, k=8, min_tokens=32, max_df=100
+    )
+    span_agg = (
+        spans.groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_spans"),
+            F.max("span_tokens").alias("max_span_tokens"),
+        )
+        .withColumnRenamed("train_id", "rep_id")
+    )
+    reps = d.groupBy("text").agg(F.min("doc_id").alias("rep_id"))
+    train = (
+        d.select("doc_id", "text")
+        .join(reps, "text")
+        .select("doc_id", "rep_id")
+        .filter(F.col("doc_id") % 5 != 0)
+    )
+    return (
+        train.join(span_agg, "rep_id", "left")
+        .withColumn("exact_bench", F.col("rep_id") % 5 == 0)
+        .filter(
+            F.col("exact_bench") | F.col("n_bench_spans").isNotNull()
+        )
+        .select(
+            "doc_id",
+            "rep_id",
+            "exact_bench",
+            F.coalesce("n_bench_spans", F.lit(0))
+            .cast("long")
+            .alias("n_bench_spans"),
+            F.coalesce("max_span_tokens", F.lit(0))
+            .cast("long")
+            .alias("max_span_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified Bernoulli sample: 25% of short-named sources
     (src0-src9), 50% of the rest, keyed on md5(doc_id) — reproducible
@@ -866,6 +928,7 @@ QUERIES = {
     "q_mix_apply": q_mix_apply,
     "q_embed_quantize": q_embed_quantize,
     "q_contamination": q_contamination,
+    "q_decontaminate": q_decontaminate,
     "q_sample_hash": q_sample_hash,
     "q_split_train": q_split_train,
     "q_sample_weighted": q_sample_weighted,
@@ -1246,6 +1309,74 @@ ORACLE = {
                COUNT(DISTINCT gram) AS n_gram_hits
         FROM train JOIN bench USING (gram)
         GROUP BY 1 ORDER BY doc_id
+    """,
+    # decontamination manifest: the q_contamination_span chain at a
+    # stricter 32-token threshold, unioned with the exact-copy case
+    # (doc collapses to a benchmark-side rep) at doc grain
+    "q_decontaminate": """
+        WITH reps AS (
+          SELECT text, MIN(doc_id) AS rep_id FROM documents GROUP BY text
+        ),
+        toks AS (
+          SELECT rep_id, string_split(lower(text), ' ') AS t FROM reps
+        ),
+        grams AS (
+          SELECT rep_id, gs AS pos,
+                 CAST(('0x' || substr(
+                   md5(array_to_string(t[gs : gs + 7], ' ')), 1, 15)
+                 ) AS BIGINT) AS h
+          FROM (SELECT *, unnest(generate_series(1, len(t) - 7)) AS gs
+                FROM toks) g
+        ),
+        bench AS (
+          SELECT rep_id AS bench_id, pos AS pos_b, h
+          FROM grams WHERE rep_id % 5 = 0
+        ),
+        train0 AS (SELECT * FROM grams WHERE rep_id % 5 <> 0),
+        pruned AS (
+          SELECT train0.* FROM train0
+          JOIN (SELECT DISTINCT h FROM bench) USING (h)
+        ),
+        capped AS (
+          SELECT rep_id AS train_id, pos AS pos_t, h FROM pruned
+          JOIN (SELECT h FROM pruned GROUP BY h HAVING COUNT(*) <= 100)
+            USING (h)
+        ),
+        m AS (
+          SELECT b.bench_id, c.train_id, b.pos_b, c.pos_t
+          FROM capped c JOIN bench b USING (h)
+        ),
+        isl AS (
+          SELECT bench_id, train_id, pos_b, pos_t,
+                 pos_b - ROW_NUMBER() OVER (
+                   PARTITION BY bench_id, train_id, (pos_b - pos_t)
+                   ORDER BY pos_b
+                 ) AS grp
+          FROM m
+        ),
+        sp AS (
+          SELECT bench_id, train_id,
+                 CAST(MAX(pos_b) - MIN(pos_b) + 8 AS BIGINT) AS span_tokens
+          FROM isl GROUP BY bench_id, train_id, (pos_b - pos_t), grp
+        ),
+        spanagg AS (
+          SELECT train_id AS rep_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_bench_spans,
+                 MAX(span_tokens) AS max_span_tokens
+          FROM sp WHERE span_tokens >= 32 GROUP BY train_id
+        ),
+        train AS (
+          SELECT d.doc_id, r.rep_id
+          FROM documents d JOIN reps r USING (text)
+          WHERE d.doc_id % 5 <> 0
+        )
+        SELECT t.doc_id, t.rep_id,
+               (t.rep_id % 5 = 0) AS exact_bench,
+               COALESCE(s.n_bench_spans, 0) AS n_bench_spans,
+               COALESCE(s.max_span_tokens, 0) AS max_span_tokens
+        FROM train t LEFT JOIN spanagg s USING (rep_id)
+        WHERE (t.rep_id % 5 = 0) OR s.rep_id IS NOT NULL
+        ORDER BY doc_id
     """,
     # fixed-width lowercase hex compares lexicographically == numerically;
     # 0x4000/0x10000 = 0.25 and 0x8000/0x10000 = 0.5 exactly

@@ -727,3 +727,30 @@ def test_filter_funnel_first_fail_attribution(spark):
     assert rep[1].fail_rate == 0.0 and rep[0].fail_rate == 0.25
     with pytest.raises(ValueError):
         C.filter_funnel(d, [])
+
+
+def test_decontaminate_exact_and_span_branches(spark, tmp_path):
+    """q_decontaminate on planted geometry: an exact copy of a
+    benchmark doc is flagged exact_bench (the case the rep-grain span
+    scan cannot emit), a 35-token embedded quote is flagged with span
+    evidence, a 20-token overlap stays below the 32-token removal
+    threshold, and unrelated docs are absent."""
+    from fossa_spark.queries.curation_queries import q_decontaminate
+
+    bench_toks = [f"b{i}" for i in range(40)]
+    rows = [
+        (0, " ".join(bench_toks)),                      # benchmark rep
+        (1, " ".join(bench_toks)),                      # exact copy -> train
+        (2, " ".join(bench_toks[:35] + ["u2a", "u2b", "u2c", "u2d", "u2e"])),
+        (3, " ".join(f"z{i}" for i in range(40))),      # clean
+        (7, " ".join(bench_toks[:20] + [f"w{i}" for i in range(20)])),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in q_decontaminate(spark, str(tmp_path)).collect()}
+    assert sorted(out) == [1, 2]
+    assert out[1]["exact_bench"] is True and out[1]["rep_id"] == 0
+    assert out[1]["n_bench_spans"] == 0  # collapsed: no span rows by design
+    assert out[2]["exact_bench"] is False
+    assert out[2]["n_bench_spans"] == 1 and out[2]["max_span_tokens"] == 35
