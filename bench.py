@@ -91,6 +91,27 @@ def main() -> None:
         gc.collect()  # drop py4j refs first so JVM GC can collect them
         sc._jvm.System.gc()
 
+    def _query_reset() -> None:
+        """Light per-QUERY sweep (round 14): clearCache + persistent-RDD
+        unpersist only, no GC pair.  The r13 _block_reset bounded state
+        pollution to a 30-query block, but round 14 measured the
+        within-block residue still inflating mid-block queries 3-30x on
+        a slow host (q_pipeline 44.7 s after 7 polluted predecessors vs
+        1.4 s in a fresh session — identical code; q_bpe_train 56 vs
+        5.3 s): every eager localCheckpoint an iterative operator takes
+        leaves its blocks in the block manager until *some* reset drops
+        them, and the memory-store pressure + GC churn is charged to
+        whatever query runs next.  Sweeping after every query keeps each
+        timing the query's own.  The sweep is control-plane work (~ms);
+        the expensive System.gc pair stays at calibration boundaries.
+        Methodology is otherwise unchanged (cold+warm noop, interleaved
+        calib probes) — see OPTIMIZATION_r14.md."""
+        spark.catalog.clearCache()
+        sc = spark.sparkContext
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+
     calib_runs = sorted(_calib_once() for _ in range(3))
     calib_s = round(calib_runs[1], 4)
 
@@ -120,6 +141,7 @@ def main() -> None:
         block_of[name] = len(probes) - 1
         timings[name] = round(run(name), 4)
         warm[name] = round(run(name), 4)
+        _query_reset()  # drop this query's blocks before the next one runs
     _block_reset()
     probes.append(_calib_once())  # closing probe bounds the last block
     norm = {
