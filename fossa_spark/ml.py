@@ -362,24 +362,40 @@ def nb_train_score(
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    # vocab is consumed 3x (dtv join, grid, smoothing denominator) and
+    # each replay re-aggregated the doc x token grain — checkpoint the
+    # <= vocab_k rows once (round 14); its size rides along from a
+    # window count instead of a 4th aggregate + broadcast
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     vocab = (
         dt0.groupBy("token")
         .agg(F.sum("n").alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("token").asc())
         .limit(vocab_k)
-        .select("token")
+        .select("token", F.count(F.lit(1)).over(wall).cast("double").alias("v"))
+        .localCheckpoint(eager=True)
     )
-    dtv = dt0.join(F.broadcast(vocab), "token")  # vocab-restricted grain
-    classes = docs.select(F.col(label_col).alias("label")).distinct()
-    # class priors from doc counts: round(ln(n_c / n) * 1e8)
-    nd = docs.groupBy(F.col(label_col).alias("label")).agg(
-        F.count(F.lit(1)).alias("n_docs_c")
-    )
-    total = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    prior = nd.crossJoin(F.broadcast(total)).select(
+    dtv = dt0.join(F.broadcast(vocab.select("token")), "token")
+    # (id, label) projected + checkpointed ONCE (round 14): classes,
+    # per-class doc counts and the scoring base each re-planned the
+    # corpus scan (and the caller's spread() repartition) before
+    ids = docs.select(
+        F.col(id_col), F.col(label_col).alias("label")
+    ).localCheckpoint(eager=True)
+    classes = ids.select("label").distinct()
+    # class priors from doc counts: round(ln(n_c / n) * 1e8); the total
+    # is the unbounded-window sum of the per-class counts — exact
+    # integers, no second corpus aggregate
+    nd = ids.groupBy("label").agg(F.count(F.lit(1)).alias("n_docs_c"))
+    prior = nd.select(
         "label",
         F.round(
-            F.log(F.col("n_docs_c").cast("double") / F.col("n_docs"))
+            F.log(
+                F.col("n_docs_c").cast("double")
+                / F.sum("n_docs_c").over(wall).cast("double")
+            )
             * F.lit(float(NB_SCALE))
         )
         .cast("bigint")
@@ -390,11 +406,9 @@ def nb_train_score(
     ct = dtv.groupBy("label", "token").agg(F.sum("n").alias("cnt"))
     grid = classes.crossJoin(vocab)
     nc = dtv.groupBy("label").agg(F.sum("n").alias("n_tok_c"))
-    vsize = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
     ll = (
         grid.join(ct, ["label", "token"], "left")
         .join(nc, "label", "left")
-        .crossJoin(F.broadcast(vsize))
         .select(
             "label",
             "token",
@@ -420,8 +434,8 @@ def nb_train_score(
         .groupBy(id_col, "label")
         .agg(F.sum(F.col("n") * F.col("ll")).alias("s"))
     )
-    base = docs.select(
-        F.col(id_col), F.col(label_col).alias("true_label")
+    base = ids.select(
+        F.col(id_col), F.col("label").alias("true_label")
     ).crossJoin(F.broadcast(classes))
     scored = (
         base.join(contrib, [id_col, "label"], "left")
@@ -576,20 +590,22 @@ def decision_stump(
         F.sum(1 - F.col(label_col)).alias("n0"),
         F.sum(label_col).alias("n1"),
     )
+    # running and TOTAL sums from one window pass over the value-domain
+    # histogram (round 14): the old separate hist.agg() total re-planned
+    # the whole corpus groupBy as a second subtree — two parquet scans +
+    # a broadcast exchange for two integers.  An unbounded frame over
+    # the same sort gives bit-identical totals (integer sums) with the
+    # corpus scanned once.
     w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select(
-        "x",
+    wt = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = hist.select(
+        F.col("x").alias("threshold"),
         F.sum("n0").over(w).alias("l0"),
         F.sum("n1").over(w).alias("l1"),
-    )
-    tot = hist.agg(
-        F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
-    )
-    c = cum.crossJoin(F.broadcast(tot)).select(
-        F.col("x").alias("threshold"),
-        "l0", "l1",
-        (F.col("t0") - F.col("l0")).alias("r0"),
-        (F.col("t1") - F.col("l1")).alias("r1"),
+        (F.sum("n0").over(wt) - F.sum("n0").over(w)).alias("r0"),
+        (F.sum("n1").over(wt) - F.sum("n1").over(w)).alias("r1"),
     ).filter((F.col("r0") + F.col("r1")) > 0)  # x = max splits nothing off
     nl = (F.col("l0") + F.col("l1")).cast("double")
     nr = (F.col("r0") + F.col("r1")).cast("double")
@@ -667,22 +683,21 @@ def _tree_from_joint(joint: DataFrame) -> DataFrame:
             h = hist.groupBy(F.col(feat).alias("x")).agg(
                 F.sum("n0").alias("n0"), F.sum("n1").alias("n1")
             )
+            # totals from an unbounded frame over the same sort (round
+            # 14): bit-identical integer sums, no second aggregate
+            # subtree, no broadcast exchange per feature
             w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-            cum = h.select(
-                "x",
-                F.sum("n0").over(w).alias("l0"),
-                F.sum("n1").over(w).alias("l1"),
+            wt = Window.orderBy("x").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
             )
-            tot = h.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
             c = (
-                cum.crossJoin(F.broadcast(tot))
-                .select(
+                h.select(
                     F.lit(fi).alias("feature"),
                     F.col("x").alias("threshold"),
-                    "l0",
-                    "l1",
-                    (F.col("t0") - F.col("l0")).alias("r0"),
-                    (F.col("t1") - F.col("l1")).alias("r1"),
+                    F.sum("n0").over(w).alias("l0"),
+                    F.sum("n1").over(w).alias("l1"),
+                    (F.sum("n0").over(wt) - F.sum("n0").over(w)).alias("r0"),
+                    (F.sum("n1").over(wt) - F.sum("n1").over(w)).alias("r1"),
                 )
                 .filter((F.col("r0") + F.col("r1")) > 0)
             )
@@ -736,7 +751,11 @@ def _tree_from_joint(joint: DataFrame) -> DataFrame:
     f_col = "x1" if r.feature == 1 else "x2"
     left = _best(joint.filter(F.col(f_col) <= r.threshold), "left")
     right = _best(joint.filter(F.col(f_col) > r.threshold), "right")
-    return root.unionByName(left).unionByName(right)
+    # the root's row is already on the driver — union a LocalRelation
+    # instead of re-evaluating the root candidate subtree a second time
+    # inside the final plan (round 14)
+    root_local = joint.sparkSession.createDataFrame(rows, root.schema)
+    return root_local.unionByName(left).unionByName(right)
 
 
 def forest_depth2(
@@ -802,30 +821,30 @@ def _forest_from_joint(joint: DataFrame) -> DataFrame:
             m = hist.groupBy(*keys, F.col(feat).alias("x")).agg(
                 F.sum("n0").alias("n0"), F.sum("n1").alias("n1")
             )
+            # per-key totals from an unbounded frame over the same
+            # sort (round 14): bit-identical integer sums, no second
+            # per-key aggregate subtree, no broadcast join per feature
             w = (
                 Window.partitionBy(*keys)
                 .orderBy("x")
                 .rowsBetween(Window.unboundedPreceding, 0)
             )
-            cum = m.select(
-                *keys,
-                "x",
-                F.sum("n0").over(w).alias("l0"),
-                F.sum("n1").over(w).alias("l1"),
-            )
-            tot = m.groupBy(*keys).agg(
-                F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+            wt = (
+                Window.partitionBy(*keys)
+                .orderBy("x")
+                .rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
             )
             c = (
-                cum.join(F.broadcast(tot), keys)
-                .select(
+                m.select(
                     *keys,
                     F.lit(fi).alias("feature"),
                     F.col("x").alias("threshold"),
-                    "l0",
-                    "l1",
-                    (F.col("t0") - F.col("l0")).alias("r0"),
-                    (F.col("t1") - F.col("l1")).alias("r1"),
+                    F.sum("n0").over(w).alias("l0"),
+                    F.sum("n1").over(w).alias("l1"),
+                    (F.sum("n0").over(wt) - F.sum("n0").over(w)).alias("r0"),
+                    (F.sum("n1").over(wt) - F.sum("n1").over(w)).alias("r1"),
                 )
                 .filter((F.col("r0") + F.col("r1")) > 0)
             )
@@ -983,16 +1002,17 @@ def forest_vote(
             F.when(F.col("epred") == 1, F.col("n1")).otherwise(F.col("n0"))
         ).alias("n_correct_ens_part"),
     )
-    totals = per_tree.agg(
-        F.sum("n_rows").alias("n_rows_total"),
-        F.sum("n_correct_ens_part").alias("n_correct_ensemble"),
+    # ensemble totals from an unbounded window over the n_trees-row
+    # relation (round 14): the old agg + crossJoin re-evaluated the
+    # whole vote pipeline (both prediction joins and the corpus
+    # histogram reads) a second time just to sum n_trees integers
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return (
-        per_tree.crossJoin(F.broadcast(totals))
-        .select(
-            "tree", "n_rows", "n_correct_tree",
-            "n_rows_total", "n_correct_ensemble",
-        )
+    return per_tree.select(
+        "tree", "n_rows", "n_correct_tree",
+        F.sum("n_rows").over(wall).alias("n_rows_total"),
+        F.sum("n_correct_ens_part").over(wall).alias("n_correct_ensemble"),
     )
 
 
@@ -1171,23 +1191,23 @@ def bagged_stumps(
         .orderBy("x")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = hist.select(
-        "tree",
-        "x",
-        F.sum("n0").over(w).alias("l0"),
-        F.sum("n1").over(w).alias("l1"),
-    )
-    tot = hist.groupBy("tree").agg(
-        F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+    # per-tree totals from an unbounded frame over the same sort (round
+    # 14): the old groupBy("tree") total re-planned the corpus groupBy
+    # as a second subtree (two parquet scans) and added a broadcast
+    # join; unbounded-window integer sums are bit-identical
+    wt = (
+        Window.partitionBy("tree")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     c = (
-        cum.join(F.broadcast(tot), "tree")
-        .select(
+        hist.select(
             "tree",
             F.col("x").alias("threshold"),
-            "l0", "l1",
-            (F.col("t0") - F.col("l0")).alias("r0"),
-            (F.col("t1") - F.col("l1")).alias("r1"),
+            F.sum("n0").over(w).alias("l0"),
+            F.sum("n1").over(w).alias("l1"),
+            (F.sum("n0").over(wt) - F.sum("n0").over(w)).alias("r0"),
+            (F.sum("n1").over(wt) - F.sum("n1").over(w)).alias("r1"),
         )
         .filter((F.col("r0") + F.col("r1")) > 0)
     )
@@ -1289,20 +1309,20 @@ def _weighted_stump(df: DataFrame, x_col: str, label_col: str,
         F.sum(F.col(w_col) * (1 - F.col(label_col))).alias("n0"),
         F.sum(F.col(w_col) * F.col(label_col)).alias("n1"),
     )
+    # totals from an unbounded frame over the same sort (round 14):
+    # bit-identical integer sums (the boosting weights are exact
+    # bigints), no second corpus-groupBy subtree, no broadcast
     w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select(
-        "x",
-        F.sum("n0").over(w).alias("l0"),
-        F.sum("n1").over(w).alias("l1"),
+    wt = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    tot = hist.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
     c = (
-        cum.crossJoin(F.broadcast(tot))
-        .select(
+        hist.select(
             F.col("x").alias("threshold"),
-            "l0", "l1",
-            (F.col("t0") - F.col("l0")).alias("r0"),
-            (F.col("t1") - F.col("l1")).alias("r1"),
+            F.sum("n0").over(w).alias("l0"),
+            F.sum("n1").over(w).alias("l1"),
+            (F.sum("n0").over(wt) - F.sum("n0").over(w)).alias("r0"),
+            (F.sum("n1").over(wt) - F.sum("n1").over(w)).alias("r1"),
         )
         .filter((F.col("r0") + F.col("r1")) > 0)
     )
@@ -1609,22 +1629,23 @@ def _reg_tree_from_joint(joint: DataFrame) -> DataFrame:
             h = hist.groupBy(F.col(feat).alias("x")).agg(
                 F.sum("n").alias("n"), F.sum("rs").alias("rs")
             )
+            # totals from an unbounded frame over the same sort (round
+            # 14): bit-identical integer sums (n and residual sums are
+            # exact bigints), no second aggregate subtree, no broadcast
             w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-            cum = h.select(
-                "x",
-                F.sum("n").over(w).alias("ln"),
-                F.sum("rs").over(w).alias("ls"),
+            wt = Window.orderBy("x").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
             )
-            tot = h.agg(F.sum("n").alias("tn"), F.sum("rs").alias("ts"))
             c = (
-                cum.crossJoin(F.broadcast(tot))
-                .select(
+                h.select(
                     F.lit(fi).alias("feature"),
                     F.col("x").alias("threshold"),
-                    "ln",
-                    "ls",
-                    (F.col("tn") - F.col("ln")).alias("rn"),
-                    (F.col("ts") - F.col("ls")).alias("rsum"),
+                    F.sum("n").over(w).alias("ln"),
+                    F.sum("rs").over(w).alias("ls"),
+                    (F.sum("n").over(wt) - F.sum("n").over(w)).alias("rn"),
+                    (F.sum("rs").over(wt) - F.sum("rs").over(w)).alias(
+                        "rsum"
+                    ),
                 )
                 .filter(F.col("rn") > 0)
             )
@@ -1674,7 +1695,10 @@ def _reg_tree_from_joint(joint: DataFrame) -> DataFrame:
     f_col = "x1" if r.feature == 1 else "x2"
     left = _best(joint.filter(F.col(f_col) <= r.threshold), "left")
     right = _best(joint.filter(F.col(f_col) > r.threshold), "right")
-    return root.unionByName(left).unionByName(right)
+    # union the already-collected root as a LocalRelation instead of
+    # re-evaluating its candidate subtree a second time (round 14)
+    root_local = joint.sparkSession.createDataFrame(rows, root.schema)
+    return root_local.unionByName(left).unionByName(right)
 
 
 def gbt_depth2(
