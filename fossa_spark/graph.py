@@ -66,8 +66,17 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFra
     edges = edges.persist()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # per-arc out-degree rides with the edge list: built once, reused every
-    # iteration, partitioned on src (the per-iteration join key)
-    edgesdeg = edges.join(outdeg, "src").persist()
+    # iteration.  Persisted HASH-PARTITIONED AND SORTED on src (round 14,
+    # the hits() two-copy discipline): the cached relation's partitioning/
+    # ordering satisfies the per-iteration sort-merge join's requirement,
+    # so only the node-sized rank vector shuffles each round — before,
+    # every iteration re-exchanged and re-sorted the full edge list.
+    edgesdeg = (
+        edges.join(outdeg, "src")
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     # corpus scalars as a 1-row broadcast: initial rank S/N and the
     # per-iteration teleport base (1-d)·S/N — no driver collect
@@ -167,7 +176,11 @@ def bfs_levels(edges: DataFrame, sources: DataFrame, max_depth: int = 3) -> Data
     on a cluster, use reliable checkpoint() to survive executor loss.
     Stops early when a frontier comes back empty — the one scalar count
     per round is control-plane, not data movement."""
-    edges = edges.persist()
+    # hash-partitioned + sorted on the per-round join key (round 14): the
+    # cached layout satisfies the sort-merge join requirement, so each
+    # round only shuffles the frontier — one up-front edge exchange
+    # replaces one per round
+    edges = edges.repartition("src").sortWithinPartitions("src").persist()
     visited = sources.select("node").distinct().select(
         "node", F.lit(0).alias("dist")
     ).localCheckpoint(eager=True)
@@ -276,7 +289,9 @@ def bellman_ford(
     hash-matches exactly. Lineage truncated per round (localCheckpoint,
     same contract as bfs_levels); on a cluster use checkpoint() to
     survive executor loss."""
-    edges = edges.persist()
+    # hash-partitioned + sorted on src (round 14, the bfs_levels fix):
+    # one up-front edge exchange instead of one per relaxation round
+    edges = edges.repartition("src").sortWithinPartitions("src").persist()
     dist = (
         sources.select("node")
         .distinct()
@@ -423,6 +438,11 @@ def triangles(
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
     )
+    # the oriented edge list feeds both wedge sides and the closing
+    # join; the triangle relation feeds the per-node explode (3 union
+    # branches) and the totals — without materialization the wedge join
+    # (the O(m^1.5) step) re-ran once per consumer, 4x in all (round 14)
+    o = o.persist()
     o1 = o.select(F.col("src"), F.col("dst").alias("v"),
                   F.col("dst_deg").alias("vdeg"))
     o2 = o.select(F.col("src"), F.col("dst").alias("w"),
@@ -434,7 +454,8 @@ def triangles(
     tri = wedge.join(
         o.select(F.col("src").alias("v"), F.col("dst").alias("w")),
         ["v", "w"],
-    ).select(F.col("src").alias("u"), "v", "w")
+    ).select(F.col("src").alias("u"), "v", "w").localCheckpoint(eager=True)
+    o.unpersist()
     pern = (
         tri.select(F.col("u").alias("node"))
         .unionAll(tri.select(F.col("v").alias("node")))

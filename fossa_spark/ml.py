@@ -513,7 +513,10 @@ def kmeans_update(
         F.posexplode(
             F.array(*[F.col(f"s{i}") for i in range(dim)])
         ).alias("pos", "s"),
-    )
+    ).localCheckpoint(eager=True)  # k*dim rows; consumed by BOTH the
+    # centroid merge and the count fold — without this each consumer
+    # replays the corpus assignment pass + the dim-wide aggregate, so
+    # every micro-batch paid the batch scan twice (round 14)
     # LEFT join + runtime raise (advisor r10): an inner join here would
     # silently drop any cents cluster missing from counts — state
     # corruption surfacing as quiet cluster loss across batches.  n_old
