@@ -562,24 +562,44 @@ def bpe_train(docs: DataFrame, n_merges: int = 5,
         left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
         out_rows.append((rank, left, right, cnt))
         merged = left + right
-        # symbols are interpolated into the fold expression — escape any
-        # embedded single quotes (free-text corpora)
-        left, right, merged = (
-            s.replace("'", "\\'") for s in (left, right, merged)
+        # rewrite each word's symbol array with the merge applied — as a
+        # NATIVE string replace instead of the interpreted aggregate()
+        # fold (round 14, guide §4.1: the HOF ran per-element per word
+        # type per round and dominated the loop).  Greedy left-to-right
+        # non-overlapping merging IS java's forward-scan replace() on a
+        # delimited symbol string; boundaries are made unambiguous by
+        # the double-separator encoding
+        #     \0 sym \0\0 sym \0\0 ... \0\0 sym \0
+        # — every symbol carries a \0 on each side, and each boundary
+        # holds TWO so a replaced occurrence consumes one and leaves one
+        # for the adjacent match ("a b a b" under (a,b) merges both
+        # pairs, exactly like the fold; a symbol merely *ending* in
+        # `left` or *starting* with `right` cannot false-match because
+        # the pattern requires \0 on both flanks).  Symbols never
+        # contain \0 (they are concatenations of split(regexp_replace
+        # (w, '(.)', '$1\x00')) pieces — the same assumption the
+        # tokenizer above already makes).
+        sep = "\x00"
+        joined = F.concat(
+            F.lit(sep), F.array_join("syms", sep + sep), F.lit(sep)
         )
-        # rewrite each word's symbol array with the merge applied:
-        # aggregate() folds left-to-right, greedily joining (left, right)
-        # neighbors — exactly the BPE apply rule
-        words = words.select(
-            F.expr(
-                "aggregate(syms, CAST(array() AS array<string>), "
-                "(acc, s) -> CASE WHEN size(acc) > 0 "
-                f"AND element_at(acc, -1) = '{left}' AND s = '{right}' "
-                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
-                "ELSE concat(acc, array(s)) END)"
-            ).alias("syms"),
-            "n",
-        ).localCheckpoint(eager=True)
+        replaced = F.replace(
+            joined,
+            F.lit(sep + left + sep + sep + right + sep),
+            F.lit(sep + merged + sep),
+        )
+        words = (
+            words.select(replaced.alias("_s"), "n")
+            .select(
+                F.split(
+                    # strip the single outer \0 each end, split on \0\0
+                    F.expr("substring(_s, 2, length(_s) - 2)"),
+                    sep + sep,
+                ).alias("syms"),
+                "n",
+            )
+            .localCheckpoint(eager=True)
+        )
     sc = docs.sparkSession
     return sc.createDataFrame(
         out_rows, "merge_rank int, left string, right string, pair_count bigint"
