@@ -807,7 +807,10 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fossa_spark import ml
 
-    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    # the embeddings relation feeds queries, both candidate generators
+    # and the re-rank — persist so each consumer reads blocks instead of
+    # replaying the scan + spread() shuffle (round 14)
+    e = spread(load(spark, sf_dir, "embeddings"), spark).persist()
     brute = S.staged_brute_topk(e, n_q=_RECALL_NQ, k=_RECALL_K).select(
         "q_id", "c_id"
     )
@@ -844,6 +847,10 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id")
+        # candidate-grain (bucket-bounded); consumed by BOTH the re-rank
+        # and the per-query count — without this the probe join re-ran
+        # per consumer (round 14)
+        .localCheckpoint(eager=True)
     )
 
     # --- SRP-LSH leg: md5-literal hyperplanes, shared-bucket candidates.
@@ -861,6 +868,7 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id")
         .distinct()
+        .localCheckpoint(eager=True)  # same two-consumer shape as ivf_cand
     )
 
     def leg(path: str, cand: DataFrame) -> DataFrame:
