@@ -1051,7 +1051,16 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shards ADD). Probe: the exact top-20 tokens, estimate =
     min over rows of their bucket counts; CMS guarantees est ≥ exact,
     surfaced as overcount = est - exact (≥ 0 always, and the driver hash
-    locks the exact collision pattern)."""
+    locks the exact collision pattern).
+
+    Round 14 (guide §2.3 — aggregate before you shuffle): the sketch is
+    built from the TOKEN-COUNT table, not the raw occurrence stream.
+    count(seed, bucket) ≡ Σ exact_cnt over the bucket's member tokens,
+    so the corpus is tokenized ONCE (map-side-combined groupBy(token)),
+    md5 runs 4×|vocab| times instead of 4×|occurrences|, and the 4-way
+    explode fans out vocab-grain rows instead of the corpus stream.
+    The count table is checkpointed (vocab-sized) because both the
+    sketch and the exact top-20 consume it."""
     d = spread(load(spark, sf_dir, "documents"), spark)
     toks = d.select(F.explode(X.tokens("text")).alias("token")).filter(
         F.col("token") != ""
@@ -1064,17 +1073,21 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return (F.conv(h2, 16, 10).cast("long") % 64).alias("bucket")
 
-    hashed = toks.select("token", F.explode(seeds).alias("seed"))
-    cms = hashed.groupBy(
-        "seed", bucket(F.col("seed"), F.col("token"))
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-
-    top = (
+    tok_counts = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
-        .limit(20)
+        .localCheckpoint(eager=True)
     )
+    hashed = tok_counts.select(
+        "token", "exact_cnt", F.explode(seeds).alias("seed")
+    )
+    cms = hashed.groupBy(
+        "seed", bucket(F.col("seed"), F.col("token"))
+    ).agg(F.sum("exact_cnt").alias("cnt"))
+
+    top = tok_counts.orderBy(
+        F.col("exact_cnt").desc(), F.col("token").asc()
+    ).limit(20)
     probe = top.select(
         "token", "exact_cnt", F.explode(seeds).alias("seed")
     ).select("token", "exact_cnt", "seed", bucket(F.col("seed"), F.col("token")))
