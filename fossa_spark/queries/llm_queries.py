@@ -257,7 +257,9 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL oracle states; the KMeans path engages only at scale, where
     the sf1 recall harness (tests/test_scale_evidence.py) checks pairs
     found ≥ the r04 md5-split baseline on the same fixture."""
-    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    # multi-consumer relation: persist so each downstream pass reads
+    # cached blocks instead of replaying the scan + spread() (round 14)
+    e = spread(load(spark, sf_dir, "embeddings"), spark).persist()
     e2 = S.locality_subblocked(
         e, "label", "vec_id", "embedding", cap=256, target_block=125
     )
@@ -455,7 +457,9 @@ def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors (vec_id < 5) — broadcast
     queries, one narrow pass over candidates."""
-    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    # multi-consumer relation: persist so each downstream pass reads
+    # cached blocks instead of replaying the scan + spread() (round 14)
+    e = spread(load(spark, sf_dir, "embeddings"), spark).persist()
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -491,7 +495,9 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (S.staged_brute_topk, shared with q_sim_recall) — the brute-force
     pass is paid once per corpus fingerprint instead of per eval run;
     everything downstream is 200 rows.  Output and oracle unchanged."""
-    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    # multi-consumer relation: persist so each downstream pass reads
+    # cached blocks instead of replaying the scan + spread() (round 14)
+    e = spread(load(spark, sf_dir, "embeddings"), spark).persist()
     q = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
@@ -552,7 +558,8 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via sign-random-projection LSH buckets (the scale
     path; rows-only — recall vs q_sim_topk is asserted in tests)."""
-    e = load(spark, sf_dir, "embeddings")
+    # multi-consumer relation: persist (round 14, see q_sim_recall)
+    e = load(spark, sf_dir, "embeddings").persist()
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -575,7 +582,9 @@ def q_sim_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins.  The single-bucket join is the VERIFICATION configuration,
     not the scale path — production keeps bits·tables sized so buckets
     stay bounded, which is the whole point of LSH."""
-    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    # multi-consumer relation: persist so each downstream pass reads
+    # cached blocks instead of replaying the scan + spread() (round 14)
+    e = spread(load(spark, sf_dir, "embeddings"), spark).persist()
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -587,7 +596,9 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: KMeans coarse quantizer + nprobe bucket search +
     exact re-rank (the FAISS-IVF shape; rows-only — KMeans is not
     SQL-expressible)."""
-    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    # multi-consumer relation: persist so each downstream pass reads
+    # cached blocks instead of replaying the scan + spread() (round 14)
+    e = spread(load(spark, sf_dir, "embeddings"), spark).persist()
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -600,7 +611,8 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (32× compression), LUT scan over codes only, exact re-rank
     on the shortlist — the FAISS-PQ shape (rows-only: trained codebooks
     are not SQL-expressible; recall vs q_sim_topk asserted in tests)."""
-    e = load(spark, sf_dir, "embeddings")
+    # multi-consumer relation: persist (round 14, see q_sim_recall)
+    e = load(spark, sf_dir, "embeddings").persist()
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -623,7 +635,9 @@ def q_sim_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist constant, which is the whole point of PQ.  shortlist=None
     is pq_topk's built-in spelling of "≥ |corpus|" — no per-run count()
     job to size it (r8 verdict nit)."""
-    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    # multi-consumer relation: persist so each downstream pass reads
+    # cached blocks instead of replaying the scan + spread() (round 14)
+    e = spread(load(spark, sf_dir, "embeddings"), spark).persist()
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -642,6 +656,9 @@ def q_sim_pca_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle partitions — was wall-neutral; the cost is the funnel's
     sequential action depth (fit collect → quantizer collect → probe →
     re-rank), not worker scheduling.)"""
+    # NOT persisted: unlike its siblings, caching e here measured 2-4x
+    # SLOWER end-to-end (round 14 — the funnel's nested pandas-UDF legs
+    # read the columnar cache worse than the parquet scan they replace)
     e = spread(load(spark, sf_dir, "embeddings"), spark)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -667,7 +684,9 @@ def q_sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    # multi-consumer relation: persist so each downstream pass reads
+    # cached blocks instead of replaying the scan + spread() (round 14)
+    e = spread(load(spark, sf_dir, "embeddings"), spark).persist()
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -733,7 +752,9 @@ def q_sim_index_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import tempfile
 
-    e = spread(load(spark, sf_dir, "embeddings"), spark)
+    # multi-consumer relation: persist so each downstream pass reads
+    # cached blocks instead of replaying the scan + spread() (round 14)
+    e = spread(load(spark, sf_dir, "embeddings"), spark).persist()
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -915,7 +936,8 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     list-valued cells (r06: TypeError unhashable type 'list'), so every
     REGISTERED query emits only scalar columns (guard:
     tests/test_oracle_parity.py)."""
-    e = load(spark, sf_dir, "embeddings")
+    # multi-consumer relation: persist (round 14, see q_sim_recall)
+    e = load(spark, sf_dir, "embeddings").persist()
     p = S.pca_project(e, n_components=8, dim=64)
     return p.select(
         "vec_id", F.posexplode("pca").alias("component", "value")
