@@ -1613,95 +1613,42 @@ def als_rank2(
     return u, v
 
 
-def _reg_tree_from_joint(joint: DataFrame) -> DataFrame:
-    """One depth-2 LEAST-SQUARES regression tree from a checkpointed
-    (x1, x2, n, rs) histogram — n = row count, rs = residual SUM (exact
-    bigint).  Split criterion: minimize SSE, i.e. argmin of
-    -(Sl²/nl + Sr²/nr) (the variance-reduction identity: total Σr² is
-    split-invariant).  The score is ONE double expression of exact
-    integers — identical IEEE ops in both engines — with the
-    (feature, threshold) tie-break of the Gini family.  Leaf values are
-    exact integer floor-division means (:func:`_floordiv`, negative-sum
-    safe).  Returns 3 rows (root, left, right): (node, feature,
-    threshold, n_left, n_right, value_left, value_right, sum_left,
-    sum_right)."""
-
-    def _candidates(hist: DataFrame) -> DataFrame:
-        cands = None
-        for fi, feat in ((1, "x1"), (2, "x2")):
-            h = hist.groupBy(F.col(feat).alias("x")).agg(
-                F.sum("n").alias("n"), F.sum("rs").alias("rs")
+def _reg_tree_best_split(cells, pred, keys):
+    """Best least-squares split of a cell subset, on the DRIVER (round
+    14).  ``cells``: {(x1,x2): (n, s, s2)} exact ints; ``pred``: current
+    per-cell prediction; ``keys``: the node's cell subset.  Criterion:
+    argmin of -(Sl²/nl + Sr²/nr) with the (feature, threshold)
+    tie-break; the score is the SAME IEEE-double expression of the same
+    exact integers the distributed form evaluated (int→double conversion
+    and *, /, +, unary- are each exactly rounded and evaluated in the
+    same association order), so the argmin is bit-identical — the
+    pure-Python replay in tests/test_ml.py has pinned this equivalence
+    since round 13.  Returns (score, feature, threshold, ln, rn, ls, rs)
+    or None when every candidate leaves an empty right side."""
+    cands = []
+    for fi, idx in ((1, 0), (2, 1)):
+        hist: dict = {}
+        for k in keys:
+            n, s, _ = cells[k]
+            e = hist.setdefault(k[idx], [0, 0])
+            e[0] += n
+            e[1] += s - n * pred[k]  # residual sum: exact int
+        xs = sorted(hist)
+        tn = sum(hist[x][0] for x in xs)
+        ts = sum(hist[x][1] for x in xs)
+        ln = ls = 0
+        for x in xs:
+            ln += hist[x][0]
+            ls += hist[x][1]
+            rn, rs = tn - ln, ts - ls
+            if rn <= 0:
+                continue
+            score = -(
+                float(ls) * float(ls) / float(ln)
+                + float(rs) * float(rs) / float(rn)
             )
-            # totals from an unbounded frame over the same sort (round
-            # 14): bit-identical integer sums (n and residual sums are
-            # exact bigints), no second aggregate subtree, no broadcast
-            w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-            wt = Window.orderBy("x").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-            c = (
-                h.select(
-                    F.lit(fi).alias("feature"),
-                    F.col("x").alias("threshold"),
-                    F.sum("n").over(w).alias("ln"),
-                    F.sum("rs").over(w).alias("ls"),
-                    (F.sum("n").over(wt) - F.sum("n").over(w)).alias("rn"),
-                    (F.sum("rs").over(wt) - F.sum("rs").over(w)).alias(
-                        "rsum"
-                    ),
-                )
-                .filter(F.col("rn") > 0)
-            )
-            cands = c if cands is None else cands.unionByName(c)
-        lsd, rsd = F.col("ls").cast("double"), F.col("rsum").cast("double")
-        lnd, rnd_ = F.col("ln").cast("double"), F.col("rn").cast("double")
-        return cands.withColumn(
-            "score", -(lsd * lsd / lnd + rsd * rsd / rnd_)
-        )
-
-    def _best(hist: DataFrame, node: str) -> DataFrame:
-        return (
-            _candidates(hist)
-            .orderBy(
-                F.col("score").asc(),
-                F.col("feature").asc(),
-                F.col("threshold").asc(),
-            )
-            .limit(1)
-            .select(
-                F.lit(node).alias("node"),
-                "feature",
-                "threshold",
-                F.col("ln").cast("bigint").alias("n_left"),
-                F.col("rn").cast("bigint").alias("n_right"),
-                _floordiv(F.col("ls"), F.col("ln")).alias("value_left"),
-                _floordiv(F.col("rsum"), F.col("rn")).alias("value_right"),
-                # the split SUMS, not the double score: at residual-sum
-                # magnitudes (~1e9+) round(score, 8) is past the double's
-                # ulp and Spark/DuckDB disagree in the last bit (caught
-                # by the sf0.001 parity sweep).  The argmin still runs
-                # on the raw double — bit-identical in both engines —
-                # but the OUTPUT is the exact integers it came from.
-                F.col("ls").cast("bigint").alias("sum_left"),
-                F.col("rsum").cast("bigint").alias("sum_right"),
-            )
-        )
-
-    root = _best(joint, "root")
-    rows = root.collect()  # control-plane: the tree_depth2 convention
-    if not rows:
-        raise ValueError(
-            "gbt_depth2: no candidate root split — both features are "
-            "constant over the training slice"
-        )
-    r = rows[0]
-    f_col = "x1" if r.feature == 1 else "x2"
-    left = _best(joint.filter(F.col(f_col) <= r.threshold), "left")
-    right = _best(joint.filter(F.col(f_col) > r.threshold), "right")
-    # union the already-collected root as a LocalRelation instead of
-    # re-evaluating its candidate subtree a second time (round 14)
-    root_local = joint.sparkSession.createDataFrame(rows, root.schema)
-    return root_local.unionByName(left).unionByName(right)
+            cands.append((score, fi, x, ln, rn, ls, rs))
+    return min(cands) if cands else None
 
 
 def gbt_depth2(
@@ -1730,47 +1677,57 @@ def gbt_depth2(
     Exactness: y must be integral (caller casts; here whole currency
     units).  Leaf values are floor-division means, so residual sums
     stay exact bigints; SSE = Σs² − 2·Σ(pred·s) + Σ(n·pred²) is
-    accumulated in DECIMAL(38,0) (matching the oracle's HUGEINT sum)
-    and range-checked against int64 before it is emitted — at sf10 the
-    total is ~8e17 with ~10× headroom, but the guard makes a larger
-    corpus fail loudly instead of wrapping (ADVICE r13); the split
-    score's double forms are identical IEEE expressions of identical
-    integers in both engines.
+    accumulated in arbitrary-precision Python ints (matching the
+    oracle's HUGEINT sum) and range-checked against int64 before it is
+    emitted — at sf10 the total is ~8e17 with ~10× headroom, but the
+    guard makes a larger corpus fail loudly instead of wrapping (ADVICE
+    r13); the split score's double forms are identical IEEE expressions
+    of identical integers in both engines.
+
+    Round 14 (guide §1.2 first-principles): ONE distributed corpus
+    groupBy is the only data-scale work here — everything after runs on
+    the ≤ |X1|·|X2|-cell histogram, which is VALUE-DOMAIN-bounded (550
+    cells for this fixture at every sf).  The previous form executed
+    the per-round training as ~15 sequential control-plane Spark jobs
+    (checkpoints, window argmins, SSE aggregates over 550 rows) and
+    measured 6.4 s of pure job latency per warm run at sf0.1; the
+    histogram is now collect()ed once (the collect() audit's
+    control-plane convention) and the rounds run in exact Python ints +
+    the same IEEE-double score expression — bit-identical output, one
+    job.  tests/test_ml.py's pure-Python replay has pinned this
+    arithmetic equivalence since round 13.
 
     Returns rounds×3 rows: (round, node, feature, threshold, n_left,
     n_right, value_left, value_right, sum_left, sum_right) + the constant columns
     (f0, sse_init) and the round's sse_after repeated per row."""
-    cells = (
+    rows = (
         df.groupBy(F.col(x1_col).alias("x1"), F.col(x2_col).alias("x2"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(y_col).alias("s"),
             F.sum(F.col(y_col) * F.col(y_col)).alias("s2"),
         )
-        .localCheckpoint(eager=True)
+        .collect()  # value-domain-bounded cell histogram: control-plane
     )
-    tot = cells.agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))
-    f0 = int(
-        tot.select(_floordiv(F.col("ts"), F.col("tn")).alias("v"))
-        .collect()[0]["v"]
-    )  # one scalar: control-plane
+    if not rows:
+        raise ValueError("gbt_depth2: empty training input")
+    cells = {
+        (r["x1"], r["x2"]): (int(r["n"]), int(r["s"]), int(r["s2"]))
+        for r in rows
+    }
+    tn = sum(c[0] for c in cells.values())
+    ts = sum(c[1] for c in cells.values())
+    f0 = ts // tn  # Python floor division ≡ _floordiv (negative-safe)
+    pred = {k: f0 for k in cells}
 
-    def _sse(state: DataFrame) -> int:
-        # accumulate in DECIMAL(38,0): the bigint form wraps silently
-        # past int64 (~8e17 headroom at sf10 was documented but
-        # unguarded — ADVICE r13) while the DuckDB oracle sums in
-        # HUGEINT, so past the limit the engines would diverge without
-        # a trace.  Operands are cast BEFORE the products so no term
-        # overflows either; the one-row total is range-checked loudly.
-        d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-        row = state.agg(
-            F.sum(
-                d(F.col("s2"))
-                - 2 * d(F.col("pred")) * d(F.col("s"))
-                + d(F.col("n")) * d(F.col("pred")) * d(F.col("pred"))
-            ).alias("sse")
-        ).collect()[0]
-        v = int(row["sse"])
+    def _sse() -> int:
+        # Python ints are arbitrary-precision (the DECIMAL(38,0) /
+        # HUGEINT accumulation the engines use); range-check the total
+        # loudly before it is emitted as a bigint column (ADVICE r13)
+        v = sum(
+            s2 - 2 * pred[k] * s + n * pred[k] * pred[k]
+            for k, (n, s, s2) in cells.items()
+        )
         if not -(2**63) <= v < 2**63:
             raise ValueError(
                 f"gbt_depth2: SSE ledger {v} exceeds int64 — the "
@@ -1779,50 +1736,50 @@ def gbt_depth2(
             )
         return v
 
-    state = cells.withColumn("pred", F.lit(f0).cast("bigint"))
-    sse_init = _sse(state)
-    model = None
+    sse_init = _sse()
+    model_rows = []
     for t in range(rounds):
-        joint = state.select(
-            "x1", "x2", "n", (F.col("s") - F.col("n") * F.col("pred")).alias("rs")
-        ).localCheckpoint(eager=True)
-        tree = _reg_tree_from_joint(joint).localCheckpoint()
-        rules = {r["node"]: r for r in tree.collect()}
-        if set(rules) != {"root", "left", "right"}:
+        keys = list(cells)
+        root = _reg_tree_best_split(cells, pred, keys)
+        if root is None:
+            raise ValueError(
+                "gbt_depth2: no candidate root split — both features are "
+                "constant over the training slice"
+            )
+        idx = 0 if root[1] == 1 else 1
+        lkeys = [k for k in keys if k[idx] <= root[2]]
+        rkeys = [k for k in keys if k[idx] > root[2]]
+        nodes = {"root": root}
+        for node, sub in (("left", lkeys), ("right", rkeys)):
+            b = _reg_tree_best_split(cells, pred, sub)
+            if b is not None:
+                nodes[node] = b
+        if set(nodes) != {"root", "left", "right"}:
             raise ValueError(
                 f"gbt_depth2: round {t} tree is degenerate "
-                f"(nodes {sorted(rules)}) — a missing branch would "
+                f"(nodes {sorted(nodes)}) — a missing branch would "
                 "silently mis-predict"
             )
-
-        def _leaf(b) -> Column:
-            go_left = (
-                F.col("x1") if b["feature"] == 1 else F.col("x2")
-            ) <= F.lit(b["threshold"])
-            return F.when(go_left, F.lit(b["value_left"])).otherwise(
-                F.lit(b["value_right"])
-            ).cast("bigint")
-
-        root = rules["root"]
-        on_left = (
-            F.col("x1") if root["feature"] == 1 else F.col("x2")
-        ) <= F.lit(root["threshold"])
-        tree_pred = F.when(on_left, _leaf(rules["left"])).otherwise(
-            _leaf(rules["right"])
-        )
-        state = state.select(
-            "x1", "x2", "n", "s", "s2",
-            (F.col("pred") + tree_pred).alias("pred"),
-        ).localCheckpoint(eager=True)  # cell grain: cheap by design
-        sse_after = _sse(state)
-        round_rows = tree.select(
-            F.lit(t).alias("round"),
-            "node", "feature", "threshold", "n_left", "n_right",
-            "value_left", "value_right", "sum_left", "sum_right",
-            F.lit(sse_after).cast("bigint").alias("sse_after"),
-        )
-        model = round_rows if model is None else model.unionByName(round_rows)
-    return model.select(
+        lb, rb = nodes["left"], nodes["right"]
+        for k in cells:
+            b = lb if k[idx] <= root[2] else rb
+            bidx = 0 if b[1] == 1 else 1
+            pred[k] += b[5] // b[3] if k[bidx] <= b[2] else b[6] // b[4]
+        sse_after = _sse()
+        for node in ("root", "left", "right"):
+            _, fi, thr, ln, rn, ls, rs = nodes[node]
+            model_rows.append(
+                (t, node, fi, int(thr), ln, rn, ls // ln, rs // rn,
+                 ls, rs, sse_after)
+            )
+    out = df.sparkSession.createDataFrame(
+        model_rows,
+        "round int, node string, feature int, threshold bigint, "
+        "n_left bigint, n_right bigint, value_left bigint, "
+        "value_right bigint, sum_left bigint, sum_right bigint, "
+        "sse_after bigint",
+    )
+    return out.select(
         "*",
         F.lit(f0).cast("bigint").alias("f0"),
         F.lit(sse_init).cast("bigint").alias("sse_init"),
