@@ -488,8 +488,9 @@ def kmeans_update(
 ) -> tuple[DataFrame, DataFrame]:
     """ONE streaming mini-batch k-means step (the running-mean variant of
     Sculley WWW'10): assign the batch to the current centroids (map-only
-    broadcast argmin, exactly :func:`_assign`), then fold the batch's
-    per-cluster sums into the lifetime means in EXACT fixed point —
+    pass, the same integer distances and lowest-cluster tie-break as
+    :func:`_assign`), then fold the batch's per-cluster sums into the
+    lifetime means in EXACT fixed point —
 
         v_new = floor((n_old * v_old + sum_batch) / (n_old + n_batch))
 
@@ -498,74 +499,103 @@ def kmeans_update(
     unroll the whole stream batch by batch and hash-match the final
     state. Clusters untouched by the batch keep centroid AND count.
 
-    Returns ``(cents, counts)`` — both localCheckpointed control-plane
+    Returns ``(cents, counts)`` — both control-plane LocalRelation
     frames ((cluster, pos, v) and (cluster, n)); per batch the corpus
     pays one map-only pass plus one N-row -> k-row map-side-combined
-    shuffle, the same shape as the batch trainer's iteration."""
-    assigned = _assign(vecs_batch, cents)
-    sums = assigned.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("nb"),
-        *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)],
+    shuffle, the same shape as the batch trainer's iteration.
+
+    Round 14 (guide §1.2): the MERGE runs on the driver.  The only
+    data-scale work in a mini-batch step is the assignment + per-cluster
+    sums — a single distributed action whose result is k×(dim+2)
+    scalars; the previous form then planned two join pipelines and three
+    eager checkpoints over those k×dim rows PER MICRO-BATCH, pure
+    sequential job latency.  The fold below is the same exact-integer
+    arithmetic (Python // ≡ _floordiv, arbitrary-precision ints), and
+    the new state returns as LocalRelations, so the next batch's
+    broadcast argmin starts from literals instead of a checkpoint
+    lineage.  The sequential-replay test (test_stream_kmeans_counts_
+    and_equivalence) pins the fold against the streaming run.
+
+    The assignment + sums themselves run as ONE Arrow pass (round 14):
+    the HOF argmin interprets ~k·dim·3 lambda evals per row and the
+    dim+1-column aggregate is a wide codegen unit per micro-batch;
+    numpy evaluates the same exact-int64 squared distances (argmin
+    first-occurrence ≡ the struct array_min's lowest-cluster tie-break)
+    and exact-int64 per-cluster sums, emitting k partial rows per
+    partition that merge to the identical integers."""
+    import numpy as np
+    import pandas as pd
+
+    old_v = {(r["cluster"], r["pos"]): r["v"] for r in cents.collect()}
+    old_n = {r["cluster"]: r["n"] for r in counts.collect()}
+    k = len(old_n)
+    cmat = np.zeros((k, dim), dtype=np.int64)
+    for (cl, pos), v in old_v.items():
+        cmat[cl, pos] = v
+
+    def _partials(batches):
+        nb = np.zeros(k, dtype=np.int64)
+        s = np.zeros((k, dim), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            d = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)  # first min ≡ lowest-cluster tie-break
+            for j in range(k):
+                m = a == j
+                nb[j] += int(m.sum())
+                s[j] += x[m].sum(axis=0)  # empty selection sums to 0
+        out = pd.DataFrame({"cluster": np.arange(k), "nb": nb})
+        for i in range(dim):
+            out[f"s{i}"] = s[:, i]
+        yield out
+
+    schema = "cluster int, nb long, " + ", ".join(
+        f"s{i} long" for i in range(dim)
     )
-    batch_long = sums.select(
-        "cluster",
-        "nb",
-        F.posexplode(
-            F.array(*[F.col(f"s{i}") for i in range(dim)])
-        ).alias("pos", "s"),
-    ).localCheckpoint(eager=True)  # k*dim rows; consumed by BOTH the
-    # centroid merge and the count fold — without this each consumer
-    # replays the corpus assignment pass + the dim-wide aggregate, so
-    # every micro-batch paid the batch scan twice (round 14)
-    # LEFT join + runtime raise (advisor r10): an inner join here would
-    # silently drop any cents cluster missing from counts — state
-    # corruption surfacing as quiet cluster loss across batches.  n_old
-    # is control-plane-sized, so the guard costs nothing.
-    n_old_ok = F.when(
-        F.col("n_old").isNull(),
-        F.raise_error(
-            F.lit(
+    part_rows = vecs_batch.select("qv").mapInPandas(_partials, schema).collect()
+    agg: dict = {}
+    for r in part_rows:
+        cl = r["cluster"]
+        e = agg.setdefault(cl, [0] + [0] * dim)
+        e[0] += int(r["nb"])
+        for i in range(dim):
+            e[i + 1] += int(r[f"s{i}"])
+    # clusters with no batch members keep centroid AND count (the
+    # original groupBy emitted no row for them)
+    sums_rows = [
+        {"cluster": cl, "nb": e[0],
+         **{f"s{i}": e[i + 1] for i in range(dim)}}
+        for cl, e in agg.items() if e[0] > 0
+    ]
+    # the advisor-r10 guard, driver-side: a cents cluster missing from
+    # counts is corrupted state and must fail loudly, never drop quietly
+    for cl in {c for c, _ in old_v}:
+        if cl not in old_n:
+            raise ValueError(
                 "kmeans_update: a cluster in cents has no row in counts"
                 " — corrupted (cents, counts) state"
             )
-        ).cast("long"),
-    ).otherwise(F.col("n_old"))
-    merged = (
-        cents.withColumnRenamed("v", "v_old")
-        .join(
-            F.broadcast(counts.withColumnRenamed("n", "n_old")),
-            "cluster",
-            "left",
-        )
-        .withColumn("n_old", n_old_ok)
-        .join(batch_long, ["cluster", "pos"], "left")
-        .select(
-            "cluster",
-            "pos",
-            F.when(
-                F.col("s").isNotNull(),
-                _floordiv(
-                    F.col("n_old") * F.col("v_old") + F.col("s"),
-                    F.col("n_old") + F.col("nb"),
-                ),
-            )
-            .otherwise(F.col("v_old"))
-            .alias("v"),
-        )
-        .localCheckpoint()
+    batch = {r["cluster"]: r for r in sums_rows}
+    cent_rows = []
+    for (cl, pos), v_old in sorted(old_v.items()):
+        b = batch.get(cl)
+        if b is None:
+            v = int(v_old)  # cluster untouched by this batch
+        else:
+            n_old, nb = int(old_n[cl]), int(b["nb"])
+            v = (n_old * int(v_old) + int(b[f"s{pos}"])) // (n_old + nb)
+        cent_rows.append((cl, pos, v))
+    count_rows = [
+        (cl, int(n) + (int(batch[cl]["nb"]) if cl in batch else 0))
+        for cl, n in sorted(old_n.items())
+    ]
+    spark = vecs_batch.sparkSession
+    return (
+        spark.createDataFrame(cent_rows, "cluster int, pos int, v bigint"),
+        spark.createDataFrame(count_rows, "cluster int, n bigint"),
     )
-    new_counts = (
-        counts.withColumnRenamed("n", "n_old")
-        .join(
-            batch_long.select("cluster", "nb").distinct(), "cluster", "left"
-        )
-        .select(
-            "cluster",
-            (F.col("n_old") + F.coalesce("nb", F.lit(0))).alias("n"),
-        )
-        .localCheckpoint()
-    )
-    return merged, new_counts
 
 
 def decision_stump(
