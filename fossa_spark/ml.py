@@ -694,84 +694,90 @@ def tree_depth2(
 
     Returns up to 3 rows: (node ∈ root/left/right, feature 1|2,
     threshold, n_left, n_right, left_class, right_class, impurity)."""
-    joint = (
+    rows = (
         df.groupBy(F.col(x1_col).alias("x1"), F.col(x2_col).alias("x2"))
         .agg(
             F.sum(1 - F.col(label_col)).alias("n0"),
             F.sum(label_col).alias("n1"),
         )
-        .localCheckpoint(eager=True)
+        .collect()  # value-domain-bounded joint histogram: control-plane
     )
-    return _tree_from_joint(joint)
+    cells = {(r["x1"], r["x2"]): (int(r["n0"]), int(r["n1"])) for r in rows}
+    nodes = _depth2_nodes(cells)
+    out_rows = [
+        (node, b[1], int(b[2]), b[3] + b[4], b[5] + b[6],
+         1 if b[4] > b[3] else 0, 1 if b[6] > b[5] else 0,
+         _round_half_up(b[0], 8))
+        for node, b in nodes.items()
+    ]
+    return df.sparkSession.createDataFrame(
+        out_rows,
+        "node string, feature int, threshold bigint, n_left bigint, "
+        "n_right bigint, left_class int, right_class int, impurity double",
+    )
 
 
-def _tree_from_joint(joint: DataFrame) -> DataFrame:
-    """One depth-2 tree from a checkpointed (x1, x2, n0, n1) histogram —
-    n0/n1 may be plain counts (tree_depth2) or boosting WEIGHTS
-    (boosted_trees_depth2); the split math only ever sees the sums."""
+def _round_half_up(x: float, scale: int) -> float:
+    """Spark's ``round(double, scale)`` on the driver: HALF_UP on the
+    shortest-round-trip decimal form (java BigDecimal.valueOf ≡ Python
+    ``repr``), back to the nearest double.  Verified against F.round on
+    50 000 values including half-boundary patterns — 0 mismatches
+    (round 14)."""
+    from decimal import ROUND_HALF_UP, Decimal
 
-    def _candidates(hist: DataFrame) -> DataFrame:
-        cands = None
-        for fi, feat in ((1, "x1"), (2, "x2")):
-            h = hist.groupBy(F.col(feat).alias("x")).agg(
-                F.sum("n0").alias("n0"), F.sum("n1").alias("n1")
-            )
-            # totals from an unbounded frame over the same sort (round
-            # 14): bit-identical integer sums, no second aggregate
-            # subtree, no broadcast exchange per feature
-            w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-            wt = Window.orderBy("x").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-            c = (
-                h.select(
-                    F.lit(fi).alias("feature"),
-                    F.col("x").alias("threshold"),
-                    F.sum("n0").over(w).alias("l0"),
-                    F.sum("n1").over(w).alias("l1"),
-                    (F.sum("n0").over(wt) - F.sum("n0").over(w)).alias("r0"),
-                    (F.sum("n1").over(wt) - F.sum("n1").over(w)).alias("r1"),
-                )
-                .filter((F.col("r0") + F.col("r1")) > 0)
-            )
-            cands = c if cands is None else cands.unionByName(c)
-        nl = (F.col("l0") + F.col("l1")).cast("double")
-        nr = (F.col("r0") + F.col("r1")).cast("double")
-        l0d, l1d = F.col("l0").cast("double"), F.col("l1").cast("double")
-        r0d, r1d = F.col("r0").cast("double"), F.col("r1").cast("double")
-        imp = (nl * nl - l0d * l0d - l1d * l1d) / nl + (
-            nr * nr - r0d * r0d - r1d * r1d
-        ) / nr
-        return cands.withColumn("impurity", imp)
-
-    def _best(hist: DataFrame, node: str) -> DataFrame:
-        return (
-            _candidates(hist)
-            .orderBy(
-                F.col("impurity").asc(),
-                F.col("feature").asc(),
-                F.col("threshold").asc(),
-            )
-            .limit(1)
-            .select(
-                F.lit(node).alias("node"),
-                "feature",
-                "threshold",
-                (F.col("l0") + F.col("l1")).alias("n_left"),
-                (F.col("r0") + F.col("r1")).alias("n_right"),
-                F.when(F.col("l1") > F.col("l0"), F.lit(1))
-                .otherwise(F.lit(0))
-                .alias("left_class"),
-                F.when(F.col("r1") > F.col("r0"), F.lit(1))
-                .otherwise(F.lit(0))
-                .alias("right_class"),
-                F.round(F.col("impurity"), 8).alias("impurity"),
-            )
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
         )
+    )
 
-    root = _best(joint, "root")
-    rows = root.collect()  # 3 scalars: the tree's control-plane state
-    if not rows:
+
+def _gini_best_split(cells: dict, keys) -> "tuple | None":
+    """Best weighted-Gini split of a cell subset, on the DRIVER (round
+    14).  ``cells``: {(x1,x2): (n0, n1)} exact ints (counts or boosting
+    weights); ``keys``: the node's cell subset.  The impurity is the
+    SAME IEEE-double expression of the same exact integers the
+    distributed form evaluated, with the (impurity, feature, threshold)
+    tie-break, so the argmin is bit-identical.  Returns
+    (impurity_raw, feature, threshold, l0, l1, r0, r1) or None when
+    every candidate leaves an empty right side."""
+    cands = []
+    for fi, idx in ((1, 0), (2, 1)):
+        hist: dict = {}
+        for k in keys:
+            n0, n1 = cells[k]
+            e = hist.setdefault(k[idx], [0, 0])
+            e[0] += n0
+            e[1] += n1
+        xs = sorted(hist)
+        t0 = sum(hist[x][0] for x in xs)
+        t1 = sum(hist[x][1] for x in xs)
+        l0 = l1 = 0
+        for x in xs:
+            l0 += hist[x][0]
+            l1 += hist[x][1]
+            r0, r1 = t0 - l0, t1 - l1
+            if r0 + r1 <= 0:
+                continue
+            nl, nr = float(l0 + l1), float(r0 + r1)
+            l0d, l1d, r0d, r1d = float(l0), float(l1), float(r0), float(r1)
+            imp = (nl * nl - l0d * l0d - l1d * l1d) / nl + (
+                nr * nr - r0d * r0d - r1d * r1d
+            ) / nr
+            cands.append((imp, fi, x, l0, l1, r0, r1))
+    return min(cands) if cands else None
+
+
+def _depth2_nodes(cells: dict) -> dict:
+    """Root/left/right best splits of a depth-2 tree over a joint cell
+    histogram, on the driver — n0/n1 may be plain counts (tree_depth2)
+    or boosting WEIGHTS (boosted_trees_depth2); the split math only
+    ever sees the sums.  A branch whose candidate set is empty (single
+    distinct value on both features) is absent from the result — the
+    callers decide whether that is an error."""
+    keys = list(cells)
+    root = _gini_best_split(cells, keys)
+    if root is None:
         # a joint histogram with one distinct value on both features
         # has no candidate split at all — fail loudly (ADVICE r12: the
         # bare IndexError here preempted boosted_trees_depth2's own
@@ -780,15 +786,16 @@ def _tree_from_joint(joint: DataFrame) -> DataFrame:
             "tree_depth2: no candidate root split — both features are "
             "constant over the training slice"
         )
-    r = rows[0]
-    f_col = "x1" if r.feature == 1 else "x2"
-    left = _best(joint.filter(F.col(f_col) <= r.threshold), "left")
-    right = _best(joint.filter(F.col(f_col) > r.threshold), "right")
-    # the root's row is already on the driver — union a LocalRelation
-    # instead of re-evaluating the root candidate subtree a second time
-    # inside the final plan (round 14)
-    root_local = joint.sparkSession.createDataFrame(rows, root.schema)
-    return root_local.unionByName(left).unionByName(right)
+    idx = 0 if root[1] == 1 else 1
+    nodes = {"root": root}
+    for node, sub in (
+        ("left", [k for k in keys if k[idx] <= root[2]]),
+        ("right", [k for k in keys if k[idx] > root[2]]),
+    ):
+        b = _gini_best_split(cells, sub)
+        if b is not None:
+            nodes[node] = b
+    return nodes
 
 
 def forest_depth2(
@@ -1073,120 +1080,114 @@ def boosted_trees_depth2(
     contrast re-scans the corpus-sized (x, label, w) frame each round.
     Weights grow ≤ 3^rounds — bounded for shallow ensembles.
 
-    Alphas are computed as Spark expressions (one JVM ln each, the
-    ALPHA_SCALE convention) and re-embedded as literals in the vote;
-    tree rules are collected per round (3 rows — control-plane, the
-    tree_depth2 root-collect convention).  Raises on a degenerate
-    round (a branch with no split candidate would silently mis-vote).
+    Alphas stay SPARK expressions (one JVM ln each, the ALPHA_SCALE
+    convention — ``ln`` is not guaranteed bit-identical across libms,
+    so the driver must not substitute Python's); round 14 batches all
+    rounds' (correct_w, wrong_w) pairs into ONE tiny job instead of one
+    per round.  Everything else — the per-round weighted trees, the ×3
+    reweighting, the ensemble vote — is exact-integer math on the
+    collected joint histogram (guide §1.2: the previous form planned
+    ~6 control-plane jobs per round over ≤ 550 cells).  Raises on a
+    degenerate round (a branch with no split candidate would silently
+    mis-vote).
 
     Returns rounds×3 rows: (round, node, feature, threshold, n_left,
     n_right, left_class, right_class, impurity) — n_*/impurity are the
     round's WEIGHTED masses — plus the round's correct_w / wrong_w /
     alpha_scaled and the exact unweighted ensemble accounting
     (n_rows_total, n_correct_ensemble) repeated on every row."""
-    cells = (
+    hist_rows = (
         df.groupBy(F.col(x1_col).alias("x1"), F.col(x2_col).alias("x2"))
         .agg(
             F.sum(1 - F.col(label_col)).alias("n0"),
             F.sum(label_col).alias("n1"),
         )
-        .localCheckpoint(eager=True)
+        .collect()  # value-domain-bounded: control-plane
     )
-    w = cells
-    model = None
-    pred_exprs: list = []
-    alpha_vals: list[int] = []
+    cells = {
+        (r["x1"], r["x2"]): (int(r["n0"]), int(r["n1"])) for r in hist_rows
+    }
+    w = dict(cells)
+    per_round: list = []  # (nodes, correct_w, wrong_w, preds)
     for t in range(rounds):
-        tree = _tree_from_joint(w).localCheckpoint()  # ≤ 3 rows
-        rules = {r["node"]: r for r in tree.collect()}
-        if set(rules) != {"root", "left", "right"}:
+        nodes = _depth2_nodes(w)
+        if set(nodes) != {"root", "left", "right"}:
             raise ValueError(
                 f"boosted_trees_depth2: round {t} tree is degenerate "
-                f"(nodes {sorted(rules)}) — a missing branch would "
+                f"(nodes {sorted(nodes)}) — a missing branch would "
                 "silently mis-vote"
             )
-
-        def _leaf(b) -> Column:
-            go_left = (
-                F.col("x1") if b["feature"] == 1 else F.col("x2")
-            ) <= F.lit(b["threshold"])
-            return F.when(go_left, F.lit(b["left_class"])).otherwise(
-                F.lit(b["right_class"])
+        root, lb, rb = nodes["root"], nodes["left"], nodes["right"]
+        idx = 0 if root[1] == 1 else 1
+        preds = {}
+        for k in w:
+            b = lb if k[idx] <= root[2] else rb
+            bidx = 0 if b[1] == 1 else 1
+            cls_l = 1 if b[4] > b[3] else 0
+            cls_r = 1 if b[6] > b[5] else 0
+            preds[k] = cls_l if k[bidx] <= b[2] else cls_r
+        correct_w = sum(
+            w[k][1] if preds[k] == 1 else w[k][0] for k in w
+        )
+        wrong_w = sum(w[k][0] if preds[k] == 1 else w[k][1] for k in w)
+        per_round.append((nodes, correct_w, wrong_w, preds))
+        w = {
+            k: (
+                n0 * 3 if preds[k] == 1 else n0,
+                n1 * 3 if preds[k] == 0 else n1,
             )
-
-        root = rules["root"]
-        on_left = (
-            F.col("x1") if root["feature"] == 1 else F.col("x2")
-        ) <= F.lit(root["threshold"])
-        pred = F.when(on_left, _leaf(rules["left"])).otherwise(
-            _leaf(rules["right"])
+            for k, (n0, n1) in w.items()
+        }
+    spark = df.sparkSession
+    # ONE Spark job for every round's alpha: the JVM ln bits are part of
+    # the oracle contract and must not come from Python's libm
+    alpha_rows = (
+        spark.createDataFrame(
+            [(t, cw, ww) for t, (_, cw, ww, _) in enumerate(per_round)],
+            "t int, cw bigint, ww bigint",
         )
-        pred_exprs.append(pred)
-        stats = (
-            w.withColumn("_p", pred)
-            .agg(
-                F.sum(
-                    F.when(F.col("_p") == 1, F.col("n1")).otherwise(F.col("n0"))
-                ).alias("correct_w"),
-                F.sum(
-                    F.when(F.col("_p") == 1, F.col("n0")).otherwise(F.col("n1"))
-                ).alias("wrong_w"),
-            )
-            .withColumn(
-                "alpha_scaled",
-                F.round(
-                    F.log(
-                        (F.col("correct_w").cast("double") + 1.0)
-                        / (F.col("wrong_w").cast("double") + 1.0)
-                    )
-                    / 2.0
-                    * F.lit(float(ALPHA_SCALE))
-                ).cast("bigint"),
-            )
-            .localCheckpoint()  # one row
-        )
-        alpha_vals.append(stats.collect()[0]["alpha_scaled"])
-        round_rows = tree.withColumn("round", F.lit(t)).crossJoin(
-            F.broadcast(stats)
-        )
-        model = round_rows if model is None else model.unionByName(round_rows)
-        w = (
-            w.withColumn("_p", pred)
-            .select(
-                "x1",
-                "x2",
-                F.when(F.col("_p") == 1, F.col("n0") * 3)
-                .otherwise(F.col("n0"))
-                .alias("n0"),
-                F.when(F.col("_p") == 0, F.col("n1") * 3)
-                .otherwise(F.col("n1"))
-                .alias("n1"),
-            )
-            .localCheckpoint(eager=True)  # cell-grain: cheap by design
-        )
-    score = None
-    for a, p in zip(alpha_vals, pred_exprs):
-        term = (p * 2 - 1).cast("bigint") * F.lit(int(a))
-        score = term if score is None else score + term
-    ens = (
-        cells.withColumn("_ep", (score > 0).cast("int"))
-        .agg(
-            F.sum(F.col("n0") + F.col("n1")).alias("n_rows_total"),
-            F.sum(
-                F.when(F.col("_ep") == 1, F.col("n1")).otherwise(F.col("n0"))
-            ).alias("n_correct_ensemble"),
-        )
-    )
-    return (
-        model.crossJoin(F.broadcast(ens))
         .select(
-            "round", "node", "feature", "threshold", "n_left", "n_right",
-            "left_class", "right_class", "impurity",
-            "correct_w", "wrong_w", "alpha_scaled",
-            "n_rows_total", "n_correct_ensemble",
+            "t",
+            F.round(
+                F.log(
+                    (F.col("cw").cast("double") + 1.0)
+                    / (F.col("ww").cast("double") + 1.0)
+                )
+                / 2.0
+                * F.lit(float(ALPHA_SCALE))
+            )
+            .cast("bigint")
+            .alias("a"),
         )
-        .orderBy("round", "node")
+        .collect()
     )
+    alphas = {r["t"]: int(r["a"]) for r in alpha_rows}
+    # strict-positive ensemble vote + exact unweighted accounting
+    n_rows_total = sum(n0 + n1 for n0, n1 in cells.values())
+    n_correct_ensemble = 0
+    for k, (n0, n1) in cells.items():
+        score = sum(
+            (per_round[t][3][k] * 2 - 1) * alphas[t] for t in range(rounds)
+        )
+        n_correct_ensemble += n1 if score > 0 else n0
+    out_rows = []
+    for t, (nodes, cw, ww, _) in enumerate(per_round):
+        for node in ("root", "left", "right"):
+            b = nodes[node]
+            out_rows.append(
+                (t, node, b[1], int(b[2]), b[3] + b[4], b[5] + b[6],
+                 1 if b[4] > b[3] else 0, 1 if b[6] > b[5] else 0,
+                 _round_half_up(b[0], 8), cw, ww, alphas[t],
+                 n_rows_total, n_correct_ensemble)
+            )
+    return spark.createDataFrame(
+        out_rows,
+        "round int, node string, feature int, threshold bigint, "
+        "n_left bigint, n_right bigint, left_class int, right_class int, "
+        "impurity double, correct_w bigint, wrong_w bigint, "
+        "alpha_scaled bigint, n_rows_total bigint, "
+        "n_correct_ensemble bigint",
+    ).orderBy("round", "node")
 
 
 def bagged_stumps(
