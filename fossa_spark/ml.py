@@ -1409,107 +1409,122 @@ def boosted_stumps(
 
     Returns one row per round: the stump, its weighted error counts,
     alpha_scaled, and the exact unweighted ensemble accuracy repeated.
-    """
-    # NOTE: the corpus-sized frames (cur / judged) are deliberately NOT
-    # checkpointed — at 2-3 rounds, recomputing the narrow (x, label, w)
-    # lineage per pass is far cheaper than materializing N rows per
-    # round (measured: sf10 warm 63.5 -> ~13 s without the checkpoints);
-    # only the one-row model state is pinned
-    cur = df.select(
-        F.col(x_col).alias("x"),
-        F.col(label_col).alias("label"),
-        F.lit(1).cast("bigint").alias("w"),
+
+    Round 14 (guide §1.2): a stump prediction depends only on x, so a
+    row's misclassification history — and therefore its integer weight
+    — is a pure function of its (x, label) cell, exactly the
+    boosted_trees_depth2 structural fact one feature down.  The corpus
+    is scanned ONCE into the (x, label) count histogram (map-side
+    combined; ≤ |X|·2 rows, value-domain-bounded at any corpus size)
+    and every boosting pass — weighted stump argmin, reweighting,
+    error masses, the ensemble vote — runs in exact Python ints on the
+    collected cells (the previous corpus-form re-scanned the
+    (x, label, w) frame per round plus twice for the vote).  The split
+    impurity is the same IEEE-double expression of the same exact
+    integers; Spark's round(·, 8) is replicated by _round_half_up;
+    alphas stay JVM ln (one batched job, the ALPHA_SCALE contract)."""
+    hist_rows = (
+        df.groupBy(F.col(x_col).alias("x"), F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # value-domain-bounded: control-plane
     )
-    stumps = []
-    for rnd in range(rounds):
-        s = _weighted_stump(cur, "x", "label", "w").withColumn(
-            "round", F.lit(rnd)
+    counts = {(r["x"], int(r["label"])): int(r["n"]) for r in hist_rows}
+    weight = {k: 1 for k in counts}  # per-row weight, uniform per cell
+    per_round: list = []  # (threshold, left_class, right_class, imp_raw,
+    #                        correct_w, wrong_w, pred_by_x)
+    for _ in range(rounds):
+        # weighted per-x class masses (the _weighted_stump histogram)
+        hist: dict = {}
+        for (x, label), n in counts.items():
+            e = hist.setdefault(x, [0, 0])
+            e[label] += weight[(x, label)] * n
+        xs = sorted(hist)
+        t0 = sum(hist[x][0] for x in xs)
+        t1 = sum(hist[x][1] for x in xs)
+        cands = []
+        l0 = l1 = 0
+        for x in xs:
+            l0 += hist[x][0]
+            l1 += hist[x][1]
+            r0, r1 = t0 - l0, t1 - l1
+            if r0 + r1 <= 0:
+                continue
+            nl, nr = float(l0 + l1), float(r0 + r1)
+            l0d, l1d, r0d, r1d = float(l0), float(l1), float(r0), float(r1)
+            imp = (nl * nl - l0d * l0d - l1d * l1d) / nl + (
+                nr * nr - r0d * r0d - r1d * r1d
+            ) / nr
+            cands.append((imp, x, l0, l1, r0, r1))
+        if not cands:
+            raise ValueError(
+                "boosted_stumps: no candidate split — x is constant over "
+                "the training input"
+            )
+        imp, thr, l0, l1, r0, r1 = min(cands)  # (impurity, threshold) tie
+        cls_l = 1 if l1 > l0 else 0
+        cls_r = 1 if r1 > r0 else 0
+        pred_by_x = {x: (cls_l if x <= thr else cls_r) for x in xs}
+        correct_w = sum(
+            weight[(x, lb)] * n
+            for (x, lb), n in counts.items()
+            if pred_by_x[x] == lb
         )
-        srow = F.broadcast(s.select("round", "threshold", "left_class",
-                                    "right_class", "impurity"))
-        pred = F.when(
-            F.col("x") <= F.col("threshold"), F.col("left_class")
-        ).otherwise(F.col("right_class"))
-        judged = cur.crossJoin(srow).select(
-            "x", "label", "w", "round", "threshold", "left_class",
-            "right_class", "impurity",
-            (pred == F.col("label")).alias("ok"),
+        wrong_w = sum(
+            weight[(x, lb)] * n
+            for (x, lb), n in counts.items()
+            if pred_by_x[x] != lb
         )
-        errs = judged.groupBy(
-            "round", "threshold", "left_class", "right_class", "impurity"
-        ).agg(
-            F.sum(F.when(F.col("ok"), F.col("w")).otherwise(F.lit(0)))
-            .alias("correct_w"),
-            F.sum(F.when(~F.col("ok"), F.col("w")).otherwise(F.lit(0)))
-            .alias("wrong_w"),
-        ).withColumn(
-            "alpha_scaled",
+        per_round.append(
+            (thr, cls_l, cls_r, imp, correct_w, wrong_w, pred_by_x)
+        )
+        weight = {
+            (x, lb): (m if pred_by_x[x] == lb else m * 3)
+            for (x, lb), m in weight.items()
+        }
+    spark = df.sparkSession
+    # ONE Spark job for every round's alpha (JVM ln bits — the oracle
+    # contract; must not come from Python's libm)
+    alpha_rows = (
+        spark.createDataFrame(
+            [(t, r[4], r[5]) for t, r in enumerate(per_round)],
+            "t int, cw bigint, ww bigint",
+        )
+        .select(
+            "t",
             F.round(
                 F.log(
-                    (F.col("correct_w").cast("double") + 1.0)
-                    / (F.col("wrong_w").cast("double") + 1.0)
+                    (F.col("cw").cast("double") + 1.0)
+                    / (F.col("ww").cast("double") + 1.0)
                 )
                 / 2.0
                 * F.lit(float(ALPHA_SCALE))
-            ).cast("bigint"),
-        ).localCheckpoint()  # one row
-        stumps.append(errs)
-        cur = judged.select(
-            "x",
-            "label",
-            F.when(F.col("ok"), F.col("w")).otherwise(F.col("w") * 3)
-            .alias("w"),
-        )
-    model = stumps[0]
-    for s in stumps[1:]:
-        model = model.unionByName(s)
-    model = model.localCheckpoint()
-    rules = model.groupBy().agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct("round", "threshold", "left_class", "right_class",
-                         "alpha_scaled")
             )
-        ).alias("rules")
-    )
-    signed = lambda r: (  # noqa: E731  (2*pred - 1) * alpha
-        (
-            F.when(F.col("x") <= r["threshold"], r["left_class"])
-            .otherwise(r["right_class"])
-            * 2
-            - 1
-        ).cast("bigint")
-        * r["alpha_scaled"]
-    )
-    ens = (
-        df.select(F.col(x_col).alias("x"), F.col(label_col).alias("label"))
-        .join(F.broadcast(rules))
-        .select(
-            "label",
-            (
-                F.aggregate(
-                    F.col("rules"),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, r: acc + signed(r),
-                )
-                > 0
-            ).cast("int").alias("pred"),
+            .cast("bigint")
+            .alias("a"),
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_rows_total"),
-            F.sum((F.col("pred") == F.col("label")).cast("long"))
-            .alias("n_correct_ensemble"),
-        )
+        .collect()
     )
-    return (
-        model.crossJoin(F.broadcast(ens))
-        .select(
-            "round", "threshold", "left_class", "right_class", "impurity",
-            "correct_w", "wrong_w", "alpha_scaled",
-            "n_rows_total", "n_correct_ensemble",
+    alphas = {r["t"]: int(r["a"]) for r in alpha_rows}
+    n_rows_total = sum(counts.values())
+    n_correct_ensemble = 0
+    for (x, lb), n in counts.items():
+        score = sum(
+            (per_round[t][6][x] * 2 - 1) * alphas[t] for t in range(rounds)
         )
-        .orderBy("round")
-    )
+        if (1 if score > 0 else 0) == lb:
+            n_correct_ensemble += n
+    out_rows = [
+        (t, int(thr), cls_l, cls_r, _round_half_up(imp, 8),
+         cw, ww, alphas[t], n_rows_total, n_correct_ensemble)
+        for t, (thr, cls_l, cls_r, imp, cw, ww, _) in enumerate(per_round)
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "round int, threshold bigint, left_class int, right_class int, "
+        "impurity double, correct_w bigint, wrong_w bigint, "
+        "alpha_scaled bigint, n_rows_total bigint, "
+        "n_correct_ensemble bigint",
+    ).orderBy("round")
 
 
 ALS_SCALE = 100   # rank-2 factor fixed point (see als_rank2's headroom note)
