@@ -822,21 +822,38 @@ def forest_depth2(
     no candidate (single distinct value on both features) contribute
     no row.
 
+    Round 14 (guide §1.2): after the ONE corpus groupBy the whole
+    forest is control-plane, so the per-tree split searches run on the
+    collected histogram (exact Python ints, the identical IEEE impurity
+    expression, _round_half_up for the 8-dp output) instead of a
+    two-stage window-chain plan.
+
     Returns up to 3·n_trees rows: (tree, node ∈ root/left/right,
     feature 1|2, threshold, n_left, n_right, left_class, right_class,
     impurity)."""
-    return _forest_from_joint(
-        _forest_joint(df, x1_col, x2_col, label_col, tree_col)
+    trees = _forest_cells(df, x1_col, x2_col, label_col, tree_col)
+    out_rows = []
+    for tr, cells in sorted(trees.items()):
+        for node, b in _forest_tree_nodes(cells).items():
+            out_rows.append(
+                (tr, node, b[1], int(b[2]), b[3] + b[4], b[5] + b[6],
+                 1 if b[4] > b[3] else 0, 1 if b[6] > b[5] else 0,
+                 _round_half_up(b[0], 8))
+            )
+    return df.sparkSession.createDataFrame(
+        out_rows,
+        "tree int, node string, feature int, threshold bigint, "
+        "n_left bigint, n_right bigint, left_class int, right_class int, "
+        "impurity double",
     )
 
 
-def _forest_joint(
+def _forest_cells(
     df: DataFrame, x1_col: str, x2_col: str, label_col: str, tree_col: str
-) -> DataFrame:
-    """The forest's ONE corpus pass: joint per-tree value-domain
-    histogram, eagerly checkpointed (control-plane sized for binned
-    features; every downstream stage replays this, never the corpus)."""
-    return (
+) -> dict:
+    """The forest's ONE corpus pass, collected: {tree: {(x1, x2):
+    (n0, n1)}} — value-domain-bounded (|trees|·|X1|·|X2| cells)."""
+    rows = (
         df.groupBy(
             F.col(tree_col).alias("tree"),
             F.col(x1_col).alias("x1"),
@@ -846,109 +863,36 @@ def _forest_joint(
             F.sum(1 - F.col(label_col)).alias("n0"),
             F.sum(label_col).alias("n1"),
         )
-        .localCheckpoint(eager=True)
+        .collect()
     )
-
-
-def _forest_from_joint(joint: DataFrame) -> DataFrame:
-    """Forest training given the checkpointed joint histogram — split
-    out so :func:`forest_vote` can reuse one corpus pass for both
-    training and the vote accounting."""
-
-    def _cands(hist: DataFrame, keys: list[str]) -> DataFrame:
-        out = None
-        for fi, feat in ((1, "x1"), (2, "x2")):
-            m = hist.groupBy(*keys, F.col(feat).alias("x")).agg(
-                F.sum("n0").alias("n0"), F.sum("n1").alias("n1")
-            )
-            # per-key totals from an unbounded frame over the same
-            # sort (round 14): bit-identical integer sums, no second
-            # per-key aggregate subtree, no broadcast join per feature
-            w = (
-                Window.partitionBy(*keys)
-                .orderBy("x")
-                .rowsBetween(Window.unboundedPreceding, 0)
-            )
-            wt = (
-                Window.partitionBy(*keys)
-                .orderBy("x")
-                .rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            )
-            c = (
-                m.select(
-                    *keys,
-                    F.lit(fi).alias("feature"),
-                    F.col("x").alias("threshold"),
-                    F.sum("n0").over(w).alias("l0"),
-                    F.sum("n1").over(w).alias("l1"),
-                    (F.sum("n0").over(wt) - F.sum("n0").over(w)).alias("r0"),
-                    (F.sum("n1").over(wt) - F.sum("n1").over(w)).alias("r1"),
-                )
-                .filter((F.col("r0") + F.col("r1")) > 0)
-            )
-            out = c if out is None else out.unionByName(c)
-        nl = (F.col("l0") + F.col("l1")).cast("double")
-        nr = (F.col("r0") + F.col("r1")).cast("double")
-        l0d, l1d = F.col("l0").cast("double"), F.col("l1").cast("double")
-        r0d, r1d = F.col("r0").cast("double"), F.col("r1").cast("double")
-        imp = (nl * nl - l0d * l0d - l1d * l1d) / nl + (
-            nr * nr - r0d * r0d - r1d * r1d
-        ) / nr
-        return out.withColumn("impurity", imp)
-
-    def _best(cands: DataFrame, keys: list[str]) -> DataFrame:
-        w = Window.partitionBy(*keys).orderBy(
-            F.col("impurity").asc(),
-            F.col("feature").asc(),
-            F.col("threshold").asc(),
+    trees: dict = {}
+    for r in rows:
+        trees.setdefault(r["tree"], {})[(r["x1"], r["x2"])] = (
+            int(r["n0"]),
+            int(r["n1"]),
         )
-        return (
-            cands.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(
-                *keys,
-                "feature",
-                "threshold",
-                (F.col("l0") + F.col("l1")).alias("n_left"),
-                (F.col("r0") + F.col("r1")).alias("n_right"),
-                F.when(F.col("l1") > F.col("l0"), F.lit(1))
-                .otherwise(F.lit(0))
-                .alias("left_class"),
-                F.when(F.col("r1") > F.col("r0"), F.lit(1))
-                .otherwise(F.lit(0))
-                .alias("right_class"),
-                F.round(F.col("impurity"), 8).alias("impurity"),
-            )
-        )
+    return trees
 
-    roots = _best(_cands(joint, ["tree"]), ["tree"])
-    rules = roots.select("tree", "feature", "threshold")
-    sided = joint.join(F.broadcast(rules), "tree").withColumn(
-        "side",
-        F.when(
-            ((F.col("feature") == 1) & (F.col("x1") <= F.col("threshold")))
-            | ((F.col("feature") == 2) & (F.col("x2") <= F.col("threshold"))),
-            F.lit("left"),
-        ).otherwise(F.lit("right")),
-    ).drop("feature", "threshold")
-    branches = _best(_cands(sided, ["tree", "side"]), ["tree", "side"])
-    return (
-        roots.withColumn("node", F.lit("root"))
-        .select(
-            "tree", "node", "feature", "threshold", "n_left", "n_right",
-            "left_class", "right_class", "impurity",
-        )
-        .unionByName(
-            branches.select(
-                "tree",
-                F.col("side").alias("node"),
-                "feature", "threshold", "n_left", "n_right",
-                "left_class", "right_class", "impurity",
-            )
-        )
-    )
+
+def _forest_tree_nodes(cells: dict) -> dict:
+    """One tree's root/left/right splits for the forest — like
+    :func:`_depth2_nodes` but a tree with NO root candidate contributes
+    no nodes at all (the forest's window form simply emitted no row for
+    it; forest_vote turns that into its own loud error)."""
+    keys = list(cells)
+    root = _gini_best_split(cells, keys)
+    if root is None:
+        return {}
+    idx = 0 if root[1] == 1 else 1
+    nodes = {"root": root}
+    for node, sub in (
+        ("left", [k for k in keys if k[idx] <= root[2]]),
+        ("right", [k for k in keys if k[idx] > root[2]]),
+    ):
+        b = _gini_best_split(cells, sub)
+        if b is not None:
+            nodes[node] = b
+    return nodes
 
 
 def forest_vote(
@@ -979,10 +923,14 @@ def forest_vote(
     Returns one row per tree: (tree, n_rows, n_correct_tree,
     n_rows_total, n_correct_ensemble) — ensemble totals repeated on
     every row for hash checking; majority = strictly more 1-votes than
-    0-votes."""
-    joint = _forest_joint(df, x1_col, x2_col, label_col, tree_col)
-    forest = _forest_from_joint(joint).localCheckpoint()  # ≤ 3·n_trees rows
-    n_nodes = forest.count()
+    0-votes.
+
+    Round 14 (guide §1.2): the vote math runs on the same collected
+    histogram as training — the previous form planned two broadcast-join
+    prediction pipelines plus a window over control-plane rows."""
+    trees = _forest_cells(df, x1_col, x2_col, label_col, tree_col)
+    forest = {tr: _forest_tree_nodes(cells) for tr, cells in trees.items()}
+    n_nodes = sum(len(n) for n in forest.values())
     if n_nodes != 3 * n_trees:
         raise ValueError(
             f"forest_vote: expected {3 * n_trees} nodes "
@@ -990,69 +938,44 @@ def forest_vote(
             "degenerate slice produced no split; refusing to vote with "
             "a silently shrunken ensemble"
         )
-    roots = forest.filter(F.col("node") == "root").select(
-        "tree", F.col("feature").alias("rf"), F.col("threshold").alias("rt")
-    )
-    branches = forest.filter(F.col("node") != "root").select(
-        "tree",
-        F.col("node").alias("side"),
-        F.col("feature").alias("bf"),
-        F.col("threshold").alias("bt"),
-        "left_class",
-        "right_class",
-    )
 
-    def _pred(cells: DataFrame) -> DataFrame:
-        """(… , tree, x1, x2) → + side, pred — root rule picks the
-        branch, the branch rule picks the class."""
-        sided = cells.join(F.broadcast(roots), "tree").withColumn(
-            "side",
-            F.when(
-                ((F.col("rf") == 1) & (F.col("x1") <= F.col("rt")))
-                | ((F.col("rf") == 2) & (F.col("x2") <= F.col("rt"))),
-                F.lit("left"),
-            ).otherwise(F.lit("right")),
-        ).drop("rf", "rt")
-        return sided.join(F.broadcast(branches), ["tree", "side"]).withColumn(
-            "pred",
-            F.when(
-                ((F.col("bf") == 1) & (F.col("x1") <= F.col("bt")))
-                | ((F.col("bf") == 2) & (F.col("x2") <= F.col("bt"))),
-                F.col("left_class"),
-            ).otherwise(F.col("right_class")),
-        ).drop("bf", "bt", "left_class", "right_class", "side")
+    def _pred(tr: int, k) -> int:
+        nodes = forest[tr]
+        root = nodes["root"]
+        b = nodes["left"] if k[0 if root[1] == 1 else 1] <= root[2] \
+            else nodes["right"]
+        if k[0 if b[1] == 1 else 1] <= b[2]:
+            return 1 if b[4] > b[3] else 0
+        return 1 if b[6] > b[5] else 0
 
-    own = _pred(joint)  # per-cell own-tree prediction
+    tree_ids = sorted(forest)
     # ensemble vote per DISTINCT (x1, x2): every tree scores every cell
-    cells = joint.select("x1", "x2").distinct()
-    evote = (
-        _pred(cells.crossJoin(F.broadcast(roots.select("tree"))))
-        .groupBy("x1", "x2")
-        .agg(
-            (F.sum("pred") * 2 > F.lit(n_trees)).cast("int").alias("epred")
+    all_cells = {k for cells in trees.values() for k in cells}
+    epred = {
+        k: 1 if sum(_pred(t, k) for t in tree_ids) * 2 > n_trees else 0
+        for k in all_cells
+    }
+    out_rows = []
+    n_rows_total = n_correct_ensemble = 0
+    stats = {}
+    for tr, cells in trees.items():
+        n_rows = n_correct_tree = n_correct_ens_part = 0
+        for k, (n0, n1) in cells.items():
+            n_rows += n0 + n1
+            n_correct_tree += n1 if _pred(tr, k) == 1 else n0
+            n_correct_ens_part += n1 if epred[k] == 1 else n0
+        stats[tr] = (n_rows, n_correct_tree, n_correct_ens_part)
+        n_rows_total += n_rows
+        n_correct_ensemble += n_correct_ens_part
+    for tr in tree_ids:
+        n_rows, n_correct_tree, _ = stats[tr]
+        out_rows.append(
+            (tr, n_rows, n_correct_tree, n_rows_total, n_correct_ensemble)
         )
-    )
-    scored = own.join(evote, ["x1", "x2"])
-    per_tree = scored.groupBy("tree").agg(
-        F.sum(F.col("n0") + F.col("n1")).alias("n_rows"),
-        F.sum(
-            F.when(F.col("pred") == 1, F.col("n1")).otherwise(F.col("n0"))
-        ).alias("n_correct_tree"),
-        F.sum(
-            F.when(F.col("epred") == 1, F.col("n1")).otherwise(F.col("n0"))
-        ).alias("n_correct_ens_part"),
-    )
-    # ensemble totals from an unbounded window over the n_trees-row
-    # relation (round 14): the old agg + crossJoin re-evaluated the
-    # whole vote pipeline (both prediction joins and the corpus
-    # histogram reads) a second time just to sum n_trees integers
-    wall = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    return per_tree.select(
-        "tree", "n_rows", "n_correct_tree",
-        F.sum("n_rows").over(wall).alias("n_rows_total"),
-        F.sum("n_correct_ens_part").over(wall).alias("n_correct_ensemble"),
+    return df.sparkSession.createDataFrame(
+        out_rows,
+        "tree int, n_rows bigint, n_correct_tree bigint, "
+        "n_rows_total bigint, n_correct_ensemble bigint",
     )
 
 
@@ -1215,122 +1138,97 @@ def bagged_stumps(
     rounded impurity, exact per-tree counts (n_rows, n_correct on its
     OWN partition), and the ensemble's exact majority-vote accounting
     (n_rows_total, n_correct_ensemble; majority = strictly more 1-votes
-    than 0-votes) repeated on every row for hash checking."""
-    hist = df.groupBy(F.col(tree_col).alias("tree"), F.col(x_col).alias("x")).agg(
-        F.sum(1 - F.col(label_col)).alias("n0"),
-        F.sum(label_col).alias("n1"),
-    )
-    w = (
-        Window.partitionBy("tree")
-        .orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    # per-tree totals from an unbounded frame over the same sort (round
-    # 14): the old groupBy("tree") total re-planned the corpus groupBy
-    # as a second subtree (two parquet scans) and added a broadcast
-    # join; unbounded-window integer sums are bit-identical
-    wt = (
-        Window.partitionBy("tree")
-        .orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    c = (
-        hist.select(
-            "tree",
-            F.col("x").alias("threshold"),
-            F.sum("n0").over(w).alias("l0"),
-            F.sum("n1").over(w).alias("l1"),
-            (F.sum("n0").over(wt) - F.sum("n0").over(w)).alias("r0"),
-            (F.sum("n1").over(wt) - F.sum("n1").over(w)).alias("r1"),
+    than 0-votes) repeated on every row for hash checking.
+
+    Round 14 (guide §1.2): every per-tree stump, the per-tree
+    accounting, AND the ensemble vote are pure functions of the
+    (tree, x, label) count histogram — value-domain-bounded (n_trees ×
+    |X| × 2 rows).  The corpus is scanned ONCE into that histogram and
+    everything else runs in exact Python ints on the collected cells
+    (the previous form paid a second corpus pass for the vote and a
+    per-tree window chain); the impurity double and its HALF_UP 8-dp
+    round are replicated bit-for-bit (_round_half_up)."""
+    hist_rows = (
+        df.groupBy(
+            F.col(tree_col).alias("tree"),
+            F.col(x_col).alias("x"),
+            F.col(label_col).alias("label"),
         )
-        .filter((F.col("r0") + F.col("r1")) > 0)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # value-domain-bounded: control-plane
     )
-    nl = (F.col("l0") + F.col("l1")).cast("double")
-    nr = (F.col("r0") + F.col("r1")).cast("double")
-    l0d, l1d = F.col("l0").cast("double"), F.col("l1").cast("double")
-    r0d, r1d = F.col("r0").cast("double"), F.col("r1").cast("double")
-    imp = (nl * nl - l0d * l0d - l1d * l1d) / nl + (
-        nr * nr - r0d * r0d - r1d * r1d
-    ) / nr
-    rk = F.row_number().over(
-        Window.partitionBy("tree").orderBy(
-            F.col("impurity").asc(), F.col("threshold").asc()
-        )
-    )
-    stumps = (
-        c.withColumn("impurity", imp)
-        .withColumn("_rk", rk)
-        .filter(F.col("_rk") == 1)
-        .select(
-            "tree",
-            "threshold",
-            F.when(F.col("l1") > F.col("l0"), F.lit(1)).otherwise(F.lit(0))
-            .alias("left_class"),
-            F.when(F.col("r1") > F.col("r0"), F.lit(1)).otherwise(F.lit(0))
-            .alias("right_class"),
-            F.round(F.col("impurity"), 8).alias("impurity"),
-        )
-        .localCheckpoint()  # n_trees rows: reused by both vote passes
-    )
+    trees: dict = {}
+    for r in hist_rows:
+        cell = trees.setdefault(r["tree"], {}).setdefault(r["x"], [0, 0])
+        cell[int(r["label"])] += int(r["n"])
+    stumps: dict = {}
+    for tr, hist in sorted(trees.items()):
+        xs = sorted(hist)
+        t0 = sum(hist[x][0] for x in xs)
+        t1 = sum(hist[x][1] for x in xs)
+        cands = []
+        l0 = l1 = 0
+        for x in xs:
+            l0 += hist[x][0]
+            l1 += hist[x][1]
+            r0, r1 = t0 - l0, t1 - l1
+            if r0 + r1 <= 0:
+                continue
+            nl, nr = float(l0 + l1), float(r0 + r1)
+            l0d, l1d, r0d, r1d = float(l0), float(l1), float(r0), float(r1)
+            imp = (nl * nl - l0d * l0d - l1d * l1d) / nl + (
+                nr * nr - r0d * r0d - r1d * r1d
+            ) / nr
+            cands.append((imp, x, l0, l1, r0, r1))
+        if cands:
+            imp, thr, l0, l1, r0, r1 = min(cands)  # (impurity, thr) tie
+            stumps[tr] = (thr, 1 if l1 > l0 else 0, 1 if r1 > r0 else 0, imp)
     # Refuse loudly on degenerate trees (advisor r10): a tree whose
-    # slice has a single distinct x yields NO split candidate (the
-    # r0+r1>0 filter empties it) and would silently vanish from the
-    # per-tree output while its rows still count in the ensemble vote —
-    # a divergence an oracle's inner join to the stump table cannot see.
-    # stumps is checkpointed and n_trees-sized, so this collect is free.
-    if n_trees is not None:
-        got = sorted(r["tree"] for r in stumps.select("tree").collect())
-        if len(got) != n_trees:
-            missing = sorted(set(range(n_trees)) - set(got))
-            raise ValueError(
-                f"bagged_stumps: trees {missing} produced no split "
-                f"(empty slice or single distinct {x_col}) — refusing "
-                "to vote with a silently shrunken ensemble"
-            )
-    rules = stumps.groupBy().agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct("tree", "threshold", "left_class", "right_class")
-            )
-        ).alias("rules")
+    # slice has a single distinct x yields NO split candidate and would
+    # silently vanish from the per-tree output while its rows still
+    # count in the ensemble vote — a divergence an oracle's inner join
+    # to the stump table cannot see.
+    if n_trees is not None and len(stumps) != n_trees:
+        missing = sorted(set(range(n_trees)) - set(stumps))
+        raise ValueError(
+            f"bagged_stumps: trees {missing} produced no split "
+            f"(empty slice or single distinct {x_col}) — refusing "
+            "to vote with a silently shrunken ensemble"
+        )
+
+    def _pred(tr: int, x) -> int:
+        thr, cls_l, cls_r, _ = stumps[tr]
+        return cls_l if x <= thr else cls_r
+
+    rule_ids = sorted(stumps)
+    out_rows = []
+    n_rows_total = sum(
+        n for t in trees.values() for h in t.values() for n in h
     )
-    pred_of = lambda rule: F.when(  # noqa: E731
-        F.col(x_col) <= rule["threshold"], rule["left_class"]
-    ).otherwise(rule["right_class"])
-    own_rule = F.element_at(
-        F.filter(F.col("rules"), lambda r: r["tree"] == F.col(tree_col)), 1
-    )
-    scored = df.join(F.broadcast(rules)).select(
-        F.col(tree_col).alias("tree"),
-        F.col(label_col).alias("label"),
-        # own-tree prediction: the rule whose tree id matches the row's
-        (pred_of(own_rule) == F.col(label_col)).cast("long").alias("own_ok"),
-        (
-            (
-                F.aggregate(
-                    F.col("rules"),
-                    F.lit(0),
-                    lambda acc, r: acc + pred_of(r),
-                )
-                * 2
-                > F.size("rules")
-            ).cast("int")
-            == F.col(label_col)
-        ).cast("long").alias("ens_ok"),
-    )
-    per_tree = scored.groupBy("tree").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("own_ok").alias("n_correct_tree"),
-    )
-    ens = scored.agg(
-        F.count(F.lit(1)).alias("n_rows_total"),
-        F.sum("ens_ok").alias("n_correct_ensemble"),
-    )
-    return (
-        stumps.join(per_tree, "tree")
-        .crossJoin(F.broadcast(ens))
-        .orderBy("tree")
-    )
+    n_correct_ensemble = 0
+    per_tree: dict = {}
+    for tr, hist in trees.items():
+        for x, (n0, n1) in hist.items():
+            votes = sum(_pred(t2, x) for t2 in rule_ids)
+            ens_pred = 1 if votes * 2 > len(rule_ids) else 0
+            own_pred = _pred(tr, x)
+            e = per_tree.setdefault(tr, [0, 0])
+            e[0] += n0 + n1
+            e[1] += n0 if own_pred == 0 else n1
+            n_correct_ensemble += n0 if ens_pred == 0 else n1
+    for tr in rule_ids:
+        thr, cls_l, cls_r, imp = stumps[tr]
+        out_rows.append(
+            (tr, int(thr), cls_l, cls_r, _round_half_up(imp, 8),
+             per_tree[tr][0], per_tree[tr][1],
+             n_rows_total, n_correct_ensemble)
+        )
+    return df.sparkSession.createDataFrame(
+        out_rows,
+        "tree int, threshold bigint, left_class int, right_class int, "
+        "impurity double, n_rows bigint, n_correct_tree bigint, "
+        "n_rows_total bigint, n_correct_ensemble bigint",
+    ).orderBy("tree")
 
 
 def _weighted_stump(df: DataFrame, x_col: str, label_col: str,
