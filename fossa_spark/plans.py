@@ -300,6 +300,15 @@ ACCEPTED_SMELLS: dict[str, dict[str, str]] = {
         "the labeling scheme, never per-document); docs x k is the dense "
         "posterior grid every NB scorer must produce, linear in the "
         "corpus with constant fan-out (queries/ml_queries.py)",
+        "corpus-window": "the two empty-partition windows run over (a) "
+        "the vocabulary AFTER limit(vocab_k) — <= 200 rows by "
+        "construction — and (b) the per-class doc-count relation (<= "
+        "|classes| rows, the categorical label domain); both replaced a "
+        "second aggregate + broadcast join of the same bounded relation "
+        "(round 14, ml.nb_train_score), never a per-document window",
+        "single-partition-exchange": "same two bounded relations "
+        "(vocab_k-capped vocabulary, class-domain prior table) — "
+        "control-plane by definition",
     },
     "q_stump": {
         "corpus-window": "the prefix-sum window runs over the feature's "
@@ -311,33 +320,10 @@ ACCEPTED_SMELLS: dict[str, dict[str, str]] = {
         "the argmin orderBy+limit — split candidates are control-plane "
         "output by definition",
     },
-    "q_tree_depth2": {
-        "cartesian": "the crossJoin build side is the ONE-ROW class-total "
-        "aggregate of a node's value-domain histogram (ml.tree_depth2 "
-        "_candidates tot — the q_stump shape, once per node/feature); "
-        "probe side is the <= |X| candidate relation, never the corpus",
-        "corpus-window": "prefix-sum windows run over per-feature "
-        "VALUE-DOMAIN histograms (<= 50 quantities / 11 discount cents; "
-        "binned features bound them by construction at any corpus "
-        "size); the corpus pays one map-side-combined groupBy(x1, x2)",
-        "single-partition-exchange": "the same control-plane relations "
-        "feeding three argmin orderBy+limit(1)s (root + two branches) "
-        "and the checkpointed <= 550-row joint histogram",
-    },
-    "q_boost_tree2": {
-        "cartesian": "one-row broadcast ride-alongs only: each round's "
-        "(correct_w, wrong_w, alpha) single-row stats joined onto that "
-        "round's 3 tree-node rows, and the 1-row ensemble accounting "
-        "repeated onto the 6-row model (ml.boosted_trees_depth2 — all "
-        "boosting state lives on the <= 550-cell value-domain "
-        "histogram; the corpus is scanned once)",
-        "corpus-window": "the q_tree_depth2 prefix-sum windows over "
-        "per-feature VALUE-DOMAIN histograms, once per round/branch — "
-        "bounded by the binned feature domains at any corpus size",
-        "single-partition-exchange": "the same control-plane candidate "
-        "relations feeding six argmin orderBy+limit(1)s (2 rounds x "
-        "root/left/right) and the checkpointed cell frame",
-    },
+    # q_tree_depth2 / q_boost_tree2 / q_forest_vote acceptances RETIRED
+    # (round 14): the driver-side histogram rewrite removed the crossJoin
+    # ride-alongs, prefix-sum windows and single-partition argmin
+    # exchanges from their plans outright.
     "q_eval_ndcg": {
         "cartesian": "the q_sim_topk shape: build side is the fixed "
         "query set (vec_id < 20, broadcast) of the brute-force ranking "
@@ -359,15 +345,6 @@ ACCEPTED_SMELLS: dict[str, dict[str, str]] = {
         "totals relation repeated onto the per-node counts for hash "
         "checking (graph.triangles) — the q_stump tot-broadcast shape, "
         "never a data-sized build side",
-    },
-    "q_forest_vote": {
-        "cartesian": "the deliberate cells × trees expansion: the build "
-        "side is the n_trees-row root-rule relation (4 rows, fixed by "
-        "the bagging scheme) crossed with the DISTINCT (x1, x2) "
-        "value-domain cells (<= 550 by the quantity/discount domains; "
-        "binned features bound it at any corpus size) so every tree "
-        "scores every cell — the ensemble-vote grid is control-plane "
-        "by construction, and the corpus never joins it (ml.forest_vote)",
     },
     "q_join_dpp": {
         "corpus-window": "the rarest-status pick ranks one row per "
