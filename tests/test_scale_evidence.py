@@ -846,3 +846,80 @@ def test_compact_ivf_index_invariance(spark, tmp_path):
                        str(64 * 1024 * 1024))
         for t in ("cells", "centroids", "meta"):
             spark.sql(f"DROP TABLE IF EXISTS t_civf_{t}")
+
+
+def test_stage_fingerprint_robust_to_persist(spark, tmp_path):
+    """Round 14 regression: DataFrame.inputFiles() consults the plan
+    WITH cache substitution, so a persist-marked relation reports zero
+    input files — stage_files then silently fell back to a per-run
+    direct build, disabling the cross-run cache for any caller that
+    persisted its corpus for multi-consumer reuse (staged_ivf_index
+    measured 0.6 s → 7.3 s per run).  _corpus_input_stats must return
+    the same (files, stats) fingerprint either way, and a persisted
+    corpus must HIT the cache entry a non-persisted one created."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fossa_spark.queries._util import load
+    from fossa_spark.sources import _corpus_input_stats, stage_files
+    from tests.conftest import SF_DIR
+
+    plain = load(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    cached = (
+        load(spark, SF_DIR, "embeddings")
+        .persist()
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    )
+    try:
+        fp_plain = _corpus_input_stats(plain)
+        fp_cached = _corpus_input_stats(cached)
+        assert fp_plain[0], "fingerprint must see the parquet input files"
+        assert fp_plain == fp_cached, (
+            "persist() must not change the staging fingerprint"
+        )
+
+        calls = []
+
+        def build(into):
+            calls.append(into)
+            os.makedirs(into, exist_ok=True)
+            with open(os.path.join(into, "a.bin"), "wb") as fh:
+                fh.write(b"x")
+
+        root = str(tmp_path / "cache")
+        w1, w2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+        os.makedirs(w1)
+        os.makedirs(w2)
+        stage_files(plain, w1, cache_prefix="t_pfp", params=["v1"],
+                    build=build, cache_root=root)
+        stage_files(cached, w2, cache_prefix="t_pfp", params=["v1"],
+                    build=build, cache_root=root)
+        assert len(calls) == 1, (
+            "a persisted corpus must hit the cache entry the plain "
+            "corpus created, not fall back to a direct build"
+        )
+    finally:
+        cached.unpersist()
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """ml._round_half_up (the driver-side replication of Spark's
+    HALF_UP double rounding, round 14) must agree with F.round(·, 8)
+    bit-for-bit — including x.xxxxxxx5 half-boundary patterns, where
+    banker's rounding (Python's round()) would diverge."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fossa_spark.ml import _round_half_up
+
+    rng = random.Random(7)
+    vals = [(i * 2 + 1) / 2e8 + i for i in range(500)]  # half boundaries
+    vals += [rng.randrange(1, 10**12) / rng.randrange(1, 10**6)
+             for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [r["r"] for r in df.select(F.round("v", 8).alias("r")).collect()]
+    assert [_round_half_up(v, 8) for v in vals] == got
