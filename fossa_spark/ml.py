@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 #: fixed-point scale for k-means vector components. 1e4 keeps every
 #: intermediate exact in int64 far past the target scale: components are
@@ -1536,6 +1537,15 @@ def als_rank2(
     standard distributed ALS shape.
 
     Returns (user_factors, item_factors): (key, n, f1, f2) each."""
+    # Round 14 (guide §5 — cache what's reused): every half-round joins
+    # the SAME ratings relation, so the 2·n_rounds solve passes (plus the
+    # items-init distinct) each replayed the upstream scan + projection.
+    # Persist it once; the eager per-half-round checkpoints below force
+    # materialization on the first solve and the remaining passes read
+    # the cached blocks.  Unpersisted before returning — the factor
+    # tables are checkpointed, so no cached-block leak across calls
+    # (a caller's own post-hoc ratings pass re-scans once, as before).
+    ratings = ratings.persist(StorageLevel.MEMORY_AND_DISK)
     items = ratings.select(F.col("item")).distinct()
     s = F.lit(scale).cast("bigint")
     v = items.select(
@@ -1554,6 +1564,7 @@ def als_rank2(
             ratings, u.select("user", "f1", "f2"), "item", "user",
             scale=scale,
         ).localCheckpoint()
+    ratings.unpersist()
     return u, v
 
 

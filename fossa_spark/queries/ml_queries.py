@@ -1736,9 +1736,18 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/score/vote moves a metric cell."""
     d = spread(load(spark, sf_dir, "documents"), spark)
     pred = ml.nb_train_score(d, vocab_k=200)
-    per_class = pred.select(
-        F.col("true_label"), F.col("predicted")
-    ).localCheckpoint()
+    # Round 14 (guide §2.3 — aggregate before you shuffle): collapse the
+    # doc-grain predictions to the CONFUSION grain (true_label, predicted,
+    # n_docs) — ≤ classes² rows — in ONE map-side-combined pass, and
+    # checkpoint THAT.  The previous form checkpointed every document's
+    # (true, predicted) row and re-scanned the doc-grain block 4× (classes
+    # union + tp + fp + fn); the oracle always worked at this grain.
+    # count(rows) before ≡ sum(n_docs) after — exact integer equality.
+    per_class = (
+        pred.groupBy("true_label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint()
+    )
     classes = (
         per_class.select(F.col("true_label").alias("cls"))
         .union(per_class.select("predicted"))
@@ -1746,13 +1755,13 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tp = per_class.filter(F.col("true_label") == F.col("predicted")) \
         .groupBy(F.col("true_label").alias("cls")) \
-        .agg(F.count(F.lit(1)).alias("tp"))
+        .agg(F.sum("n_docs").alias("tp"))
     fp = per_class.filter(F.col("true_label") != F.col("predicted")) \
         .groupBy(F.col("predicted").alias("cls")) \
-        .agg(F.count(F.lit(1)).alias("fp"))
+        .agg(F.sum("n_docs").alias("fp"))
     fn = per_class.filter(F.col("true_label") != F.col("predicted")) \
         .groupBy(F.col("true_label").alias("cls")) \
-        .agg(F.count(F.lit(1)).alias("fn"))
+        .agg(F.sum("n_docs").alias("fn"))
     j = (
         classes.join(tp, "cls", "left").join(fp, "cls", "left")
         .join(fn, "cls", "left")

@@ -6,7 +6,8 @@ integer-cents discipline so the oracle hash is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from fossa_spark.queries._util import TABLES, load, sql_cents
 
@@ -804,9 +805,90 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are exact int64; confidence/lift are single divisions of exact
     products (n_ab·N and n_a·n_b < 2^53) — bit-identical, no rounding.
     Both metrics derive from the same counts the reference's users would
-    compute by hand in Python — here it is one declarative plan."""
+    compute by hand in Python — here it is one declarative plan.
+
+    Round 14 (guide §2.4/§5): the SQL form inlined the `li` DISTINCT CTE
+    into every consumer — the before-plan scans lineitem and repeats the
+    distinct shuffle NINE times (pairs a/b-side, singles ×2 and N, all
+    duplicated again by the UNION ALL of the two rule directions: 18
+    scans, 46 Exchanges).  The DataFrame form persists `li` once, folds
+    the `n_ab >= 3` rule filter into the pair aggregate (a HAVING — it
+    commutes with the inner joins it preceded), and eagerly checkpoints
+    the joined pair table so the two-direction union reads it instead of
+    replaying the whole subtree.  Same counts, same single divisions in
+    the same association order — bit-identical output."""
     _register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_ASSOC)
+    li = (
+        spark.table("fs_lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # the three consumers of `li` are each checkpointed at their OWN
+    # post-aggregate grain (pairs ≤ basket-expansion, singles = |parts|,
+    # n = 1 row), so the corpus-grain distinct is computed once and the
+    # lazy tail below — broadcast joins + the two-direction union — reads
+    # only bounded relations
+    n_df = li.select(
+        F.count_distinct("l_orderkey").cast("double").alias("n")
+    ).localCheckpoint()
+    singles = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+        .localCheckpoint()
+    )
+    li.unpersist()
+    s1 = singles.select(F.col("l_partkey").alias("p1"), F.col("cnt").alias("n_p1"))
+    s2 = singles.select(F.col("l_partkey").alias("p2"), F.col("cnt").alias("n_p2"))
+    joined = (
+        pairs.join(F.broadcast(s1), "p1")
+        .join(F.broadcast(s2), "p2")
+        .crossJoin(F.broadcast(n_df))
+        .select("p1", "p2", "n_ab", "n_p1", "n_p2", "n")
+    )
+    rules = joined.select(
+        F.col("p1").alias("antecedent"),
+        F.col("p2").alias("consequent"),
+        "n_ab",
+        F.col("n_p1").alias("n_a"),
+        F.col("n_p2").alias("n_b"),
+        "n",
+    ).unionAll(
+        joined.select(
+            F.col("p2").alias("antecedent"),
+            F.col("p1").alias("consequent"),
+            "n_ab",
+            F.col("n_p2").alias("n_a"),
+            F.col("n_p1").alias("n_b"),
+            "n",
+        )
+    )
+    return (
+        rules.select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence"),
+            (
+                (F.col("n_ab").cast("double") * F.col("n"))
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "antecedent", "consequent")
+        .limit(100)
+    )
 
 
 QUERIES = {
