@@ -293,8 +293,16 @@ def pca_ivf_topk(
     only — correctness of the final order comes from the full-dim
     re-rank, and pytest pins recall@k against brute force."""
     mean, comps = fit_pca(candidates, n_components, dim, vec_col=vec_c)
+    # Round 14 (guide §5): materialize the PROJECTED corpus once.  The
+    # IVF leg consumes cp three times (quantizer-fit count, capped-sample
+    # collect, bucket assignment), and unmaterialized each consumer
+    # re-ran the full scan + Arrow projection UDF.  localCheckpoint (RDD
+    # blocks) — NOT persist(): the round-14 negative result on caching
+    # the 64-d input `e` was the pandas-UDF legs reading the COLUMNAR
+    # cache slower than parquet; the checkpoint instead stores the 16-d
+    # projection OUTPUT, so the projection itself runs once.
     cp = apply_pca(candidates, mean, comps, id_col=id_c, vec_col=vec_c,
-                   out_col="_v8")
+                   out_col="_v8").localCheckpoint()
     qp = apply_pca(queries, mean, comps, id_col=id_q, vec_col=vec_q,
                    out_col="_v8")
     short = ivf_topk(
