@@ -11,6 +11,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # Small function-word profiles for the n-gram/stopword language heuristic.
 # Deliberately tiny: language ID at corpus scale is a per-row scoring pass;
@@ -726,6 +727,11 @@ def tfidf_cosine_pairs(
     df_ = sh.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")  # shingles are distinct per doc
     ).filter(F.col("df") <= max_df)
+    # Round 14 (guide §5): the weighted posting list feeds THREE consumers
+    # (norms, both sides of the pair self-join), each otherwise replaying
+    # the corpus scan + shingle explode + df join.  Persist it; the final
+    # (small, cos-filtered) pair set is checkpointed eagerly below so the
+    # cache can be released before returning.
     inv = sh.join(F.broadcast(df_), "term").select(
         "term",
         "doc",
@@ -735,7 +741,7 @@ def tfidf_cosine_pairs(
         )
         .cast("bigint")
         .alias("w"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     norms = inv.groupBy("doc").agg(F.sum(F.col("w") * F.col("w")).alias("nn"))
     a = inv.select(F.col("term"), F.col("doc").alias("doc_a"), F.col("w").alias("wa"))
     b = inv.select(F.col("term"), F.col("doc").alias("doc_b"), F.col("w").alias("wb"))
@@ -748,9 +754,12 @@ def tfidf_cosine_pairs(
     cos = F.col("dot_q").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
-    return (
+    pairs = (
         dots.join(norms.select(F.col("doc").alias("doc_a"), F.col("nn").alias("na")), "doc_a")
         .join(norms.select(F.col("doc").alias("doc_b"), F.col("nn").alias("nb")), "doc_b")
         .select("doc_a", "doc_b", "dot_q", F.round(cos, 8).alias("cos"))
         .filter(F.col("cos") >= min_cos)
+        .localCheckpoint()
     )
+    inv.unpersist()
+    return pairs

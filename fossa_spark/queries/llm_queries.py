@@ -1165,17 +1165,28 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature pairs (no bucket hash needed — the pair IS the key), the
     self-join is banded, the verify reuses the pinned sort-merge exact-
     Jaccard path. The throughput default stays xxhash64; this variant is
-    the auditable one."""
+    the auditable one.
+
+    Round 14 (guide §5): the exploded shingle relation feeds FOUR
+    consumers (the signature aggregate, both sides of the exact-Jaccard
+    verify join, and the per-doc size aggregate) — unmaterialized, each
+    replayed the corpus scan + word-shingle explode.  Persist it for the
+    duration, eagerly checkpoint the (small) verified pair set, then
+    unpersist — the minhash_lsh_dedup house pattern; values unchanged."""
+    from pyspark.storagelevel import StorageLevel
+
     from fossa_spark.llm import dedup as D
 
     d = spread(load(spark, sf_dir, "documents"), spark)
     sh_rows = d.select(
         "doc_id", F.explode(D.word_shingles("text", k=5)).alias("_sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = D.minhash_universal_candidates(sh_rows, "doc_id", 16, 8)
-    return D._jaccard_verify_rows(cands, sh_rows, "doc_id", 0.5).orderBy(
-        "id_a", "id_b"
-    )
+    pairs = D._jaccard_verify_rows(
+        cands, sh_rows, "doc_id", 0.5
+    ).localCheckpoint()
+    sh_rows.unpersist()
+    return pairs.orderBy("id_a", "id_b")
 
 
 def q_contamination_span(spark: SparkSession, sf_dir: str) -> DataFrame:
