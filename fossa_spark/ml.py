@@ -1555,15 +1555,21 @@ def als_rank2(
         ((F.col("item") % 21 - 10) * (scale // 10)).cast("bigint").alias("f2"),
     ).localCheckpoint()
     u = None
-    for _ in range(n_rounds):
+    # intermediate half-rounds checkpoint LAZILY (lineage still truncates
+    # at materialization, but the chain collapses into one action instead
+    # of paying a driver job boundary per half-round); only the final
+    # item table is forced eagerly, which materializes every upstream
+    # checkpoint in the same job — then the ratings cache can be released
+    for i in range(n_rounds):
+        last = i == n_rounds - 1
         u = _als_solve(
             ratings, v.select("item", "f1", "f2"), "user", "item",
             scale=scale, broadcast_fixed=items_broadcastable,
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         v = _als_solve(
             ratings, u.select("user", "f1", "f2"), "item", "user",
             scale=scale,
-        ).localCheckpoint()
+        ).localCheckpoint(eager=last)
     ratings.unpersist()
     return u, v
 
