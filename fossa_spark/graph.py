@@ -216,7 +216,11 @@ def k_core(edges: DataFrame, k: int = 3, max_iter: int = 12) -> DataFrame:
     silently-unpeeled core corrupts every downstream density metric (and
     because the SQL oracle unrolls a FIXED round count — the raise is
     what makes the fixed unroll sound)."""
-    cur = edges.localCheckpoint(eager=True)
+    # LAZY checkpoints (round 14, the als_rank2 chain pattern): the
+    # convergence count() right after each round is a full-coverage
+    # action, so it both materializes the checkpoint and reads the
+    # cardinality — one job per round instead of two
+    cur = edges.localCheckpoint(eager=False)
     n_prev = cur.count()
     for _ in range(max_iter):
         keep = (
@@ -229,7 +233,7 @@ def k_core(edges: DataFrame, k: int = 3, max_iter: int = 12) -> DataFrame:
             cur.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n = cur.count()
         if n == n_prev:
@@ -298,7 +302,12 @@ def bellman_ford(
         .select("node", F.lit(0).cast("bigint").alias("dist"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
+    # intermediate rounds checkpoint LAZILY (the als_rank2 round-14
+    # pattern: lineage still truncates at materialization, but the fixed
+    # round count collapses into one action instead of a driver job
+    # boundary per round); the final round is forced eagerly so the
+    # edge cache is only released after every consumer has run
+    for i in range(rounds):
         relaxed = (
             edges.join(dist.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -312,7 +321,7 @@ def bellman_ford(
                 # with an explicit CASE so both engines share one rule
                 F.least("dist", "relax").alias("dist"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=(i == rounds - 1))
         )
     edges.unpersist()
     return dist
@@ -361,8 +370,12 @@ def hits(edges: DataFrame, iters: int = 2,
         # raw is node-sized: checkpoint it BEFORE deriving the max, or
         # the 1-row aggregate and the normalize join would each replay
         # the edge join + groupBy that produced it (first cut paid 2x
-        # the edge work per half-iteration: sf10 warm 45 s -> ~12 s)
-        raw = raw.localCheckpoint()
+        # the edge work per half-iteration: sf10 warm 45 s -> ~12 s).
+        # LAZY since round 14 (the als_rank2 chain pattern): the max-agg
+        # broadcast that consumes raw first is a full-coverage job, so it
+        # materializes the checkpoint; the four per-run eager job
+        # boundaries collapse into the final forcing action below.
+        raw = raw.localCheckpoint(eager=False)
         mx = raw.agg(F.max("raw").alias("mx"))
         return raw.crossJoin(F.broadcast(mx)).select(
             "node",
@@ -383,6 +396,10 @@ def hits(edges: DataFrame, iters: int = 2,
             .agg(F.sum("s").alias("raw"))
         )
         hubs = _norm(h_raw)
+    # force the final hub table once — its lineage runs through every
+    # lazy per-half-iteration checkpoint (auths included), so this one
+    # action materializes the whole chain before the edge caches drop
+    hubs = hubs.localCheckpoint(eager=True)
     # _norm localCheckpoints every node-sized score relation, so the
     # returned frames no longer reference the edge plans — drop both
     # cached copies now instead of leaking 2x the edge list per call
