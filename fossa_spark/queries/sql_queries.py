@@ -824,14 +824,17 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # the three consumers of `li` are each checkpointed at their OWN
-    # post-aggregate grain (pairs ≤ basket-expansion, singles = |parts|,
-    # n = 1 row), so the corpus-grain distinct is computed once and the
-    # lazy tail below — broadcast joins + the two-direction union — reads
-    # only bounded relations
-    n_df = li.select(
-        F.count_distinct("l_orderkey").cast("double").alias("n")
-    ).localCheckpoint()
+    # the consumers of `li` are each reduced to their OWN post-aggregate
+    # grain (pairs ≤ basket-expansion, singles = |parts|, n = 1 scalar),
+    # so the corpus-grain distinct is computed once and the lazy tail
+    # below — broadcast joins + the two-direction union — reads only
+    # bounded relations.  N is control-plane-sized (one bigint): collect
+    # it and fold it in as a literal — same IEEE double as the former
+    # 1-row crossJoin build side, minus the BroadcastNestedLoopJoin the
+    # plan linter (rightly) cannot prove scalar.
+    n_lit = F.lit(
+        float(li.select(F.count_distinct("l_orderkey")).collect()[0][0])
+    )
     singles = (
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -853,8 +856,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         pairs.join(F.broadcast(s1), "p1")
         .join(F.broadcast(s2), "p2")
-        .crossJoin(F.broadcast(n_df))
-        .select("p1", "p2", "n_ab", "n_p1", "n_p2", "n")
+        .select("p1", "p2", "n_ab", "n_p1", "n_p2", n_lit.alias("n"))
     )
     rules = joined.select(
         F.col("p1").alias("antecedent"),
