@@ -1167,26 +1167,26 @@ def q_dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard path. The throughput default stays xxhash64; this variant is
     the auditable one.
 
-    Round 14 (guide §5): the exploded shingle relation feeds FOUR
-    consumers (the signature aggregate, both sides of the exact-Jaccard
-    verify join, and the per-doc size aggregate) — unmaterialized, each
-    replayed the corpus scan + word-shingle explode.  Persist it for the
-    duration, eagerly checkpoint the (small) verified pair set, then
-    unpersist — the minhash_lsh_dedup house pattern; values unchanged."""
-    from pyspark.storagelevel import StorageLevel
-
+    Round 14 NEGATIVE RESULT (guide §1 — measure first): persisting the
+    exploded shingle relation for its four consumers (the
+    minhash_lsh_dedup house pattern) was tried and MEASURED OUT — solo
+    warm went 3.3 → 20.1 s at sf0.1.  The columnar InMemoryRelation of
+    the corpus-wide (doc_id, _sh) explode costs more to build and read
+    than the recompute it saves, the same pathology as the setsim r6 and
+    pca_ivf r14 negative results: Catalyst's inline form lets the verify
+    joins and the signature aggregate share scan subtrees, while the
+    cache boundary forces every consumer through the (spilling)
+    row-cache read path.  Keep the relation inline."""
     from fossa_spark.llm import dedup as D
 
     d = spread(load(spark, sf_dir, "documents"), spark)
     sh_rows = d.select(
         "doc_id", F.explode(D.word_shingles("text", k=5)).alias("_sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cands = D.minhash_universal_candidates(sh_rows, "doc_id", 16, 8)
-    pairs = D._jaccard_verify_rows(
-        cands, sh_rows, "doc_id", 0.5
-    ).localCheckpoint()
-    sh_rows.unpersist()
-    return pairs.orderBy("id_a", "id_b")
+    return D._jaccard_verify_rows(cands, sh_rows, "doc_id", 0.5).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_contamination_span(spark: SparkSession, sf_dir: str) -> DataFrame:
