@@ -19,7 +19,6 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -375,9 +374,9 @@ def _staged_parquet(
     except OSError:
         return compute()
     key = hashlib.sha256(json.dumps(params + [stats]).encode()).hexdigest()[:24]
-    root = cache_root or str(
-        Path(__file__).resolve().parent.parent.parent / ".stage_cache"
-    )
+    from fossa_spark.sources import _default_cache_root
+
+    root = cache_root or _default_cache_root()
     final = os.path.join(root, f"{prefix}_{key}")
     spark = df.sparkSession
     if os.path.exists(os.path.join(final, "_SUCCESS")):
