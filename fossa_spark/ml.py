@@ -167,6 +167,82 @@ def kmeans_init(vecs: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _cluster_partials(vecs: DataFrame, cmat, k: int, dim: int) -> dict:
+    """Assignment + per-cluster (count, per-dimension sums) as ONE Arrow
+    pass over ``vecs`` (vec_id, qv), merged to exact Python ints on the
+    driver — the round-14 q_stream_kmeans kernel, factored out in round
+    15 so the batch trainer shares it.  ``cmat`` is the (k x dim) int64
+    centroid matrix with rows in CLUSTER-ASCENDING order; numpy's
+    first-occurrence argmin over those rows reproduces the struct
+    array_min's lowest-cluster tie-break exactly, and the int64 squared
+    distances / sums are the same integers the codegen expressions
+    produced.  Returns {row_index: [n, s0..s{dim-1}]} for non-empty
+    clusters only (the original groupBy emitted no row for empty ones).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _partials(batches):
+        nb = np.zeros(k, dtype=np.int64)
+        s = np.zeros((k, dim), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            d = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)  # first min ≡ lowest-cluster tie-break
+            for j in range(k):
+                m = a == j
+                nb[j] += int(m.sum())
+                s[j] += x[m].sum(axis=0)  # empty selection sums to 0
+        out = pd.DataFrame({"cluster": np.arange(k), "nb": nb})
+        for i in range(dim):
+            out[f"s{i}"] = s[:, i]
+        yield out
+
+    schema = "cluster int, nb long, " + ", ".join(
+        f"s{i} long" for i in range(dim)
+    )
+    part_rows = vecs.select("qv").mapInPandas(_partials, schema).collect()
+    agg: dict = {}
+    for r in part_rows:
+        e = agg.setdefault(r["cluster"], [0] * (dim + 1))
+        e[0] += int(r["nb"])
+        for i in range(dim):
+            e[i + 1] += int(r[f"s{i}"])
+    return {j: e for j, e in agg.items() if e[0] > 0}
+
+
+def _assign_arrow(vecs: DataFrame, cmat, clusters: list, dim: int) -> DataFrame:
+    """Closing assignment as one Arrow pass: (vec_id, cluster, dist)
+    under the ``cmat`` centroids — same exact-int64 distances and
+    lowest-cluster tie-break as :func:`_assign`, evaluated by numpy
+    instead of the interpreted HOF argmin fold (guide §4.2)."""
+    import numpy as np
+    import pandas as pd
+
+    cl_arr = np.asarray(clusters, dtype=np.int64)
+
+    def _go(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            d = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cluster": cl_arr[a],
+                    "dist": d[np.arange(len(a)), a],
+                }
+            )
+
+    return vecs.select("vec_id", "qv").mapInPandas(
+        _go, "vec_id bigint, cluster int, dist bigint"
+    )
+
+
 def kmeans_fit(
     vecs: DataFrame,
     k: int = 4,
@@ -188,69 +264,89 @@ def kmeans_fit(
     sample-seed on the driver, then run THESE full-corpus refinement
     passes — the FAISS train-on-sample / refine-on-corpus split).
 
-    The 100 TB shape — per iteration exactly ONE shuffle, and it is
-    k x dim sized:
-      * assignment is map-only (one-row centroid broadcast, argmin fold
-        per row — no corpus shuffle, no Python),
-      * the update is a single map-side-combined groupBy(cluster) with
-        one SUM column per dimension — the shuffle reads N rows and
-        emits k (a posexploded (cluster, pos) formulation shuffles
-        N*dim rows; measured 34 s vs 9 s warm at sf10, 500k x 64),
-      * the new centroid table is localCheckpoint()ed (control-plane
-        sized) so iteration i+1's plan starts from materialized
-        centroids instead of replaying i corpus passes.
-    Empty clusters keep their previous centroid (left-join + coalesce),
-    the standard Lloyd's degeneracy rule.
+    The 100 TB shape — per iteration exactly ONE corpus-scale pass and
+    NO corpus shuffle:
+      * assignment + per-cluster sums run as a single Arrow
+        mapInPandas pass (:func:`_cluster_partials` — centroids ride
+        the task closure, numpy evaluates the exact int64 distances
+        and sums, guide §4.2); each task emits k partial rows,
+      * the update fold runs on the driver in exact Python integer
+        arithmetic over those k×(dim+1)-scalar partials (// ≡
+        _floordiv for n > 0) — control-plane work, the round-14
+        kmeans_update treatment applied to the batch trainer.
+    Empty clusters keep their previous centroid, the standard Lloyd's
+    degeneracy rule.
 
     This is the full-corpus training path for the IVF coarse quantizer
     (llm/similarity.py trains on a driver-capped sample; at 100 TB you
     sample to seed, then run 2-3 of THESE refinement passes)."""
-    # persist FIRST: the init top-k scan and the dim probe below are then
-    # the actions that populate the cache, instead of paying one extra
-    # full corpus read before iteration 1 (review r10 session 2)
+    # Round 15 (VERDICT r14 item 3): the training loop runs as Arrow
+    # passes + driver-side exact-integer merges instead of the codegen
+    # pipeline.  The old form paid a one-time ~16 s codegen bill per
+    # session (the dim+1-column map-side-combined aggregate plus the
+    # interpreted HOF argmin fold — HOF lambdas evaluate per element,
+    # ~k·dim evals per row) and 3 driver job waves per iteration
+    # (assign+agg, update join, checkpoint).  _cluster_partials computes
+    # the SAME integers (numpy int64 distances/sums; first-occurrence
+    # argmin ≡ lowest-cluster tie-break) in one pass per iteration, the
+    # update fold is Python arbitrary-precision arithmetic (// ≡
+    # _floordiv for n > 0), and centroid state lives in a driver matrix
+    # — the q_stream_kmeans/kmeans_update treatment (round 14), applied
+    # to the batch trainer.  The distributed shape is unchanged: one
+    # corpus-scale map-only pass per iteration plus one closing
+    # assignment pass; only k×dim×n_partitions scalars ever reach the
+    # driver.  Exactness is pinned by the q_kmeans oracle and the
+    # streaming equivalence test, which share this arithmetic.
+    import numpy as np
+
+    spark = vecs.sparkSession
+    # persist FIRST: the init top-k scan is then the action that
+    # populates the cache, instead of paying one extra full corpus read
+    # before iteration 1 (review r10 session 2)
     vecs = vecs.persist()
     if init is None:
         init = kmeans_init(vecs, k)
-    cents = init.localCheckpoint()
-    first = vecs.select(F.size("qv").alias("d")).first()
-    dim = 0 if first is None else int(first["d"])
+    cent = {
+        (int(r["cluster"]), int(r["pos"])): int(r["v"])
+        for r in init.collect()
+    }
+    if not cent:  # empty corpus: empty centroids, empty assignment
+        vecs.unpersist()
+        return (
+            spark.createDataFrame([], "cluster int, pos int, v bigint"),
+            spark.createDataFrame(
+                [], "vec_id bigint, cluster int, dist bigint"
+            ),
+        )
+    clusters = sorted({c for c, _ in cent})
+    dim = max(p for _, p in cent) + 1
+    kk = len(clusters)
+    cmat = np.zeros((kk, dim), dtype=np.int64)
+    row_of = {cl: j for j, cl in enumerate(clusters)}
+    for (cl, pos), v in cent.items():
+        cmat[row_of[cl], pos] = v
     for _ in range(iters):
-        assigned = _assign(vecs, cents)
-        # per-dimension SUM columns instead of a posexplode: the shuffle
-        # input stays N rows (map-side combined straight down to k rows
-        # x dim+1 columns) — the exploded form shuffled N*dim rows per
-        # iteration, measured 34 s warm at sf10 (500k x 64) vs the
-        # column form's one narrow pass
-        sums = assigned.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)],
-        )
-        upd = sums.select(
-            "cluster",
-            "n",
-            F.posexplode(
-                F.array(*[F.col(f"s{i}") for i in range(dim)])
-            ).alias("pos", "s"),
-        ).select(
-            "cluster", "pos", _floordiv(F.col("s"), F.col("n")).alias("v")
-        )
-        cents = (
-            cents.withColumnRenamed("v", "v_prev")
-            .join(upd, ["cluster", "pos"], "left")
-            .select(
-                "cluster",
-                "pos",
-                F.coalesce("v", "v_prev").alias("v"),
-            )
-            .localCheckpoint()  # k*dim rows: truncates the iteration chain
-        )
+        sums = _cluster_partials(vecs, cmat, kk, dim)
+        for j, e in sums.items():
+            # v_new = floor(sum / n) exactly (_floordiv ≡ Python // for
+            # n > 0); clusters with no members keep their previous
+            # centroid (the left-join + coalesce rule)
+            for pos in range(dim):
+                cmat[j, pos] = e[pos + 1] // e[0]
+    cents_df = spark.createDataFrame(
+        [
+            (cl, pos, int(cmat[j, pos]))
+            for j, cl in enumerate(clusters)
+            for pos in range(dim)
+        ],
+        "cluster int, pos int, v bigint",
+    )
     final = (
-        _assign(vecs, cents)
-        .select("vec_id", "cluster", "dist")  # qv dropped: don't store
+        _assign_arrow(vecs, cmat, clusters, dim)
         .localCheckpoint()  # materialized so unpersist can't force replays
     )
     vecs.unpersist()
-    return cents, final
+    return cents_df, final
 
 
 def ols_sufficient_stats(
@@ -525,51 +621,10 @@ def kmeans_update(
     and exact-int64 per-cluster sums, emitting k partial rows per
     partition that merge to the identical integers."""
     import numpy as np
-    import pandas as pd
 
     old_v = {(r["cluster"], r["pos"]): r["v"] for r in cents.collect()}
     old_n = {r["cluster"]: r["n"] for r in counts.collect()}
     k = len(old_n)
-    cmat = np.zeros((k, dim), dtype=np.int64)
-    for (cl, pos), v in old_v.items():
-        cmat[cl, pos] = v
-
-    def _partials(batches):
-        nb = np.zeros(k, dtype=np.int64)
-        s = np.zeros((k, dim), dtype=np.int64)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
-            d = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
-            a = d.argmin(axis=1)  # first min ≡ lowest-cluster tie-break
-            for j in range(k):
-                m = a == j
-                nb[j] += int(m.sum())
-                s[j] += x[m].sum(axis=0)  # empty selection sums to 0
-        out = pd.DataFrame({"cluster": np.arange(k), "nb": nb})
-        for i in range(dim):
-            out[f"s{i}"] = s[:, i]
-        yield out
-
-    schema = "cluster int, nb long, " + ", ".join(
-        f"s{i} long" for i in range(dim)
-    )
-    part_rows = vecs_batch.select("qv").mapInPandas(_partials, schema).collect()
-    agg: dict = {}
-    for r in part_rows:
-        cl = r["cluster"]
-        e = agg.setdefault(cl, [0] + [0] * dim)
-        e[0] += int(r["nb"])
-        for i in range(dim):
-            e[i + 1] += int(r[f"s{i}"])
-    # clusters with no batch members keep centroid AND count (the
-    # original groupBy emitted no row for them)
-    sums_rows = [
-        {"cluster": cl, "nb": e[0],
-         **{f"s{i}": e[i + 1] for i in range(dim)}}
-        for cl, e in agg.items() if e[0] > 0
-    ]
     # the advisor-r10 guard, driver-side: a cents cluster missing from
     # counts is corrupted state and must fail loudly, never drop quietly
     for cl in {c for c, _ in old_v}:
@@ -578,18 +633,26 @@ def kmeans_update(
                 "kmeans_update: a cluster in cents has no row in counts"
                 " — corrupted (cents, counts) state"
             )
-    batch = {r["cluster"]: r for r in sums_rows}
+    clusters = sorted(old_n)
+    row_of = {cl: j for j, cl in enumerate(clusters)}
+    cmat = np.zeros((k, dim), dtype=np.int64)
+    for (cl, pos), v in old_v.items():
+        cmat[row_of[cl], pos] = v
+    # clusters with no batch members keep centroid AND count
+    # (_cluster_partials omits them, like the original groupBy did)
+    part = _cluster_partials(vecs_batch, cmat, k, dim)
+    batch = {clusters[j]: e for j, e in part.items()}
     cent_rows = []
     for (cl, pos), v_old in sorted(old_v.items()):
         b = batch.get(cl)
         if b is None:
             v = int(v_old)  # cluster untouched by this batch
         else:
-            n_old, nb = int(old_n[cl]), int(b["nb"])
-            v = (n_old * int(v_old) + int(b[f"s{pos}"])) // (n_old + nb)
+            n_old, nb = int(old_n[cl]), int(b[0])
+            v = (n_old * int(v_old) + int(b[pos + 1])) // (n_old + nb)
         cent_rows.append((cl, pos, v))
     count_rows = [
-        (cl, int(n) + (int(batch[cl]["nb"]) if cl in batch else 0))
+        (cl, int(n) + (int(batch[cl][0]) if cl in batch else 0))
         for cl, n in sorted(old_n.items())
     ]
     spark = vecs_batch.sparkSession
