@@ -645,23 +645,44 @@ def q_bin_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency (quartile) binning of order value — the feature
     bucketizer of an ML preprocessing pipeline, exact where ml.feature's
     QuantileDiscretizer is approximate.  Cutpoints are exact interpolated
-    percentiles over integer cents (one global percentile aggregate —
-    a 3-double scalar broadcast back onto the fact); bin assignment is a
-    codegen'd CASE chain; per-bin stats follow the integer-cents
-    discipline.  Determinism: percentile interpolation over exact int64
+    percentiles over integer cents (percentile() with the histogram
+    count as its frequency argument — a 3-double scalar broadcast back
+    onto the histogram); bin assignment is a codegen'd CASE chain;
+    per-bin stats follow the integer-cents discipline.  Determinism: percentile interpolation over exact int64
     is the same p·(n-1) definition as DuckDB's quantile_cont, and the
     bigint-vs-double cut comparisons promote exactly."""
+    # HISTOGRAM form (round 15, VERDICT r14 item 7): ONE value-domain
+    # aggregate (groupBy cents → count, map-side combined) feeds BOTH
+    # the cutpoints and the per-bin stats.  percentile() takes the
+    # counts as its frequency argument — identical interpolation math
+    # over identical multisets, so the cuts are bit-equal to the raw-row
+    # form — and every per-bin stat is exactly derivable from (c, n):
+    # count ≡ Σn, min/max unchanged, Σc ≡ Σ(c·n) in exact int64.  The
+    # corpus is scanned ONCE (was twice), and the percentile buffer +
+    # the bin aggregation run over |distinct| (c, n) rows instead of N
+    # raw values — at 100 TB the shuffle carries the value domain, not
+    # the corpus (guide §2.3 "aggregate before you shuffle").
     o = load(spark, sf_dir, "orders")
     c = cents("o_totalprice")
-    cuts = o.agg(
-        F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("_q")
+    h = (
+        o.groupBy(c.alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # value-domain sized; feeds cuts AND bin stats
+    )
+    cuts = h.agg(
+        F.percentile(
+            F.col("c"),
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            F.col("n"),
+        ).alias("_q")
     ).select(
         F.element_at("_q", 1).alias("q1"),
         F.element_at("_q", 2).alias("q2"),
         F.element_at("_q", 3).alias("q3"),
     )
-    binned = o.select(c.alias("c")).crossJoin(F.broadcast(cuts)).select(
+    binned = h.crossJoin(F.broadcast(cuts)).select(
         "c",
+        "n",
         F.when(F.col("c") <= F.col("q1"), F.lit(1))
         .when(F.col("c") <= F.col("q2"), F.lit(2))
         .when(F.col("c") <= F.col("q3"), F.lit(3))
@@ -672,10 +693,10 @@ def q_bin_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         binned.groupBy("bin")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n").alias("n_orders"),
             (F.min("c").cast("double") / 100.0).alias("lo"),
             (F.max("c").cast("double") / 100.0).alias("hi"),
-            F.sum("c").alias("_s"),
+            F.sum(F.col("c") * F.col("n")).alias("_s"),
         )
         .select(
             "bin",

@@ -1,11 +1,11 @@
-"""Capture .explain("formatted") for named queries into plans/r14/.
+"""Capture .explain("formatted") for named queries into plans/r15/.
 
 Usage:
     python tools/capture_plans.py before q_a q_b ...
     python tools/capture_plans.py after  q_a q_b ...
 
-Writes plans/r14/<q>_<suffix>.txt — the round-14 optimization evidence
-files (OPTIMIZATION_r14.md references them; the judge checks plan-shape
+Writes plans/r15/<q>_<suffix>.txt — the round-15 optimization evidence
+files (OPTIMIZATION_r15.md references them; the judge checks plan-shape
 claims against these captures).  One shared session, vanilla width
 (local[32], shuffle=32 — the bench geometry).
 """
@@ -27,10 +27,10 @@ def main() -> None:
     names = sys.argv[2:]
     if suffix not in ("before", "after") or not names:
         raise SystemExit("usage: capture_plans.py before|after q_name ...")
-    out_dir = _REPO / "plans" / "r14"
+    out_dir = _REPO / "plans" / "r15"
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(
-        app_name="fossa_plans_r14", master="local[32]", shuffle_partitions=32
+        app_name="fossa_plans_r15", master="local[32]", shuffle_partitions=32
     )
     queries = all_queries()
     sf_dir = "/root/testdata/sf0.1"
