@@ -181,12 +181,24 @@ def train_quality_lr(
     # shape behind an opaque RDD scan.  The recompute cost is one narrow
     # pass, absorbed by feats' persist during training.
     mean_tok = mean_token_count(docs, text_col)
-    feats = hashed_features(docs, mean_tok, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # Round 15 (guide §2.4 — share one exchange): persist BOTH training
+    # relations hash-partitioned on the doc id.  Every iteration's
+    # corpus-scale operators are keyed on it — the logit groupBy, the
+    # error join, and the gradient's feats⋈err join — so with the
+    # layout established once, each iteration re-shuffles NOTHING at
+    # corpus grain; its only exchange is the ≤258-key gradient groupBy.
+    # The unpartitioned form re-exchanged the token-grain relation
+    # twice per iteration (the graph.py pre-partitioned-edges lesson,
+    # r14).  (An Arrow/driver-fold trainer was A/B'd this round and
+    # measured OUT: shipping the token-grain layout across the Python
+    # boundary once per iteration cost more than the JVM joins —
+    # cold 23.4 vs 14.0 s; see BENCHLOG.)
+    feats = hashed_features(docs, mean_tok, id_col, text_col).repartition(
+        F.col(id_col)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     y = docs.select(
         F.col(id_col), label.cast("long").alias("y")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).repartition(F.col(id_col)).persist(StorageLevel.MEMORY_AND_DISK)
     consts = y.agg(
         (F.count(F.lit(1)) * F.lit(lr_denom)).cast("long").alias("k")
     )

@@ -659,12 +659,34 @@ def build_minhash_index(
         F.col("band"), F.col("bucket"), F.col("_id").alias(id_col)
     )
     sizes = sh_rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    write_bucketed(brows, f"{table_prefix}_bands", "bucket", buckets=buckets,
-                   path=f"{path}/bands", sort_by="bucket")
-    write_bucketed(sh_rows, f"{table_prefix}_shingles", id_col, buckets=buckets,
-                   path=f"{path}/shingles", sort_by=id_col)
-    write_bucketed(sizes, f"{table_prefix}_sizes", id_col, buckets=buckets,
-                   path=f"{path}/sizes", sort_by=id_col)
+    # materialize the shared relation once, then run the three
+    # independent bucketed writes as CONCURRENT jobs (guide §2.6) —
+    # they touch disjoint tables and only read the persisted sh_rows;
+    # the append path (append_to_minhash_index) has used this shape
+    # since round 7, the cold build now does too (round 15: with the
+    # stage cache scoped per process, the build runs in the timed path
+    # every run — measured 9.7 s sequential at sf0.1, the two smaller
+    # writes fully overlap the bands write)
+    sh_rows.count()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(
+                write_bucketed, brows, f"{table_prefix}_bands", "bucket",
+                buckets=buckets, path=f"{path}/bands", sort_by="bucket",
+            ),
+            pool.submit(
+                write_bucketed, sh_rows, f"{table_prefix}_shingles", id_col,
+                buckets=buckets, path=f"{path}/shingles", sort_by=id_col,
+            ),
+            pool.submit(
+                write_bucketed, sizes, f"{table_prefix}_sizes", id_col,
+                buckets=buckets, path=f"{path}/sizes", sort_by=id_col,
+            ),
+        ]
+        for f in futs:
+            f.result()  # re-raise any write failure
     # format marker: probe/append assert this exact version before
     # touching the index (advisor r04 — a silently-incompatible hash
     # family or _sh dtype must fail loudly, not return empty matches)
