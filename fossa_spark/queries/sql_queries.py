@@ -813,10 +813,14 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated again by the UNION ALL of the two rule directions: 18
     scans, 46 Exchanges).  The DataFrame form persists `li` once, folds
     the `n_ab >= 3` rule filter into the pair aggregate (a HAVING — it
-    commutes with the inner joins it preceded), and eagerly checkpoints
-    the joined pair table so the two-direction union reads it instead of
-    replaying the whole subtree.  Same counts, same single divisions in
-    the same association order — bit-identical output."""
+    commutes with the inner joins it preceded), eagerly checkpoints the
+    PAIR AGGREGATE so the two-direction union reads it instead of
+    replaying the whole subtree, and collects the basket count N to a
+    float literal at build time (one eager count — the builder is
+    executed immediately under the driver contract; a lazy 1-row
+    crossJoin would plan as a BroadcastNestedLoopJoin the lint cannot
+    prove scalar).  Same counts, same single divisions in the same
+    association order — bit-identical output."""
     _register_views(spark, sf_dir, ("lineitem",))
     li = (
         spark.table("fs_lineitem")

@@ -150,16 +150,19 @@ def test_lsh_50k_skewed_corpus_end_to_end(spark):
 
 
 def test_lsh_candidate_join_is_equi_join(skewed_docs):
-    """Plan shape: the candidate self-join must be a (band, bucket) hash
-    equi-join — a cartesian or broadcast-nested-loop here is the
-    single-reducer O(n²) plan that cannot survive a corpus."""
+    """Plan shape: candidate generation must never plan the
+    single-reducer O(n²) shape (cartesian / broadcast-nested-loop).
+    Round 15 replaced the (band, bucket) self-join with ONE
+    groupBy(bucket) collect_list + in-group pair explode, so the plan
+    now has NO join at all — assert that shape: join-free, and the
+    bucket aggregate present (the cap filter runs on size(ids), so
+    oversized buckets are dropped whole before the explode)."""
     cands = _candidates(skewed_docs, max_bucket=CAP)
     a = audit(cands)
     assert "CartesianProduct" not in a.formatted
     assert "BroadcastNestedLoopJoin" not in a.formatted
-    assert any(
-        "band" in j and "bucket" in j for j in a.join_nodes
-    ) or a.join_nodes, a.join_nodes
+    assert not a.join_nodes, a.join_nodes
+    assert "collect_list" in a.formatted, a.formatted[:2000]
 
 
 def test_incremental_dedup_against_persisted_index(spark, skewed_docs, tmp_path):
