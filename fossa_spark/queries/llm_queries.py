@@ -832,9 +832,29 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the re-rank — persist so each consumer reads blocks instead of
     # replaying the scan + spread() shuffle (round 14)
     e = spread(load(spark, sf_dir, "embeddings"), spark).persist()
-    brute = S.staged_brute_topk(e, n_q=_RECALL_NQ, k=_RECALL_K).select(
-        "q_id", "c_id"
-    )
+    # Round 15 (guide §2.6 — with the stage cache scoped per process,
+    # the three index artifacts build in the timed path of the first
+    # run): the brute ranking, the IVF index and the SRP signature
+    # table are INDEPENDENT builds over the same persisted relation, so
+    # build them as concurrent jobs instead of three sequential build
+    # waves.  Cache-hit runs serve in milliseconds either way.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        _f_brute = _pool.submit(
+            S.staged_brute_topk, e, n_q=_RECALL_NQ, k=_RECALL_K
+        )
+        _f_km = _pool.submit(
+            S.staged_kmeans_index, e, k=_RECALL_IVF_CELLS,
+            iters=_RECALL_IVF_ITERS,
+        )
+        _f_srp = _pool.submit(
+            S.staged_srp_sigs_md5, e, bits=_RECALL_BITS,
+            tables=_RECALL_TABLES, dim=_RECALL_DIM,
+        )
+        brute = _f_brute.result().select("q_id", "c_id")
+        cents, assign = _f_km.result()
+        _srp_sigs = _f_srp.result()
     qids = e.filter(F.col("vec_id") < _RECALL_NQ).select(
         F.col("vec_id").alias("q_id")
     )
@@ -843,9 +863,6 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Centroids + assignment are INDEX state (train once, probe many):
     # staged per corpus fingerprint, like a production IVF build.
     vecs = ml.quantize_vectors(e)
-    cents, assign = S.staged_kmeans_index(
-        e, k=_RECALL_IVF_CELLS, iters=_RECALL_IVF_ITERS
-    )
     qe = vecs.filter(F.col("vec_id") < _RECALL_NQ).select(
         F.col("vec_id").alias("q_id"), F.posexplode("qv").alias("pos", "qval")
     )
@@ -876,10 +893,9 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- SRP-LSH leg: md5-literal hyperplanes, shared-bucket candidates.
     # The signature table is index state too (and feeds both sides of
-    # the bucket self-join): staged per corpus fingerprint.
-    sigs = S.staged_srp_sigs_md5(
-        e, bits=_RECALL_BITS, tables=_RECALL_TABLES, dim=_RECALL_DIM
-    )
+    # the bucket self-join): staged per corpus fingerprint (built
+    # concurrently with the other two artifacts above).
+    sigs = _srp_sigs
     qs = sigs.filter(F.col("vec_id") < _RECALL_NQ).select(
         F.col("vec_id").alias("q_id"), "tbl", "sig"
     )

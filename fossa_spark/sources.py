@@ -33,7 +33,10 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+import threading as _threading
+
 _PROC_CACHE_ROOT: str | None = None
+_PROC_CACHE_ROOT_LOCK = _threading.Lock()
 
 
 def _default_cache_root() -> str:
@@ -54,15 +57,26 @@ def _default_cache_root() -> str:
     Callers that want durable staging must opt in with an explicit
     ``cache_root``."""
     global _PROC_CACHE_ROOT
+    # Double-checked under a lock: concurrent first callers (queries
+    # that launch independent staged builds from a thread pool, e.g.
+    # q_sim_recall's three index artifacts) must agree on ONE root — an
+    # unguarded lazy init let each racing thread mkdtemp its own root
+    # and cache into it, orphaning every entry but the last writer's
+    # (observed: 2 of q_sim_recall's 3 artifacts silently rebuilt on
+    # the next run).
     if _PROC_CACHE_ROOT is None:
-        import atexit
-        import os
-        import shutil
-        import tempfile
+        with _PROC_CACHE_ROOT_LOCK:
+            if _PROC_CACHE_ROOT is None:
+                import atexit
+                import os
+                import shutil
+                import tempfile
 
-        d = tempfile.mkdtemp(prefix=f"fossa_stage_cache_{os.getpid()}_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        _PROC_CACHE_ROOT = d
+                d = tempfile.mkdtemp(
+                    prefix=f"fossa_stage_cache_{os.getpid()}_"
+                )
+                atexit.register(shutil.rmtree, d, ignore_errors=True)
+                _PROC_CACHE_ROOT = d
     return _PROC_CACHE_ROOT
 
 
